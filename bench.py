@@ -1,0 +1,74 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the ``noop`` sink (executes the
+whole plan, no driver collect cost). A warmup run of the flagship
+query absorbs JVM/codegen startup so per-query numbers reflect the
+plans, not session spin-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
+from big_data_movie_recommendation_and_customer_segmentation_spark.plans import QUERY_REGISTRY
+
+# Headline set: one per operator family — scan/agg, join+agg, window
+# top-k, candidate pipeline (cross+anti join), split window, corr.
+HEADLINE = [
+    "pricing_summary",
+    "segment_revenue",
+    "recent_orders_per_customer",
+    "part_popularity_biased",
+    "candidates_unseen",
+    "chronological_split_counts",
+    "corr_qty_price_by_flag",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="bdmrcs-bench")
+
+    names = [n for n in HEADLINE if n in QUERY_REGISTRY]
+    materialize(QUERY_REGISTRY[names[0]](spark, sf_dir))  # warmup
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(QUERY_REGISTRY[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,467 @@
+"""Named queries: the engine's operator inventory, executable.
+
+Each entry pairs a PySpark implementation (built from the operator
+library) with an ANSI-SQL oracle that DuckDB runs on the same parquet
+tables — the driver's correctness gate (``__spark_entry__.py``).
+
+Conventions that make the oracle hash stable (SURVEY §5, §7):
+- every computed column is aliased identically in Spark and SQL;
+- floating-point aggregates are ``round``-ed in BOTH engines (FP
+  summation order differs between engines; rounding absorbs the ulp
+  drift);
+- every top-k has a deterministic total order (unique tiebreaker);
+- arrays are sorted before comparison.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import relational as R
+from ..operators import splits as S
+from ..sources import load_table
+
+QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_REGISTRY: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERY_REGISTRY[name] = fn
+        if oracle is not None:
+            ORACLE_REGISTRY[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# A. Scans + aggregation core (SURVEY §2.A, §2.D)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6)                        AS avg_qty,
+           round(avg(l_discount), 6)                        AS avg_disc,
+           count(*)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary (scan→filter→multi-agg).
+
+    Operator classes: A1 parquet scan, B8 filter (pushed to parquet),
+    D2/D3 multi-aggregate with map-side partials, B4 column algebra.
+    One shuffle on the (tiny-cardinality) group key; at 100 TB the
+    scan dominates and the exchange carries |groups|×|tasks| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "customer_order_counts",
+    oracle="""
+    SELECT o_custkey, count(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 10
+    """,
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-count + min-count filter (D1 + the reference's ≥50-rating
+    active-user gate, ``top_100_pairs.py:34-35``)."""
+    return R.keys_with_min_count(load_table(spark, sf_dir, "orders"), "o_custkey", 10)
+
+
+@query(
+    "distinct_segments",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + distinct (B1 + D6, ``popularity_evalutaion.py:38``)."""
+    return R.distinct_rows(load_table(spark, sf_dir, "customer"), ["c_mktsegment", "c_nationkey"])
+
+
+@query(
+    "order_part_stats",
+    oracle="""
+    SELECT l_orderkey,
+           count(DISTINCT l_partkey)            AS n_parts,
+           round(sum(l_quantity), 4)            AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(DISTINCT l_partkey) >= 5
+    """,
+)
+def order_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-within-group + multi-agg (D6 scalarized companion of
+    the collect_set operator D4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        )
+        .filter(F.col("n_parts") >= 5)
+    )
+
+
+@query(
+    "order_part_sets",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(DISTINCT l_partkey)) AS items
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 6
+    """,
+)
+def order_part_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted collect_set arrays (D4, ``top_100_pairs.py:47``) — the
+    building block of the user×item-set similarity pipeline."""
+    li = R.filter_active(load_table(spark, sf_dir, "lineitem"), "l_orderkey", 6)
+    return R.grouped_set(li, "l_orderkey", "l_partkey", out="items")
+
+
+# --------------------------------------------------------------------------
+# B. Joins (SURVEY §2.C)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                      AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact×dim + aggregate (C2). Customer is the
+    small side → Catalyst broadcasts it; no shuffle of lineage-sized
+    data beyond the final tiny group-by."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (C1/C5 — the engine's replacement for the
+    reference's inner-join-as-filter at ``top_100_pairs.py:36`` and
+    big ``isin`` lists at ``correlation_optimised.py:32``)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return R.semi_join(c, o.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey").select("c_custkey", "c_name")
+
+
+@query(
+    "parts_never_ordered",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (C3, ``popularity_evalutaion.py:47-48``)."""
+    p = load_table(spark, sf_dir, "part")
+    seen = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return R.anti_join(p, seen, ["p_partkey"]).select("p_partkey", "p_name")
+
+
+@query(
+    "region_nation_acctbal",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*)                    AS n_customers,
+           round(avg(c.c_acctbal), 6)  AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def region_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way snowflake join (C2 chained) — both dims broadcast,
+    zero shuffles before the final small aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C. Top-k, windows, candidate generation (SURVEY §2.E, §2.F, recommend)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top_parts_by_price",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def top_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (F2, ``popularity_evalutaion.py:31-32``) —
+    TakeOrderedAndProject, deterministic tiebreak on the unique key."""
+    p = load_table(spark, sf_dir, "part")
+    return R.topk(p, [F.col("p_retailprice").desc(), F.col("p_partkey").asc()], 100).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+@query(
+    "recent_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rank FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rank
+      FROM orders)
+    WHERE rank <= 3
+    """,
+)
+def recent_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window (E1/E2,
+    ``popularity_evalutaion.py:52-54``) with explicit tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    return R.per_group_topk(
+        o,
+        "o_custkey",
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+        3,
+        keep_rank=True,
+    ).select("o_custkey", "o_orderkey", "rank")
+
+
+@query(
+    "part_popularity_biased",
+    oracle="""
+    SELECT l_partkey,
+           round(sum(l_quantity), 4)                    AS total_qty,
+           count(*)                                     AS n_orders,
+           round(sum(l_quantity) / (count(*) + 100), 6) AS score
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY sum(l_quantity) / (count(*) + 100) DESC, l_partkey ASC
+    LIMIT 50
+    """,
+)
+def part_popularity_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias-damped popularity score, the reference's tuned recommender
+    (S4b ``popularity_tuned.py:36-41``): score = Σqty/(n+b), top-k.
+    Aggregate → scalar algebra → TakeOrderedAndProject; one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pop = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .withColumn("_score", F.col("_total") / (F.col("n_orders") + F.lit(100)))
+    )
+    return R.topk(pop, [F.col("_score").desc(), F.col("l_partkey").asc()], 50).select(
+        "l_partkey",
+        F.round(F.col("_total"), 4).alias("total_qty"),
+        F.col("n_orders"),
+        F.round(F.col("_score"), 6).alias("score"),
+    )
+
+
+@query(
+    "candidates_unseen",
+    oracle="""
+    WITH top_parts AS (
+      SELECT l_partkey
+      FROM lineitem
+      GROUP BY l_partkey
+      ORDER BY sum(l_quantity) / (count(*) + 100) DESC, l_partkey ASC
+      LIMIT 20
+    ),
+    users AS (SELECT DISTINCT o_custkey FROM orders),
+    seen AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT u.o_custkey AS custkey, t.l_partkey AS partkey
+    FROM users u CROSS JOIN top_parts t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM seen s
+      WHERE s.o_custkey = u.o_custkey AND s.l_partkey = t.l_partkey)
+    """,
+)
+def candidates_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's candidate-generation pipeline shape
+    (``popularity_evalutaion.py:38-48``): distinct users ×
+    broadcast(top-k items) cross join, minus already-seen pairs via
+    left-anti join (C4 + C3 + D6).
+
+    Shuffles: distinct(users) and seen-pairs each one exchange; the
+    cross join is broadcast (no shuffle); the anti join co-partitions
+    on (custkey, partkey). Scale note: candidate volume is
+    |users|×k — k is a constant, so this grows linearly with users.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pop = (
+        li.groupBy("l_partkey")
+        .agg((F.sum("l_quantity") / (F.count(F.lit(1)) + F.lit(100))).alias("_score"))
+    )
+    top_parts = R.topk(pop, [F.col("_score").desc(), F.col("l_partkey").asc()], 20).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    users = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    cands = R.broadcast_cross_candidates(users, top_parts)
+    seen = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    return R.anti_join(cands, seen, ["custkey", "partkey"])
+
+
+# --------------------------------------------------------------------------
+# D. Chronological split (SURVEY S3 parity)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "chronological_split_counts",
+    oracle="""
+    WITH active AS (
+      SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 5
+    ),
+    ranked AS (
+      SELECT e.user_id,
+             CAST(floor((row_number() OVER (PARTITION BY e.user_id
+                                            ORDER BY e.ts ASC, e.event_id ASC) - 1)
+                        / (count(*) OVER (PARTITION BY e.user_id)) * 5) AS int) AS bucket
+      FROM events e
+      WHERE e.user_id IN (SELECT user_id FROM active)
+    )
+    SELECT user_id,
+           CASE WHEN bucket < 3 THEN 'train'
+                WHEN bucket = 3 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def chronological_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user chronological 60/20/20 split (S3 ``partition.py:23-35``
+    semantics: floor((rn-1)/n*5), buckets {0,1,2}/{3}/{4}), reported
+    as per-user split sizes so the oracle hash checks the geometry."""
+    ev = load_table(spark, sf_dir, "events")
+    split = S.chronological_split(ev, "user_id", "ts", "event_id", min_rows_per_user=5)
+    return split.groupBy("user_id", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# E. Grouped correlation (SURVEY D8 — S2's Pearson validation, distributed)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corr_qty_price_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation as a grouped aggregate (D8): what the
+    reference computes per-pair on the driver with np.corrcoef
+    (``correlation_optimised.py:43-51``), expressed as ``F.corr`` so
+    it runs distributed with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "event_type_stats",
+    oracle="""
+    SELECT event_type,
+           count(*)                                       AS n,
+           round(sum(value), 4)                           AS total_value,
+           round(sum(value) / (count(*) + 1000), 6)       AS damped_avg
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership predicate (B10 ``isin`` — small literal list is
+    fine; large lists become semi-joins) + damped aggregate (S4b's
+    bias formula ``popularity_tuned.py:38``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum("value") / (F.count(F.lit(1)) + F.lit(1000)), 6).alias("damped_avg"),
+        )
+    )

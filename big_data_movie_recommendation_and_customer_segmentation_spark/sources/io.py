@@ -1,0 +1,182 @@
+"""Sources and sinks.
+
+The reference loads every input with ``spark.read.csv(path,
+header=True, inferSchema=True)`` (reference ``codes/Customer
+Segmentation/part1/top_100_pairs.py:26`` and six more call sites) —
+a schema-inferring extra pass per file, with defensive re-casting
+afterwards (``codes/Movie Recommendation/part5/als_latent_factors.py:16-19``).
+
+This engine inverts that: **explicit StructType schemas, Parquet
+first**. At 100 TB an inference pass is a full extra scan, and CSV
+can't push filters or prune columns; Parquet gives both for free.
+CSV remains supported as a secondary source with a mandatory schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Fixed schemas for the driver's synthetic tables (TESTDATA.md).
+# Declaring them (rather than trusting parquet footers) documents the
+# engine's data model and catches drift loudly.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLES = tuple(SCHEMAS)
+
+# Physical quirks of the driver-generated parquet: events.ts is
+# TIMESTAMP(NANOS,false), which Spark cannot represent — with
+# spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) it
+# scans as int64 nanoseconds, converted below to a micros timestamp
+# (`div 1000` truncation — identical to DuckDB's ns→µs handling).
+_PHYSICAL_LONG_NANOS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _physical_schema(name: str) -> T.StructType:
+    nanos_cols = _PHYSICAL_LONG_NANOS.get(name, ())
+    return T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name in nanos_cols else f.dataType, f.nullable)
+            for f in SCHEMAS[name]
+        ]
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan with the declared schema.
+
+    Column pruning and predicate pushdown flow from downstream
+    ``select``/``filter`` into this scan via Catalyst — verify with
+    ``.explain``: ``ReadSchema`` should list only referenced columns
+    and ``PushedFilters`` the sargable predicates.
+    """
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.schema(_physical_schema(name)).parquet(f"{sf_dir}/{name}.parquet")
+    for c in _PHYSICAL_LONG_NANOS.get(name, ()):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
+    """CSV scan with mandatory schema (no inferSchema — replaces
+    reference's ``top_100_pairs.py:26`` pattern without the extra
+    inference pass)."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Parquet sink, optionally hive-partitioned.
+
+    The reference writes its three chronological splits as three
+    separate jobs, each re-running the window DAG
+    (``codes/Movie Recommendation/part3/partition.py:39-51``). With
+    ``partition_by=("split",)`` this is one job and readers get
+    partition pruning on ``split`` for free.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
