@@ -1,0 +1,287 @@
+"""User-pair similarity operators (reference S1/S2 parity, distributed).
+
+The reference's "movie twins" pipeline
+(``codes/Customer Segmentation/part1/top_100_pairs.py``) collects all
+user item-sets to the driver in 5000-row batches, builds datasketch
+MinHash signatures in a Python loop, LSH-indexes them in a dict, and
+heap-scans for the top-100 pairs (S1:53-107) — single-threaded and
+bounded by driver RAM. Every operator here keeps the data distributed
+until the final bounded top-k.
+
+Two paths, mirroring SURVEY §2.C6/§2.K:
+- ``exact_jaccard_pairs`` — exact set-similarity self-join; the
+  oracle-checkable ground truth. Cost is Σ_item |users(item)|², so a
+  hot item explodes it; ``max_item_freq`` prunes those (the standard
+  prefix-filter trick) — at 100 TB run it only on pruned inputs or
+  use the LSH path.
+- ``minhash_lsh_pairs`` — pyspark.ml MinHashLSH band-bucket join;
+  candidate pairs only bucket-collide, so cost tracks true-similar
+  density, not N². The scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import filter_active, topk
+
+
+def user_item_pairs(df: DataFrame, user_col: str, item_col: str) -> DataFrame:
+    """Distinct (user, item) pairs — the binary "rated" relation the
+    reference builds per-user sets from (``top_100_pairs.py:47``)."""
+    return df.select(F.col(user_col).alias("user"), F.col(item_col).alias("item")).distinct()
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    threshold: float = 0.5,
+    min_items: int = 1,
+    max_item_freq: int | None = None,
+) -> DataFrame:
+    """All user pairs with exact Jaccard(item-set, item-set) ≥ threshold.
+
+    Columns: ``user_a < user_b``, ``n_common``, ``n_a``, ``n_b``,
+    ``jaccard``. Replaces the reference's driver-side
+    ``m1.jaccard(m2)`` scoring (``top_100_pairs.py:99-107``) with:
+
+        self-join on item (u_a < u_b) → groupBy pair count = |A∩B|
+        join per-user sizes → jaccard = ∩ / (|A|+|B|-∩)
+
+    Shuffles: one per-user agg, one self-join keyed on item, one
+    pair agg, two broadcast-able size joins. The item-keyed self-join
+    is the skew point: ``max_item_freq`` drops items rated by more
+    than that many users (they contribute O(f²) pairs and little
+    similarity signal) — same motivation as the reference's
+    ≥50-rating user filter, applied to the item side.
+    """
+    pairs = user_item_pairs(df, user_col, item_col)
+    if min_items > 1:
+        pairs = filter_active(pairs, "user", min_items)
+    if max_item_freq is not None:
+        from .relational import keys_with_min_count
+
+        hot = keys_with_min_count(pairs, "item", max_item_freq + 1).select("item")
+        pairs = pairs.join(hot, "item", "left_anti")
+
+    sizes = pairs.groupBy("user").agg(F.count(F.lit(1)).alias("n_items"))
+
+    a = pairs.select(F.col("user").alias("user_a"), "item")
+    b = pairs.select(F.col("user").alias("user_b"), "item")
+    inter = (
+        a.join(b, "item")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("user").alias("user_a"), F.col("n_items").alias("n_a")), "user_a")
+        .join(sizes.select(F.col("user").alias("user_b"), F.col("n_items").alias("n_b")), "user_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def top_similar_pairs(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 100,
+    threshold: float = 0.0,
+    min_items: int = 1,
+    max_item_freq: int | None = None,
+) -> DataFrame:
+    """Top-k most-similar user pairs by exact Jaccard — the S1 headline
+    ("top_100_pairs"), with a deterministic (jaccard desc, user_a,
+    user_b) order instead of the reference's signature-estimate heap."""
+    pairs = exact_jaccard_pairs(df, user_col, item_col, threshold, min_items, max_item_freq)
+    return topk(
+        pairs,
+        [F.col("jaccard").desc(), F.col("user_a").asc(), F.col("user_b").asc()],
+        k,
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    threshold: float = 0.5,
+    num_hash_tables: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate similar-pair mining via distributed MinHash LSH.
+
+    Replaces the reference's driver-side datasketch pipeline
+    (``top_100_pairs.py:54-94``: MinHash(num_perm=32) per user,
+    MinHashLSH(threshold=0.5) dict index, per-user queries) with
+    ``pyspark.ml.feature.MinHashLSH.approxSimilarityJoin`` — the
+    band-bucket shuffle join runs on executors and never materializes
+    N² candidates.
+
+    Signature parity is impossible (different hash families — SURVEY
+    §7 hard-part 2); semantic parity is what's tested: emitted pairs
+    are exactly those with estimated Jaccard ≥ threshold, and callers
+    rescore exactly with ``exact_jaccard_pairs`` semantics via the
+    returned ``jaccard`` column (computed from the true sets here).
+
+    Output columns match ``exact_jaccard_pairs``.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sets = (
+        user_item_pairs(df, user_col, item_col)
+        .groupBy("user")
+        .agg(F.collect_set(F.col("item").cast("string")).alias("items"))
+    )
+    # CountVectorizer(binary) → sparse indicator vector per user; the
+    # fitted vocab is the item dictionary (bounded: |items| ≪ rows).
+    cv = CountVectorizer(inputCol="items", outputCol="features", binary=True)
+    model = cv.fit(sets)
+    feats = model.transform(sets).select("user", "items", "features")
+
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    lsh_model = lsh.fit(feats)
+    joined = lsh_model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
+    pairs = (
+        joined.filter(F.col("datasetA.user") < F.col("datasetB.user"))
+        .select(
+            F.col("datasetA.user").alias("user_a"),
+            F.col("datasetB.user").alias("user_b"),
+            F.col("datasetA.items").alias("_items_a"),
+            F.col("datasetB.items").alias("_items_b"),
+        )
+    )
+    # exact rescore from the true sets (cheap: pairs ≪ rows)
+    inter = F.size(F.array_intersect("_items_a", "_items_b"))
+    return pairs.select(
+        "user_a",
+        "user_b",
+        inter.alias("n_common"),
+        F.size("_items_a").alias("n_a"),
+        F.size("_items_b").alias("n_b"),
+        (inter / (F.size("_items_a") + F.size("_items_b") - inter)).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def pair_rating_correlation(
+    ratings: DataFrame,
+    pairs: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    min_common: int = 2,
+) -> DataFrame:
+    """Pearson correlation of two users' ratings over co-rated items,
+    per pair — distributed (S2 parity).
+
+    The reference pulls each pair's rating vectors to the driver and
+    loops ``np.corrcoef`` (``correlation_optimised.py:41-51``); here
+    the pair table joins the ratings fact twice on (user, item) and
+    ``F.corr`` aggregates per pair with map-side partials. NaN corr
+    (zero variance) is dropped, matching S2:50's isnan skip.
+
+    Output: user_a, user_b, n_common_rated, corr.
+    Shuffles: two user-keyed joins (pairs side is small → broadcast)
+    + one pair-keyed agg.
+    """
+    r_a = ratings.select(
+        F.col(user_col).alias("user_a"),
+        F.col(item_col).alias("item"),
+        F.col(rating_col).alias("r_a"),
+    )
+    r_b = ratings.select(
+        F.col(user_col).alias("user_b"),
+        F.col(item_col).alias("item"),
+        F.col(rating_col).alias("r_b"),
+    )
+    # Pearson spelled as try_divide(cov, sx*sy): under ANSI mode
+    # F.corr raises DIVIDE_BY_ZERO on zero-variance pairs; this form
+    # yields NULL there, matching the reference's NaN-skip (S2:50)
+    # and the oracle's NULL/NaN filter.
+    pearson = F.try_divide(
+        F.covar_samp("r_a", "r_b"),
+        F.stddev_samp("r_a") * F.stddev_samp("r_b"),
+    )
+    return (
+        F.broadcast(pairs.select("user_a", "user_b"))
+        .join(r_a, "user_a")
+        .join(r_b, ["user_b", "item"])
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_rated"),
+            pearson.alias("corr"),
+        )
+        .filter(F.col("n_common_rated") >= min_common)
+        .filter(F.col("corr").isNotNull() & ~F.isnan("corr"))
+    )
+
+
+def random_pair_baseline(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    n_pairs: int = 100,
+    n_trials: int = 49,
+    sample_size: int = 5000,
+    seed: int = 42,
+) -> DataFrame:
+    """Null-model baseline: average rating-correlation of random user
+    pairs, repeated over trials (S2 ``correlation_optimised.py:54-97``:
+    sample 5000 users once, then 49×100 random pairs).
+
+    Distributed re-expression: sample users once (seeded), assign
+    each trial a seeded shuffle via ``rand(seed+trial)``, pair
+    consecutive rows, union all trials, compute correlations in ONE
+    grouped-agg pass, then average per trial.
+
+    Output: trial, n_pairs_scored, avg_corr.
+    """
+    users = (
+        ratings.select(F.col(user_col).alias("u")).distinct().orderBy(F.rand(seed)).limit(sample_size)
+    )
+    trials = []
+    for t in range(n_trials):
+        shuffled = (
+            users.withColumn("_r", F.rand(seed + 1 + t))
+            # single-partition window is safe: input is the bounded
+            # `sample_size`-row user sample, not the ratings fact
+            .withColumn("_rn", F.row_number().over(Window.orderBy("_r")))
+            .filter(F.col("_rn") <= 2 * n_pairs)
+        )
+        left = shuffled.filter(F.col("_rn") % 2 == 1).select(
+            ((F.col("_rn") + 1) / 2).cast("long").alias("pid"), F.col("u").alias("user_a")
+        )
+        right = shuffled.filter(F.col("_rn") % 2 == 0).select(
+            (F.col("_rn") / 2).cast("long").alias("pid"), F.col("u").alias("user_b")
+        )
+        trials.append(
+            left.join(right, "pid")
+            .select(
+                F.lit(t).alias("trial"),
+                F.least("user_a", "user_b").alias("user_a"),
+                F.greatest("user_a", "user_b").alias("user_b"),
+            )
+        )
+    all_pairs = trials[0]
+    for t_df in trials[1:]:
+        all_pairs = all_pairs.unionByName(t_df)
+
+    corrs = pair_rating_correlation(
+        ratings, all_pairs.select("user_a", "user_b").distinct(), user_col, item_col, rating_col
+    )
+    return (
+        all_pairs.join(corrs, ["user_a", "user_b"])
+        .groupBy("trial")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs_scored"),
+            F.avg("corr").alias("avg_corr"),
+        )
+    )

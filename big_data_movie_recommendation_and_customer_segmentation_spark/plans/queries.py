@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import relational as R
+from ..operators import similarity as SIM
 from ..operators import splits as S
 from ..sources import load_table
 
@@ -437,6 +438,130 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# F. Similarity / segmentation (SURVEY S1+S2 parity — §2.C6, §2.D8, §2.K)
+# --------------------------------------------------------------------------
+
+_CO_PURCHASE_SQL = """
+    WITH ui AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sizes AS (SELECT u, count(*) AS n FROM ui GROUP BY u),
+    inter AS (
+      SELECT a.u AS user_a, b.u AS user_b, count(*) AS n_common
+      FROM ui a JOIN ui b ON a.i = b.i AND a.u < b.u
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT user_a, user_b, n_common, sa.n AS n_a, sb.n AS n_b,
+             n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.u = user_a
+      JOIN sizes sb ON sb.u = user_b
+    )
+"""
+
+
+def _co_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select("o_custkey", "l_partkey")
+
+
+@query(
+    "jaccard_pairs_exact",
+    oracle=_CO_PURCHASE_SQL
+    + """
+    SELECT user_a, user_b, n_common, n_a, n_b, round(jaccard, 6) AS jaccard
+    FROM jac WHERE jaccard >= 0.05
+    """,
+)
+def jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join over customer co-purchase sets —
+    the distributed ground truth replacing the reference's driver-side
+    pair scoring (S1 ``top_100_pairs.py:82-107``)."""
+    cp = _co_purchases(spark, sf_dir)
+    pairs = SIM.exact_jaccard_pairs(cp, "o_custkey", "l_partkey", threshold=0.05)
+    return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@query(
+    "top_similar_customer_pairs",
+    oracle=_CO_PURCHASE_SQL
+    + """
+    SELECT user_a, user_b, n_common, round(jaccard, 6) AS jaccard
+    FROM jac
+    ORDER BY jaccard DESC, user_a ASC, user_b ASC
+    LIMIT 50
+    """,
+)
+def top_similar_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 headline, "top-100 movie twins" shape: bounded top-k most
+    similar pairs, deterministic order, no driver-side heap."""
+    cp = _co_purchases(spark, sf_dir)
+    pairs = SIM.top_similar_pairs(cp, "o_custkey", "l_partkey", k=50, threshold=0.0)
+    return pairs.select("user_a", "user_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "pair_rating_correlation",
+    oracle=_CO_PURCHASE_SQL
+    + """,
+    top_pairs AS (
+      SELECT user_a, user_b FROM jac
+      ORDER BY jaccard DESC, user_a ASC, user_b ASC
+      LIMIT 50
+    ),
+    ratings AS (
+      SELECT o.o_custkey AS u, l.l_partkey AS i, sum(l.l_quantity) AS r
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    pair_corr AS (
+      SELECT p.user_a, p.user_b,
+             count(*) AS n_common_rated,
+             corr(ra.r, rb.r) AS c
+      FROM top_pairs p
+      JOIN ratings ra ON ra.u = p.user_a
+      JOIN ratings rb ON rb.u = p.user_b AND rb.i = ra.i
+      GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, n_common_rated, round(c, 6) AS corr
+    FROM pair_corr
+    WHERE n_common_rated >= 3 AND c IS NOT NULL AND NOT isnan(c)
+    """,
+)
+def pair_rating_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 parity: Pearson correlation of paired customers' "ratings"
+    (summed quantities) over co-purchased parts, as a distributed
+    grouped aggregate instead of a driver np.corrcoef loop
+    (``correlation_optimised.py:41-51``)."""
+    cp_full = _co_purchases(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ratings = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("r"))
+    )
+    top_pairs = SIM.top_similar_pairs(cp_full, "o_custkey", "l_partkey", k=50, threshold=0.0)
+    corr = SIM.pair_rating_correlation(
+        ratings, top_pairs, "o_custkey", "l_partkey", "r", min_common=3
+    )
+    return corr.withColumn("corr", F.round("corr", 6))
+
+
+@query("minhash_pairs_lsh")  # no SQL oracle: LSH is approximate (rows-only check)
+def minhash_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MinHash LSH similar-pair mining (S1's datasketch
+    pipeline, ``top_100_pairs.py:54-94``, as
+    MinHashLSH.approxSimilarityJoin). Approximate → validated by the
+    exact-Jaccard property test instead of the SQL oracle."""
+    cp = _co_purchases(spark, sf_dir)
+    return SIM.minhash_lsh_pairs(spark, cp, "o_custkey", "l_partkey", threshold=0.05, num_hash_tables=16)
 
 
 @query(
