@@ -1,1 +1,1 @@
-from . import relational, splits  # noqa: F401
+from . import als, evaluate, recommend, relational, similarity, splits  # noqa: F401

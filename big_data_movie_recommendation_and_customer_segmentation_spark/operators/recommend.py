@@ -1,0 +1,114 @@
+"""Recommendation operators (reference S4a/S4b/S4c parity).
+
+The reference's popularity recommenders
+(``codes/Movie Recommendation/part4/popularity_evalutaion.py``,
+``popularity_tuned.py``, ``popularity_with_bias_evaluation.py``)
+share one pipeline: score items on the train split, keep the top
+``n_candidates``, cross-join onto target users, drop already-seen
+pairs, truncate per user to k. Re-expressed here as composable
+operators, with two deliberate fixes over the reference (SURVEY §7):
+
+- candidate ranking: the reference truncates per-user candidates by
+  ``movieId`` order (``popularity_evalutaion.py:52-54``), discarding
+  the popularity ranking inside the top-1000; the engine ranks by
+  score desc (item id as tiebreaker). ``compat_item_order=True``
+  reproduces the reference exactly for golden-parity runs.
+- list determinism: prediction lists are built with an explicit
+  in-array sort, never relying on collect_list order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import (
+    anti_join,
+    broadcast_cross_candidates,
+    grouped_list_sorted_by,
+    per_group_topk,
+    topk,
+)
+
+
+def popularity_scores(
+    ratings: DataFrame,
+    item_col: str,
+    rating_col: str,
+    bias: float = 0.0,
+    min_ratings: int = 1,
+) -> DataFrame:
+    """Per-item damped popularity: score = Σrating / (count + bias).
+
+    bias=0 + avg ↔ S4a's plain average (``popularity_evalutaion.py:27-29``);
+    bias>0 ↔ S4b's Bayesian-damped score (``popularity_tuned.py:36-38``,
+    report p.4: best b=1000). One map-side-combined aggregate; the
+    shuffle carries one row per item per map task.
+
+    Output: item, n_ratings, score.
+    """
+    return (
+        ratings.groupBy(F.col(item_col).alias("item"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ratings"),
+            F.sum(rating_col).alias("_total"),
+        )
+        .filter(F.col("n_ratings") >= min_ratings)
+        .withColumn("score", F.col("_total") / (F.col("n_ratings") + F.lit(float(bias))))
+        .drop("_total")
+    )
+
+
+def top_items(scores: DataFrame, n: int = 1000) -> DataFrame:
+    """Bounded candidate dimension: top-n items by score
+    (``popularity_evalutaion.py:31-32`` — TakeOrderedAndProject, so
+    no global sort)."""
+    return topk(scores, [F.col("score").desc(), F.col("item").asc()], n)
+
+
+def recommend_unseen_topk(
+    users: DataFrame,
+    candidate_items: DataFrame,
+    seen: DataFrame,
+    user_col: str = "user",
+    k: int = 100,
+    compat_item_order: bool = False,
+) -> DataFrame:
+    """Top-k unseen candidate items per user.
+
+    users: one column (``user_col``); candidate_items: (item, score)
+    bounded; seen: (user, item) pairs to exclude.
+
+    Pipeline = C4 broadcast cross join → C3 anti join → E2 per-user
+    top-k (``popularity_evalutaion.py:42-54``). Shuffles: anti join
+    + window both key on user — AQE reuses one exchange when
+    partitioning aligns. Output: user, item, score, rank.
+    """
+    users = users.select(F.col(user_col).alias("user"))
+    cands = broadcast_cross_candidates(users, candidate_items.select("item", "score"))
+    unseen = anti_join(cands, seen.select("user", "item"), ["user", "item"])
+    order = (
+        [F.col("item").asc()]
+        if compat_item_order
+        else [F.col("score").desc(), F.col("item").asc()]
+    )
+    return per_group_topk(unseen, "user", order, k, rank_col="rank", keep_rank=True)
+
+
+def prediction_lists(recommendations: DataFrame) -> DataFrame:
+    """(user, predicted: array<item>) ranked lists from
+    ``recommend_unseen_topk`` output — explicit rank-sorted arrays
+    (never raw collect_list order, SURVEY §7 hard-part 1)."""
+    return grouped_list_sorted_by(recommendations, "user", "rank", "item", out="predicted")
+
+
+def truth_lists(ratings: DataFrame, user_col: str, item_col: str) -> DataFrame:
+    """(user, actual: array<item>) ground-truth item lists
+    (``popularity_evalutaion.py:58-61`` without the order bug —
+    sorted by item id for determinism; ranking metrics treat truth
+    as a set)."""
+    return (
+        ratings.select(F.col(user_col).alias("user"), F.col(item_col).alias("item"))
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_set("item")).alias("actual"))
+    )

@@ -440,6 +440,59 @@ def corr_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "popularity_recommendations",
+    oracle="""
+    WITH scores AS (
+      SELECT l_partkey AS item,
+             count(*) AS n_ratings,
+             sum(l_quantity) / (count(*) + 100) AS score
+      FROM lineitem
+      GROUP BY l_partkey
+    ),
+    top_items AS (
+      SELECT item, score FROM scores
+      ORDER BY score DESC, item ASC LIMIT 20
+    ),
+    users AS (SELECT DISTINCT o_custkey AS "user" FROM orders),
+    seen AS (
+      SELECT DISTINCT o.o_custkey AS "user", l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    unseen AS (
+      SELECT u."user", t.item, t.score
+      FROM users u CROSS JOIN top_items t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM seen s WHERE s."user" = u."user" AND s.item = t.item)
+    ),
+    ranked AS (
+      SELECT "user", item, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY "user"
+                                ORDER BY score DESC, item ASC) AS rank
+      FROM unseen
+    )
+    SELECT "user", item, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def popularity_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full popularity-recommender pipeline (S4:
+    score → top-n candidates → cross join users → drop seen →
+    per-user top-k), end-to-end SQL-checked. Ranked by score desc
+    (the engine's fix of the reference's movieId-order quirk,
+    SURVEY §7 hard-part: ``popularity_evalutaion.py:52``)."""
+    from ..operators import recommend as REC
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ratings = o.join(li, o.o_orderkey == li.l_orderkey)
+    scores = REC.popularity_scores(ratings, "l_partkey", "l_quantity", bias=100.0)
+    cands = REC.top_items(scores, 20)
+    users = o.select(F.col("o_custkey").alias("user")).distinct()
+    seen = ratings.select(F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")).distinct()
+    recs = REC.recommend_unseen_topk(users, cands, seen, k=5)
+    return recs.select("user", "item", F.round("score", 6).alias("score"), "rank")
+
+
 # --------------------------------------------------------------------------
 # F. Similarity / segmentation (SURVEY S1+S2 parity — §2.C6, §2.D8, §2.K)
 # --------------------------------------------------------------------------

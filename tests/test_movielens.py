@@ -1,0 +1,112 @@
+"""End-to-end tests of the MovieLens-shaped pipeline surface
+(the reference's six scripts as functions) on a synthetic
+MovieLens-shaped ratings table derived from the testdata star schema."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators.als import ALSConfig
+from big_data_movie_recommendation_and_customer_segmentation_spark.plans import movielens as ML
+from big_data_movie_recommendation_and_customer_segmentation_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def ratings(spark, sf_dir):
+    """MovieLens-shaped (userId, movieId, rating, timestamp) from
+    orders×lineitem: customer=user, part=movie, quantity=rating."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("userId"),
+            F.col("l_partkey").alias("movieId"),
+            (F.col("l_quantity") % 5 + 1).alias("rating"),
+            (F.unix_timestamp("o_orderdate") + F.col("l_linenumber")).alias("timestamp"),
+        )
+        .groupBy("userId", "movieId")
+        .agg(F.max("rating").alias("rating"), F.min("timestamp").alias("timestamp"))
+        .cache()
+    )
+
+
+def test_split_ratings_geometry(ratings):
+    split = ML.split_ratings(ratings, min_ratings=5).cache()
+    counts = (
+        split.groupBy("userId")
+        .pivot("split", ["train", "val", "test"])
+        .count()
+        .na.fill(0)
+        .collect()
+    )
+    assert counts
+    for r in counts:
+        n = r.train + r.val + r.test
+        assert n >= 5
+        # floor((rn-1)/n*5) geometry: train gets ceil-ish 60%, each row within ±1
+        assert abs(r.train - 0.6 * n) <= 1.0
+        assert abs(r.val - 0.2 * n) <= 1.0
+        assert abs(r.test - 0.2 * n) <= 1.0
+    # chronology: max(train.ts) <= min(test.ts) per user
+    bounds = (
+        split.groupBy("userId")
+        .agg(
+            F.max(F.when(F.col("split") == "train", F.col("timestamp"))).alias("tmax"),
+            F.min(F.when(F.col("split") == "test", F.col("timestamp"))).alias("vmin"),
+        )
+        .filter(F.col("tmax") > F.col("vmin"))
+        .count()
+    )
+    assert bounds == 0
+    split.unpersist()
+
+
+def test_popularity_eval_metrics_bounded(spark, ratings):
+    split = ML.split_ratings(ratings, min_ratings=5).cache()
+    tr = split.filter(F.col("split") == "train")
+    va = split.filter(F.col("split") == "val")
+    m = ML.popularity_eval(spark, tr, va, bias=10.0, min_ratings=2, n_candidates=50, k=10)
+    assert {"precision_at_k", "map", "ndcg_at_k", "n_users"} <= set(m["val"])
+    assert m["val"]["n_users"] > 0
+    for name in ("precision_at_k", "map", "ndcg_at_k"):
+        assert 0.0 <= m["val"][name] <= 1.0
+    split.unpersist()
+
+
+def test_movie_twins_exact_vs_lsh(spark, ratings):
+    exact = ML.movie_twins(spark, ratings, k=20, min_ratings=5, threshold=0.1, method="exact")
+    rows = exact.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.jaccard >= 0.1 and r.user_a < r.user_b for r in rows)
+    lsh = ML.movie_twins(spark, ratings, k=20, min_ratings=5, threshold=0.1, method="lsh", num_hash_tables=16)
+    lrows = lsh.collect()
+    assert 0 < len(lrows) <= 20
+    exact_pairs = {(r.user_a, r.user_b): r.jaccard for r in rows}
+    # LSH top pairs that also rank in exact top-k must carry identical scores
+    for r in lrows:
+        if (r.user_a, r.user_b) in exact_pairs:
+            assert exact_pairs[(r.user_a, r.user_b)] == pytest.approx(r.jaccard, abs=1e-12)
+
+
+def test_correlation_validation_runs(spark, ratings):
+    pairs = ML.movie_twins(spark, ratings, k=20, min_ratings=5, threshold=0.05, method="exact")
+    out = ML.correlation_validation(
+        spark, ratings, pairs, n_pairs=20, n_trials=2, sample_size=100, min_ratings=5
+    )
+    assert set(out) == {"twin_avg_corr", "random_avg_corr", "n_twin_pairs_scored"}
+    if out["twin_avg_corr"] is not None:
+        assert -1.0 <= out["twin_avg_corr"] <= 1.0
+
+
+def test_als_pipeline_smoke(spark, ratings):
+    split = ML.split_ratings(ratings, min_ratings=5).cache()
+    tr = split.filter(F.col("split") == "train")
+    va = split.filter(F.col("split") == "val")
+    te = split.filter(F.col("split") == "test")
+    cfg = ALSConfig(rank=4, reg_param=0.1, max_iter=3, seed=7)
+    out = ML.als_pipeline(spark, tr, va, te, config=cfg, k=10)
+    assert 0.0 <= out["val"]["map"] <= 1.0
+    assert out["test"]["rmse"] > 0.0
+    split.unpersist()
