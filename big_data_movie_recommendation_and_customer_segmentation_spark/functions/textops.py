@@ -1,0 +1,128 @@
+"""Text-analysis column functions (north-star extension, SURVEY §7
+phase D/E): the per-document statistics a training-data pipeline
+computes before filtering/dedup at 100 TB.
+
+Everything here is a pure Column expression over built-in
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd, no
+Python in the hot path. Each function documents the matching
+DuckDB-SQL spelling used by the oracle queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword language
+# heuristic. Deliberately small and hard-coded: the heuristic must be
+# expressible identically in the SQL oracle.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "nicht", "mit"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
+}
+LANG_PRIORITY = ("en", "fr", "de", "es")  # deterministic argmax tiebreak
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty array for
+    blank text). SQL: ``list_filter(regexp_split_to_array(trim(t),
+    '\\s+'), x -> x <> '')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count. SQL: ``len(...tokens...)``."""
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are ASCII punctuation.
+    SQL: ``(length(t) - length(regexp_replace(t, '[^[:alnum:][:space:]]', '', 'g'))) / length(t)``."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[^a-zA-Z0-9\s]", "")
+    return F.when(F.length(c) > 0, (F.length(c) - F.length(stripped)) / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    """Number of tokens in the ``lang`` stopword set.
+    SQL: ``len(list_filter(tokens, x -> x IN (...)))``."""
+    words = STOPWORDS[lang]
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda x: F.lower(x).isin(*words)))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_count(text, lang) / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column | str) -> Column:
+    """Mean token length — short-token soup and URL-glue both show up
+    here. SQL: ``list_avg(list_transform(tokens, x -> length(x)))``."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str, lang: str = "en") -> Column:
+    """Composite document-quality heuristic in [0,1]:
+    0.4·min(1, tokens/50) + 0.3·(1 − punct_ratio) + 0.3·min(1, 4·stopword_ratio).
+
+    The standard cheap pre-filter shape (length + punctuation +
+    stopword density) used before expensive dedup/classification
+    passes; weights are fixed so Spark and the SQL oracle compute
+    bit-identical scores.
+    """
+    len_term = F.least(F.lit(1.0), token_count(text) / F.lit(50.0))
+    punct_term = F.lit(1.0) - punct_ratio(text)
+    stop_term = F.least(F.lit(1.0), stopword_ratio(text, lang) * F.lit(4.0))
+    return F.lit(0.4) * len_term + F.lit(0.3) * punct_term + F.lit(0.3) * stop_term
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-voting language ID over {en, fr, de, es}; 'und'
+    (undetermined) when no stopwords hit. Ties break by
+    LANG_PRIORITY order. Identical CASE cascade in the oracle SQL."""
+    counts = {lang: stopword_count(text, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*[counts[lang] for lang in LANG_PRIORITY])
+    expr = F.lit("und")
+    # build the cascade back-to-front so earlier langs win ties
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for exact-dup detection: lowercase, collapse
+    whitespace, trim. SQL: ``trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint: md5 of the
+    normalized text. SQL: ``md5(...normalized...)`` (DuckDB md5
+    matches Spark's). Collision-safe enough for exact dedup keys."""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles → array<string>; the MinHash input unit
+    for near-dup detection (Broder 1997). Pure array ops: slice the
+    token array at each start offset and join with single spaces.
+    Documents shorter than n tokens yield their whole normalized
+    text as one shingle (so tiny docs still dedup exactly)."""
+    toks = tokens(normalized_text(text))
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))

@@ -1,1 +1,1 @@
-from . import als, evaluate, recommend, relational, similarity, splits  # noqa: F401
+from . import als, dedup, evaluate, multimodal, recommend, relational, similarity, splits, vectorops  # noqa: F401

@@ -1,0 +1,483 @@
+"""Extension queries: text analysis, dedup, vector search, windows,
+multimodal (north-star operators over documents/embeddings/events).
+
+Same registry + oracle conventions as ``queries.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textops as TX
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
+from ..operators import vectorops as VO
+from ..sources import load_table
+from ..streaming import windows as W
+from .queries import query
+
+# Shared DuckDB token expression (mirrors textops.tokens on
+# normalized text where noted).
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_NTOKS = f"list_filter(regexp_split_to_array({_NORM}, '\\s+'), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars,
+           round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                 * 1.0 / greatest(1, len(toks)), 6) AS mean_token_len
+    FROM t
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char stats — pure
+    column expressions, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars"),
+        F.round(
+            F.when(TX.token_count("text") > 0, TX.mean_token_len("text")).otherwise(0.0), 6
+        ).alias("mean_token_len"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS nclean
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS nt,
+             CASE WHEN nc > 0 THEN (nc - nclean) * 1.0 / nc ELSE 0.0 END AS punct,
+             len(list_filter(toks, x -> lower(x) IN
+                 ('the','a','and','of','to','in','is','it','that','for'))) AS nstop
+      FROM t
+    )
+    SELECT doc_id,
+           round(0.4 * least(1.0, nt / 50.0)
+                 + 0.3 * (1.0 - punct)
+                 + 0.3 * least(1.0, CASE WHEN nt > 0 THEN nstop * 4.0 / nt ELSE 0.0 END),
+                 6) AS quality
+    FROM m
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length/punctuation/stopword
+    density) — the cheap pre-filter of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(TX.quality_score("text"), 6).alias("quality"))
+
+
+@query(
+    "lang_id_distribution",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT
+        len(list_filter(toks, x -> lower(x) IN ('the','a','and','of','to','in','is','it','that','for'))) AS c_en,
+        len(list_filter(toks, x -> lower(x) IN ('le','la','les','de','et','un','une','est','que','pour'))) AS c_fr,
+        len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','ein','eine','zu','nicht','mit'))) AS c_de,
+        len(list_filter(toks, x -> lower(x) IN ('el','la','los','de','y','un','una','es','que','para'))) AS c_es
+      FROM t
+    )
+    SELECT CASE
+             WHEN c_en > 0 AND c_en >= greatest(c_en, c_fr, c_de, c_es) THEN 'en'
+             WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_fr, c_de, c_es) THEN 'fr'
+             WHEN c_de > 0 AND c_de >= greatest(c_en, c_fr, c_de, c_es) THEN 'de'
+             WHEN c_es > 0 AND c_es >= greatest(c_en, c_fr, c_de, c_es) THEN 'es'
+             ELSE 'und'
+           END AS lang_pred,
+           count(*) AS n
+    FROM c
+    GROUP BY 1
+    """,
+)
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID, aggregated to a distribution."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(TX.lang_id("text").alias("lang_pred")).groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication (testdata has no exact dups, so exact-dedup queries run on
+# a deterministically doubled table; near-dup pairs are planted in the data)
+# --------------------------------------------------------------------------
+
+_DOUBLED = """
+    doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+"""
+
+
+@query(
+    "exact_duplicate_groups",
+    oracle=f"""
+    WITH {_DOUBLED}
+    SELECT md5({_NORM}) AS fingerprint,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_id,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM doubled
+    GROUP BY 1
+    HAVING count(*) >= 2
+    """,
+)
+def exact_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by md5-of-normalized-text (hash groupBy) on
+    a doubled corpus — every doc gains exactly one copy, so the
+    operator's group/keep/ids output is fully determined."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return DD.exact_duplicates(doubled, "doc_id", "text")
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle=f"""
+    WITH {_DOUBLED},
+    keep AS (
+      SELECT min(doc_id) AS doc_id FROM doubled GROUP BY md5({_NORM})
+    )
+    SELECT d.doc_id, length(d.text) AS n_chars
+    FROM doubled d JOIN keep k ON d.doc_id = k.doc_id
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup_exact operator itself: doubled corpus in, unique
+    min-id survivors out."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return DD.dedup_exact(doubled, "doc_id", "text").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
+@query(
+    "ngram_duplicate_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM t
+    ),
+    d AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def ngram_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs ≥ 0.5 — ground
+    truth for the MinHash path (testdata plants ~25 such pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@query("minhash_duplicate_pairs")  # approximate → rows-only + property test
+def minhash_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→signature→band join),
+    exact-rescored. Validated as subset-of-exact with high recall."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_duplicate_pairs(spark, d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("simhash_duplicate_pairs")  # different similarity geometry → rows-only
+def simhash_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints, banded Hamming ≤ 8 candidate
+    pairs — the constant-state near-dup signal."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_duplicate_pairs(d, "doc_id", "text", max_hamming=8, n_bands=4)
+
+
+@query("dedup_representatives")  # iterative propagation → rows-only
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: min-label propagation over
+    ngram-dup edges → (doc_id, rep_id) drop list."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return DD.dedup_representatives(pairs, rounds=3)
+
+
+# --------------------------------------------------------------------------
+# Vector similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "knn_bruteforce",
+    oracle="""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], p.pv) AS cs
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, round(cs, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 probe vectors — broadcast
+    cross join + JVM array math + per-probe top-k. The ANN baseline."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    # fetch k+1 then drop self-matches and re-rank (a probe always
+    # matches itself at cos=1.0)
+    out = VO.knn_bruteforce(e, probes, k=11)
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    out = (
+        out.filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    return out.select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+@query("ann_lsh_neighbors")  # approximate → rows-only + property test
+def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-random-projection ANN: neighbors with cosine ≥ 0.8
+    for the same 5 probes; exact cosine reported."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = VO.ann_lsh_neighbors(e, probes, min_cosine=0.8)
+    return out.filter(F.col("vec_id") != F.col("probe_id"))
+
+
+@query("ivf_knn")  # approximate (KMeans cells) → rows-only + property test
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: KMeans coarse cells, search 4 of 16 cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = VO.ivf_knn(e, probes, k=10, n_cells=16, n_probe_cells=4)
+    return out.filter(F.col("vec_id") != F.col("probe_id"))
+
+
+@query("embedding_near_duplicates")  # approximate → rows-only + property test
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs at cosine ≥ 0.95 via LSH self-join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return VO.embedding_near_duplicates(e, min_cosine=0.95)
+
+
+@query("kmeans_customer_segments")  # iterative/seeded → rows-only
+def kmeans_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means customer segmentation (north-star K11) on engineered
+    features (acctbal, order count, total spend)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    feats = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total_spend"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_acctbal", "n_orders", "total_spend")
+    )
+    return VO.kmeans_segments(
+        feats, feature_cols=["c_acctbal", "n_orders", "total_spend"], k=5,
+        id_cols=["c_custkey"],
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time windows (batch semantics; same code runs under streaming)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tumbling_hourly_events",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (F.window — identical on
+    readStream input)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = W.tumbling_agg(
+        ev, "ts", "1 hour", group_by=("event_type",),
+        aggs=(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")),
+    )
+    return out.drop("window_end")
+
+
+@query(
+    "sliding_window_events",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+             value, ts
+      FROM events
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM w
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 2 HOUR
+    GROUP BY 1
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows every 1 hour (each event in exactly 2
+    windows; the oracle expands membership explicitly)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = W.sliding_agg(
+        ev, "ts", "2 hours", "1 hour",
+        aggs=(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value")),
+    )
+    return out.drop("window_end")
+
+
+@query(
+    "session_windows_per_user",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (F.session_window; oracle is the lag/cumsum rewrite — identical
+    semantics: session end = last event + gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.session_agg(
+        ev, "ts", "30 minutes", group_by=("user_id",),
+        aggs=(F.count(F.lit(1)).alias("n_events"),),
+    )
+
+
+@query(
+    "props_json_stats",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON field extraction + agg
+    (get_json_object — JVM-side, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 6).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@query("media_image_features")  # Pandas-UDF decode stub → rows-only
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → Arrow-batched mapInPandas feature
+    extraction (decode stubbed deterministically; plumbing real)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.synthetic_media_table(d.withColumnRenamed("doc_id", "media_id"), "media_id", "text")
+    return MM.extract_image_features(media, fake=True)
+
+
+@query(
+    "video_frame_samples",
+    oracle="""
+    SELECT doc_id AS media_id, unnest(range(0, (doc_id % 5) * 1000 + 1, 1000)) AS frame_ms
+    FROM documents
+    """,
+)
+def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling row amplification (sequence+explode, map-local,
+    no shuffle) over synthetic durations."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("doc_id") % 5) * 1000).cast("long").alias("duration_ms"),
+    )
+    media = d.select(
+        "media_id",
+        F.struct(
+            F.lit(None).cast("binary").alias("payload"),
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("media"),
+    )
+    return MM.sample_video_frames(media, every_ms=1000)

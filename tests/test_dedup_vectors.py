@@ -1,0 +1,101 @@
+"""Property tests for approximate dedup and ANN paths (SURVEY §5:
+approximate ops validate against their exact ground truth)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators import dedup as DD
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators import vectorops as VO
+from big_data_movie_recommendation_and_customer_segmentation_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_dedup_subset_and_recall(spark, docs):
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert exact, "testdata should contain planted near-dups"
+    mh = DD.minhash_duplicate_pairs(spark, docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    for r in mh:
+        assert (r.doc_a, r.doc_b) in exact
+        assert exact[(r.doc_a, r.doc_b)] == pytest.approx(r.jaccard, abs=1e-9)
+    # high-similarity recall: P(collide in ≥1 of 16 tables) ≥ 1-(1-.8)^16 ≈ 1
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    found = {(r.doc_a, r.doc_b) for r in mh}
+    assert len(strong & found) / max(1, len(strong)) >= 0.9
+
+
+def test_simhash_finds_planted_dups(docs):
+    exact = {(r.doc_a, r.doc_b) for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()}
+    sh = {(r.doc_a, r.doc_b) for r in DD.simhash_duplicate_pairs(docs, "doc_id", "text", max_hamming=8).collect()}
+    # simhash and shingle-jaccard measure different geometries; require
+    # meaningful overlap on the planted very-near dups, not equality
+    assert exact
+    assert len(exact & sh) / len(exact) >= 0.5
+    # and hamming on identical docs must be 0: doubled corpus check
+    doubled = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    pairs = DD.simhash_duplicate_pairs(doubled, "doc_id", "text", max_hamming=0)
+    n_self = pairs.filter(F.col("doc_b") - F.col("doc_a") == 1000000).count()
+    assert n_self == docs.count()
+
+
+def test_dedup_representatives_resolves_transitively(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    reps = {r.doc_id: r.rep_id for r in DD.dedup_representatives(pairs, rounds=3).collect()}
+    assert reps == {2: 1, 3: 1, 4: 1, 11: 10}
+
+
+def test_ann_lsh_subset_of_bruteforce(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = {
+        (r.probe_id, r.vec_id): r.cos_sim
+        for r in VO.knn_bruteforce(emb, probes, k=50).collect()
+        if r.cos_sim >= 0.8
+    }
+    ann = VO.ann_lsh_neighbors(emb, probes, min_cosine=0.8).collect()
+    assert ann
+    for r in ann:
+        key = (r.probe_id, r.vec_id)
+        assert key in exact
+        assert exact[key] == pytest.approx(r.cos_sim, abs=1e-6)
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = VO.knn_bruteforce(emb, probes, k=10).collect()
+    approx = VO.ivf_knn(emb, probes, k=10, n_cells=8, n_probe_cells=4)
+    exact_set = {(r.probe_id, r.vec_id) for r in exact}
+    approx_set = {(r.probe_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_kmeans_segments_deterministic(spark, emb):
+    a = VO.kmeans_segments(emb, vec_col="embedding", k=4, id_cols=["vec_id"])
+    b = VO.kmeans_segments(emb, vec_col="embedding", k=4, id_cols=["vec_id"])
+    assert a.groupBy("segment").count().count() <= 4
+    ra = {r.vec_id: r.segment for r in a.collect()}
+    rb = {r.vec_id: r.segment for r in b.collect()}
+    assert ra == rb
+    # segments should correlate with the synthetic labels' cluster structure
+    assert len(set(ra.values())) >= 2
