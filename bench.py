@@ -22,7 +22,9 @@ from big_data_movie_recommendation_and_customer_segmentation_spark import get_sp
 from big_data_movie_recommendation_and_customer_segmentation_spark.plans import QUERY_REGISTRY
 
 # Headline set: one per operator family — scan/agg, join+agg, window
-# top-k, candidate pipeline (cross+anti join), split window, corr.
+# top-k, candidate pipeline (cross+anti join), split window, corr,
+# set-similarity self-join, text stats, exact+minhash dedup, vector
+# top-k, event-time windows.
 HEADLINE = [
     "pricing_summary",
     "segment_revenue",
@@ -31,6 +33,14 @@ HEADLINE = [
     "candidates_unseen",
     "chronological_split_counts",
     "corr_qty_price_by_flag",
+    "top_similar_customer_pairs",
+    "doc_quality_scores",
+    "exact_duplicate_groups",
+    "ngram_duplicate_pairs",
+    "minhash_duplicate_pairs",
+    "knn_bruteforce",
+    "tumbling_hourly_events",
+    "session_windows_per_user",
 ]
 
 

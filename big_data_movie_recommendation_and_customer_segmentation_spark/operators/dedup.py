@@ -75,6 +75,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    prune_unique_shingles: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (ground truth).
 
@@ -87,9 +88,30 @@ def ngram_jaccard_pairs(
     """
     pairs = _shingle_pairs(df, id_col, text_col, n)
     out = exact_jaccard_pairs(
-        pairs, "doc", "shingle", threshold=threshold, max_item_freq=max_shingle_freq
+        pairs, "doc", "shingle", threshold=threshold, max_item_freq=max_shingle_freq,
+        prune_unique_items=prune_unique_shingles,
     )
     return out.withColumnsRenamed({"user_a": "doc_a", "user_b": "doc_b"})
+
+
+def minhash_signatures(
+    pairs: DataFrame, num_perm: int = 32, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per doc from a (doc, shingle) relation —
+    pure column ops (Broder 1997). Permutation *i* is simulated by
+    ``xxhash64(seed+i, shingle)``; the signature element is the min
+    over the doc's shingles. One doc-keyed aggregate; the per-shingle
+    hash fan-out is map-local and codegen'd (no Python, no ml fit —
+    in particular no CountVectorizer vocabulary pass, which at 100 TB
+    would mean a driver-held dictionary of every distinct shingle).
+
+    Output: doc, h0..h{num_perm-1} (long).
+    """
+    hashed = pairs.select(
+        "doc",
+        *[F.xxhash64(F.lit(seed + i), "shingle").alias(f"h{i}") for i in range(num_perm)],
+    )
+    return hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_perm)])
 
 
 def minhash_duplicate_pairs(
@@ -99,25 +121,64 @@ def minhash_duplicate_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    num_hash_tables: int = 16,
+    num_perm: int = 32,
+    band_rows: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs with exact-Jaccard
-    rescore (shingle → minhash signature → band-bucket join — the
-    standard web-scale dedup pipeline, Broder 1997).
+    """MinHash+LSH near-dup pairs with exact-Jaccard rescore:
+    shingle → minhash signature → banded candidate join → rescore.
+    The standard web-scale dedup pipeline, entirely JVM-side.
 
-    Same machinery as ``similarity.minhash_lsh_pairs``; documented
-    separately because the input unit is shingles of one column, not
-    a two-column relation. Output matches ``ngram_jaccard_pairs``.
+    Banding: ``num_perm/band_rows`` bands of ``band_rows`` rows; docs
+    collide if any band's hash tuple matches. At band_rows=2 ×16
+    bands, P(candidate | j=0.5) ≈ 1−(1−0.25)¹⁶ ≈ 0.99 — recall is
+    high at the threshold and false positives are removed by the
+    exact rescore, so output ⊆ ``ngram_jaccard_pairs`` by
+    construction. Cost tracks collision density, not N².
+
+    Shuffles: signature agg (doc), band self-join (band value — a
+    heavily-duplicated boilerplate band is the skew point; prune
+    boilerplate shingles upstream via ``max_shingle_freq``), rescore
+    joins (doc). Output matches ``ngram_jaccard_pairs``.
     """
-    from .similarity import minhash_lsh_pairs
+    pairs = _shingle_pairs(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(pairs, num_perm=num_perm, seed=seed)
 
-    pairs = _shingle_pairs(df, id_col, text_col, n)
-    out = minhash_lsh_pairs(
-        spark, pairs, "doc", "shingle",
-        threshold=threshold, num_hash_tables=num_hash_tables, seed=seed,
+    n_bands = num_perm // band_rows
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    stack_expr = "stack({}, {}) as (band_id, band_val)".format(
+        n_bands, ", ".join(f"{b}, band{b}" for b in range(n_bands))
     )
-    return out.withColumnsRenamed({"user_a": "doc_a", "user_b": "doc_b"})
+    melted = sig.select("doc", *band_cols).selectExpr("doc", stack_expr)
+
+    cand = (
+        melted.alias("x")
+        .join(melted.alias("y"), ["band_id", "band_val"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    sets = pairs.groupBy("doc").agg(F.collect_set("shingle").alias("items"))
+    inter = F.size(F.array_intersect("_ia", "_ib"))
+    return (
+        cand.join(sets.select(F.col("doc").alias("doc_a"), F.col("items").alias("_ia")), "doc_a")
+        .join(sets.select(F.col("doc").alias("doc_b"), F.col("items").alias("_ib")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            F.size("_ia").alias("n_a"),
+            F.size("_ib").alias("n_b"),
+            (inter / (F.size("_ia") + F.size("_ib") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

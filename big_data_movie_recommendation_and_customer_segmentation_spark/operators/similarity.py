@@ -40,6 +40,7 @@ def exact_jaccard_pairs(
     threshold: float = 0.5,
     min_items: int = 1,
     max_item_freq: int | None = None,
+    prune_unique_items: bool = False,
 ) -> DataFrame:
     """All user pairs with exact Jaccard(item-set, item-set) ≥ threshold.
 
@@ -68,8 +69,28 @@ def exact_jaccard_pairs(
 
     sizes = pairs.groupBy("user").agg(F.count(F.lit(1)).alias("n_items"))
 
-    a = pairs.select(F.col("user").alias("user_a"), "item")
-    b = pairs.select(F.col("user").alias("user_b"), "item")
+    joinable = pairs
+    if prune_unique_items:
+        # An item held by a single user contributes no pair, so only
+        # items with frequency ≥ 2 need to enter the self-join. Sizes
+        # stay computed on the unpruned sets (semantics unchanged).
+        # Tradeoff: +2 shuffles of the (user, item) relation vs
+        # shrunken self-join legs — wins when shared items dominate
+        # the volume (duplication-heavy corpora), loses on long-tail
+        # data where the self-join is already cheap. Measured at
+        # sf0.1 on the synthetic documents: ~20% slower, hence
+        # opt-in; the hot-item quadratic blowup is governed by
+        # ``max_item_freq`` either way.
+        shared = (
+            pairs.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= 2)
+            .select("item")
+        )
+        joinable = pairs.join(shared, "item")
+
+    a = joinable.select(F.col("user").alias("user_a"), "item")
+    b = joinable.select(F.col("user").alias("user_b"), "item")
     inter = (
         a.join(b, "item")
         .filter(F.col("user_a") < F.col("user_b"))

@@ -1,0 +1,110 @@
+"""Temporal join/window operators (general engine surface; the
+reference has none — SURVEY §2.C notes the engine exposes a
+range/as-of join helper beyond parity).
+
+``asof_join`` uses the union + keyed-window formulation rather than
+a range join: tag both sides, union, one shuffle on the join keys,
+sort within partition by (ts, side), and carry the last right-side
+payload forward with ``last(ignorenulls)``. Cost is one exchange of
+|L|+|R| rows — no row-range explosion, no theta-join, skew bounded
+by the hottest key (same bound as any keyed op). The alternative
+(join on key + range predicate, filter to max ts) materializes every
+(left, right-before-it) pair first — quadratic per key — and is why
+as-of must NOT be spelled as a plain range join at scale.
+
+``rolling_agg`` is a thin, named wrapper over frame-spec windows
+(``rowsBetween``) — per-key shuffle + in-partition sort, no
+cross-partition state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with the
+    same keys and ``right_ts <= left_ts`` (ASOF JOIN ... ON a.ts >=
+    b.ts in DuckDB terms; inclusive at equality).
+
+    Output: every left column, plus ``right_cols`` (null when no
+    right row precedes — or the row dropped if ``how='inner'``).
+
+    Right rows sort before left rows at equal timestamps so an
+    equal-ts right row is visible to the left row (>= semantics).
+    Ties between right rows at the same (keys, ts) resolve to the
+    last in (ts, side) order — callers needing stronger determinism
+    should pre-dedupe right on (keys, ts).
+    """
+    on = list(on)
+    left_cols = list(left.columns)
+    right_types = dict(right.dtypes)
+    left_types = dict(left.dtypes)
+    # Union with aligned schemas: left keeps its columns; right
+    # contributes keys + ts + its payload packed into one struct.
+    payload_type = "struct<" + ",".join(f"{c}:{right_types[c]}" for c in right_cols) + ">"
+    l_tagged = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(payload_type).alias("_r"),
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(left_types[c]).alias(c)
+            for c in left_cols
+        ],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_match").isNotNull())
+    return matched.select(
+        *left_cols, *[F.col(f"_match.{c}").alias(c) for c in right_cols]
+    )
+
+
+def rolling_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: str,
+    aggs: dict[str, Column],
+    preceding: int = 2,
+) -> DataFrame:
+    """Named rolling-frame aggregation: for each row, aggregate over
+    the current row and ``preceding`` prior rows within the key
+    (``rowsBetween(-preceding, 0)``). ``aggs`` maps output column →
+    a plain aggregate expression (``F.avg(...)``, not wrapped in
+    scalar functions — ``.over`` attaches to the aggregate itself;
+    apply scalar post-processing on the output column)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col(order_by).asc())
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    out = df
+    for name, expr in aggs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out

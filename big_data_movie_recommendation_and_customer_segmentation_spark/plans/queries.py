@@ -356,6 +356,12 @@ def candidates_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join is broadcast (no shuffle); the anti join co-partitions
     on (custkey, partkey). Scale note: candidate volume is
     |users|×k — k is a constant, so this grows linearly with users.
+
+    Key rewrite Catalyst can't infer: candidates only carry the k
+    top partkeys, so the anti-join's right side is pre-filtered by a
+    broadcast semi-join against top_parts *before* its distinct —
+    the seen-pairs exchange shrinks from all (cust, part) pairs to
+    only pairs touching the k items (~k/|parts| of the volume).
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -369,7 +375,8 @@ def candidates_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = o.select(F.col("o_custkey").alias("custkey")).distinct()
     cands = R.broadcast_cross_candidates(users, top_parts)
     seen = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(top_parts), li.l_partkey == F.col("partkey"), "left_semi")
+        .join(o, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
         .distinct()
     )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..functions import textops as TX
 from ..operators import dedup as DD
 from ..operators import multimodal as MM
+from ..operators import temporal as TP
 from ..operators import vectorops as VO
 from ..sources import load_table
 from ..streaming import windows as W
@@ -438,6 +439,75 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 6).alias("avg_k"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temporal joins / frame windows (general surface beyond reference parity)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "purchase_attribution_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           c.event_id AS click_event_id,
+           round(c.value, 6) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most
+    recent click at-or-before it (union + keyed window — one shuffle,
+    no range explosion; see operators/temporal.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_event_id"),
+                F.round("value", 6).alias("click_value"))
+    )
+    out = TP.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["click_event_id", "click_value"],
+    )
+    return out.select("event_id", "user_id", "click_event_id", "click_value")
+
+
+@query(
+    "rolling_order_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER w, 6) AS avg_3,
+           round(sum(o_totalprice) OVER w, 6) AS sum_3,
+           count(*) OVER w AS n_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_order_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-order spend stats per customer (frame-spec window:
+    rowsBetween(-2, 0) — per-key shuffle + sort, no global state)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "_ord", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    )
+    out = TP.rolling_agg(
+        o,
+        partition_by=["o_custkey"],
+        order_by="_ord",
+        aggs={
+            "avg_3": F.avg("o_totalprice"),
+            "sum_3": F.sum("o_totalprice"),
+            "n_3": F.count(F.lit(1)),
+        },
+        preceding=2,
+    )
+    return out.select(
+        "o_custkey", "o_orderkey",
+        F.round("avg_3", 6).alias("avg_3"), F.round("sum_3", 6).alias("sum_3"), "n_3",
     )
 
 
