@@ -1,1 +1,1 @@
-from . import windows  # noqa: F401
+from . import stateful, windows  # noqa: F401

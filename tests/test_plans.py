@@ -1,0 +1,60 @@
+"""Physical-plan audits: the scale properties SURVEY §7 demands must
+be visible in the executed plan, not just intended — filter pushdown
+and column pruning reach the parquet scan, small dims broadcast,
+top-k fuses, per-group top-k gets the group-limit pushdown."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "LessThanOrEqual(l_shipdate" in m.group(1), plan[:1500]
+
+
+def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m, plan[:1500]
+    # lineitem has 10 physical columns; the query needs 6
+    read = m.group(1)
+    assert "l_partkey" not in read and "l_suppkey" not in read, read
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "revenue_rollup_region_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "Expand" in plan  # rollup grouping sets in one pass
+
+
+def test_topk_fuses_to_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_parts_by_price")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_per_group_topk_gets_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "recent_orders_per_customer")
+    assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["candidates_unseen", "jaccard_pairs_exact", "doc_token_stats", "knn_bruteforce"],
+)
+def test_no_python_udf_in_hot_paths(spark, sf_dir, name):
+    """Everything SQL-expressible stays JVM-side: no BatchEvalPython
+    (row-at-a-time UDF) nodes anywhere in these plans."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

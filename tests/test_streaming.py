@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from big_data_movie_recommendation_and_customer_segmentation_spark.sources import load_table
 from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import _physical_schema
+from big_data_movie_recommendation_and_customer_segmentation_spark.streaming import stateful as ST
 from big_data_movie_recommendation_and_customer_segmentation_spark.streaming import windows as W
 
 
@@ -39,5 +40,46 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
         for r in W.tumbling_agg(
             ev, "ts", "1 hour", group_by=("event_type",), aggs=(F.count(F.lit(1)).alias("n"),)
         ).collect()
+    }
+    assert got == expected
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "events_stateful")
+    # two files => at least the possibility of multiple micro-batches
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ST.running_user_totals(stream, "user_id", "value")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM stateful_smoke"
+        ).toPandas()
+    finally:
+        q.stop()
+
+    # last emitted row per user == final state == batch aggregate
+    final = rows.groupby("user_id").last()
+    expected = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got = {
+        uid: (int(r["n_events"]), round(float(r["total_value"]), 6))
+        for uid, r in final.iterrows()
     }
     assert got == expected
