@@ -114,6 +114,46 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized_text(text))
 
 
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokenization: word runs and individual
+    punctuation marks as separate tokens (the split a byte-pair
+    tokenizer refines). SQL: ``regexp_extract_all(t, '\\w+|[^\\w\\s]')``
+    — verified char-identical between Java regex and DuckDB RE2."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+def shared_token_hash(tok: Column) -> Column:
+    """32-bit token hash computable identically in Spark and DuckDB
+    (md5 hex prefix → int): Spark ``conv(substring(md5(x),1,8),16,10)``
+    ≡ DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT`` — the shared
+    primitive that makes hash-based operators oracle-checkable."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 2147483647) -> Column:
+    """Order-sensitive polynomial rolling hash of the normalized
+    token stream (Rabin–Karp): h ← (h·base + hash(tok)) mod mod.
+    Distinguishes reordered content that set-based fingerprints
+    (md5-of-sorted, MinHash) conflate. Pure fold over the token
+    array — map-local, no shuffle.
+    SQL: ``list_reduce(list_prepend(0, list_transform(toks, x ->
+    hash32(x))), (acc, x) -> (acc*31 + x) % 2147483647)``."""
+    toks = tokens(normalized_text(text))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(base) + shared_token_hash(x)) % F.lit(mod),
+    )
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles → array<string>; the MinHash input unit
     for near-dup detection (Broder 1997). Pure array ops: slice the

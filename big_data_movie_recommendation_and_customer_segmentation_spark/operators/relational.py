@@ -181,3 +181,36 @@ def columns_pruned(df: DataFrame, *cols: str) -> DataFrame:
     ``popularity_evalutaion.py:21-23``). Catalyst prunes anyway; the
     named operator exists to document intent at pipeline boundaries."""
     return df.select(*cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: spread each hot join key over
+    ``salt`` sub-partitions by extending the key with a salt.
+
+    The left (big, skewed) side gets a deterministic salt from
+    hashing its full row; the right side is replicated ``salt``
+    times (one row per salt value) — so a key holding 10% of the
+    left rows lands on ``salt`` tasks instead of one. Result is
+    row-identical to the plain join.
+
+    Prefer AQE's skew-join splitting (on by default in the session
+    factory) when it applies; salting is for the cases it can't
+    reach — aggregation-feeding joins inside iterative loops,
+    streaming joins, or engines without AQE. Cost: right side
+    shuffles ``salt``× its volume, so keep the replicated side the
+    small one.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l_salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
+    )
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_salted.join(r_salted, keys + ["_salt"], how).drop("_salt")

@@ -120,6 +120,101 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+           len({_TOKS}) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer count vs whitespace count — the token
+    budget estimate a training pipeline runs corpus-wide."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        TX.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "doc_rolling_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN 0
+                ELSE list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(toks, x -> ('0x' || substr(md5(x),1,8))::BIGINT)),
+                       (acc, x) -> (acc * 31 + x) % 2147483647)
+           END AS fp
+    FROM t
+    """,
+)
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin–Karp rolling hash per document, bit-
+    identical to the oracle via the shared md5-prefix token hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.rolling_fingerprint("text").alias("fp"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_NTOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/
+    (df+1))+1, sklearn's formulation). Shuffles: token tf agg, term
+    df agg (joined back onto tf), per-doc top-k window. The doc
+    count N is a broadcast scalar, not a driver action."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication (testdata has no exact dups, so exact-dedup queries run on
 # a deterministically doubled table; near-dup pairs are planted in the data)
