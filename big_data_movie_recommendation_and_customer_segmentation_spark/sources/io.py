@@ -180,3 +180,27 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-hash-partitioned on
+    ``bucket_cols`` so joins/aggregations on those keys skip the
+    shuffle entirely (the physical plan shows SortMergeJoin with no
+    Exchange on either side when both inputs share bucketing).
+
+    At 100 TB this is the difference between re-shuffling the fact
+    table per query and paying the partitioning once at write time.
+    ``num_buckets`` should be sized so a bucket ≈ one task's memory
+    budget at the target scale.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
