@@ -122,6 +122,56 @@ def extract_image_features(
     return flat.mapInPandas(batches, out_schema)
 
 
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    fake: bool = True,
+    frame_ms: int = 1000,
+) -> DataFrame:
+    """Audio leg of the multimodal triad: per-frame energy features
+    via the same Arrow-batched ``mapInPandas`` contract as images —
+    one output row per ``frame_ms`` window of each clip. Decode is
+    stubbed (no audio codec here): with ``fake=True`` the per-frame
+    "rms" is a deterministic function of (payload bytes, frame
+    index), so schemas/row-amplification/batch shapes are real and
+    reproducible. Output: id, frame_idx, rms float.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("rms", T.FloatType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames, rms = [], [], []
+            for mid, payload, dur in zip(
+                pdf[id_col], pdf["payload"], pdf["duration_ms"]
+            ):
+                if not fake:
+                    raise NotImplementedError(
+                        "real audio decode requires an audio codec, not "
+                        "present in this environment; pass fake=True"
+                    )
+                n_frames = max(1, int((dur or 0) // frame_ms))
+                base = float(sum(payload[:64])) if payload is not None else 0.0
+                for i in range(n_frames):
+                    ids.append(mid)
+                    frames.append(i)
+                    rms.append((base * (i + 1)) % 997 / 997.0)
+            yield pd.DataFrame({id_col: ids, "frame_idx": frames, "rms": rms})
+
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.duration_ms").alias("duration_ms"),
+    )
+    return flat.mapInPandas(batches, out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,

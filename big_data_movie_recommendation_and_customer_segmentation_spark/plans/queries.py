@@ -703,6 +703,21 @@ def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_distinct_customers")  # HLL sketch → rows-only + tolerance test
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB cardinality work:
+    approx_count_distinct (HyperLogLog++, constant memory vs the
+    exact distinct's shuffle) and approx median. Validated by a
+    relative-error property test against exact values, not a value
+    oracle (sketch internals differ across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @query(
     "event_type_stats",
     oracle="""

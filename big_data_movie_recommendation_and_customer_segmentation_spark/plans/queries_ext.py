@@ -662,6 +662,25 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_image_features(media, fake=True)
 
 
+@query("media_audio_frames")  # Pandas-UDF decode stub → rows-only
+def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing: per-frame rows via the
+    Arrow-batched mapInPandas contract (decode stubbed)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(F.lit("AUD:"), F.sha2(F.col("text"), 256)), "utf-8").alias("_payload"),
+        ((F.col("doc_id") % 7) * 1000 + 1000).cast("long").alias("_dur"),
+    )
+    media = d.select(
+        "media_id",
+        MM.pack_media(
+            F.col("_payload"), F.lit("audio/fake"),
+            duration_ms=F.col("_dur"), sample_rate=F.lit(16000),
+        ).alias("media"),
+    )
+    return MM.extract_audio_features(media, fake=True)
+
+
 @query(
     "video_frame_samples",
     oracle="""
