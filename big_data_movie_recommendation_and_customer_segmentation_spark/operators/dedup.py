@@ -94,22 +94,41 @@ def ngram_jaccard_pairs(
     return out.withColumnsRenamed({"user_a": "doc_a", "user_b": "doc_b"})
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
 def minhash_signatures(
     pairs: DataFrame, num_perm: int = 32, seed: int = 42
 ) -> DataFrame:
     """MinHash signature per doc from a (doc, shingle) relation —
-    pure column ops (Broder 1997). Permutation *i* is simulated by
-    ``xxhash64(seed+i, shingle)``; the signature element is the min
-    over the doc's shingles. One doc-keyed aggregate; the per-shingle
-    hash fan-out is map-local and codegen'd (no Python, no ml fit —
-    in particular no CountVectorizer vocabulary pass, which at 100 TB
-    would mean a driver-held dictionary of every distinct shingle).
+    pure column ops (Broder 1997). The shingle is hashed ONCE
+    (xxhash64 → reduce mod 2³¹−1), then permutation *i* is the
+    universal hash ``(aᵢ·h + bᵢ) mod 2³¹−1`` with seeded constants —
+    32 integer mul/adds instead of 32 string hashes per row (the
+    string hashing dominated the original cost ~2×). Products stay
+    < 2⁶² so the arithmetic is exact in signed 64-bit. The signature
+    element is the min over the doc's shingles: one doc-keyed
+    aggregate, everything map-local and codegen'd (no Python, no ml
+    fit — in particular no CountVectorizer vocabulary pass, which at
+    100 TB would mean a driver-held dictionary of every distinct
+    shingle).
 
     Output: doc, h0..h{num_perm-1} (long).
     """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_perm)
+    ]
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
     hashed = pairs.select(
         "doc",
-        *[F.xxhash64(F.lit(seed + i), "shingle").alias(f"h{i}") for i in range(num_perm)],
+        *[
+            F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE31)).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
     )
     return hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_perm)])
 
