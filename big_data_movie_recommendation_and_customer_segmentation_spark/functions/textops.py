@@ -34,8 +34,11 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count. SQL: ``len(...tokens...)``."""
-    return F.size(tokens(text))
+    """Whitespace token count — one regex scan counting non-space
+    runs, no array materialization (≡ ``size(tokens(t))``).
+    SQL: ``len(...tokens...)``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"\S+"))
 
 
 def char_count(text: Column | str) -> Column:
@@ -66,10 +69,13 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
 
 def mean_token_len(text: Column | str) -> Column:
     """Mean token length — short-token soup and URL-glue both show up
-    here. SQL: ``list_avg(list_transform(tokens, x -> length(x)))``."""
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    here. Σ token lengths ≡ length with all whitespace removed, so
+    this is two scalar expressions, no array fold.
+    SQL: ``list_avg(list_transform(tokens, x -> length(x)))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.length(F.regexp_replace(c, r"\s", ""))
+    n = token_count(c)
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
 
 
 def quality_score(text: Column | str, lang: str = "en") -> Column:
