@@ -67,6 +67,11 @@ def exact_jaccard_pairs(
         hot = keys_with_min_count(pairs, "item", max_item_freq + 1).select("item")
         pairs = pairs.join(hot, "item", "left_anti")
 
+    # pairs feeds three consumers (per-user sizes + both self-join
+    # legs); no explicit persist — Spark's ReuseExchange already
+    # shares the shuffled distinct across the consumers (measured:
+    # persisting added materialization cost and blocked the reuse,
+    # 4.3s → 5.8s at sf0.1).
     sizes = pairs.groupBy("user").agg(F.count(F.lit(1)).alias("n_items"))
 
     joinable = pairs
