@@ -243,6 +243,94 @@ def ivf_knn(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Materialize an IVF index: assign each vector to its KMeans
+    cell and write the corpus parquet-partitioned BY CELL, plus the
+    centroid table alongside. This is the 100 TB layout: a probe
+    restricted to ``n_probe_cells`` cells prunes the other
+    partitions at the parquet scan (PartitionFilters), so search I/O
+    is ~n_probe/n_cells of the corpus instead of a full scan —
+    the storage-layout half of IVF that the in-memory variant
+    (``ivf_knn``) can't show.
+
+    Returns the centroid DataFrame (cell, center).
+    """
+    from pyspark.ml.clustering import KMeans
+
+    c_feats = _to_ml_vectors(corpus.select(id_col, vec_col), vec_col, "features")
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features", predictionCol="cell"
+    )
+    model = km.fit(c_feats)
+    assigned = model.transform(c_feats).select(id_col, vec_col, "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+
+    spark = corpus.sparkSession
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
+    centers_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    return centers_df
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    n_probe_cells: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Search a stored IVF index (see ``build_ivf_index``): rank
+    cells per probe against the tiny centroid table, then scan ONLY
+    the selected cell partitions (the ``cell`` equi-join key is a
+    partition column, so the parquet scan prunes — asserted in
+    tests). Output: probe_id, vec_id, cos_sim, rank."""
+    centers_df = spark.read.parquet(f"{path}/centroids")
+    probe_cells = per_group_topk(
+        probes.crossJoin(F.broadcast(centers_df)).select(
+            probe_id_col,
+            probe_vec_col,
+            "cell",
+            V.cosine(probe_vec_col, "center").alias("_cell_sim"),
+        ),
+        probe_id_col,
+        [F.col("_cell_sim").desc(), F.col("cell").asc()],
+        n_probe_cells,
+    ).select(probe_id_col, probe_vec_col, "cell")
+
+    wanted = [r.cell for r in probe_cells.select("cell").distinct().collect()]
+    vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(wanted))
+
+    scored = (
+        vectors.join(F.broadcast(probe_cells), "cell")
+        .select(
+            probe_id_col,
+            id_col,
+            V.cosine(vec_col, probe_vec_col).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    return per_group_topk(
+        scored,
+        probe_id_col,
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k,
+        rank_col="rank",
+        keep_rank=True,
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     min_cosine: float = 0.95,
