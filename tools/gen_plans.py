@@ -1,0 +1,46 @@
+"""Regenerate PLANS.md: formatted physical plans of representative
+queries with one-line commentary. Run from the repo root."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+NOTES = {
+    "pricing_summary": "Scan→agg core: pushdown + pruning + partial aggregation, one shuffle.",
+    "candidates_unseen": "Candidate pipeline: broadcast cross join, top-k semi-filter on the seen side BEFORE its distinct, anti join.",
+    "revenue_rollup_region_nation": "Star join: all three dims broadcast; ROLLUP grouping sets in a single Expand+agg pass.",
+    "recent_orders_per_customer": "Per-group top-k: WindowGroupLimit pushes the limit below the sort.",
+    "minhash_duplicate_pairs": "Dedup scale path: one regex shingle scan, map-local universal-hash signatures, banded self-join, exact rescore.",
+    "purchase_attribution_asof": "As-of join: union + single keyed window (one Exchange), no range join.",
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="plans-doc")
+    queries = entrymod.queries()
+    lines = [
+        "# PLANS — formatted physical plans of representative queries",
+        "",
+        "Generated from `df.explain('formatted')` at sf0.01. Regenerate:",
+        "`python tools/gen_plans.py` (or the snippet in git history).",
+        "",
+    ]
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for name, note in NOTES.items():
+        df = queries[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(mode)
+        lines += [f"## {name}", "", note, "", "```", plan.strip()[:6000], "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
