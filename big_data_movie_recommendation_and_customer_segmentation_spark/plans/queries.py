@@ -744,3 +744,89 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value") / (F.count(F.lit(1)) + F.lit(1000)), 6).alias("damped_avg"),
         )
     )
+
+
+def _ratings_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MovieLens-shaped (user, item, rating, ts) relation derived
+    deterministically from orders×lineitem (customer=user, part=item,
+    bounded rating from quantity)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("int").alias("userId"),
+            F.col("l_partkey").cast("int").alias("movieId"),
+            (F.col("l_quantity") % 5 + 1).cast("float").alias("rating"),
+            (F.unix_timestamp("o_orderdate") + F.col("l_linenumber")).alias("timestamp"),
+        )
+        .groupBy("userId", "movieId")
+        .agg(F.max("rating").alias("rating"), F.min("timestamp").alias("timestamp"))
+    )
+
+
+@query("als_recommendations")  # iterative + seeded (K4-K6) → rows-only
+def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS top-5 recommendations per user (K4+K5, S5 parity shape):
+    seeded fit on the ratings-shaped relation, recommendForUserSubset,
+    nested array<struct> exploded to rows. Iterative factorization →
+    rows-only driver check; quality is bounded in tests/test_movielens."""
+    from ..operators.als import ALSConfig, fit_als, recommend_for_users
+
+    ratings = _ratings_shaped(spark, sf_dir).cache()
+    cfg = ALSConfig(rank=8, reg_param=0.1, max_iter=5, seed=42)
+    model = fit_als(ratings, "userId", "movieId", "rating", cfg)
+    users = ratings.select("userId").distinct().limit(100)
+    recs = recommend_for_users(model, users, k=5)
+    return recs.select("user", "rank", "item", F.round("score", 4).alias("score"))
+
+
+@query("ranking_metrics_summary")  # ml evaluator internals (K7-K9) → rows-only
+def ranking_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 / MAP / NDCG@10 of the damped-popularity
+    recommender against each user's held-out top-rated items (K7-K9
+    as a one-row DataFrame). Hand-verified on a micro-fixture in
+    tests/test_evaluate; rows-only at the driver."""
+    from ..operators.evaluate import ranking_metrics
+    from ..operators.relational import per_group_topk
+
+    ratings = _ratings_shaped(spark, sf_dir).cache()
+    split = S.chronological_split(ratings, "userId", "timestamp", tiebreak_col="movieId")
+    train = split.filter(F.col("split") == "train")
+    heldout = split.filter(F.col("split") != "train")
+
+    pop = (
+        train.groupBy("movieId")
+        .agg((F.sum("rating") / (F.count(F.lit(1)) + F.lit(100))).alias("score"))
+    )
+    top = R.topk(pop, [F.col("score").desc(), F.col("movieId").asc()], 10).select("movieId")
+    users = heldout.select("userId").distinct()
+    predicted = (
+        users.crossJoin(F.broadcast(top))
+        .groupBy(F.col("userId").alias("user"))
+        .agg(F.collect_list(F.col("movieId").cast("double")).alias("predicted"))
+    )
+    actual_ranked = per_group_topk(
+        heldout, "userId", [F.col("rating").desc(), F.col("movieId").asc()], 10
+    )
+    actual = actual_ranked.groupBy(F.col("userId").alias("user")).agg(
+        F.collect_list(F.col("movieId").cast("double")).alias("actual")
+    )
+    m = ranking_metrics(predicted, actual, k=10)
+    return spark.createDataFrame(
+        [(int(m["n_users"]), float(m["precision_at_k"]), float(m["map"]), float(m["ndcg_at_k"]))],
+        "n_users int, precision_at_k double, map double, ndcg_at_k double",
+    )
+
+
+@query("random_pair_baseline_trials")  # seeded rand() (F5/F6, S2) → rows-only
+def random_pair_baseline_trials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S2 null model, distributed: seeded user sample, per-trial
+    seeded shuffles paired by row_number, one grouped F.corr pass
+    over all trials (``correlation_optimised.py:54-97``)."""
+    ratings = _ratings_shaped(spark, sf_dir)
+    out = SIM.random_pair_baseline(
+        ratings, "userId", "movieId", "rating",
+        n_pairs=50, n_trials=5, sample_size=500, seed=42,
+    )
+    return out.select("trial", "n_pairs_scored", F.round("avg_corr", 6).alias("avg_corr"))
