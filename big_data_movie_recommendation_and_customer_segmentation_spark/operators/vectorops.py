@@ -90,6 +90,9 @@ def knn_bruteforce_vectorized(
     import pandas as pd
 
     rows = probes.select(probe_id_col, probe_vec_col).collect()
+    out_schema = f"{probe_id_col} long, {id_col} long, cos_sim double, rank int"
+    if not rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
     pid = np.array([r[0] for r in rows], dtype=np.int64)
     pm = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
     pmn = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
