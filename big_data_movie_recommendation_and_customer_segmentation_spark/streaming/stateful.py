@@ -47,3 +47,19 @@ def running_user_totals(
     return stream.groupBy(user_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key,
+    dropping re-deliveries that arrive within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is bounded by the
+    watermark, unlike ``dropDuplicates`` whose state grows forever).
+    The streaming leg of the dedup ladder: at-least-once sources
+    (Kafka, file backfills) become effectively-once downstream.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

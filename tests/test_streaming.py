@@ -83,3 +83,26 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
         for uid, r in final.iterrows()
     }
     assert got == expected
+
+
+def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id").limit(2000)
+    src = str(tmp_path / "events_dup")
+    # simulate at-least-once delivery: every event written twice
+    ev.unionByName(ev).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    deduped = ST.stream_dedup_exact(stream, ["event_id"], "ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_smoke").collect()[0]
+    finally:
+        q.stop()
+    expected = ev.count()
+    assert got.n == expected and got.d == expected
