@@ -55,11 +55,13 @@ def punct_ratio(text: Column | str) -> Column:
 
 
 def stopword_count(text: Column | str, lang: str = "en") -> Column:
-    """Number of tokens in the ``lang`` stopword set.
+    """Number of whitespace tokens equal (case-insensitively) to a
+    ``lang`` stopword — one boundary-anchored regex scan, no token
+    array (verified count-identical to the list-filter formulation).
     SQL: ``len(list_filter(tokens, x -> x IN (...)))``."""
-    words = STOPWORDS[lang]
-    toks = tokens(text)
-    return F.size(F.filter(toks, lambda x: F.lower(x).isin(*words)))
+    c = F.col(text) if isinstance(text, str) else text
+    pat = r"(?i)(?<=^|\s)(?:" + "|".join(STOPWORDS[lang]) + r")(?=\s|$)"
+    return F.regexp_count(c, F.lit(pat))
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
