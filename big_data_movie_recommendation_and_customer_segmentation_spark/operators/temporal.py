@@ -108,3 +108,43 @@ def rolling_agg(
     for name, expr in aggs.items():
         out = out.withColumn(name, expr.over(w))
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    grid_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval equi+range join, spelled scalably:
+    intervals explode to the grid cells they cover, points map to
+    their cell, the join runs on (keys, cell) — an ordinary shuffle
+    hash join — and the exact [start, end) predicate refines. Never
+    a nested-loop theta join: cost is |points| + Σ interval-cells,
+    both linear for bounded interval lengths.
+
+    ``grid_seconds`` trades replication for selectivity: set it near
+    the typical interval length so each interval covers O(1) cells.
+    Output: every point column + start/end of the matched interval
+    (inner semantics; points in no interval drop).
+    """
+    on = list(on)
+    cell = (F.unix_timestamp(F.col(point_ts)) / grid_seconds).cast("long")
+    p = points.withColumn("_cell", cell)
+    i_cells = intervals.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / grid_seconds).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / grid_seconds).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i_cells, on + ["_cell"])
+        .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
+        .drop("_cell")
+    )

@@ -560,6 +560,47 @@ def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_interval_join",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT event_id, user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT event_id, user_id,
+           min(ts) OVER (PARTITION BY user_id, sid) AS session_start
+    FROM numbered
+    """,
+)
+def events_session_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: map every event back to its session's interval
+    via the grid-bucketed point-in-interval join (operators/
+    temporal.interval_join — equi-join on (user, cell) + exact range
+    refine, no nested-loop theta join). The oracle derives each
+    event's session independently via lag/cumsum, so the join
+    semantics are cross-checked, not self-fulfilling."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sessions = W.session_agg(
+        ev, "ts", "30 minutes", group_by=("user_id",),
+        aggs=(F.count(F.lit(1)).alias("_n"),),
+    ).select("user_id", "session_start", "session_end")
+    out = TP.interval_join(
+        ev, sessions, on=["user_id"], point_ts="ts",
+        start_col="session_start", end_col="session_end", grid_seconds=1800,
+    )
+    return out.select("event_id", "user_id", "session_start")
+
+
+@query(
     "props_json_stats",
     oracle="""
     SELECT event_type,
