@@ -703,6 +703,38 @@ def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_surface_top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(o.o_totalprice), 2) AS total_spend,
+           count(*) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c.c_custkey ASC
+    LIMIT 25
+    """,
+)
+def sql_surface_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry path: tables registered as temp views,
+    query expressed as ANSI SQL through spark.sql — same Catalyst
+    plan space as the DataFrame builders (SURVEY §3: the reference's
+    only language is the builder API; the engine exposes both)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               round(sum(o.o_totalprice), 2) AS total_spend,
+               count(*) AS n_orders
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY total_spend DESC, c.c_custkey ASC
+        LIMIT 25
+        """
+    )
+
+
 @query("approx_distinct_customers")  # HLL sketch → rows-only + tolerance test
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB cardinality work:
