@@ -39,6 +39,10 @@ HEADLINE = [
     "ngram_duplicate_pairs",
     "minhash_duplicate_pairs",
     "knn_bruteforce",
+    "knn_bruteforce_vectorized",
+    "tfidf_top_terms",
+    "purchase_attribution_asof",
+    "events_session_interval_join",
     "tumbling_hourly_events",
     "session_windows_per_user",
 ]

@@ -106,3 +106,36 @@ def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
         q.stop()
     expected = ev.count()
     assert got.n == expected and got.d == expected
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    src = str(tmp_path / "events_sliding")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src).withWatermark("ts", "1 hour")
+    out = W.sliding_agg(
+        stream, "ts", "2 hours", "1 hour",
+        aggs=(F.count(F.lit(1)).alias("n"),),
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sliding_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.window_end): r.n
+            for r in spark.sql("SELECT * FROM sliding_smoke").collect()
+        }
+    finally:
+        q.stop()
+    expected = {
+        (r.window_start, r.window_end): r.n
+        for r in W.sliding_agg(
+            ev, "ts", "2 hours", "1 hour", aggs=(F.count(F.lit(1)).alias("n"),)
+        ).collect()
+    }
+    assert got == expected
