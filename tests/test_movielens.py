@@ -110,3 +110,46 @@ def test_als_pipeline_smoke(spark, ratings):
     assert 0.0 <= out["val"]["map"] <= 1.0
     assert out["test"]["rmse"] > 0.0
     split.unpersist()
+
+
+def test_popularity_bias_sweep_structure(spark, ratings):
+    split = ML.split_ratings(ratings, min_ratings=5).cache()
+    tr = split.filter(F.col("split") == "train")
+    va = split.filter(F.col("split") == "val")
+    out = ML.popularity_bias_sweep(
+        spark, tr, va, biases=(1.0, 100.0), min_ratings=2, n_candidates=50, k=10
+    )
+    assert [r["bias"] for r in out] == [1.0, 100.0]
+    for r in out:
+        assert 0.0 <= r["map"] <= 1.0 and r["n_users"] > 0
+
+
+def test_als_grid_search_deterministic_order(spark, ratings):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.als import (
+        ALSConfig,
+        grid_search,
+    )
+
+    train = (
+        ratings.select(
+            F.col("userId").cast("int").alias("user"),
+            F.col("movieId").cast("int").alias("item"),
+            F.col("rating").cast("float").alias("rating"),
+        )
+        .dropna()
+    )
+
+    def eval_fn(model):
+        preds = model.transform(train).dropna(subset=["prediction"])
+        rmse = preds.select(
+            F.sqrt(F.avg((F.col("rating") - F.col("prediction")) ** 2)).alias("rmse")
+        ).collect()[0].rmse
+        return {"rmse": float(rmse)}
+
+    out = grid_search(
+        train, eval_fn, ranks=(4, 8), reg_params=(0.1,),
+        base=ALSConfig(rank=4, reg_param=0.1, max_iter=3),
+    )
+    assert [(r["rank"], r["reg_param"]) for r in out] == [(4, 0.1), (8, 0.1)]
+    # more capacity on train-fit RMSE must not hurt at fixed reg
+    assert out[1]["rmse"] <= out[0]["rmse"] + 1e-6
