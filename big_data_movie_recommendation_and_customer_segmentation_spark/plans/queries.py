@@ -580,14 +580,24 @@ def top_similar_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       GROUP BY 1, 2
     ),
-    pair_corr AS (
+    moments AS (
       SELECT p.user_a, p.user_b,
-             count(*) AS n_common_rated,
-             corr(ra.r, rb.r) AS c
+             count(*)                               AS n,
+             sum(ra.r)                              AS sx,
+             sum(rb.r)                              AS sy,
+             sum(ra.r * rb.r)                       AS sxy,
+             sum(ra.r * ra.r)                       AS sxx,
+             sum(rb.r * rb.r)                       AS syy
       FROM top_pairs p
       JOIN ratings ra ON ra.u = p.user_a
       JOIN ratings rb ON rb.u = p.user_b AND rb.i = ra.i
       GROUP BY 1, 2
+    ),
+    pair_corr AS (
+      SELECT user_a, user_b, n AS n_common_rated,
+             (n * sxy - sx * sy) /
+               NULLIF(sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 0) AS c
+      FROM moments
     )
     SELECT user_a, user_b, n_common_rated, round(c, 6) AS corr
     FROM pair_corr
@@ -598,20 +608,59 @@ def pair_rating_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 parity: Pearson correlation of paired customers' "ratings"
     (summed quantities) over co-purchased parts, as a distributed
     grouped aggregate instead of a driver np.corrcoef loop
-    (``correlation_optimised.py:41-51``)."""
+    (``correlation_optimised.py:41-51``).
+
+    Determinism: quantities are integer-valued, so the per-pair
+    moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT longs no matter
+    the aggregation/merge order — unlike covar_samp/stddev whose
+    float accumulation order varies run to run and flips the 6th
+    decimal on near-degenerate pairs (observed ~1/3 flaky at
+    sf0.01). The single final float expression is spelled
+    identically in the oracle, so both engines produce bit-equal
+    corr values. The general-purpose ``similarity.
+    pair_rating_correlation`` operator keeps covar/stddev (correct
+    for arbitrary float ratings); this query needs the exact-moment
+    form because its gate is bitwise."""
     cp_full = _co_purchases(spark, sf_dir)
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     ratings = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_custkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("r"))
+        .agg(F.sum("l_quantity").cast("long").alias("r"))
     )
     top_pairs = SIM.top_similar_pairs(cp_full, "o_custkey", "l_partkey", k=50, threshold=0.0)
-    corr = SIM.pair_rating_correlation(
-        ratings, top_pairs, "o_custkey", "l_partkey", "r", min_common=3
+
+    r_a = ratings.select(
+        F.col("o_custkey").alias("user_a"), F.col("l_partkey").alias("i"), F.col("r").alias("ra")
     )
-    return corr.withColumn("corr", F.round("corr", 6))
+    r_b = ratings.select(
+        F.col("o_custkey").alias("user_b"), F.col("l_partkey").alias("i"), F.col("r").alias("rb")
+    )
+    m = (
+        F.broadcast(top_pairs.select("user_a", "user_b"))
+        .join(r_a, "user_a")
+        .join(r_b, ["user_b", "i"])
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ra").alias("sx"),
+            F.sum("rb").alias("sy"),
+            F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+            F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+            F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    c = F.try_divide(num, F.nullif(F.sqrt(var_x * var_y), F.lit(0.0)))
+    out = m.select(
+        "user_a", "user_b", F.col("n").alias("n_common_rated"), F.round(c, 6).alias("corr")
+    )
+    return out.filter(
+        (F.col("n_common_rated") >= 3) & F.col("corr").isNotNull() & ~F.isnan("corr")
+    )
 
 
 @query("minhash_pairs_lsh")  # no SQL oracle: LSH is approximate (rows-only check)
