@@ -263,17 +263,22 @@ def simhash_duplicate_pairs(
     return out
 
 
-def dedup_representatives(pairs: DataFrame, rounds: int = 3) -> DataFrame:
+def dedup_representatives(pairs: DataFrame, rounds: int | None = 3) -> DataFrame:
     """Resolve duplicate pairs to cluster representatives by
     min-label propagation: rep(d) starts as min(d, neighbors);
     each round joins reps through the pair edges and takes the min.
     Output: doc_id, rep_id (rep_id < doc_id rows only — docs that
     should be dropped in favor of rep).
 
-    Each round = one shuffle join on doc id. ``rounds`` bounds chain
-    diameter 2^rounds; beyond that, iterate-to-fixpoint with a
-    convergence check (count of changed labels) — kept explicit so
-    the cost is visible.
+    Each round = one shuffle join on doc id. ``rounds=k`` bounds
+    the handled chain diameter (cheap, predictable cost — real dup
+    clusters are shallow); ``rounds=None`` iterates to fixpoint with
+    a per-round convergence count — correct for arbitrarily long
+    chains at the price of one count() action per round. Each
+    round's labels are ``localCheckpoint``-ed: persist alone is NOT
+    enough for iterative plans — the logical plan still compounds
+    per round until planning itself blows up (observed: OOM in plan
+    stringification at ~10 rounds); checkpointing truncates lineage.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -283,16 +288,33 @@ def dedup_representatives(pairs: DataFrame, rounds: int = 3) -> DataFrame:
     labels = edges.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("rep")).withColumnsRenamed(
         {"a": "doc_id"}
     )
-    for _ in range(rounds - 1):
+
+    def one_round(lbl: DataFrame) -> DataFrame:
         # rep(d) ← min(rep(d), min over neighbors of rep(neighbor))
         neighbor_reps = (
-            edges.join(labels.withColumnsRenamed({"doc_id": "b", "rep": "nrep"}), "b")
+            edges.join(lbl.withColumnsRenamed({"doc_id": "b", "rep": "nrep"}), "b")
             .groupBy("a")
             .agg(F.min("nrep").alias("nrep"))
             .withColumnsRenamed({"a": "doc_id"})
         )
-        labels = (
-            labels.join(neighbor_reps, "doc_id", "left")
-            .select("doc_id", F.least("rep", "nrep").alias("rep"))
+        return lbl.join(neighbor_reps, "doc_id", "left").select(
+            "doc_id", F.least("rep", "nrep").alias("rep")
         )
+
+    if rounds is not None:
+        for _ in range(rounds - 1):
+            labels = one_round(labels)
+    else:
+        labels = labels.localCheckpoint()
+        while True:
+            nxt = one_round(labels).localCheckpoint()
+            changed = (
+                nxt.withColumnsRenamed({"rep": "new_rep"})
+                .join(labels, "doc_id")
+                .filter(F.col("new_rep") != F.col("rep"))
+                .count()
+            )
+            labels = nxt
+            if changed == 0:
+                break
     return labels.filter(F.col("rep") < F.col("doc_id")).select("doc_id", F.col("rep").alias("rep_id"))

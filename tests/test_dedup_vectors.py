@@ -99,3 +99,13 @@ def test_kmeans_segments_deterministic(spark, emb):
     assert ra == rb
     # segments should correlate with the synthetic labels' cluster structure
     assert len(set(ra.values())) >= 2
+
+
+def test_dedup_representatives_fixpoint_on_long_chain(spark):
+    # a 12-node path: rounds=3 cannot fully resolve it, fixpoint must
+    chain = [(i, i + 1) for i in range(1, 12)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    fixed = {r.doc_id: r.rep_id for r in DD.dedup_representatives(pairs, rounds=None).collect()}
+    assert fixed == {i: 1 for i in range(2, 13)}
+    bounded = {r.doc_id: r.rep_id for r in DD.dedup_representatives(pairs, rounds=3).collect()}
+    assert any(v != 1 for v in bounded.values())  # documents the bound
