@@ -323,13 +323,55 @@ def simhash_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_duplicate_pairs(d, "doc_id", "text", max_hamming=8, n_bands=4)
 
 
-@query("dedup_representatives")  # iterative propagation → rows-only
+@query(
+    "dedup_representatives",
+    oracle=f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM t
+    ),
+    d AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM dup_pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    )
+    SELECT a AS doc_id, min(b) AS rep_id
+    FROM reach GROUP BY a HAVING min(b) < a
+    """,
+)
 def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: min-label propagation over
-    ngram-dup edges → (doc_id, rep_id) drop list."""
+    ngram-dup edges → (doc_id, rep_id) drop list. Run to fixpoint,
+    so the oracle is the true transitive closure (DuckDB recursive
+    CTE) — an iterative distributed algorithm cross-checked against
+    a recursive SQL formulation."""
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
-    return DD.dedup_representatives(pairs, rounds=3)
+    return DD.dedup_representatives(pairs, rounds=None)
 
 
 # --------------------------------------------------------------------------
