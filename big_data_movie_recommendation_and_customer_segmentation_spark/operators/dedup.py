@@ -30,12 +30,19 @@ from ..functions import textops as TX
 from .similarity import exact_jaccard_pairs
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, fingerprint_col: str | None = None
+) -> DataFrame:
     """Exact-duplicate groups by normalized-content fingerprint.
     Output: fingerprint, n_copies, keep_id (min id), doc_ids
-    (sorted). Only groups with ≥2 docs."""
+    (sorted). Only groups with ≥2 docs. Pass ``fingerprint_col`` to
+    reuse a precomputed fingerprint (e.g. computed once before a
+    union that would otherwise re-hash every branch)."""
+    fp = (
+        F.col(fingerprint_col) if fingerprint_col is not None else TX.fingerprint(text_col)
+    )
     return (
-        df.select(F.col(id_col).alias("doc_id"), TX.fingerprint(text_col).alias("fingerprint"))
+        df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),

@@ -245,10 +245,14 @@ _DOUBLED = """
 def exact_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups by md5-of-normalized-text (hash groupBy) on
     a doubled corpus — every doc gains exactly one copy, so the
-    operator's group/keep/ids output is fully determined."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    doubled = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
-    return DD.exact_duplicates(doubled, "doc_id", "text")
+    operator's group/keep/ids output is fully determined. The
+    fingerprint is computed once BEFORE the doubling union (the
+    doubled branch re-uses it), halving the md5+normalize work."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.fingerprint("text").alias("_fp")
+    )
+    doubled = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "_fp"))
+    return DD.exact_duplicates(doubled, "doc_id", "text", fingerprint_col="_fp")
 
 
 @query(
