@@ -61,7 +61,13 @@ def main() -> None:
     spark = get_spark(app_name="bdmrcs-bench")
 
     names = [n for n in HEADLINE if n in QUERY_REGISTRY]
-    materialize(QUERY_REGISTRY[names[0]](spark, sf_dir))  # warmup
+    materialize(QUERY_REGISTRY[names[0]](spark, sf_dir))  # warmup (JVM/codegen)
+    # Warm the Python/Arrow worker pool too: the first mapInPandas job
+    # pays worker spawn (~2 s) that a long-lived cluster pays once;
+    # workers are reused afterwards (spark.python.worker.reuse).
+    spark.range(32).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:
