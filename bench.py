@@ -70,10 +70,17 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         materialize(QUERY_REGISTRY[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Second run isolates steady-state execution from one-shot
+        # codegen compile (2-5x on wide plans — see PERF.md); the
+        # headline `value` stays the one-shot total for continuity.
+        t0 = time.perf_counter()
+        materialize(QUERY_REGISTRY[name](spark, sf_dir))
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -83,6 +90,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )
