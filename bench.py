@@ -71,16 +71,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_median: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         materialize(QUERY_REGISTRY[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-        # Second run isolates steady-state execution from one-shot
+        # Warm runs isolate steady-state execution from one-shot
         # codegen compile (2-5x on wide plans — see PERF.md); the
         # headline `value` stays the one-shot total for continuity.
-        t0 = time.perf_counter()
-        materialize(QUERY_REGISTRY[name](spark, sf_dir))
-        warm[name] = round(time.perf_counter() - t0, 3)
+        # Host noise reached 2× on single warm runs (PERF.md), so the
+        # cross-round comparison metric is the MEDIAN of 3 warm runs.
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(QUERY_REGISTRY[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        warm[name] = runs[0]
+        warm_median[name] = sorted(runs)[1]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +99,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "queries_warm_median": warm_median,
+                "warm_median_total": round(sum(warm_median.values()), 3),
                 "sf": sf,
             }
         )

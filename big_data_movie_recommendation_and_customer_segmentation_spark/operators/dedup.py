@@ -150,6 +150,7 @@ def minhash_duplicate_pairs(
     num_perm: int = 32,
     band_rows: int = 2,
     seed: int = 42,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard rescore:
     shingle → minhash signature → banded candidate join → rescore.
@@ -166,8 +167,28 @@ def minhash_duplicate_pairs(
     heavily-duplicated boilerplate band is the skew point; prune
     boilerplate shingles upstream via ``max_shingle_freq``), rescore
     joins (doc). Output matches ``ngram_jaccard_pairs``.
+
+    ``max_shingle_freq`` is the same boilerplate governor as in
+    ``ngram_jaccard_pairs``: shingles shared by more than that many
+    docs are dropped before signatures AND before the rescore sets,
+    so a boilerplate band value can't become the shuffle hot key.
+
+    No ``.cache()`` on the shingle relation: it feeds two consumers
+    (signatures + rescore sets) but both read the same shuffled
+    ``distinct`` output, which Spark shares via ReuseExchange — and a
+    cached exploded-shingle relation at 100 TB is an executor-storage
+    leak in any long-lived session (measured at sf0.1: uncached is
+    not slower; see PERF.md).
     """
-    pairs = _shingle_pairs(df, id_col, text_col, n).cache()
+    pairs = _shingle_pairs(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        hot = (
+            pairs.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq)
+            .select("shingle")
+        )
+        pairs = pairs.join(hot, "shingle", "left_anti")
     sig = minhash_signatures(pairs, num_perm=num_perm, seed=seed)
 
     n_bands = num_perm // band_rows
@@ -250,8 +271,14 @@ def simhash_duplicate_pairs(
     band value → exact Hamming check via bit_count(xor). The
     band-keyed equi-joins are ordinary shuffle joins — no N² pass.
     Output: doc_a, doc_b, hamming.
+
+    The signature relation feeds all ``2·n_bands`` join legs uncached:
+    every leg reads the same doc-keyed aggregate, so ReuseExchange
+    shares the one shuffle (a ``.cache()`` here leaked executor
+    storage across repeated calls — grid sweeps, benchmarks — and
+    measured no faster at sf0.1; see PERF.md).
     """
-    sigs = simhash(df, id_col, text_col).cache()
+    sigs = simhash(df, id_col, text_col)
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     candidates = None

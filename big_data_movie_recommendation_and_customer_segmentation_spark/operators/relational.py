@@ -197,7 +197,12 @@ def salted_join(
     hashing its full row; the right side is replicated ``salt``
     times (one row per salt value) — so a key holding 10% of the
     left rows lands on ``salt`` tasks instead of one. Result is
-    row-identical to the plain join.
+    row-identical to the plain join for the SUPPORTED join types
+    (inner / left outer / left semi / left anti — every left row
+    carries exactly one salt, so left-side multiplicity is
+    preserved). ``right``/``full`` joins are REJECTED: unmatched
+    right rows exist once per salt replica and would surface
+    ``salt`` times instead of once.
 
     Prefer AQE's skew-join splitting (on by default in the session
     factory) when it applies; salting is for the cases it can't
@@ -206,6 +211,13 @@ def salted_join(
     shuffles ``salt``× its volume, so keep the replicated side the
     small one.
     """
+    supported = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"salted_join supports {sorted(supported)} only, got {how!r}: the right side "
+            "is replicated per salt, so right/full joins would emit unmatched right rows "
+            "once per salt value"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     l_salted = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")

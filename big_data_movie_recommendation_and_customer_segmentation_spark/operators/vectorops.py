@@ -89,11 +89,17 @@ def knn_bruteforce_vectorized(
     import numpy as np
     import pandas as pd
 
+    # Id field types come from the input schemas (not hardcoded long):
+    # string/int-typed ids keep their type end-to-end, matching the
+    # HOF variant's contract.
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    probe_id_type = probes.schema[probe_id_col].dataType.simpleString()
+    partial_schema = f"{probe_id_col} {probe_id_type}, {id_col} {id_type}, cos_sim double"
+
     rows = probes.select(probe_id_col, probe_vec_col).collect()
-    out_schema = f"{probe_id_col} long, {id_col} long, cos_sim double, rank int"
     if not rows:
-        return corpus.sparkSession.createDataFrame([], out_schema)
-    pid = np.array([r[0] for r in rows], dtype=np.int64)
+        return corpus.sparkSession.createDataFrame([], partial_schema + ", rank int")
+    pid = np.array([r[0] for r in rows])
     pm = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
     pmn = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
 
@@ -112,9 +118,7 @@ def knn_bruteforce_vectorized(
                     {probe_id_col: pid[j], id_col: ids[idx], "cos_sim": sims[idx, j]}
                 )
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
-        score, f"{probe_id_col} long, {id_col} long, cos_sim double"
-    )
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, partial_schema)
     return per_group_topk(
         partial,
         probe_id_col,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import relational as R
@@ -137,7 +137,7 @@ def order_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_part_sets",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(DISTINCT l_partkey)) AS items
+           array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS items
     FROM lineitem
     GROUP BY l_orderkey
     HAVING count(*) >= 6
@@ -145,9 +145,19 @@ def order_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_part_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted collect_set arrays (D4, ``top_100_pairs.py:47``) — the
-    building block of the user×item-set similarity pipeline."""
+    building block of the user×item-set similarity pipeline.
+
+    Gate projection: the sorted array is serialized to a comma-joined
+    string because the driver's pandas canonicalizer cannot sort/hash
+    list cells (r01 harness error). API users get the array from the
+    ``grouped_set`` operator itself; the registry entry emits the
+    hashable projection."""
     li = R.filter_active(load_table(spark, sf_dir, "lineitem"), "l_orderkey", 6)
-    return R.grouped_set(li, "l_orderkey", "l_partkey", out="items")
+    sets = R.grouped_set(li, "l_orderkey", "l_partkey", out="_items")
+    return sets.select(
+        "l_orderkey",
+        F.array_join(F.transform("_items", lambda x: x.cast("string")), ",").alias("items"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -500,15 +510,81 @@ def popularity_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recs.select("user", "item", F.round("score", 6).alias("score"), "rank")
 
 
+@query(
+    "popularity_recommendations_compat",
+    oracle="""
+    WITH scores AS (
+      SELECT l_partkey AS item,
+             count(*) AS n_ratings,
+             sum(l_quantity) / (count(*) + 100) AS score
+      FROM lineitem
+      GROUP BY l_partkey
+    ),
+    top_items AS (
+      SELECT item, score FROM scores
+      ORDER BY score DESC, item ASC LIMIT 20
+    ),
+    users AS (SELECT DISTINCT o_custkey AS "user" FROM orders),
+    seen AS (
+      SELECT DISTINCT o.o_custkey AS "user", l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    unseen AS (
+      SELECT u."user", t.item, t.score
+      FROM users u CROSS JOIN top_items t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM seen s WHERE s."user" = u."user" AND s.item = t.item)
+    ),
+    ranked AS (
+      SELECT "user", item, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY "user" ORDER BY item ASC) AS rank
+      FROM unseen
+    )
+    SELECT "user", item, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def popularity_recommendations_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-parity variant of ``popularity_recommendations`` with
+    ``compat_item_order=True``: per-user candidates are truncated in
+    ITEM-ID order, reproducing the reference's rank-by-movieId quirk
+    exactly (``popularity_evalutaion.py:52-54`` — the window orders
+    by movieId, discarding the popularity ranking inside the
+    candidate set). A reference user migrating query-for-query gets
+    bit-identical output from this entry; the default entry keeps the
+    score-ranked fix."""
+    from ..operators import recommend as REC
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ratings = o.join(li, o.o_orderkey == li.l_orderkey)
+    scores = REC.popularity_scores(ratings, "l_partkey", "l_quantity", bias=100.0)
+    cands = REC.top_items(scores, 20)
+    users = o.select(F.col("o_custkey").alias("user")).distinct()
+    seen = ratings.select(F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")).distinct()
+    recs = REC.recommend_unseen_topk(users, cands, seen, k=5, compat_item_order=True)
+    return recs.select("user", "item", F.round("score", 6).alias("score"), "rank")
+
+
 # --------------------------------------------------------------------------
 # F. Similarity / segmentation (SURVEY S1+S2 parity — §2.C6, §2.D8, §2.K)
 # --------------------------------------------------------------------------
 
-_CO_PURCHASE_SQL = """
-    WITH ui AS (
+# Hot-item governor for the exact set-similarity self-join: items held
+# by more than this many users are dropped BEFORE sizes/intersections
+# (they contribute O(f²) pairs and little similarity signal — the
+# prefix-filter trick). Far above the observed max frequency at the
+# tested SFs (53 at sf0.1), so results are unchanged there; at 100×
+# it caps the quadratic blowup a hot key would cause. Mirrored in the
+# oracle SQL so the capped semantics are what the gate checks.
+MAX_ITEM_FREQ = 300
+
+_CO_PURCHASE_SQL = f"""
+    WITH ui_all AS (
       SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
+    ok_items AS (SELECT i FROM ui_all GROUP BY i HAVING count(*) <= {MAX_ITEM_FREQ}),
+    ui AS (SELECT ui_all.* FROM ui_all JOIN ok_items USING (i)),
     sizes AS (SELECT u, count(*) AS n FROM ui GROUP BY u),
     inter AS (
       SELECT a.u AS user_a, b.u AS user_b, count(*) AS n_common
@@ -544,7 +620,9 @@ def jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed ground truth replacing the reference's driver-side
     pair scoring (S1 ``top_100_pairs.py:82-107``)."""
     cp = _co_purchases(spark, sf_dir)
-    pairs = SIM.exact_jaccard_pairs(cp, "o_custkey", "l_partkey", threshold=0.05)
+    pairs = SIM.exact_jaccard_pairs(
+        cp, "o_custkey", "l_partkey", threshold=0.05, max_item_freq=MAX_ITEM_FREQ
+    )
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -562,7 +640,9 @@ def top_similar_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 headline, "top-100 movie twins" shape: bounded top-k most
     similar pairs, deterministic order, no driver-side heap."""
     cp = _co_purchases(spark, sf_dir)
-    pairs = SIM.top_similar_pairs(cp, "o_custkey", "l_partkey", k=50, threshold=0.0)
+    pairs = SIM.top_similar_pairs(
+        cp, "o_custkey", "l_partkey", k=50, threshold=0.0, max_item_freq=MAX_ITEM_FREQ
+    )
     return pairs.select("user_a", "user_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -629,7 +709,9 @@ def pair_rating_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "l_partkey")
         .agg(F.sum("l_quantity").cast("long").alias("r"))
     )
-    top_pairs = SIM.top_similar_pairs(cp_full, "o_custkey", "l_partkey", k=50, threshold=0.0)
+    top_pairs = SIM.top_similar_pairs(
+        cp_full, "o_custkey", "l_partkey", k=50, threshold=0.0, max_item_freq=MAX_ITEM_FREQ
+    )
 
     r_a = ratings.select(
         F.col("o_custkey").alias("user_a"), F.col("l_partkey").alias("i"), F.col("r").alias("ra")
@@ -880,18 +962,25 @@ def ranking_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.groupBy("movieId")
         .agg((F.sum("rating") / (F.count(F.lit(1)) + F.lit(100))).alias("score"))
     )
-    top = R.topk(pop, [F.col("score").desc(), F.col("movieId").asc()], 10).select("movieId")
-    users = heldout.select("userId").distinct()
-    predicted = (
-        users.crossJoin(F.broadcast(top))
-        .groupBy(F.col("userId").alias("user"))
-        .agg(F.collect_list(F.col("movieId").cast("double")).alias("predicted"))
+    # Ranked order is explicit IN THE DATA (rank column → sorted
+    # array), never raw collect_list arrival order — MAP/NDCG are
+    # order-sensitive and shuffle arrival order is nondeterministic
+    # (SURVEY §7 hard-part 1).
+    top = R.topk(pop, [F.col("score").desc(), F.col("movieId").asc()], 10).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("movieId").asc()))
+    )
+    users = heldout.select(F.col("userId").alias("user")).distinct()
+    predicted = R.grouped_list_sorted_by(
+        users.crossJoin(F.broadcast(top.select("movieId", "rank"))),
+        "user", "rank", "movieId", out="predicted",
     )
     actual_ranked = per_group_topk(
-        heldout, "userId", [F.col("rating").desc(), F.col("movieId").asc()], 10
+        heldout, "userId", [F.col("rating").desc(), F.col("movieId").asc()], 10,
+        keep_rank=True,
     )
-    actual = actual_ranked.groupBy(F.col("userId").alias("user")).agg(
-        F.collect_list(F.col("movieId").cast("double")).alias("actual")
+    actual = R.grouped_list_sorted_by(
+        actual_ranked.select(F.col("userId").alias("user"), "rank", "movieId"),
+        "user", "rank", "movieId", out="actual",
     )
     m = ranking_metrics(predicted, actual, k=10)
     return spark.createDataFrame(

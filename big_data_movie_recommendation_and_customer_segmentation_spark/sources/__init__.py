@@ -1,3 +1,3 @@
-from .io import SCHEMAS, TABLES, load_table, load_tables, read_csv, write_parquet
+from .io import SCHEMAS, TABLES, load_table, load_tables, read_csv, write_csv, write_parquet
 
-__all__ = ["SCHEMAS", "TABLES", "load_table", "load_tables", "read_csv", "write_parquet"]
+__all__ = ["SCHEMAS", "TABLES", "load_table", "load_tables", "read_csv", "write_csv", "write_parquet"]

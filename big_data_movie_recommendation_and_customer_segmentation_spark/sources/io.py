@@ -182,6 +182,29 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """CSV sink (reference-compat A2): the reference writes its three
+    chronological splits as three separate CSV jobs
+    (``codes/Movie Recommendation/part3/partition.py:39-51``, each
+    re-running the window DAG). Here one call writes one split — or,
+    with ``partition_by=("split",)``, ONE job writes all splits
+    hive-partitioned, each split a directory of CSV part files.
+
+    CSV is the compat/interchange format only: it can't push filters
+    or prune columns, so anything re-read at scale belongs in
+    parquet (``write_parquet``)."""
+    w = df.write.mode(mode).option("header", header)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

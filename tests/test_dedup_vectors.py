@@ -62,20 +62,47 @@ def test_dedup_representatives_resolves_transitively(spark):
 
 
 def test_ann_lsh_subset_of_bruteforce(spark, emb):
+    # min_cosine=0.3: the synthetic embeddings top out at ~0.51
+    # non-self cosine, so higher thresholds make this test (and the
+    # registry entry) vacuous — r01 shipped exactly that bug, with
+    # the non-empty assert satisfied by self-matches only.
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     exact = {
         (r.probe_id, r.vec_id): r.cos_sim
-        for r in VO.knn_bruteforce(emb, probes, k=50).collect()
-        if r.cos_sim >= 0.8
+        for r in VO.knn_bruteforce(emb, probes, k=100).collect()
+        if r.cos_sim >= 0.3
     }
-    ann = VO.ann_lsh_neighbors(emb, probes, min_cosine=0.8).collect()
-    assert ann
-    for r in ann:
+    ann = VO.ann_lsh_neighbors(emb, probes, min_cosine=0.3).collect()
+    non_self = [r for r in ann if r.probe_id != r.vec_id]
+    assert non_self, "ANN must emit non-self neighbors at this threshold"
+    for r in non_self:
         key = (r.probe_id, r.vec_id)
         assert key in exact
         assert exact[key] == pytest.approx(r.cos_sim, abs=1e-6)
+    # recall against brute force (exact non-self pairs at ≥0.3)
+    exact_non_self = {k for k in exact if k[0] != k[1]}
+    found = {(r.probe_id, r.vec_id) for r in non_self}
+    assert len(found & exact_non_self) / len(exact_non_self) >= 0.8
+
+
+def test_embedding_near_duplicates_non_vacuous(spark, emb):
+    pairs = VO.embedding_near_duplicates(emb, min_cosine=0.45).collect()
+    assert pairs, "near-dup threshold must emit pairs on the testdata"
+    assert all(r.id_a < r.id_b for r in pairs)
+    # subset of brute force: every emitted pair really is ≥ 0.45
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    for r in pairs:
+        assert cos(vecs[r.id_a], vecs[r.id_b]) == pytest.approx(r.cos_sim, abs=1e-6)
+        assert r.cos_sim >= 0.45
 
 
 def test_ivf_recall_vs_bruteforce(emb):

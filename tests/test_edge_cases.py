@@ -56,6 +56,25 @@ def test_knn_with_empty_corpus_and_empty_probes(spark):
     assert VO.knn_bruteforce_vectorized(corpus, probes, k=3).count() == 0
 
 
+def test_knn_vectorized_matches_hof_on_string_ids(spark):
+    """The two knn functions share one contract: id column types come
+    from the input schema, not a hardcoded long (r01 hardcoded
+    ``long`` in the vectorized mapInPandas schema — string ids
+    failed)."""
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0]), ("d", [0.5, 0.5])],
+        "vec_id string, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [("p1", [1.0, 0.0])], "probe_id string, probe_vec array<double>"
+    )
+    hof = VO.knn_bruteforce(corpus, probes, k=3).collect()
+    vec = VO.knn_bruteforce_vectorized(corpus, probes, k=3).collect()
+    as_set = lambda rows: {(r.probe_id, r.vec_id, r.rank, round(r.cos_sim, 9)) for r in rows}
+    assert as_set(hof) == as_set(vec)
+    assert {type(r.vec_id) for r in vec} == {str}
+
+
 def test_asof_join_with_empty_right(spark):
     left = spark.createDataFrame([(1, 10), (1, 20)], "k long, ts long")
     right = spark.createDataFrame([], "k long, ts long, v double")

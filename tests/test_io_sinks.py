@@ -39,3 +39,25 @@ def test_csv_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
     back = read_csv(spark, path, r.schema)
     assert back.schema == r.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, r.collect()))
+
+
+def test_write_csv_split_roundtrip(spark, sf_dir, tmp_path):
+    """A2 compat: the reference's chronological-split CSV write
+    (``partition.py:39-51``) as one partitioned job, re-read per
+    split with the explicit schema — counts and rows preserved."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import read_csv, write_csv
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    labeled = S.chronological_split(ev, "user_id", "ts", tiebreak_col="event_id")
+    out = str(tmp_path / "split_csv")
+    write_csv(labeled, out, partition_by=("split",))
+
+    expected = {
+        r["split"]: r["n"]
+        for r in labeled.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    data_schema = labeled.drop("split").schema
+    for split, n in expected.items():
+        back = read_csv(spark, f"{out}/split={split}", data_schema)
+        assert back.count() == n
+    assert set(expected) == {"train", "val", "test"}

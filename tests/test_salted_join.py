@@ -27,3 +27,24 @@ def test_salted_left_join_keeps_unmatched(spark):
     plain = left.join(right, "k", "left").select("k", "p", "v")
     salted = salted_join(left, right, "k", salt=4, how="left").select("k", "p", "v")
     assert sorted(map(tuple, plain.collect()), key=str) == sorted(map(tuple, salted.collect()), key=str)
+
+
+def test_salted_semi_and_anti_join_equal_plain(spark):
+    left = spark.range(0, 200).select((F.col("id") % 11).alias("k"), F.col("id").alias("p"))
+    right = spark.range(0, 4).select(F.col("id").alias("k"))
+    for how in ("left_semi", "left_anti"):
+        plain = left.join(right, "k", how).select("k", "p")
+        salted = salted_join(left, right, "k", salt=4, how=how).select("k", "p")
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Right/full joins would replicate unmatched right rows salt
+    times — the operator must refuse, not silently corrupt."""
+    import pytest
+
+    left = spark.range(0, 10).select(F.col("id").alias("k"))
+    right = spark.range(0, 10).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", salt=4, how=how)
