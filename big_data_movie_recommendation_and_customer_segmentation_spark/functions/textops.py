@@ -146,6 +146,16 @@ def shared_token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
 
 
+def shared_token_hash60(tok: Column) -> Column:
+    """60-bit variant of ``shared_token_hash`` (15 md5 hex chars):
+    Spark ``conv(substring(md5(x),1,15),16,10)`` ≡ DuckDB
+    ``('0x' || substr(md5(x),1,15))::BIGINT`` (verified value-equal).
+    Wide enough for SimHash bit votes and MinHash universal-hash
+    bases while staying exactly representable in a signed 64-bit
+    integer in both engines."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
 def rolling_fingerprint(text: Column | str, base: int = 31, mod: int = 2147483647) -> Column:
     """Order-sensitive polynomial rolling hash of the normalized
     token stream (Rabin–Karp): h ← (h·base + hash(tok)) mod mod.

@@ -104,8 +104,33 @@ def ngram_jaccard_pairs(
 _MERSENNE31 = (1 << 31) - 1
 
 
+def minhash_coefficients(num_perm: int = 32, seed: int = 42) -> list[tuple[int, int]]:
+    """The seeded universal-hash coefficients (aᵢ, bᵢ) used by
+    ``minhash_signatures`` — exposed so the SQL oracle can inline the
+    SAME constants and reproduce signatures bit-for-bit."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_perm)
+    ]
+
+
+def _base_shingle_hash(base_hash: str):
+    """Shingle → long base hash. ``xxhash64`` (default): fastest,
+    JVM-only. ``md5``: the shared Spark↔DuckDB md5-prefix primitive
+    (textops.shared_token_hash60) — slower per row but makes the
+    whole MinHash/SimHash pipeline reproducible in the SQL oracle."""
+    if base_hash == "xxhash64":
+        return lambda c: F.xxhash64(c)
+    if base_hash == "md5":
+        return lambda c: TX.shared_token_hash60(F.col(c) if isinstance(c, str) else c)
+    raise ValueError(f"base_hash must be 'xxhash64' or 'md5', got {base_hash!r}")
+
+
 def minhash_signatures(
-    pairs: DataFrame, num_perm: int = 32, seed: int = 42
+    pairs: DataFrame, num_perm: int = 32, seed: int = 42, base_hash: str = "xxhash64"
 ) -> DataFrame:
     """MinHash signature per doc from a (doc, shingle) relation —
     pure column ops (Broder 1997). The shingle is hashed ONCE
@@ -122,14 +147,8 @@ def minhash_signatures(
 
     Output: doc, h0..h{num_perm-1} (long).
     """
-    import random
-
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
-        for _ in range(num_perm)
-    ]
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    coeffs = minhash_coefficients(num_perm, seed)
+    base = F.pmod(_base_shingle_hash(base_hash)("shingle"), F.lit(_MERSENNE31))
     hashed = pairs.select(
         "doc",
         *[
@@ -151,6 +170,7 @@ def minhash_duplicate_pairs(
     band_rows: int = 2,
     seed: int = 42,
     max_shingle_freq: int | None = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard rescore:
     shingle → minhash signature → banded candidate join → rescore.
@@ -189,23 +209,26 @@ def minhash_duplicate_pairs(
             .select("shingle")
         )
         pairs = pairs.join(hot, "shingle", "left_anti")
-    sig = minhash_signatures(pairs, num_perm=num_perm, seed=seed)
+    sig = minhash_signatures(pairs, num_perm=num_perm, seed=seed, base_hash=base_hash)
 
+    # Band join keys are the RAW band-row values (band_id, v0..v{r-1}),
+    # not a hash of the tuple: same shuffle (multi-column hash
+    # partitioning), zero collision risk, and the SQL oracle can
+    # reproduce the candidate set exactly by joining on the same
+    # tuple.
     n_bands = num_perm // band_rows
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
-        ).alias(f"band{b}")
+    v_cols = ", ".join(f"v{r}" for r in range(band_rows))
+    stack_args = ", ".join(
+        f"{b}, " + ", ".join(f"h{b * band_rows + r}" for r in range(band_rows))
         for b in range(n_bands)
-    ]
-    stack_expr = "stack({}, {}) as (band_id, band_val)".format(
-        n_bands, ", ".join(f"{b}, band{b}" for b in range(n_bands))
     )
-    melted = sig.select("doc", *band_cols).selectExpr("doc", stack_expr)
+    stack_expr = f"stack({n_bands}, {stack_args}) as (band_id, {v_cols})"
+    melted = sig.selectExpr("doc", stack_expr)
 
+    join_keys = ["band_id"] + [f"v{r}" for r in range(band_rows)]
     cand = (
         melted.alias("x")
-        .join(melted.alias("y"), ["band_id", "band_val"])
+        .join(melted.alias("y"), join_keys)
         .filter(F.col("x.doc") < F.col("y.doc"))
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
@@ -228,20 +251,29 @@ def minhash_duplicate_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprint per document (Charikar 2002).
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, base_hash: str = "xxhash64"
+) -> DataFrame:
+    """SimHash fingerprint per document (Charikar 2002).
 
-    Pure column ops, no UDF: explode tokens → xxhash64(token) →
+    Pure column ops, no UDF: explode tokens → hash(token) →
     per-bit ±1 votes aggregated with conditional sums → reassemble
     the sign bits into one long. The explode is map-local; the only
-    shuffle is the doc-keyed aggregate carrying 64 small ints.
+    shuffle is the doc-keyed aggregate carrying ``bits`` small ints.
+
+    ``base_hash='md5'`` uses the shared Spark↔DuckDB md5-prefix
+    primitive (60 usable bits — pass ``bits=60``), which makes the
+    fingerprints reproducible in the SQL oracle; the default
+    ``xxhash64`` is the fast JVM-only path with the full 64 bits.
 
     Output: doc_id, simhash (long).
     """
+    if base_hash == "md5" and bits > 60:
+        raise ValueError("md5 base hash provides 60 bits; pass bits<=60")
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(TX.tokens(TX.normalized_text(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _base_shingle_hash(base_hash)("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -263,14 +295,19 @@ def simhash_duplicate_pairs(
     text_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    bits: int = 64,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Banded candidate generation (pigeonhole: distance ≤ 3 ⇒ at least
-    one of 4 16-bit bands identical) → equi-join per band on the
-    band value → exact Hamming check via bit_count(xor). The
-    band-keyed equi-joins are ordinary shuffle joins — no N² pass.
+    Banded candidate generation (pigeonhole: distance < n_bands ⇒ at
+    least one band identical) → equi-join per band on the band value
+    → exact Hamming check via bit_count(xor). The band-keyed
+    equi-joins are ordinary shuffle joins — no N² pass.
     Output: doc_a, doc_b, hamming.
+
+    ``base_hash='md5'`` + ``bits=60`` makes the whole pipeline
+    reproducible in the SQL oracle (see ``simhash``).
 
     The signature relation feeds all ``2·n_bands`` join legs uncached:
     every leg reads the same doc-keyed aggregate, so ReuseExchange
@@ -278,8 +315,8 @@ def simhash_duplicate_pairs(
     storage across repeated calls — grid sweeps, benchmarks — and
     measured no faster at sf0.1; see PERF.md).
     """
-    sigs = simhash(df, id_col, text_col)
-    band_bits = 64 // n_bands
+    sigs = simhash(df, id_col, text_col, bits=bits, base_hash=base_hash)
+    band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     candidates = None
     for b in range(n_bands):

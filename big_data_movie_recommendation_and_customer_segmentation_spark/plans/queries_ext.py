@@ -337,22 +337,129 @@ def ngram_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-@query("minhash_duplicate_pairs")  # approximate → rows-only + property test
+# --- MinHash oracle: the ENTIRE pipeline (base hash → universal-hash
+# signatures → banded candidates → exact rescore) is reproduced in
+# DuckDB SQL. Possible because (a) the base hash is the shared
+# md5-prefix primitive, (b) the seeded universal-hash coefficients are
+# inlined as literals from the same generator, and (c) the band join
+# keys are raw value tuples, not an engine-specific hash.
+_MH_NUM_PERM, _MH_BAND_ROWS, _MH_SEED = 32, 2, 42
+_MH_SIG_COLS = ",\n             ".join(
+    f"min(({a} * h + {b}) % 2147483647) AS h{i}"
+    for i, (a, b) in enumerate(DD.minhash_coefficients(_MH_NUM_PERM, _MH_SEED))
+)
+_MH_BANDS = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, {b} AS band_id, h{2 * b} AS v0, h{2 * b + 1} AS v1 FROM sig"
+    for b in range(_MH_NUM_PERM // _MH_BAND_ROWS)
+)
+
+
+@query(
+    "minhash_duplicate_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CAPPED},
+    exact_pairs AS (
+      SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+             round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    hashed AS (
+      SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h FROM d
+    ),
+    sig AS (
+      SELECT doc_id, {_MH_SIG_COLS}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_MH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.doc_id < b.doc_id
+    )
+    SELECT e.doc_a, e.doc_b, e.n_common, e.n_a, e.n_b, e.jaccard
+    FROM exact_pairs e JOIN cand USING (doc_a, doc_b)
+    """,
+)
 def minhash_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle→signature→band join),
-    exact-rescored. Validated as subset-of-exact with high recall."""
+    exact-rescored — with ``base_hash='md5'`` the approximate path is
+    FULLY oracle-checked: DuckDB rebuilds the same signatures from
+    the same seeded coefficients, bands them the same way, and must
+    produce the identical candidate∩rescore output (was rows-only in
+    r01; the xxhash64 default stays for production speed)."""
     d = load_table(spark, sf_dir, "documents")
-    return DD.minhash_duplicate_pairs(
-        spark, d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=MAX_SHINGLE_FREQ
+    out = DD.minhash_duplicate_pairs(
+        spark, d, "doc_id", "text", n=3, threshold=0.5,
+        num_perm=_MH_NUM_PERM, band_rows=_MH_BAND_ROWS, seed=_MH_SEED,
+        max_shingle_freq=MAX_SHINGLE_FREQ, base_hash="md5",
     )
+    return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-@query("simhash_duplicate_pairs")  # different similarity geometry → rows-only
+# --- SimHash oracle: same idea — md5-prefix base hash (60 bits),
+# per-bit vote sums, sign reassembly, 4×15-bit banding, Hamming
+# refine, all spelled in SQL with generated column lists.
+_SH_BITS, _SH_BANDS_N, _SH_MAX_HAMMING = 60, 4, 8
+_SH_VOTE_COLS = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SH_BITS)
+)
+_SH_SIG_EXPR = "\n               + ".join(
+    f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(_SH_BITS)
+)
+_SH_BAND_MASK = (1 << (_SH_BITS // _SH_BANDS_N)) - 1
+_SH_BAND_SQL = "\n      UNION ALL\n      ".join(
+    f"SELECT doc_id, sig, {b} AS band_id, (sig >> {b * (_SH_BITS // _SH_BANDS_N)}) & {_SH_BAND_MASK} AS bv FROM sigs"
+    for b in range(_SH_BANDS_N)
+)
+
+
+@query(
+    "simhash_duplicate_pairs",
+    oracle=f"""
+    WITH tokh AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest({_NTOKS}) AS tok FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id, {_SH_VOTE_COLS}
+      FROM tokh GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, ({_SH_SIG_EXPR}) AS sig
+      FROM votes
+    ),
+    bands AS (
+      {_SH_BAND_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sa, b.sig AS sb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_SH_MAX_HAMMING}
+    """,
+)
 def simhash_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints, banded Hamming ≤ 8 candidate
-    pairs — the constant-state near-dup signal."""
+    """SimHash fingerprints, banded Hamming ≤ 8 candidate pairs — the
+    constant-state near-dup signal. With ``base_hash='md5'``/60 bits
+    the fingerprints themselves are bit-reproducible in DuckDB, so
+    the full banded pipeline is value-oracle-checked (was rows-only
+    in r01; xxhash64/64-bit stays the production default)."""
     d = load_table(spark, sf_dir, "documents")
-    return DD.simhash_duplicate_pairs(d, "doc_id", "text", max_hamming=8, n_bands=4)
+    return DD.simhash_duplicate_pairs(
+        d, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, n_bands=_SH_BANDS_N,
+        bits=_SH_BITS, base_hash="md5",
+    )
 
 
 @query(
