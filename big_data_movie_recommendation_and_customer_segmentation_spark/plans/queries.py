@@ -944,12 +944,87 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recs.select("user", "rank", "item", F.round("score", 4).alias("score"))
 
 
-@query("ranking_metrics_summary")  # ml evaluator internals (K7-K9) → rows-only
+@query(
+    "ranking_metrics_summary",
+    oracle="""
+    WITH ratings AS (
+      SELECT o.o_custkey::INTEGER AS userId, l.l_partkey::INTEGER AS movieId,
+             max((l.l_quantity % 5 + 1)) AS rating,
+             min(epoch(o.o_orderdate) + l.l_linenumber) AS ts
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    active AS (SELECT userId FROM ratings GROUP BY userId HAVING count(*) >= 5),
+    bucketed AS (
+      SELECT r.userId, r.movieId, r.rating,
+             CAST(floor((row_number() OVER (PARTITION BY r.userId
+                                            ORDER BY r.ts ASC, r.movieId ASC) - 1)
+                        / (count(*) OVER (PARTITION BY r.userId)) * 5) AS INT) AS bucket
+      FROM ratings r
+      WHERE r.userId IN (SELECT userId FROM active)
+    ),
+    train   AS (SELECT * FROM bucketed WHERE bucket < 3),
+    heldout AS (SELECT * FROM bucketed WHERE bucket >= 3),
+    pop AS (
+      SELECT movieId, sum(rating) / (count(*) + 100) AS score
+      FROM train GROUP BY movieId
+    ),
+    cand AS (
+      SELECT movieId, row_number() OVER (ORDER BY score DESC, movieId ASC) AS rank
+      FROM pop ORDER BY score DESC, movieId ASC LIMIT 10
+    ),
+    users AS (SELECT DISTINCT userId FROM heldout),
+    actual AS (
+      SELECT userId, movieId FROM (
+        SELECT userId, movieId,
+               row_number() OVER (PARTITION BY userId
+                                  ORDER BY rating DESC, movieId ASC) AS arank
+        FROM heldout)
+      WHERE arank <= 10
+    ),
+    asize AS (SELECT userId, count(*) AS m FROM actual GROUP BY userId),
+    idcg AS (
+      SELECT g1.m, sum(1.0 / log2(g2.i + 1)) AS v
+      FROM generate_series(1, 10) g1(m)
+      JOIN generate_series(1, 10) g2(i) ON g2.i <= g1.m
+      GROUP BY g1.m
+    ),
+    hits AS (
+      SELECT a.userId, c.rank,
+             row_number() OVER (PARTITION BY a.userId ORDER BY c.rank) AS j
+      FROM actual a JOIN cand c ON a.movieId = c.movieId
+    ),
+    per_user AS (
+      SELECT u.userId,
+             count(h.rank) / 10.0 AS p_at_k,
+             coalesce(sum(h.j * 1.0 / h.rank), 0) / max(s.m) AS ap,
+             coalesce(sum(1.0 / log2(h.rank + 1)), 0) / max(i.v) AS ndcg
+      FROM users u
+      JOIN asize s USING (userId)
+      JOIN idcg i ON i.m = s.m
+      LEFT JOIN hits h USING (userId)
+      GROUP BY u.userId
+    )
+    SELECT count(*)::INT AS n_users,
+           round(avg(p_at_k), 6) AS precision_at_k,
+           round(avg(ap), 6) AS "map",
+           round(avg(ndcg), 6) AS ndcg_at_k
+    FROM per_user
+    """,
+)
 def ranking_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision@10 / MAP / NDCG@10 of the damped-popularity
     recommender against each user's held-out top-rated items (K7-K9
-    as a one-row DataFrame). Hand-verified on a micro-fixture in
-    tests/test_evaluate; rows-only at the driver."""
+    as a one-row DataFrame).
+
+    Oracle-backed (was rows-only in r01): with the prediction/truth
+    lists built deterministically, the mllib metric definitions
+    themselves are re-derived in SQL — AP = Σ(j/rank_j)/|A| over the
+    sorted hit ranks, DCG positions discounted 1/log2(i+1), ideal DCG
+    from a generated (m → Σ) table, P@k divided by k even for short
+    lists — exactly the semantics pinned by tests/test_evaluate.py.
+    Metrics are rounded to 6dp on both sides (mean over ~1e3 users;
+    float-sum order differs between engines)."""
     from ..operators.evaluate import ranking_metrics
     from ..operators.relational import per_group_topk
 
@@ -984,7 +1059,12 @@ def ranking_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = ranking_metrics(predicted, actual, k=10)
     return spark.createDataFrame(
-        [(int(m["n_users"]), float(m["precision_at_k"]), float(m["map"]), float(m["ndcg_at_k"]))],
+        [(
+            int(m["n_users"]),
+            round(float(m["precision_at_k"]), 6),
+            round(float(m["map"]), 6),
+            round(float(m["ndcg_at_k"]), 6),
+        )],
         "n_users int, precision_at_k double, map double, ndcg_at_k double",
     )
 
