@@ -201,11 +201,45 @@ def minhash_duplicate_pairs(
     not slower; see PERF.md).
     """
     pairs = _shingle_pairs(df, id_col, text_col, n)
-    if max_shingle_freq is not None:
+    return minhash_set_pairs(
+        pairs,
+        threshold=threshold,
+        num_perm=num_perm,
+        band_rows=band_rows,
+        seed=seed,
+        max_item_freq=max_shingle_freq,
+        base_hash=base_hash,
+    )
+
+
+def minhash_set_pairs(
+    pairs: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    band_rows: int = 2,
+    seed: int = 42,
+    max_item_freq: int | None = None,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """MinHash+LSH similar-pair mining over an arbitrary (doc, item)
+    set relation — the generic core shared by text near-dup
+    (items = word shingles, see ``minhash_duplicate_pairs``) and
+    set-valued entity similarity (items = e.g. purchased part keys,
+    the reference's "movie twins" S1 shape, ``top_100_pairs.py:54-94``
+    — there the sets live in driver datasketch objects; here the
+    whole signature→band→rescore pipeline is distributed column ops).
+
+    ``pairs`` must have columns ``doc`` and ``shingle`` (the item,
+    hashed with ``base_hash``; cast non-string items to string for
+    the md5 oracle path). Output: doc_a < doc_b, n_common, n_a, n_b,
+    jaccard (exact, rescored from the true sets — output ⊆ the exact
+    set-similarity join at the same threshold by construction).
+    """
+    if max_item_freq is not None:
         hot = (
             pairs.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_freq)
+            .filter(F.col("_df") > max_item_freq)
             .select("shingle")
         )
         pairs = pairs.join(hot, "shingle", "left_anti")

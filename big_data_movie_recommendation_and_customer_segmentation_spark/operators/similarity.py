@@ -249,6 +249,58 @@ def pair_rating_correlation(
     )
 
 
+def pair_rating_correlation_exact(
+    ratings: DataFrame,
+    pairs: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    min_common: int = 2,
+) -> DataFrame:
+    """Pearson per pair from EXACT integer moment sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) — requires integer-valued ratings. Unlike
+    ``pair_rating_correlation``'s covar/stddev (float accumulation
+    whose merge order varies run to run, flipping the 6th decimal on
+    near-degenerate pairs), the moments are exact longs no matter the
+    aggregation order, and the single final float expression is
+    bit-reproducible across engines — the oracle-gated variant.
+    Output: user_a, user_b, n_common_rated, corr (unrounded).
+    """
+    r_a = ratings.select(
+        F.col(user_col).alias("user_a"),
+        F.col(item_col).alias("_i"),
+        F.col(rating_col).cast("long").alias("_ra"),
+    )
+    r_b = ratings.select(
+        F.col(user_col).alias("user_b"),
+        F.col(item_col).alias("_i"),
+        F.col(rating_col).cast("long").alias("_rb"),
+    )
+    m = (
+        F.broadcast(pairs.select("user_a", "user_b"))
+        .join(r_a, "user_a")
+        .join(r_b, ["user_b", "_i"])
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_ra").alias("_sx"),
+            F.sum("_rb").alias("_sy"),
+            F.sum(F.col("_ra") * F.col("_rb")).alias("_sxy"),
+            F.sum(F.col("_ra") * F.col("_ra")).alias("_sxx"),
+            F.sum(F.col("_rb") * F.col("_rb")).alias("_syy"),
+        )
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    var_x = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    var_y = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    c = F.try_divide(num, F.nullif(F.sqrt(var_x * var_y), F.lit(0.0)))
+    return (
+        m.select("user_a", "user_b", F.col("_n").alias("n_common_rated"), c.alias("corr"))
+        .filter(F.col("n_common_rated") >= min_common)
+        .filter(F.col("corr").isNotNull() & ~F.isnan("corr"))
+    )
+
+
 def random_pair_baseline(
     ratings: DataFrame,
     user_col: str,
@@ -258,49 +310,106 @@ def random_pair_baseline(
     n_trials: int = 49,
     sample_size: int = 5000,
     seed: int = 42,
+    pairing: str = "rand",
+    exact_int_moments: bool = False,
 ) -> DataFrame:
     """Null-model baseline: average rating-correlation of random user
     pairs, repeated over trials (S2 ``correlation_optimised.py:54-97``:
     sample 5000 users once, then 49×100 random pairs).
 
-    Distributed re-expression: sample users once (seeded), assign
-    each trial a seeded shuffle via ``rand(seed+trial)``, pair
-    consecutive rows, union all trials, compute correlations in ONE
-    grouped-agg pass, then average per trial.
+    Distributed re-expression: sample users once, shuffle per trial,
+    pair consecutive rows, compute correlations in ONE grouped-agg
+    pass over all trials, then average per trial.
+
+    ``pairing``:
+    - ``"rand"`` — seeded ``F.rand`` sample + per-trial shuffles
+      (the reference's shape; engine-specific RNG → rows-only gate).
+    - ``"hash"`` — order by the shared md5-prefix hash of the user id
+      (sample) / of ``trial:user`` (per-trial shuffle). Statistically
+      arbitrary with respect to rating behavior, but deterministic
+      and identical in any engine — the oracle-checkable null model.
+      Also one window over trial partitions instead of ``n_trials``
+      chained union branches.
+
+    ``exact_int_moments=True`` scores pairs with
+    ``pair_rating_correlation_exact`` (integer ratings required) so
+    the per-pair corr values are bit-reproducible too.
 
     Output: trial, n_pairs_scored, avg_corr.
     """
-    users = (
-        ratings.select(F.col(user_col).alias("u")).distinct().orderBy(F.rand(seed)).limit(sample_size)
-    )
-    trials = []
-    for t in range(n_trials):
+    from ..functions.textops import shared_token_hash
+
+    if pairing == "hash":
+        spark = ratings.sparkSession
+        users = (
+            ratings.select(F.col(user_col).alias("u"))
+            .distinct()
+            .orderBy(shared_token_hash(F.col("u").cast("string")).asc(), F.col("u").asc())
+            .limit(sample_size)
+        )
+        trials_df = spark.range(n_trials).select(F.col("id").cast("int").alias("trial"))
+        h = shared_token_hash(
+            F.concat(F.col("trial").cast("string"), F.lit(":"), F.col("u").cast("string"))
+        )
         shuffled = (
-            users.withColumn("_r", F.rand(seed + 1 + t))
-            # single-partition window is safe: input is the bounded
-            # `sample_size`-row user sample, not the ratings fact
-            .withColumn("_rn", F.row_number().over(Window.orderBy("_r")))
+            users.crossJoin(F.broadcast(trials_df))
+            .withColumn("_h", h)
+            # per-trial window over the bounded user sample (≤
+            # sample_size rows per partition), not the ratings fact
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("trial").orderBy(F.col("_h").asc(), F.col("u").asc())
+                ),
+            )
             .filter(F.col("_rn") <= 2 * n_pairs)
         )
         left = shuffled.filter(F.col("_rn") % 2 == 1).select(
-            ((F.col("_rn") + 1) / 2).cast("long").alias("pid"), F.col("u").alias("user_a")
+            "trial", ((F.col("_rn") + 1) / 2).cast("long").alias("pid"), F.col("u").alias("user_a")
         )
         right = shuffled.filter(F.col("_rn") % 2 == 0).select(
-            (F.col("_rn") / 2).cast("long").alias("pid"), F.col("u").alias("user_b")
+            "trial", (F.col("_rn") / 2).cast("long").alias("pid"), F.col("u").alias("user_b")
         )
-        trials.append(
-            left.join(right, "pid")
-            .select(
-                F.lit(t).alias("trial"),
-                F.least("user_a", "user_b").alias("user_a"),
-                F.greatest("user_a", "user_b").alias("user_b"),
+        all_pairs = left.join(right, ["trial", "pid"]).select(
+            "trial",
+            F.least("user_a", "user_b").alias("user_a"),
+            F.greatest("user_a", "user_b").alias("user_b"),
+        )
+    elif pairing == "rand":
+        users = (
+            ratings.select(F.col(user_col).alias("u")).distinct().orderBy(F.rand(seed)).limit(sample_size)
+        )
+        trials = []
+        for t in range(n_trials):
+            shuffled = (
+                users.withColumn("_r", F.rand(seed + 1 + t))
+                # single-partition window is safe: input is the bounded
+                # `sample_size`-row user sample, not the ratings fact
+                .withColumn("_rn", F.row_number().over(Window.orderBy("_r")))
+                .filter(F.col("_rn") <= 2 * n_pairs)
             )
-        )
-    all_pairs = trials[0]
-    for t_df in trials[1:]:
-        all_pairs = all_pairs.unionByName(t_df)
+            left = shuffled.filter(F.col("_rn") % 2 == 1).select(
+                ((F.col("_rn") + 1) / 2).cast("long").alias("pid"), F.col("u").alias("user_a")
+            )
+            right = shuffled.filter(F.col("_rn") % 2 == 0).select(
+                (F.col("_rn") / 2).cast("long").alias("pid"), F.col("u").alias("user_b")
+            )
+            trials.append(
+                left.join(right, "pid")
+                .select(
+                    F.lit(t).alias("trial"),
+                    F.least("user_a", "user_b").alias("user_a"),
+                    F.greatest("user_a", "user_b").alias("user_b"),
+                )
+            )
+        all_pairs = trials[0]
+        for t_df in trials[1:]:
+            all_pairs = all_pairs.unionByName(t_df)
+    else:
+        raise ValueError(f"pairing must be 'rand' or 'hash', got {pairing!r}")
 
-    corrs = pair_rating_correlation(
+    corr_fn = pair_rating_correlation_exact if exact_int_moments else pair_rating_correlation
+    corrs = corr_fn(
         ratings, all_pairs.select("user_a", "user_b").distinct(), user_col, item_col, rating_col
     )
     return (

@@ -712,47 +712,84 @@ def pair_rating_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_pairs = SIM.top_similar_pairs(
         cp_full, "o_custkey", "l_partkey", k=50, threshold=0.0, max_item_freq=MAX_ITEM_FREQ
     )
-
-    r_a = ratings.select(
-        F.col("o_custkey").alias("user_a"), F.col("l_partkey").alias("i"), F.col("r").alias("ra")
+    out = SIM.pair_rating_correlation_exact(
+        ratings, top_pairs, "o_custkey", "l_partkey", "r", min_common=3
     )
-    r_b = ratings.select(
-        F.col("o_custkey").alias("user_b"), F.col("l_partkey").alias("i"), F.col("r").alias("rb")
-    )
-    m = (
-        F.broadcast(top_pairs.select("user_a", "user_b"))
-        .join(r_a, "user_a")
-        .join(r_b, ["user_b", "i"])
-        .groupBy("user_a", "user_b")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("ra").alias("sx"),
-            F.sum("rb").alias("sy"),
-            F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
-            F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
-            F.sum(F.col("rb") * F.col("rb")).alias("syy"),
-        )
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    c = F.try_divide(num, F.nullif(F.sqrt(var_x * var_y), F.lit(0.0)))
-    out = m.select(
-        "user_a", "user_b", F.col("n").alias("n_common_rated"), F.round(c, 6).alias("corr")
-    )
-    return out.filter(
-        (F.col("n_common_rated") >= 3) & F.col("corr").isNotNull() & ~F.isnan("corr")
-    )
+    return out.select("user_a", "user_b", "n_common_rated", F.round("corr", 6).alias("corr"))
 
 
-@query("minhash_pairs_lsh")  # no SQL oracle: LSH is approximate (rows-only check)
+_MH_NUM_PERM, _MH_BAND_ROWS, _MH_SEED = 32, 2, 42
+
+
+def _minhash_user_pairs_oracle() -> str:
+    from ..operators import dedup as DD
+
+    sig_cols = ",\n             ".join(
+        f"min(({a} * h + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(DD.minhash_coefficients(_MH_NUM_PERM, _MH_SEED))
+    )
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT u, {b} AS band_id, h{2 * b} AS v0, h{2 * b + 1} AS v1 FROM sig"
+        for b in range(_MH_NUM_PERM // _MH_BAND_ROWS)
+    )
+    return (
+        _CO_PURCHASE_SQL
+        + f""",
+    hashed AS (
+      SELECT u, (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2147483647) AS h
+      FROM ui
+    ),
+    sig AS (
+      SELECT u, {sig_cols}
+      FROM hashed GROUP BY u
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.u AS user_a, b.u AS user_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.v0 = b.v0 AND a.v1 = b.v1
+       AND a.u < b.u
+    )
+    SELECT j.user_a, j.user_b, j.n_common, j.n_a, j.n_b, round(j.jaccard, 6) AS jaccard
+    FROM jac j JOIN cand USING (user_a, user_b)
+    WHERE j.jaccard >= 0.05
+    """
+    )
+
+
+@query("minhash_pairs_lsh", oracle=_minhash_user_pairs_oracle())
 def minhash_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed MinHash LSH similar-pair mining (S1's datasketch
-    pipeline, ``top_100_pairs.py:54-94``, as
-    MinHashLSH.approxSimilarityJoin). Approximate → validated by the
-    exact-Jaccard property test instead of the SQL oracle."""
+    """Distributed MinHash LSH similar-pair mining over co-purchase
+    sets (S1's datasketch pipeline, ``top_100_pairs.py:54-94``) —
+    signature → banded candidate join → exact-Jaccard rescore, all
+    column ops (``dedup.minhash_set_pairs``; no CountVectorizer
+    driver vocabulary, no N² pass).
+
+    FULLY oracle-checked (was rows-only in r01): with the shared
+    md5-prefix base hash and inlined seeded universal-hash
+    coefficients, DuckDB rebuilds identical signatures, bands them
+    identically, and must emit the same candidate∩rescore pairs.
+    The pyspark.ml MinHashLSH variant (different hash family, not
+    SQL-reproducible) remains covered by the subset/recall property
+    tests in tests/test_similarity.py."""
+    from ..operators import dedup as DD
+
     cp = _co_purchases(spark, sf_dir)
-    return SIM.minhash_lsh_pairs(spark, cp, "o_custkey", "l_partkey", threshold=0.05, num_hash_tables=16)
+    sets = cp.select(
+        F.col("o_custkey").alias("doc"), F.col("l_partkey").cast("string").alias("shingle")
+    ).distinct()
+    out = DD.minhash_set_pairs(
+        sets, threshold=0.05, num_perm=_MH_NUM_PERM, band_rows=_MH_BAND_ROWS,
+        seed=_MH_SEED, max_item_freq=MAX_ITEM_FREQ, base_hash="md5",
+    )
+    return out.select(
+        F.col("doc_a").alias("user_a"),
+        F.col("doc_b").alias("user_b"),
+        "n_common", "n_a", "n_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
 
 
 @query(
@@ -1069,14 +1106,86 @@ def ranking_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("random_pair_baseline_trials")  # seeded rand() (F5/F6, S2) → rows-only
+@query(
+    "random_pair_baseline_trials",
+    oracle="""
+    WITH ratings AS (
+      SELECT o.o_custkey::INTEGER AS u, l.l_partkey::INTEGER AS i,
+             CAST(max(l.l_quantity % 5 + 1) AS BIGINT) AS r
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    sample_users AS (
+      SELECT u FROM (SELECT DISTINCT u FROM ratings)
+      ORDER BY ('0x' || substr(md5(u::VARCHAR), 1, 8))::BIGINT ASC, u ASC
+      LIMIT 500
+    ),
+    shuffled AS (
+      SELECT t.trial, u,
+             row_number() OVER (
+               PARTITION BY t.trial
+               ORDER BY ('0x' || substr(md5(t.trial::VARCHAR || ':' || u::VARCHAR), 1, 8))::BIGINT ASC,
+                        u ASC
+             ) AS rn
+      FROM sample_users CROSS JOIN generate_series(0, 4) t(trial)
+    ),
+    lim AS (SELECT * FROM shuffled WHERE rn <= 100),
+    trial_pairs AS (
+      SELECT l.trial,
+             least(l.u, r.u) AS user_a,
+             greatest(l.u, r.u) AS user_b
+      FROM lim l JOIN lim r
+        ON l.trial = r.trial AND l.rn % 2 = 1 AND r.rn = l.rn + 1
+    ),
+    dpairs AS (SELECT DISTINCT user_a, user_b FROM trial_pairs),
+    moments AS (
+      SELECT p.user_a, p.user_b,
+             count(*)          AS n,
+             sum(ra.r)         AS sx,
+             sum(rb.r)         AS sy,
+             sum(ra.r * rb.r)  AS sxy,
+             sum(ra.r * ra.r)  AS sxx,
+             sum(rb.r * rb.r)  AS syy
+      FROM dpairs p
+      JOIN ratings ra ON ra.u = p.user_a
+      JOIN ratings rb ON rb.u = p.user_b AND rb.i = ra.i
+      GROUP BY 1, 2
+    ),
+    pair_corr AS (
+      SELECT user_a, user_b, n,
+             (n * sxy - sx * sy) /
+               NULLIF(sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 0) AS c
+      FROM moments
+    ),
+    scored AS (
+      SELECT user_a, user_b, c FROM pair_corr
+      WHERE n >= 2 AND c IS NOT NULL AND NOT isnan(c)
+    )
+    SELECT tp.trial::INTEGER AS trial,
+           count(*) AS n_pairs_scored,
+           round(avg(s.c), 6) AS avg_corr
+    FROM trial_pairs tp JOIN scored s USING (user_a, user_b)
+    GROUP BY 1
+    """,
+)
 def random_pair_baseline_trials(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The S2 null model, distributed: seeded user sample, per-trial
-    seeded shuffles paired by row_number, one grouped F.corr pass
-    over all trials (``correlation_optimised.py:54-97``)."""
+    """The S2 null model, distributed: user sample, per-trial
+    shuffles paired by row_number, one grouped correlation pass over
+    all trials (``correlation_optimised.py:54-97``).
+
+    Oracle-backed (was rows-only in r01): ``pairing='hash'`` orders
+    the sample and the per-trial shuffles by the shared md5-prefix
+    hash instead of ``F.rand`` — statistically still an arbitrary
+    pairing (hash order is independent of rating behavior; the
+    planted-archetype test keeps proving twins out-correlate this
+    baseline) but reproducible in DuckDB, and
+    ``exact_int_moments=True`` makes each pair's Pearson value
+    bit-equal across engines. avg over ≤50 corr values rounds to 6dp
+    (float-sum order differs)."""
     ratings = _ratings_shaped(spark, sf_dir)
     out = SIM.random_pair_baseline(
         ratings, "userId", "movieId", "rating",
         n_pairs=50, n_trials=5, sample_size=500, seed=42,
+        pairing="hash", exact_int_moments=True,
     )
     return out.select("trial", "n_pairs_scored", F.round("avg_corr", 6).alias("avg_corr"))
