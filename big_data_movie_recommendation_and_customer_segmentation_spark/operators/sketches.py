@@ -1,0 +1,78 @@
+"""Mergeable sketch operators (beyond reference parity).
+
+Spark's built-in sketches — ``approx_count_distinct`` (HyperLogLog++)
+and ``percentile_approx`` — are the production path for 100 TB
+cardinality/quantile work (constant memory, one pass, mergeable
+partials). Their internals are engine-specific though, so the
+CORRECTNESS gate can only bound their error, never value-check them.
+
+KMV (k minimum values; Bar-Yossef et al., "Counting distinct elements
+in a data stream", RANDOM 2002) fills the verifiability gap: its
+entire state is the k smallest values of a uniform hash of the
+elements, so with the shared Spark↔DuckDB md5-prefix hash the sketch
+state AND the estimate are bit-reproducible in any engine — an
+approximate operator the driver's value-hash gate can check exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textops import shared_token_hash60
+from .relational import per_group_topk
+
+# 2^60: the hash space size of shared_token_hash60, exactly
+# representable as a double (mantissa is 1 bit), so the estimate
+# expression is bit-identical across engines.
+_HASH_SPACE = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_by: str | Sequence[str],
+    k: int = 256,
+    est_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate.
+
+    Hash each value with the 60-bit md5-prefix hash, keep the k
+    smallest distinct hashes per group (the sketch state), estimate
+
+        D ≈ (k-1) · 2⁶⁰ / h₍ₖ₎
+
+    where h₍ₖ₎ is the k-th smallest hash; groups with fewer than k
+    distinct hashes are counted exactly (the sketch degenerates to
+    the distinct set itself). Expected relative error ≈ 1/√k
+    (~6% at k=256).
+
+    Distributed shape: project+hash → distinct (one shuffle on
+    uniform keys) → per-group k-smallest via the WindowGroupLimit-
+    backed top-k (map tasks keep ≤ k rows per group before the
+    exchange, so per-group state is ~k longs — the mergeable-sketch
+    property, materialized as a plan shape). Versus exact
+    count(distinct) at 100 TB: the final per-group state is O(k),
+    not O(D).
+
+    Output: group cols, ``est_col`` (long), n_seen (long, = min(k,
+    distinct hashes seen) — the sketch fill level).
+    """
+    groups = [group_by] if isinstance(group_by, str) else list(group_by)
+    hashed = (
+        df.select(*groups, shared_token_hash60(F.col(value_col).cast("string")).alias("_h"))
+        .distinct()
+    )
+    kept = per_group_topk(
+        hashed, groups, [F.col("_h").asc()], k, rank_col="_rk", keep_rank=True
+    )
+    sk = kept.groupBy(*groups).agg(
+        F.max("_rk").cast("long").alias("n_seen"),
+        F.max("_h").alias("_kth"),
+    )
+    est = F.when(F.col("n_seen") < k, F.col("n_seen")).otherwise(
+        F.round(F.lit(float(k - 1) * _HASH_SPACE) / F.col("_kth")).cast("long")
+    )
+    return sk.select(*groups, est.alias(est_col), "n_seen")

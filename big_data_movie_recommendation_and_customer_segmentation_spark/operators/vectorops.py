@@ -181,6 +181,133 @@ def ann_lsh_neighbors(
     ).filter(F.col("cos_sim") >= min_cosine)
 
 
+def hyperplane_lsh_planes(n_planes: int, dim: int, tag: str = "hp") -> list[list[int]]:
+    """Deterministic integer hyperplanes from the shared md5-prefix
+    primitive: ``w[p][d] = (int(md5(f"{tag}:{p}:{d}")[:8], 16) % 2001)
+    - 1000`` — uniform in [-1000, 1000], computable identically in
+    driver Python (hashlib), Spark SQL (conv/substring/md5), and
+    DuckDB (('0x'||substr(md5(x),1,8))::BIGINT). RNG-free seed
+    material that makes sign-LSH oracle-checkable; a symmetric
+    component distribution is all sign-random-projection needs
+    (Charikar 2002 uses gaussians, but any sign-symmetric law gives
+    locality sensitivity, and false positives are removed by the
+    exact rescore)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{tag}:{p}:{d}".encode()).hexdigest()[:8], 16) % 2001) - 1000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 10,
+    bits_per_table: int = 6,
+    quant_scale: int = 1_000_000,
+    dim: int | None = None,
+    tag: str = "hp",
+) -> DataFrame:
+    """Sign-random-projection LSH keys: (id, table_id, key) with one
+    ``bits_per_table``-bit key per hash table.
+
+    Every arithmetic step is EXACT so the keys cannot drift between
+    engines: components quantize via ``floor(v * quant_scale)`` (an
+    int64; floor is bit-defined in IEEE, unlike round's tie-breaking),
+    plane weights are md5-derived integers, and the projection dot
+    products are int64 matmuls — a sign can never flip due to float
+    summation order, which would silently change the candidate set.
+
+    One Arrow-batched numpy pass over the vectors (the 100 TB shape:
+    no shuffle, no driver state beyond the tiny plane matrix); output
+    is ``n_tables`` rows per vector.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = np.array(
+        hyperplane_lsh_planes(n_tables * bits_per_table, dim, tag=tag), dtype=np.int64
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, table_id int, key long"
+
+    def keys(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            q = np.floor(m * quant_scale).astype(np.int64)
+            dots = q @ planes.T
+            bits = (dots >= 0).astype(np.int64)
+            packed = np.zeros((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for i in range(bits_per_table):
+                    packed[:, t] |= bits[:, t * bits_per_table + i] << i
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].values, n_tables),
+                    "table_id": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "key": packed.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(keys, out_schema)
+
+
+def ann_hyperplane_neighbors(
+    corpus: DataFrame,
+    probes: DataFrame,
+    min_cosine: float = 0.3,
+    n_tables: int = 10,
+    bits_per_table: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate neighbors with cosine ≥ ``min_cosine`` via
+    deterministic sign-random-projection LSH (vs
+    ``ann_lsh_neighbors``'s BucketedRandomProjectionLSH, whose JVM
+    RNG is not reproducible outside Spark — this variant's candidate
+    set is bit-reproducible in SQL, so the whole approximate pipeline
+    can be value-oracle-checked).
+
+    Candidates collide on any of ``n_tables`` ``bits_per_table``-bit
+    sign keys (shuffle keyed on (table, key) — cost tracks collision
+    density, not |corpus|×|probes|); the reported cosine is exact,
+    recomputed on the raw vectors. Output: probe_id, vec_id, cos_sim.
+    """
+    csig = hyperplane_signatures(
+        corpus, id_col, vec_col, n_tables, bits_per_table, dim=dim
+    )
+    psig = hyperplane_signatures(
+        probes, probe_id_col, probe_vec_col, n_tables, bits_per_table, dim=dim
+    )
+    cand = (
+        csig.join(F.broadcast(psig), ["table_id", "key"])
+        .select(probe_id_col, id_col)
+        .distinct()
+    )
+    rescored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(probes.select(probe_id_col, probe_vec_col)), probe_id_col)
+        .select(
+            probe_id_col,
+            id_col,
+            V.cosine(vec_col, probe_vec_col).alias("cos_sim"),
+        )
+    )
+    return rescored.filter(F.col("cos_sim") >= min_cosine)
+
+
 def ivf_knn(
     corpus: DataFrame,
     probes: DataFrame,
@@ -240,6 +367,91 @@ def ivf_knn(
         )
         .filter(F.col("cos_sim").isNotNull())
     )
+    return per_group_topk(
+        scored,
+        probe_id_col,
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k,
+        rank_col="rank",
+        keep_rank=True,
+    )
+
+
+def ivf_knn_deterministic(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe_cells: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    exclude_id_eq_probe: bool = False,
+) -> DataFrame:
+    """IVF ANN with an RNG-free coarse quantizer: the centroids are
+    the ``n_cells`` corpus vectors that come first in md5-hash order
+    of their id — a deterministic "random" sample (hash order is
+    independent of vector geometry), so index build + search are
+    bit-reproducible in SQL, unlike ``ivf_knn``'s KMeans quantizer
+    (iterative, JVM RNG). Seed-vector centroids are the classic IVF
+    bootstrap; KMeans refines them into tighter cells at the cost of
+    the training passes — same search plan either way (cell-keyed
+    equi-join, scan ~n_probe_cells/n_cells of the corpus).
+    Output: probe_id, vec_id, cos_sim, rank.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textops import shared_token_hash
+
+    hash_order = [
+        shared_token_hash(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    ]
+    # bounded: n_cells rows → the single-partition window is safe
+    cell_w = Window.orderBy(*hash_order)
+    centroids = (
+        corpus.select(id_col, vec_col)
+        .orderBy(*hash_order)
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(cell_w) - 1)
+        .select("cell", F.col(vec_col).alias("_cv"))
+    )
+
+    assigned = per_group_topk(
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            id_col, vec_col, "cell", V.cosine(vec_col, "_cv").alias("_csim")
+        ),
+        id_col,
+        [F.col("_csim").desc(), F.col("cell").asc()],
+        1,
+    ).select(id_col, vec_col, "cell")
+
+    probe_cells = per_group_topk(
+        probes.select(probe_id_col, probe_vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            probe_id_col, probe_vec_col, "cell",
+            V.cosine(probe_vec_col, "_cv").alias("_csim"),
+        ),
+        probe_id_col,
+        [F.col("_csim").desc(), F.col("cell").asc()],
+        n_probe_cells,
+    ).select(probe_id_col, probe_vec_col, "cell")
+
+    scored = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .select(
+            probe_id_col,
+            id_col,
+            V.cosine(vec_col, probe_vec_col).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    if exclude_id_eq_probe:
+        scored = scored.filter(F.col(id_col) != F.col(probe_id_col))
     return per_group_topk(
         scored,
         probe_id_col,

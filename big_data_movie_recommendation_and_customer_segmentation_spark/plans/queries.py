@@ -919,6 +919,57 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_distinct_customers",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT o_orderstatus,
+             ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderstatus, h,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY h ASC) AS rk
+      FROM hashed
+    ),
+    sk AS (
+      SELECT o_orderstatus, CAST(max(rk) AS BIGINT) AS n_seen, max(h) AS kth
+      FROM ranked WHERE rk <= 256 GROUP BY 1
+    ),
+    exact AS (
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_customers
+      FROM orders GROUP BY 1
+    )
+    SELECT s.o_orderstatus,
+           CAST(CASE WHEN s.n_seen < 256 THEN s.n_seen
+                     ELSE CAST(round((255 * 1152921504606846976.0) / s.kth) AS BIGINT)
+                END AS BIGINT) AS n_distinct_est,
+           s.n_seen,
+           e.exact_customers
+    FROM sk s JOIN exact e USING (o_orderstatus)
+    """,
+)
+def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-customer estimate per order status — the
+    value-oracle-checkable counterpart of ``approx_distinct_customers``:
+    HLL internals are engine-private, but a KMV sketch built on the
+    shared md5-prefix hash has bit-identical state (the k smallest
+    hashes) and estimate in DuckDB, so the gate checks the
+    approximate path itself. ``exact_customers`` is carried alongside
+    to make the estimate's error visible in the gated output (the
+    1/√k ≈ 6% bound is asserted in tests/test_approx_aggs.py)."""
+    from ..operators import sketches as SK
+
+    o = load_table(spark, sf_dir, "orders")
+    est = SK.kmv_distinct(o, "o_custkey", group_by="o_orderstatus", k=256)
+    exact = o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return est.join(exact, "o_orderstatus").select(
+        "o_orderstatus", "n_distinct_est", "n_seen", "exact_customers"
+    )
+
+
+@query(
     "event_type_stats",
     oracle="""
     SELECT event_type,

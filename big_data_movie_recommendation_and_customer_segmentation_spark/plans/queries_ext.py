@@ -609,6 +609,70 @@ def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("vec_id") != F.col("probe_id"))
 
 
+_HP_TABLES, _HP_BITS, _HP_DIM, _HP_SCALE = 10, 6, 64, 1_000_000
+
+
+@query(
+    "ann_hyperplane_neighbors",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, d,
+             CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {_HP_SCALE}) AS BIGINT) AS q
+      FROM embeddings, range({_HP_DIM}) r(d)
+    ),
+    planes AS (
+      SELECT p, d,
+             ((('0x' || substr(md5('hp:' || p || ':' || d), 1, 8))::BIGINT % 2001) - 1000) AS w
+      FROM range({_HP_TABLES * _HP_BITS}) rp(p), range({_HP_DIM}) rd(d)
+    ),
+    dots AS (
+      SELECT vec_id, p, sum(q * w) AS dot
+      FROM qv JOIN planes USING (d) GROUP BY 1, 2
+    ),
+    keys AS (
+      SELECT vec_id, CAST(p // {_HP_BITS} AS INT) AS table_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << CAST(p % {_HP_BITS} AS INT)) ELSE 0 END) AS key
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT pr.vec_id AS probe_id, c.vec_id
+      FROM keys pr
+      JOIN keys c ON pr.table_id = c.table_id AND pr.key = c.key
+      WHERE pr.vec_id < 5 AND c.vec_id <> pr.vec_id
+    ),
+    rescored AS (
+      SELECT cand.probe_id, cand.vec_id,
+             list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS cs
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.probe_id
+      JOIN embeddings b ON b.vec_id = cand.vec_id
+    )
+    SELECT probe_id, vec_id, round(cs, 6) AS cos_sim
+    FROM rescored WHERE cs >= 0.3
+    """,
+)
+def ann_hyperplane_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sign-random-projection ANN for the same 5 probes
+    as ``ann_lsh_neighbors`` — and unlike it, FULLY value-oracle-
+    checked: md5-derived integer hyperplanes + floor-quantized int64
+    projection dots mean DuckDB rebuilds the exact same LSH keys,
+    hence the exact same candidate set, and the rescored cosines are
+    the same float expression both sides. The approximate index path
+    itself is inside the gate, not just its exact rescore."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = VO.ann_hyperplane_neighbors(
+        e, probes, min_cosine=0.3, n_tables=_HP_TABLES, bits_per_table=_HP_BITS, dim=_HP_DIM
+    )
+    return out.filter(F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 @query("ivf_knn")  # approximate (KMeans cells) → rows-only + property test
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: KMeans coarse cells, search 4 of 16 cells."""
@@ -618,6 +682,79 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = VO.ivf_knn(e, probes, k=10, n_cells=16, n_probe_cells=4)
     return out.filter(F.col("vec_id") != F.col("probe_id"))
+
+
+@query(
+    "ivf_knn_deterministic",
+    oracle="""
+    WITH hashed AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT embedding::DOUBLE[] AS cv,
+             row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell
+      FROM hashed
+      ORDER BY h ASC, vec_id ASC
+      LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.cv) DESC,
+                          s.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN seeds s)
+      WHERE rn = 1
+    ),
+    probe_cells AS (
+      SELECT probe_id, pv, cell FROM (
+        SELECT e.vec_id AS probe_id, e.embedding::DOUBLE[] AS pv, s.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.cv) DESC,
+                          s.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+        WHERE e.vec_id < 5)
+      WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT pc.probe_id, a.vec_id,
+             list_cosine_similarity(a.embedding::DOUBLE[], pc.pv) AS cs
+      FROM probe_cells pc
+      JOIN assigned a ON a.cell = pc.cell
+      WHERE a.vec_id <> pc.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, round(cs, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def ivf_knn_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with the RNG-free coarse quantizer (centroids =
+    16 corpus vectors in md5-hash order of id, search 4 cells) —
+    FULLY value-oracle-checked, unlike the KMeans variant whose
+    iterative fit isn't SQL-reproducible: DuckDB rebuilds the same
+    cells, the same probe→cell routing, and the same ranked top-10.
+    Together with ``ivf_knn`` (quality path) and the stored-index
+    variant (partition-pruned I/O path), the IVF family now has a
+    bitwise correctness anchor."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = VO.ivf_knn_deterministic(
+        e, probes, k=10, n_cells=16, n_probe_cells=4, exclude_id_eq_probe=True
+    )
+    return out.select("probe_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
 @query("embedding_near_duplicates")  # approximate → rows-only + property test

@@ -30,3 +30,15 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         assert abs(a_card - e_card) / e_card < 0.05, (status, a_card, e_card)
         # percentile_approx with accuracy=10000 is near-exact here
         assert abs(a_med - e_med) / abs(e_med) < 0.01, (status, a_med, e_med)
+
+
+def test_kmv_estimate_within_tolerance(spark, sf_dir):
+    rows = entrymod.queries()["kmv_distinct_customers"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_seen < 256:
+            # sketch not full → exact by construction
+            assert r.n_distinct_est == r.exact_customers, r
+        else:
+            # KMV relative error ~1/sqrt(k) ≈ 6% at k=256; assert 4 sigma
+            assert abs(r.n_distinct_est - r.exact_customers) / r.exact_customers < 0.25, r

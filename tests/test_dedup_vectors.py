@@ -136,3 +136,51 @@ def test_dedup_representatives_fixpoint_on_long_chain(spark):
     assert fixed == {i: 1 for i in range(2, 13)}
     bounded = {r.doc_id: r.rep_id for r in DD.dedup_representatives(pairs, rounds=3).collect()}
     assert any(v != 1 for v in bounded.values())  # documents the bound
+
+
+def test_hyperplane_ann_subset_of_bruteforce(spark, emb):
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = {
+        (r.probe_id, r.vec_id): r.cos_sim
+        for r in VO.knn_bruteforce(e, probes, k=200).collect()
+        if r.cos_sim >= 0.3
+    }
+    ann = VO.ann_hyperplane_neighbors(e, probes, min_cosine=0.3).collect()
+    non_self = [r for r in ann if r.probe_id != r.vec_id]
+    assert non_self, "deterministic ANN must emit non-self neighbors"
+    for r in non_self:
+        assert (r.probe_id, r.vec_id) in exact
+        assert exact[(r.probe_id, r.vec_id)] == pytest.approx(r.cos_sim, abs=1e-6)
+
+
+def test_hyperplane_signatures_deterministic(spark, emb):
+    a = {(r.vec_id, r.table_id): r.key for r in VO.hyperplane_signatures(emb).collect()}
+    b = {(r.vec_id, r.table_id): r.key for r in VO.hyperplane_signatures(emb).collect()}
+    assert a == b
+    n_tables = 10
+    assert len(a) == emb.count() * n_tables
+
+
+def test_ivf_deterministic_subset_and_exact_cosines(spark, emb):
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = VO.ivf_knn_deterministic(
+        e, probes, k=10, n_cells=16, n_probe_cells=4, exclude_id_eq_probe=True
+    ).collect()
+    assert out, "deterministic IVF must emit neighbors"
+    all_cos = {
+        (r.probe_id, r.vec_id): r.cos_sim
+        for r in VO.knn_bruteforce(e, probes, k=10_000).collect()
+    }
+    per_probe = {}
+    for r in out:
+        assert r.probe_id != r.vec_id
+        assert all_cos[(r.probe_id, r.vec_id)] == pytest.approx(r.cos_sim, abs=1e-9)
+        per_probe.setdefault(r.probe_id, []).append(r.rank)
+    for pid, ranks in per_probe.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (pid, ranks)
