@@ -83,6 +83,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
     prune_unique_shingles: bool = False,
+    materialize_pairs: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (ground truth).
 
@@ -96,7 +97,7 @@ def ngram_jaccard_pairs(
     pairs = _shingle_pairs(df, id_col, text_col, n)
     out = exact_jaccard_pairs(
         pairs, "doc", "shingle", threshold=threshold, max_item_freq=max_shingle_freq,
-        prune_unique_items=prune_unique_shingles,
+        prune_unique_items=prune_unique_shingles, materialize_pairs=materialize_pairs,
     )
     return out.withColumnsRenamed({"user_a": "doc_a", "user_b": "doc_b"})
 
@@ -171,6 +172,7 @@ def minhash_duplicate_pairs(
     seed: int = 42,
     max_shingle_freq: int | None = None,
     base_hash: str = "xxhash64",
+    materialize_pairs: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard rescore:
     shingle → minhash signature → banded candidate join → rescore.
@@ -209,6 +211,7 @@ def minhash_duplicate_pairs(
         seed=seed,
         max_item_freq=max_shingle_freq,
         base_hash=base_hash,
+        materialize_pairs=materialize_pairs,
     )
 
 
@@ -220,6 +223,7 @@ def minhash_set_pairs(
     seed: int = 42,
     max_item_freq: int | None = None,
     base_hash: str = "xxhash64",
+    materialize_pairs: bool = False,
 ) -> DataFrame:
     """MinHash+LSH similar-pair mining over an arbitrary (doc, item)
     set relation — the generic core shared by text near-dup
@@ -243,6 +247,11 @@ def minhash_set_pairs(
             .select("shingle")
         )
         pairs = pairs.join(hot, "shingle", "left_anti")
+    if materialize_pairs:
+        # same measured tradeoff as exact_jaccard_pairs: the shingle
+        # relation feeds signatures AND both rescore set legs; one
+        # lazy localCheckpoint replaces per-consumer re-derivation
+        pairs = pairs.localCheckpoint(eager=False)
     sig = minhash_signatures(pairs, num_perm=num_perm, seed=seed, base_hash=base_hash)
 
     # Band join keys are the RAW band-row values (band_id, v0..v{r-1}),

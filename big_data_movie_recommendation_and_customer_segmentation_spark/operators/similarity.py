@@ -41,6 +41,7 @@ def exact_jaccard_pairs(
     min_items: int = 1,
     max_item_freq: int | None = None,
     prune_unique_items: bool = False,
+    materialize_pairs: bool = False,
 ) -> DataFrame:
     """All user pairs with exact Jaccard(item-set, item-set) ≥ threshold.
 
@@ -67,11 +68,23 @@ def exact_jaccard_pairs(
         hot = keys_with_min_count(pairs, "item", max_item_freq + 1).select("item")
         pairs = pairs.join(hot, "item", "left_anti")
 
-    # pairs feeds three consumers (per-user sizes + both self-join
-    # legs); no explicit persist — Spark's ReuseExchange already
-    # shares the shuffled distinct across the consumers (measured:
-    # persisting added materialization cost and blocked the reuse,
-    # 4.3s → 5.8s at sf0.1).
+    # pairs feeds up to five consumers (hot-key filter, per-user
+    # sizes, both self-join legs). Two reuse strategies, measured at
+    # sf0.1 with the governor on:
+    # - default: rely on runtime exchange reuse. With the extra
+    #   anti-join in the lineage the final plan re-derives the
+    #   distinct subtree per consumer (8 parquet scans) and AQE only
+    #   partially dedups them: warm 3.2-4.0 s. (.persist() was worse
+    #   still — it blocked the reuse: 4.3s → 5.8s, PERF.md.)
+    # - materialize_pairs=True: lazily localCheckpoint the governed
+    #   relation, truncating the lineage so every consumer reads the
+    #   one materialized copy: warm 1.7 s (~2×), cold 3.0 vs 9.9 s.
+    #   Storage is O(|user,item| pairs) on executors, reclaimed by
+    #   the ContextCleaner when the plan is GC'd. At cluster scale
+    #   prefer persist(DISK_ONLY) or a reliable checkpoint dir —
+    #   localCheckpoint blocks don't survive executor loss.
+    if materialize_pairs:
+        pairs = pairs.localCheckpoint(eager=False)
     sizes = pairs.groupBy("user").agg(F.count(F.lit(1)).alias("n_items"))
 
     joinable = pairs
@@ -121,11 +134,15 @@ def top_similar_pairs(
     threshold: float = 0.0,
     min_items: int = 1,
     max_item_freq: int | None = None,
+    materialize_pairs: bool = False,
 ) -> DataFrame:
     """Top-k most-similar user pairs by exact Jaccard — the S1 headline
     ("top_100_pairs"), with a deterministic (jaccard desc, user_a,
     user_b) order instead of the reference's signature-estimate heap."""
-    pairs = exact_jaccard_pairs(df, user_col, item_col, threshold, min_items, max_item_freq)
+    pairs = exact_jaccard_pairs(
+        df, user_col, item_col, threshold, min_items, max_item_freq,
+        materialize_pairs=materialize_pairs,
+    )
     return topk(
         pairs,
         [F.col("jaccard").desc(), F.col("user_a").asc(), F.col("user_b").asc()],

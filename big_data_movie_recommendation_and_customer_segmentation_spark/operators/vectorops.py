@@ -573,6 +573,41 @@ def embedding_near_duplicates(
     )
 
 
+def embedding_near_duplicates_deterministic(
+    df: DataFrame,
+    min_cosine: float = 0.45,
+    n_tables: int = 10,
+    bits_per_table: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs via the deterministic sign-LSH
+    self-join (the oracle-checkable sibling of
+    ``embedding_near_duplicates``): vectors collide on any of the
+    md5-derived hyperplane sign keys, candidates rescore with exact
+    cosine, a < b dedup. Shuffle is keyed on (table, key) — cost
+    tracks bucket collision density, never the N² pair space.
+    Output: id_a, id_b, cos_sim."""
+    sig = hyperplane_signatures(df, id_col, vec_col, n_tables, bits_per_table, dim=dim)
+    a = sig.select(F.col(id_col).alias("id_a"), "table_id", "key")
+    b = sig.select(F.col(id_col).alias("id_b"), "table_id", "key")
+    cand = (
+        a.join(b, ["table_id", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", V.cosine("_va", "_vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
 def kmeans_segments(
     df: DataFrame,
     feature_cols: list[str] | None = None,

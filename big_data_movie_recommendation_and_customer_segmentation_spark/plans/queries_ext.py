@@ -332,7 +332,8 @@ def ngram_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate blowup (mirrored in the oracle)."""
     d = load_table(spark, sf_dir, "documents")
     out = DD.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=MAX_SHINGLE_FREQ
+        d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=MAX_SHINGLE_FREQ,
+        materialize_pairs=True,
     )
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
@@ -397,7 +398,7 @@ def minhash_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = DD.minhash_duplicate_pairs(
         spark, d, "doc_id", "text", n=3, threshold=0.5,
         num_perm=_MH_NUM_PERM, band_rows=_MH_BAND_ROWS, seed=_MH_SEED,
-        max_shingle_freq=MAX_SHINGLE_FREQ, base_hash="md5",
+        max_shingle_freq=MAX_SHINGLE_FREQ, base_hash="md5", materialize_pairs=True,
     )
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
@@ -767,6 +768,62 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested SF where the r01 threshold emitted zero."""
     e = load_table(spark, sf_dir, "embeddings")
     return VO.embedding_near_duplicates(e, min_cosine=0.45)
+
+
+@query(
+    "embedding_near_duplicates_deterministic",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, d,
+             CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {_HP_SCALE}) AS BIGINT) AS q
+      FROM embeddings, range({_HP_DIM}) r(d)
+    ),
+    planes AS (
+      SELECT p, d,
+             ((('0x' || substr(md5('hp:' || p || ':' || d), 1, 8))::BIGINT % 2001) - 1000) AS w
+      FROM range({_HP_TABLES * _HP_BITS}) rp(p), range({_HP_DIM}) rd(d)
+    ),
+    dots AS (
+      SELECT vec_id, p, sum(q * w) AS dot
+      FROM qv JOIN planes USING (d) GROUP BY 1, 2
+    ),
+    keys AS (
+      SELECT vec_id, CAST(p // {_HP_BITS} AS INT) AS table_id,
+             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << CAST(p % {_HP_BITS} AS INT)) ELSE 0 END) AS key
+      FROM dots GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a
+      JOIN keys b ON a.table_id = b.table_id AND a.key = b.key
+      WHERE a.vec_id < b.vec_id
+    ),
+    rescored AS (
+      SELECT cand.id_a, cand.id_b,
+             list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]) AS cs
+      FROM cand
+      JOIN embeddings va ON va.vec_id = cand.id_a
+      JOIN embeddings vb ON vb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, round(cs, 6) AS cos_sim
+    FROM rescored WHERE cs >= 0.45
+    """,
+)
+def embedding_near_duplicates_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checked embedding leg of the dedup ladder:
+    deterministic sign-LSH self-join at cosine ≥ 0.45 (see
+    ``embedding_near_duplicates`` for the threshold calibration).
+    DuckDB rebuilds the identical LSH keys from the md5-derived
+    hyperplanes, so candidate set AND rescored pairs are
+    value-checked — the BucketedRandomProjection sibling stays
+    rows-only + property-tested."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = VO.embedding_near_duplicates_deterministic(
+        e, min_cosine=0.45, n_tables=_HP_TABLES, bits_per_table=_HP_BITS, dim=_HP_DIM
+    )
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 @query("kmeans_customer_segments")  # iterative/seeded → rows-only
