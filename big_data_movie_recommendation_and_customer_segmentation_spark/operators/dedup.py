@@ -247,7 +247,9 @@ def minhash_set_pairs(
             .select("shingle")
         )
         pairs = pairs.join(hot, "shingle", "left_anti")
-    if materialize_pairs:
+    from .similarity import materialization_enabled
+
+    if materialize_pairs and materialization_enabled():
         # same measured tradeoff as exact_jaccard_pairs: the shingle
         # relation feeds signatures AND both rescore set legs; one
         # lazy localCheckpoint replaces per-consumer re-derivation

@@ -21,10 +21,20 @@ Two paths, mirroring SURVEY §2.C6/§2.K:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .relational import filter_active, topk
+
+
+def materialization_enabled() -> bool:
+    """Global escape hatch for ``materialize_pairs``: plan-doc tooling
+    (tools/gen_plans.py) sets SPARK_GRAFT_NO_MATERIALIZE=1 because a
+    localCheckpoint boundary prints as `Scan ExistingRDD`, hiding the
+    upstream lineage the plan docs exist to show."""
+    return os.environ.get("SPARK_GRAFT_NO_MATERIALIZE", "") != "1"
 
 
 def user_item_pairs(df: DataFrame, user_col: str, item_col: str) -> DataFrame:
@@ -83,7 +93,7 @@ def exact_jaccard_pairs(
     #   the ContextCleaner when the plan is GC'd. At cluster scale
     #   prefer persist(DISK_ONLY) or a reliable checkpoint dir —
     #   localCheckpoint blocks don't survive executor loss.
-    if materialize_pairs:
+    if materialize_pairs and materialization_enabled():
         pairs = pairs.localCheckpoint(eager=False)
     sizes = pairs.groupBy("user").agg(F.count(F.lit(1)).alias("n_items"))
 

@@ -58,3 +58,25 @@ def test_no_python_udf_in_hot_paths(spark, sf_dir, name):
     (row-at-a-time UDF) nodes anywhere in these plans."""
     plan = plan_of(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_kmv_sketch_gets_window_group_limit(spark, sf_dir):
+    """The KMV sketch's scale property IS its plan shape: per-group
+    k-smallest via WindowGroupLimit means map tasks carry <= k rows
+    per group into the exchange (O(k) sketch state, not O(D))."""
+    plan = plan_of(spark, sf_dir, "kmv_distinct_customers")
+    assert "WindowGroupLimit" in plan
+
+
+def test_hyperplane_ann_single_arrow_pass(spark, sf_dir):
+    """Signature generation is mapInPandas (Arrow-batched, sanctioned
+    escape hatch) — and exactly two of them (corpus + probes), with
+    no row-at-a-time Python anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, "ann_hyperplane_neighbors")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
+
+
+def test_minhash_set_pairs_stays_jvm_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "minhash_pairs_lsh")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

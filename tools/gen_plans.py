@@ -8,6 +8,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Render the FULL lineage: with materialization on, the checkpoint
+# boundary prints as `Scan ExistingRDD`, hiding the scans/joins these
+# docs exist to show. Production keeps the boundary (PERF.md).
+os.environ["SPARK_GRAFT_NO_MATERIALIZE"] = "1"
+
 import __spark_entry__ as entrymod
 from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
 
@@ -31,6 +36,11 @@ def main() -> None:
         "",
         "Generated from `df.explain('formatted')` at sf0.01. Regenerate:",
         "`python tools/gen_plans.py` (or the snippet in git history).",
+        "",
+        "Rendered with SPARK_GRAFT_NO_MATERIALIZE=1 so the full lineage",
+        "shows; in production the set-similarity queries insert a",
+        "localCheckpoint boundary after the governed pair relation",
+        "(prints as `Scan ExistingRDD`; measured 3x — see PERF.md).",
         "",
     ]
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
