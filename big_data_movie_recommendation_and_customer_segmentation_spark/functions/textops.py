@@ -189,3 +189,41 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     pattern = r"(?:^|(?<= ))(?=(" + r"\S+ " * (n - 1) + r"\S+))"
     sh = F.regexp_extract_all(norm, F.lit(pattern), 1)
     return F.when(F.size(sh) > 0, sh).otherwise(F.array(F.array_join(tokens(norm), " ")))
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 50,
+    stride: int = 40,
+):
+    """Split documents into token-window chunks with overlap — the
+    standard pretraining/RAG prep step (context-window packing with
+    ``chunk_tokens - stride`` tokens of overlap between consecutive
+    chunks).
+
+    One pass of column HOFs, no UDF, no shuffle: tokenize once,
+    generate the start offsets with ``sequence``, slice per start,
+    explode. Chunk count per doc is ceil(n_tokens / stride), so
+    output volume is ~``chunk_tokens/stride`` × input tokens —
+    the operator's only scale knob.
+
+    Output: id_col, chunk_id (0-based), chunk_text, n_tokens
+    (last chunk may be short; empty docs emit no chunks).
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(normalized_text(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunk = lambda s: F.struct(  # noqa: E731
+        (s / stride).cast("int").alias("chunk_id"),
+        F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.transform(starts, chunk)).alias("_c"))
+        .select(id_col, "_c.chunk_id", "_c.chunk_text", "_c.n_tokens")
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -162,6 +162,35 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 40)) AS start
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(start / 40 AS INT) AS chunk_id,
+             array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text,
+             least(50, len(toks) - start) AS n_tokens
+      FROM s
+    )
+    SELECT doc_id, chunk_id, chunk_text, n_tokens
+    FROM c WHERE n_tokens > 0
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (50-token chunks, stride
+    40) — the pretraining/RAG packing step, as one exploded column
+    expression. Oracle-checked: DuckDB reproduces the identical
+    chunk boundaries and text."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.chunk_documents(d, "doc_id", "text", chunk_tokens=50, stride=40)
+
+
+@query(
     "tfidf_top_terms",
     oracle=f"""
     WITH toks AS (
