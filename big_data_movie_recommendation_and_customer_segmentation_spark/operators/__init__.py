@@ -1,1 +1,1 @@
-from . import als, dedup, evaluate, multimodal, recommend, relational, similarity, splits, temporal, vectorops  # noqa: F401
+from . import als, dedup, evaluate, multimodal, recommend, relational, similarity, sketches, splits, temporal, vectorops  # noqa: F401

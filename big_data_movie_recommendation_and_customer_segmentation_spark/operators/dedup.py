@@ -379,6 +379,35 @@ def simhash_duplicate_pairs(
     return out
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Training-data decontamination (exact-match level): drop corpus
+    documents whose normalized-content fingerprint appears in a
+    benchmark/eval set — the standard pre-training hygiene step that
+    keeps test sets out of the training corpus.
+
+    One anti-join on the 128-bit fingerprint. The benchmark side is
+    tiny by nature (eval sets are thousands of rows, the corpus is
+    the 100 TB side) → broadcast, so the corpus is never shuffled.
+    Near-dup-level decontamination composes from the same ladder as
+    dedup: run ``ngram_jaccard_pairs``/``minhash_set_pairs`` between
+    corpus and benchmark shingles instead of the fingerprint join.
+    Returns the surviving corpus rows (all original columns).
+    """
+    bt = bench_text_col or text_col
+    bench_fp = benchmark.select(TX.fingerprint(bt).alias("_bfp")).distinct()
+    return (
+        corpus.withColumn("_fp", TX.fingerprint(text_col))
+        .join(F.broadcast(bench_fp), F.col("_fp") == F.col("_bfp"), "left_anti")
+        .drop("_fp")
+    )
+
+
 def dedup_representatives(pairs: DataFrame, rounds: int | None = 3) -> DataFrame:
     """Resolve duplicate pairs to cluster representatives by
     min-label propagation: rep(d) starts as min(d, neighbors);

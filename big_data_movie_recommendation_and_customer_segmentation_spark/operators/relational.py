@@ -14,6 +14,36 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    strata: str | Sequence[str],
+    n_per_stratum: int,
+    id_col: str,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Deterministic stratified sample: the first ``n_per_stratum``
+    rows per stratum in md5-hash order of ``id_col`` — the
+    dataset-mixing primitive (balance languages / sources / quality
+    buckets) without RNG, so resampling is stable across runs AND
+    engines (the gate value-checks it; ``F.rand`` samples can only be
+    rows-only). Hash order is independent of any data attribute, so
+    the sample is as unbiased as a seeded shuffle.
+
+    Plan shape: one WindowGroupLimit top-k per stratum — map tasks
+    carry ≤ n rows per stratum into the exchange, so the full input
+    is never sorted or shuffled whole.
+    """
+    from ..functions.textops import shared_token_hash
+
+    order = [
+        shared_token_hash(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    ]
+    return per_group_topk(
+        df, strata, order, n_per_stratum, rank_col="rank", keep_rank=keep_rank
+    )
+
+
 def keys_with_min_count(df: DataFrame, key: str, min_count: int, count_col: str = "n") -> DataFrame:
     """Keys appearing at least ``min_count`` times.
 

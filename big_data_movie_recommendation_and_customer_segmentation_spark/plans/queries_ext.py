@@ -162,6 +162,79 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminated_docs",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM}) AS f, length(text) AS n_chars
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT f FROM fp WHERE doc_id < 50)
+    SELECT d.doc_id, d.n_chars
+    FROM fp d
+    WHERE d.f NOT IN (SELECT f FROM bench)
+    """,
+)
+def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: documents surviving an exact
+    fingerprint anti-join against a benchmark set (here: docs with
+    id < 50 standing in for an eval set). Removes the benchmark rows
+    AND any exact duplicates of them elsewhere in the corpus —
+    which is the point of matching on content, not id."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 50)
+    out = DD.decontaminate(d, bench, "doc_id", "text")
+    return out.select("doc_id", F.length("text").alias("n_chars"))
+
+
+@query(
+    "doc_sample_by_lang",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> lower(x) IN ('the','a','and','of','to','in','is','it','that','for'))) AS c_en,
+        len(list_filter(toks, x -> lower(x) IN ('le','la','les','de','et','un','une','est','que','pour'))) AS c_fr,
+        len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','ein','eine','zu','nicht','mit'))) AS c_de,
+        len(list_filter(toks, x -> lower(x) IN ('el','la','los','de','y','un','una','es','que','para'))) AS c_es
+      FROM t
+    ),
+    lang AS (
+      SELECT doc_id, CASE
+               WHEN c_en > 0 AND c_en >= greatest(c_en, c_fr, c_de, c_es) THEN 'en'
+               WHEN c_fr > 0 AND c_fr >= greatest(c_en, c_fr, c_de, c_es) THEN 'fr'
+               WHEN c_de > 0 AND c_de >= greatest(c_en, c_fr, c_de, c_es) THEN 'de'
+               WHEN c_es > 0 AND c_es >= greatest(c_en, c_fr, c_de, c_es) THEN 'es'
+               ELSE 'und'
+             END AS lang_pred
+      FROM c
+    ),
+    ranked AS (
+      SELECT lang_pred, doc_id,
+             row_number() OVER (
+               PARTITION BY lang_pred
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+                        doc_id ASC) AS rank
+      FROM lang
+    )
+    SELECT lang_pred, doc_id, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def doc_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataset-mixing sample: 20 documents per
+    predicted language, picked in md5-hash order of doc id
+    (``relational.stratified_hash_sample``) — stable across runs and
+    engines, hence value-oracle-checked, unlike an ``F.rand``
+    sample. WindowGroupLimit keeps ≤ 20 rows per stratum map-side."""
+    from ..operators.relational import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        TX.lang_id("text").alias("lang_pred"), "doc_id"
+    )
+    out = stratified_hash_sample(d, "lang_pred", 20, "doc_id", keep_rank=True)
+    return out.select("lang_pred", "doc_id", "rank")
+
+
+@query(
     "doc_chunks",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
