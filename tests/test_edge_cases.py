@@ -84,3 +84,52 @@ def test_asof_join_with_empty_right(spark):
         left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["v"], how="inner"
     )
     assert inner.count() == 0
+
+
+def test_chunk_documents_edges(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.functions import textops as TX
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two three"), (3, "   ")], "doc_id long, text string"
+    )
+    out = TX.chunk_documents(df, "doc_id", "text", chunk_tokens=2, stride=1).collect()
+    assert {r.doc_id for r in out} == {2}, "empty/whitespace docs emit no chunks"
+    chunks = {(r.chunk_id, r.chunk_text, r.n_tokens) for r in out}
+    assert chunks == {(0, "one two", 2), (1, "two three", 2), (2, "three", 1)}
+
+
+def test_stratified_hash_sample_small_strata_and_determinism(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import relational as R
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(3)] + [("b", i) for i in range(30)], "s string, id long"
+    )
+    out = R.stratified_hash_sample(df, "s", 5, "id").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.s, []).append(r.id)
+    assert len(by["a"]) == 3, "stratum smaller than n returns whole stratum"
+    assert len(by["b"]) == 5
+    out2 = R.stratified_hash_sample(df, "s", 5, "id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_kmv_exact_when_sketch_not_full(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([("g", i) for i in range(10)], "g string, v long")
+    r = SK.kmv_distinct(df, "v", group_by="g", k=256).collect()[0]
+    assert r.n_distinct_est == 10 and r.n_seen == 10
+
+
+def test_decontaminate_matches_on_content_not_id(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import dedup as DD
+
+    corpus = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "unique text"), (3, "hello world")],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame([(99, "hello world")], "id long, text string")
+    out = DD.decontaminate(corpus, bench, "id", "text").collect()
+    # 1 and 3 normalize to the benchmark fingerprint despite different ids/case
+    assert {r.id for r in out} == {2}

@@ -80,3 +80,15 @@ def test_hyperplane_ann_single_arrow_pass(spark, sf_dir):
 def test_minhash_set_pairs_stays_jvm_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "minhash_pairs_lsh")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The corpus (100 TB side) must never shuffle: the benchmark
+    fingerprints broadcast into a left-anti hash join."""
+    plan = plan_of(spark, sf_dir, "decontaminated_docs")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_stratified_sample_gets_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "doc_sample_by_lang")
+    assert "WindowGroupLimit" in plan
