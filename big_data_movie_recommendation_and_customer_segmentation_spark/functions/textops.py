@@ -227,3 +227,42 @@ def chunk_documents(
         .select(id_col, "_c.chunk_id", "_c.chunk_text", "_c.n_tokens")
         .filter(F.col("n_tokens") > 0)
     )
+
+
+# Conservative patterns that parse identically in Java regex (Spark)
+# and RE2 (DuckDB) — no backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+LONG_DIGITS_PATTERN = r"[0-9]{9,}"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace emails, URLs, and long digit runs (phone/account-number
+    shaped) with typed placeholder tokens — the cheap PII/noise scrub
+    a training pipeline runs before tokenization. Pure regexp_replace
+    chain in codegen; patterns chosen to behave identically in Java
+    regex and RE2 so the scrub is oracle-checkable."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    c = F.regexp_replace(c, URL_PATTERN, "<URL>")
+    c = F.regexp_replace(c, LONG_DIGITS_PATTERN, "<NUM>")
+    return c
+
+
+def repetition_stats(text: Column | str) -> Column:
+    """Gopher-style within-document repetition signals as a struct:
+    n_tokens, n_distinct_tokens, dup_token_ratio (1 − distinct/total).
+    High values flag boilerplate/spam docs for the quality filter.
+    One tokenize + array ops, no shuffle, linear per doc. (The
+    most-frequent-token share belongs in a relational explode+agg —
+    a per-token count inside array HOFs would be O(n·distinct) of
+    interpreted lambda calls per document; see the
+    doc_repetition_stats query.)"""
+    toks = tokens(normalized_text(text))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return F.struct(
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        F.when(n > 0, F.round(1.0 - nd / n, 6)).otherwise(0.0).alias("dup_token_ratio"),
+    )

@@ -162,6 +162,99 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_scrub_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g'),
+               '[0-9]{{9,}}', '<NUM>', 'g') AS scrubbed
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(scrubbed) AS n_chars_scrubbed,
+           len(regexp_extract_all(scrubbed, '<EMAIL>|<URL>|<NUM>')) AS n_scrubbed_spans
+    FROM s
+    """,
+)
+def doc_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrub (emails, URLs, long digit runs → typed
+    placeholders) with before/after size accounting — the hygiene
+    pass before tokenization. Patterns behave identically in Java
+    regex and RE2, so the scrub itself is value-oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = TX.scrub_pii("text")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.length(scrubbed).alias("n_chars_scrubbed"),
+        F.size(F.regexp_extract_all(scrubbed, F.lit("<EMAIL>|<URL>|<NUM>"), 0)).alias(
+            "n_scrubbed_spans"
+        ),
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct_tokens
+      FROM t
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    freq AS (
+      SELECT doc_id, max(c) AS top FROM (
+        SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN round(1.0 - b.n_distinct_tokens * 1.0 / b.n_tokens, 6)
+                ELSE 0.0 END AS dup_token_ratio,
+           CASE WHEN b.n_tokens > 0
+                THEN round(f.top * 1.0 / b.n_tokens, 6)
+                ELSE 0.0 END AS top_token_ratio
+    FROM base b LEFT JOIN freq f USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-token ratio
+    (array ops, linear per doc) + most-frequent-token share (explode →
+    per-(doc,token) count → per-doc max — relational, because a
+    per-token count inside array HOFs would be O(n·distinct)
+    interpreted lambda calls per document)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", TX.repetition_stats("text").alias("_r")).select(
+        "doc_id", "_r.n_tokens", "_r.n_distinct_tokens", "_r.dup_token_ratio"
+    )
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("tk")
+    )
+    top = (
+        tok.groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "dup_token_ratio",
+        F.when(F.col("n_tokens") > 0, F.round(F.col("top") / F.col("n_tokens"), 6))
+        .otherwise(0.0)
+        .alias("top_token_ratio"),
+    )
+
+
+@query(
     "decontaminated_docs",
     oracle=f"""
     WITH fp AS (
