@@ -72,7 +72,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_median: dict[str, float] = {}
+    import gc
+
     for name in names:
+        # Release dead references (and with them any checkpoint/cache
+        # blocks previous queries left behind) so each query is timed
+        # against a clean block manager, not the GC schedule: measured
+        # up to 3x on the first run after pressure built (PERF.md).
+        gc.collect()
         t0 = time.perf_counter()
         materialize(QUERY_REGISTRY[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -83,6 +90,7 @@ def main() -> None:
         # cross-round comparison metric is the MEDIAN of 3 warm runs.
         runs = []
         for _ in range(3):
+            gc.collect()
             t0 = time.perf_counter()
             materialize(QUERY_REGISTRY[name](spark, sf_dir))
             runs.append(round(time.perf_counter() - t0, 3))
