@@ -279,7 +279,27 @@ def minhash_set_pairs(
         .distinct()
     )
 
-    sets = pairs.groupBy("doc").agg(F.collect_set("shingle").alias("items"))
+    # cand feeds two consumers below (the doc list and the rescore
+    # join); materialize it too — it is tiny (candidate pairs), and
+    # re-deriving it would run the band self-join twice.
+    if materialize_pairs and materialization_enabled():
+        cand = cand.localCheckpoint(eager=False)
+
+    # Rescore sets are built ONLY for docs that appear in a candidate
+    # pair (broadcast semi-join: the candidate doc list is tiny by
+    # the LSH property). Without this, collect_set materializes every
+    # doc's full shingle array just to rescore a handful of pairs —
+    # fine at test SFs, pathological at 100 TB.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sets = (
+        pairs.join(F.broadcast(cand_docs), "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("items"))
+    )
     inter = F.size(F.array_intersect("_ia", "_ib"))
     return (
         cand.join(sets.select(F.col("doc").alias("doc_a"), F.col("items").alias("_ia")), "doc_a")
