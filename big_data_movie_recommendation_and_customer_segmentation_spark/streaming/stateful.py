@@ -63,3 +63,67 @@ def stream_dedup_exact(
     (Kafka, file backfills) become effectively-once downstream.
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def streaming_kmv_distinct(
+    stream: DataFrame,
+    group_col: str,
+    hash_col: str = "_h",
+    k: int = 256,
+) -> DataFrame:
+    """Streaming KMV distinct-count estimate per group (the streaming
+    leg of ``operators.sketches.kmv_distinct``): keyed state is the k
+    smallest value-hashes seen so far — O(k) longs per group forever,
+    no watermark needed because the sketch never grows.
+
+    KMV merge is a set union followed by re-taking the k smallest,
+    which is associative, commutative, and idempotent — so the
+    incremental estimate equals the batch estimate over the same
+    rows no matter how the stream is micro-batched OR re-delivered
+    (at-least-once safe). The batch-equivalence test asserts exactly
+    that with maxFilesPerTrigger=1.
+
+    Callers hash upstream (``textops.shared_token_hash60`` on the
+    value column) so batch and stream share the identical hash.
+    Emits (group, n_distinct_est, n_seen, n_batches) per group per
+    micro-batch; the final emission per group is the answer.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{group_col} string, n_distinct_est long, n_seen long, n_batches long"
+    )
+    state_schema = "hashes array<long>, n_batches long"
+    space = float(1 << 60)
+
+    def update(key, pdfs, state: GroupState):
+        hashes, n_batches = state.get if state.exists else ([], 0)
+        merged = set(hashes)
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf[hash_col])
+        kept = sorted(merged)[:k]
+        n_batches += 1
+        state.update((kept, n_batches))
+        n_seen = len(kept)
+        if n_seen < k:
+            est = n_seen
+        else:
+            # same rounding as Spark's F.round (half away from zero;
+            # values are positive) so stream == batch bit-for-bit
+            import math
+
+            est = int(math.floor((k - 1) * space / kept[-1] + 0.5))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_distinct_est": [est],
+                "n_seen": [n_seen],
+                "n_batches": [n_batches],
+            }
+        )
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -139,3 +139,55 @@ def test_stream_sliding_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.functions.textops import shared_token_hash60
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import sketches as SK
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = str(tmp_path / "orders_stream")
+    # several files -> several micro-batches with maxFilesPerTrigger=1,
+    # so the incremental KMV merge is actually exercised
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "o_orderstatus",
+            shared_token_hash60(F.col("o_custkey").cast("string")).alias("_h"),
+        )
+    )
+    out = ST.streaming_kmv_distinct(stream, "o_orderstatus", k=64)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM kmv_stream").collect()
+    finally:
+        q.stop()
+
+    # final emission per group = the one with the highest batch counter
+    final = {}
+    for r in rows:
+        cur = final.get(r.o_orderstatus)
+        if cur is None or r.n_batches > cur.n_batches:
+            final[r.o_orderstatus] = r
+    assert max(r.n_batches for r in final.values()) > 1, "expected >1 micro-batch"
+
+    batch = {
+        r.o_orderstatus: r
+        for r in SK.kmv_distinct(orders, "o_custkey", group_by="o_orderstatus", k=64).collect()
+    }
+    assert set(final) == set(batch)
+    for status, r in final.items():
+        b = batch[status]
+        assert (r.n_distinct_est, r.n_seen) == (b.n_distinct_est, b.n_seen), (
+            status, (r.n_distinct_est, r.n_seen), (b.n_distinct_est, b.n_seen),
+        )
