@@ -44,3 +44,45 @@ def test_split_invariants(spark, rows):
             assert max(buckets["train"]) <= min(buckets["val"])
         if buckets["val"] and buckets["test"]:
             assert max(buckets["val"]) <= min(buckets["test"])
+
+
+doc_texts = st.lists(
+    st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=23
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=doc_texts, chunk=st.integers(2, 6), overlap=st.integers(0, 1))
+def test_chunking_covers_every_token_exactly(spark, docs, chunk, overlap):
+    """chunk_documents invariants on generated corpora: chunk texts
+    re-concatenated with the overlap removed reproduce the original
+    token sequence exactly; chunk ids are contiguous from 0; every
+    chunk except possibly the last has exactly chunk_tokens tokens."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.functions import textops as TX
+
+    stride = chunk - overlap
+    data = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    out = TX.chunk_documents(df, "doc_id", "text", chunk_tokens=chunk, stride=stride)
+
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, toks in enumerate(t for t in (d for d in docs)):
+        toks = docs[doc_id]
+        rows = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_id)
+        if not toks:
+            assert rows == []
+            continue
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        rebuilt: list[str] = []
+        for r in rows:
+            ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert r.n_tokens == len(ctoks)
+            skip = overlap if rebuilt else 0
+            rebuilt.extend(ctoks[skip:])
+        assert rebuilt == toks, (doc_id, rebuilt, toks)
