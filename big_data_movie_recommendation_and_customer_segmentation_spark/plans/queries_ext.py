@@ -696,6 +696,116 @@ def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_representatives(pairs, rounds=None)
 
 
+_SCRUB_SQL = """regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g'),
+               '[0-9]{9,}', '<NUM>', 'g')"""
+
+
+@query(
+    "training_corpus_manifest",
+    oracle=f"""
+    WITH RECURSIVE scrub AS (
+      SELECT doc_id, {_SCRUB_SQL} AS text FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM scrub
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    surv AS (SELECT s.doc_id, s.text FROM scrub s JOIN keep USING (doc_id)),
+    t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+               x -> x <> '') AS toks
+      FROM surv
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM t
+    ),
+    d_all AS (SELECT DISTINCT doc_id, s FROM sh),
+    ok_sh AS (SELECT s FROM d_all GROUP BY s HAVING count(*) <= {MAX_SHINGLE_FREQ}),
+    dd AS (SELECT d_all.* FROM d_all JOIN ok_sh USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dd GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM dd a JOIN dd b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM dup_pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    drop_docs AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a
+    ),
+    kept AS (
+      SELECT t.doc_id, t.toks FROM t
+      LEFT JOIN drop_docs d ON d.doc_id = t.doc_id
+      WHERE d.doc_id IS NULL
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 40)) AS start
+      FROM kept
+    ),
+    chunk_sizes AS (
+      SELECT doc_id, least(50, len(toks) - start) AS nt FROM starts
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(nt) AS BIGINT) AS n_chunk_tokens
+    FROM chunk_sizes WHERE nt > 0
+    GROUP BY doc_id
+    """,
+)
+def training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline, composed from the engine's
+    own operators and value-checked as ONE query: scrub PII → exact
+    dedup (min-id survivor per fingerprint) → n-gram near-dup
+    detection → transitive representative resolution (drop
+    non-representatives) → token-window chunking → per-document
+    manifest (n_chunks, n_chunk_tokens including the overlap a
+    packer re-reads). The oracle re-derives the whole ladder in SQL,
+    recursive closure included — demonstrating the operators compose
+    without driver-side glue."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = d.select("doc_id", TX.scrub_pii("text").alias("text"))
+    surv = DD.dedup_exact(scrubbed, "doc_id", "text")
+    pairs = DD.ngram_jaccard_pairs(
+        surv, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_freq=MAX_SHINGLE_FREQ, materialize_pairs=True,
+    )
+    drop = DD.dedup_representatives(pairs, rounds=None).select("doc_id")
+    kept = surv.join(drop, "doc_id", "left_anti")
+    chunks = TX.chunk_documents(kept, "doc_id", "text", chunk_tokens=50, stride=40)
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_chunk_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Vector similarity search
 # --------------------------------------------------------------------------
