@@ -923,6 +923,64 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_price_quantiles",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-segment order-price quantiles (linear interpolation
+    at (n−1)·p — Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the definition, so the values gate bitwise after rounding).
+    The exact path sorts within each group; at 100 TB swap in
+    ``percentile_approx`` (t-digest sketch, engine-private → only
+    error-bound-testable, see ``approx_distinct_customers``)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+@query(
+    "order_year_status_pivot",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def order_year_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) order counts by status per year. The pivot
+    values are passed EXPLICITLY — without them Spark runs an extra
+    collect-distinct job over the pivot column, a hidden driver pass
+    a 100 TB plan should never pay."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # a (year, status) combination with no rows pivots to NULL;
+    # count-semantics (and the FILTER-based oracle) say 0
+    return out.na.fill(0, ["F", "O", "P"])
+
+
+@query(
     "kmv_distinct_customers",
     oracle="""
     WITH hashed AS (
