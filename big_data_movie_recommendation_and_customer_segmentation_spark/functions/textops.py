@@ -249,6 +249,84 @@ def scrub_pii(text: Column | str) -> Column:
     return c
 
 
+def alpha_token_count(text: Column | str) -> Column:
+    """Number of whitespace tokens containing at least one ASCII
+    letter — one anchored regex scan (a match can only start at a
+    token boundary, and the greedy ``\\S*`` consumes the whole token,
+    so each qualifying token is counted exactly once).
+    SQL: ``len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))``
+    (verified count-identical)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"(?:^|(?<=\s))\S*[A-Za-z]\S*"))
+
+
+def distinct_stopword_count(text: Column | str, lang: str = "en") -> Column:
+    """How many DISTINCT ``lang`` stopwords occur at least once —
+    the Gopher-style "contains ≥2 of a small must-have word list"
+    signal. One boundary-anchored presence regex per list word (10
+    linear scans, all codegen'd — no token-array materialization).
+    SQL: ``Σ CASE WHEN list_contains(lower_toks, w) THEN 1 END``."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.lit(0)
+    for w in STOPWORDS[lang]:
+        pat = r"(?i)(?<=^|\s)" + w + r"(?=\s|$)"
+        out = out + F.when(F.regexp_count(c, F.lit(pat)) > 0, 1).otherwise(0)
+    return out
+
+
+# Gopher/C4-shaped rule thresholds (Rae et al. 2021 §A1.1, adapted to
+# the synthetic corpus scale). Module constants so the Spark side and
+# the SQL oracle are built from the same numbers.
+HEURISTIC_THRESHOLDS = {
+    "min_tokens": 10,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 2.0,
+    "max_mean_token_len": 12.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_ratio": 0.7,
+    "min_distinct_stopwords": 2,
+    "max_dup_token_ratio": 0.5,
+}
+
+
+def heuristic_flags(text: Column | str, lang: str = "en") -> Column:
+    """Gopher/C4-style document-quality rule battery as a struct of
+    booleans plus the conjunction verdict — the standard cheap
+    rule-based filter a training pipeline runs before dedup and
+    model-based scoring (Rae et al. 2021; Raffel et al. 2020).
+
+    All eight signals are single-pass column expressions (regex
+    counts + one token-array distinct for the repetition rule) —
+    embarrassingly parallel, no shuffle, codegen'd. Thresholds live
+    in ``HEURISTIC_THRESHOLDS`` so the oracle SQL mirrors them.
+    """
+    t = HEURISTIC_THRESHOLDS
+    n = token_count(text)
+    mean_len = mean_token_len(text)
+    c = F.col(text) if isinstance(text, str) else text
+    n_symbols = F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\."))
+    ntoks = tokens(normalized_text(text))
+    nd = F.size(F.array_distinct(ntoks))
+    dup_ratio = F.when(n > 0, 1.0 - nd / F.size(ntoks)).otherwise(F.lit(0.0))
+    return F.struct(
+        n.alias("n_tokens"),
+        ((n >= t["min_tokens"]) & (n <= t["max_tokens"])).alias("flag_length"),
+        (
+            (mean_len >= t["min_mean_token_len"]) & (mean_len <= t["max_mean_token_len"])
+        ).alias("flag_mean_token_len"),
+        F.when(n > 0, n_symbols / n <= t["max_symbol_ratio"])
+        .otherwise(F.lit(False))
+        .alias("flag_symbol_ratio"),
+        F.when(n > 0, alpha_token_count(text) / n >= t["min_alpha_ratio"])
+        .otherwise(F.lit(False))
+        .alias("flag_alpha_ratio"),
+        (distinct_stopword_count(text, lang) >= t["min_distinct_stopwords"]).alias(
+            "flag_stopwords"
+        ),
+        (dup_ratio <= t["max_dup_token_ratio"]).alias("flag_repetition"),
+    )
+
+
 def repetition_stats(text: Column | str) -> Column:
     """Gopher-style within-document repetition signals as a struct:
     n_tokens, n_distinct_tokens, dup_token_ratio (1 − distinct/total).

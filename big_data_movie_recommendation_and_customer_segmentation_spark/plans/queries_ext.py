@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..functions import textops as TX
 from ..operators import dedup as DD
 from ..operators import multimodal as MM
+from ..operators import packing as PK
 from ..operators import temporal as TP
 from ..operators import vectorops as VO
 from ..sources import load_table
@@ -252,6 +253,100 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("top_token_ratio"),
     )
+
+
+@query(
+    "doc_heuristic_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS tk, {_NTOKS} AS ntk FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             CASE WHEN len(tk) > 0
+                  THEN length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / len(tk)
+                  ELSE 0.0 END AS mean_len,
+             len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+             len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             (CASE WHEN list_contains(list_transform(tk, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(list_transform(tk, x -> lower(x)), 'a') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(list_transform(tk, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(list_transform(tk, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(list_transform(tk, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(list_transform(tk, x -> lower(x)), 'in') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(list_transform(tk, x -> lower(x)), 'is') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(list_transform(tk, x -> lower(x)), 'it') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(list_transform(tk, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+            + CASE WHEN list_contains(list_transform(tk, x -> lower(x)), 'for') THEN 1 ELSE 0 END) AS n_stop,
+             CASE WHEN len(ntk) > 0
+                  THEN 1.0 - len(list_distinct(ntk)) * 1.0 / len(ntk)
+                  ELSE 0.0 END AS dup_ratio
+      FROM t
+    ),
+    flags AS (
+      SELECT doc_id, n_tokens,
+             (n_tokens >= 10 AND n_tokens <= 100000) AS flag_length,
+             (mean_len >= 2.0 AND mean_len <= 12.0) AS flag_mean_token_len,
+             CASE WHEN n_tokens > 0 THEN n_sym * 1.0 / n_tokens <= 0.1 ELSE FALSE END AS flag_symbol_ratio,
+             CASE WHEN n_tokens > 0 THEN n_alpha * 1.0 / n_tokens >= 0.7 ELSE FALSE END AS flag_alpha_ratio,
+             (n_stop >= 2) AS flag_stopwords,
+             (dup_ratio <= 0.5) AS flag_repetition
+      FROM m
+    )
+    SELECT doc_id, n_tokens, flag_length, flag_mean_token_len, flag_symbol_ratio,
+           flag_alpha_ratio, flag_stopwords, flag_repetition,
+           (flag_length AND flag_mean_token_len AND flag_symbol_ratio
+            AND flag_alpha_ratio AND flag_stopwords AND flag_repetition) AS passes
+    FROM flags
+    """,
+)
+def doc_heuristic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality filter (Rae et al. 2021
+    §A1.1): eight per-document signals → six boolean rules → one
+    verdict. All signals are single-pass codegen'd column
+    expressions (``textops.heuristic_flags``) — embarrassingly
+    parallel, no shuffle, so at 100 TB this is a pure map stage that
+    runs at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", TX.heuristic_flags("text").alias("_h")).select(
+        "doc_id", "_h.*"
+    )
+    return h.withColumn(
+        "passes",
+        F.col("flag_length")
+        & F.col("flag_mean_token_len")
+        & F.col("flag_symbol_ratio")
+        & F.col("flag_alpha_ratio")
+        & F.col("flag_stopwords")
+        & F.col("flag_repetition"),
+    )
+
+
+@query(
+    "token_shard_assignment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST((CAST(sum(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) - n_tokens) // 2000 AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def token_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing / shard layout: each document goes to the
+    fixed-token-budget output shard its first token lands in, in
+    global doc_id order. The oracle is the single-partition
+    ``SUM() OVER (ORDER BY ...)`` — the engine computes the identical
+    prefix sum with the two-pass bucketed decomposition
+    (``operators.packing``), whose plan has NO SinglePartition
+    exchange (asserted in tests/test_packing.py)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count("text").alias("n_tokens")
+    )
+    out = PK.assign_token_shards(d, "doc_id", "n_tokens", shard_tokens=2000)
+    return out.select("doc_id", "n_tokens", "shard_id")
 
 
 @query(
