@@ -1,0 +1,101 @@
+"""Corpus-level scoring and mixture planning — the steps between
+per-document filtering and shard writing in a training-data pipeline:
+score documents against corpus-wide statistics, then decide how hard
+to sample each source/language bucket.
+
+Both operators here are two-level aggregations: a corpus-wide
+statistics pass whose OUTPUT is small (a vocabulary, a handful of
+source rows), then a cheap join/window against that small side. The
+100 TB cost is therefore one scan + one map-side-combined shuffle;
+nothing here is quadratic and nothing moves document text twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textops as TX
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_broadcast: bool = True,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own empirical token distribution — the classic cheap perplexity
+    proxy (a one-gram KenLM): fluent text re-uses common tokens,
+    gibberish and boilerplate sit in the tails. Used as a quality
+    score next to the rule-based ``textops.heuristic_flags``.
+
+    Plan: explode to (doc, token); token counts via map-side-combined
+    groupBy (hot tokens like "the" partial-aggregate before the
+    exchange, so token skew never concentrates on one reducer); total
+    token mass is ONE driver scalar; then join occurrences back to
+    counts — broadcast while the vocabulary fits (a few 100 MB covers
+    web-scale vocabularies after min-count pruning), else set
+    ``vocab_broadcast=False`` and let AQE's skew-join split the hot
+    keys.
+
+    Output: id_col, n_tokens, mean_logprob (natural log; empty
+    documents emit no row, matching the SQL formulation).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(TX.tokens(TX.normalized_text(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = counts.agg(F.sum("_c")).collect()[0][0] or 0
+    vocab = F.broadcast(counts) if vocab_broadcast else counts
+    return (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("_c") / F.lit(float(total)))).alias("mean_logprob"),
+        )
+    )
+
+
+def temperature_mix_plan(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    alpha: float = 0.7,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture plan over sources/languages (the
+    mT5/XLM-R sampling rule, Xue et al. 2021): sampling mass
+    p_g ∝ (tokens_g)^alpha, flattening the head so low-resource
+    groups aren't drowned. With ``budget`` (total tokens wanted),
+    also emits the per-group Bernoulli ``sample_prob`` =
+    min(1, budget·p_g / tokens_g) that downstream hash-sampling
+    (``relational.stratified_hash_sample``) consumes.
+
+    One map-side-combined aggregation to ~#groups rows; the
+    normalizing window runs over that tiny relation only (bounded by
+    group cardinality, never by data size).
+
+    Output: group_col, n_docs, n_tokens, token_share, mix_weight
+    [, sample_prob].
+    """
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(weight_col).cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    p = F.pow(F.col("n_tokens"), F.lit(alpha))
+    out = agg.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("token_share"),
+        (p / F.sum(p).over(w)).alias("mix_weight"),
+    )
+    if budget is not None:
+        out = out.withColumn(
+            "sample_prob",
+            F.least(F.lit(1.0), F.lit(budget) * F.col("mix_weight") / F.col("n_tokens")),
+        )
+    return out

@@ -428,6 +428,45 @@ def decontaminate(
     )
 
 
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3 appendix-C
+    standard, Brown et al. 2020: 13-gram collision with an eval set):
+    drop corpus documents sharing ANY word ``n``-gram with the
+    benchmark — catches partial inclusion that the exact-fingerprint
+    :func:`decontaminate` misses (a test question quoted inside a
+    larger page).
+
+    Scale shape: the benchmark's n-gram hash set is eval-sized →
+    broadcast; the corpus side explodes to (id, 60-bit hash) pairs
+    but meets it in a broadcast SEMI join, so corpus text never
+    shuffles. The flagged-id set (contaminated docs only) broadcasts
+    back into the anti-join. If a pathological benchmark flags a
+    large fraction of the corpus, swap the final broadcast for a
+    plain shuffled anti-join — correctness is unchanged.
+    """
+    bt = bench_text_col or text_col
+    bench_h = (
+        benchmark.select(F.explode(TX.word_shingles(bt, n)).alias("_s"))
+        .select(TX.shared_token_hash60(F.col("_s")).alias("_bh"))
+        .distinct()
+    )
+    flagged = (
+        corpus.select(F.col(id_col), F.explode(TX.word_shingles(text_col, n)).alias("_s"))
+        .select(id_col, TX.shared_token_hash60(F.col("_s")).alias("_h"))
+        .join(F.broadcast(bench_h), F.col("_h") == F.col("_bh"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
 def dedup_representatives(pairs: DataFrame, rounds: int | None = 3) -> DataFrame:
     """Resolve duplicate pairs to cluster representatives by
     min-label propagation: rep(d) starts as min(d, neighbors);

@@ -374,6 +374,118 @@ def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.length("text").alias("n_chars"))
 
 
+_DECON_N = 13  # GPT-3 appendix-C n-gram size
+
+
+@query(
+    "ngram_decontaminated_docs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= {_DECON_N}
+                    THEN list_transform(range(1, len(toks) - {_DECON_N - 2}),
+                                        i -> array_to_string(toks[i:i+{_DECON_N - 1}], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM t
+    ),
+    d AS (SELECT DISTINCT doc_id, s FROM sh),
+    bench AS (SELECT DISTINCT s FROM d WHERE doc_id < 50),
+    flagged AS (SELECT DISTINCT doc_id FROM d WHERE s IN (SELECT s FROM bench))
+    SELECT doc_id, length(text) AS n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    """,
+)
+def ngram_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram-overlap decontamination (GPT-3 appendix C): corpus
+    documents sharing ANY 13-gram with the benchmark set (docs with
+    id < 50 standing in for an eval set) are dropped — catching
+    partial inclusion the exact-fingerprint `decontaminated_docs`
+    misses. Benchmark n-gram hashes broadcast; corpus text never
+    shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 50)
+    out = DD.ngram_decontaminate(d, bench, "doc_id", "text", n=_DECON_N)
+    return out.select("doc_id", F.length("text").alias("n_chars"))
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM cnt)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(c * 1.0 / s)), 6) AS mean_logprob
+    FROM tok JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap perplexity proxy: per-document mean log-probability
+    under the corpus's own unigram distribution
+    (``operators.corpus.unigram_logprob``) — gibberish and
+    boilerplate surface in the tails. Token counts partial-aggregate
+    map-side, so "the"-grade skew never lands on one reducer."""
+    from ..operators import corpus as CO
+
+    d = load_table(spark, sf_dir, "documents")
+    out = CO.unigram_logprob(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    )
+
+
+_MIX_ALPHA, _MIX_BUDGET = 0.7, 20000
+
+
+@query(
+    "source_mix_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    z AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+             sum(pow(n_tokens, {_MIX_ALPHA})) AS zn
+      FROM t
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / tot, 6) AS token_share,
+           round(pow(n_tokens, {_MIX_ALPHA}) / zn, 6) AS mix_weight,
+           round(least(1.0, {_MIX_BUDGET} * (pow(n_tokens, {_MIX_ALPHA}) / zn)
+                            / n_tokens), 6) AS sample_prob
+    FROM t CROSS JOIN z
+    """,
+)
+def source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature mixture plan over sources: sampling mass
+    ∝ tokens^0.7 (flattens the head so small sources survive), plus
+    the Bernoulli rate that hits a 20k-token budget
+    (``operators.corpus.temperature_mix_plan``). The normalizing
+    window runs over #sources rows, never over the data."""
+    from ..operators import corpus as CO
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", TX.token_count("text").alias("n_tokens")
+    )
+    out = CO.temperature_mix_plan(
+        d, "source", "n_tokens", alpha=_MIX_ALPHA, budget=_MIX_BUDGET
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("mix_weight", 6).alias("mix_weight"),
+        F.round("sample_prob", 6).alias("sample_prob"),
+    )
+
+
 @query(
     "doc_sample_by_lang",
     oracle=f"""

@@ -1,0 +1,55 @@
+"""Corpus-scoring / decontamination / mixture-planning properties
+beyond the value oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def test_ngram_decon_is_stricter_than_exact(spark, sf_dir):
+    """An exact duplicate shares every n-gram, so n-gram-overlap
+    decontamination can only drop MORE than the fingerprint pass:
+    survivors(ngram) ⊆ survivors(exact)."""
+    exact = {r["doc_id"] for r in QUERIES["decontaminated_docs"](spark, sf_dir).collect()}
+    ngram = {
+        r["doc_id"] for r in QUERIES["ngram_decontaminated_docs"](spark, sf_dir).collect()
+    }
+    assert ngram <= exact
+    assert ngram  # non-vacuous: something survives
+
+
+def test_ngram_decon_corpus_never_shuffled_into_join(spark, sf_dir):
+    """Both joins (shingle semi, id anti) must be broadcast — the
+    100 TB corpus side never moves through an exchange for the join."""
+    df = QUERIES["ngram_decontaminated_docs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_bounds(spark, sf_dir):
+    """Probabilities are < 1, so every mean log-prob is negative,
+    and only non-empty documents emit rows."""
+    rows = QUERIES["doc_unigram_logprob"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["mean_logprob"] < 0 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_temperature_mix_invariants(spark, sf_dir):
+    """Mixture weights and token shares each sum to 1; temperature
+    alpha<1 flattens: the biggest source's mix_weight must not exceed
+    its raw token share, the smallest's must not fall below it."""
+    rows = QUERIES["source_mix_plan"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    assert big["mix_weight"] <= big["token_share"] + 1e-9
+    assert small["mix_weight"] >= small["token_share"] - 1e-9
+    assert all(0.0 < r["sample_prob"] <= 1.0 for r in rows)
