@@ -57,7 +57,14 @@ def get_spark(
         # ns→µs truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs every task thread inside the driver JVM, so
+        # the driver heap IS the cluster's executor memory: size it
+        # like one (32 task slots × ~1.5 GB working set). 8g caused
+        # progressive GC degradation across repeated materializations
+        # (warm runs drifting 5.9→24.4 s on the set-similarity
+        # headline). On a real cluster this setting is irrelevant —
+        # executors get their own spark.executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
