@@ -14,6 +14,9 @@ CSV remains supported as a secondary source with a mandatory schema.
 
 from __future__ import annotations
 
+import functools as _functools
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -117,19 +120,43 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLES = tuple(SCHEMAS)
 
-# Physical quirks of the driver-generated parquet: events.ts is
-# TIMESTAMP(NANOS,false), which Spark cannot represent — with
+# Physical quirk some generator versions exhibit: events.ts written
+# as TIMESTAMP(NANOS,false), which Spark cannot represent — with
 # spark.sql.legacy.parquet.nanosAsLong=true (set in session.py) it
 # scans as int64 nanoseconds, converted below to a micros timestamp
 # (`div 1000` truncation — identical to DuckDB's ns→µs handling).
-_PHYSICAL_LONG_NANOS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Whether the conversion applies is decided per-file from the parquet
+# footer (one cached metadata read), so both TIMESTAMP(NANOS) and
+# TIMESTAMP(MICROS) inputs load correctly.
+_MAYBE_LONG_NANOS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def _physical_schema(name: str) -> T.StructType:
-    nanos_cols = _PHYSICAL_LONG_NANOS.get(name, ())
+@_functools.lru_cache(maxsize=None)
+def _stored_as_int64(path: str, col: str) -> bool:
+    """True when the parquet footer stores ``col`` as plain int64
+    (i.e. TIMESTAMP(NANOS) surfaced via nanosAsLong) rather than a
+    timestamp logical type. One driver-side footer read, cached —
+    never a data scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path
+    if _os.path.isdir(p):
+        parts = sorted(f for f in _os.listdir(p) if f.endswith(".parquet"))
+        if not parts:
+            return False
+        p = _os.path.join(p, parts[0])
+    try:
+        typ = pq.read_schema(p).field(col).type
+    except (OSError, KeyError, pa.ArrowInvalid):
+        return False
+    return pa.types.is_integer(typ)
+
+
+def _physical_schema(name: str, long_cols: tuple[str, ...]) -> T.StructType:
     return T.StructType(
         [
-            T.StructField(f.name, T.LongType() if f.name in nanos_cols else f.dataType, f.nullable)
+            T.StructField(f.name, T.LongType() if f.name in long_cols else f.dataType, f.nullable)
             for f in SCHEMAS[name]
         ]
     )
@@ -145,8 +172,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    df = spark.read.schema(_physical_schema(name)).parquet(f"{sf_dir}/{name}.parquet")
-    for c in _PHYSICAL_LONG_NANOS.get(name, ()):
+    path = f"{sf_dir}/{name}.parquet"
+    long_cols = tuple(
+        c for c in _MAYBE_LONG_NANOS.get(name, ()) if _stored_as_int64(path, c)
+    )
+    df = spark.read.schema(_physical_schema(name, long_cols)).parquet(path)
+    for c in long_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
 
