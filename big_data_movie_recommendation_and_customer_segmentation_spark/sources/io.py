@@ -131,26 +131,43 @@ TABLES = tuple(SCHEMAS)
 _MAYBE_LONG_NANOS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-@_functools.lru_cache(maxsize=None)
 def _stored_as_int64(path: str, col: str) -> bool:
-    """True when the parquet footer stores ``col`` as plain int64
-    (i.e. TIMESTAMP(NANOS) surfaced via nanosAsLong) rather than a
-    timestamp logical type. One driver-side footer read, cached —
-    never a data scan."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    """True when the parquet footer stores ``col`` as TIMESTAMP(NANOS)
+    (pyarrow surfaces it as ``timestamp[ns]``) or as a plain int64 —
+    either way Spark's ``nanosAsLong`` scan yields int64 nanoseconds
+    that need the µs conversion in ``load_table``. One driver-side
+    footer read, cached per (file, mtime, size) so regenerated
+    fixtures at the same path are re-sniffed. Missing paths raise
+    (load_table would fail anyway, with a murkier error)."""
     p = path
     if _os.path.isdir(p):
         parts = sorted(f for f in _os.listdir(p) if f.endswith(".parquet"))
         if not parts:
             return False
         p = _os.path.join(p, parts[0])
+    st = _os.stat(p)
+    return _sniff_ns_or_int64(p, st.st_mtime_ns, st.st_size, col)
+
+
+@_functools.lru_cache(maxsize=None)
+def _sniff_ns_or_int64(p: str, mtime_ns: int, size: int, col: str) -> bool:
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     try:
         typ = pq.read_schema(p).field(col).type
-    except (OSError, KeyError, pa.ArrowInvalid):
+    except (KeyError, pa.ArrowInvalid) as exc:
+        warnings.warn(
+            f"parquet footer sniff failed for {p!r} column {col!r} ({exc!r}); "
+            "assuming declared timestamp schema",
+            stacklevel=2,
+        )
         return False
-    return pa.types.is_integer(typ)
+    return pa.types.is_integer(typ) or (
+        pa.types.is_timestamp(typ) and typ.unit == "ns"
+    )
 
 
 def _physical_schema(name: str, long_cols: tuple[str, ...]) -> T.StructType:

@@ -61,3 +61,66 @@ def test_write_csv_split_roundtrip(spark, sf_dir, tmp_path):
         back = read_csv(spark, f"{out}/split={split}", data_schema)
         assert back.count() == n
     assert set(expected) == {"train", "val", "test"}
+
+
+def _write_events_fixture(tmp_path, ts_type):
+    """Write a minimal events.parquet with ``ts`` in the given arrow
+    type; returns the sf_dir-shaped directory containing it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / f"events_{ts_type}"
+    d.mkdir()
+    micros = [1_700_000_000_000_000 + i * 1_000_000 for i in range(4)]
+    if ts_type == "ns":
+        ts = pa.array([m * 1000 for m in micros], type=pa.timestamp("ns"))
+    elif ts_type == "us":
+        ts = pa.array(micros, type=pa.timestamp("us"))
+    else:  # raw int64 nanos
+        ts = pa.array([m * 1000 for m in micros], type=pa.int64())
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(4), type=pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "event_type": pa.array(["view"] * 4, type=pa.string()),
+            "value": pa.array([1.0] * 4, type=pa.float64()),
+            "props": pa.array(["{}"] * 4, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_load_table_sniffs_ts_physical_type(spark, tmp_path):
+    """Regression (ADVICE r2): pyarrow surfaces TIMESTAMP(NANOS) as
+    ``timestamp[ns]`` — never an integer — so the footer sniff must
+    match on the logical type's unit, not ``is_integer`` alone.
+    All three physical encodings must load to identical micros."""
+    import datetime as dt
+
+    expected = [
+        dt.datetime(2023, 11, 14, 22, 13, 20) + dt.timedelta(seconds=i)
+        for i in range(4)
+    ]
+    for enc in ("ns", "us", "int64"):
+        d = _write_events_fixture(tmp_path, enc)
+        got = sorted(
+            r["ts"] for r in load_table(spark, d, "events").select("ts").collect()
+        )
+        assert got == expected, (enc, got)
+
+
+def test_footer_sniff_cache_invalidates_on_rewrite(spark, tmp_path):
+    """Regenerating a fixture at the same path with a different ts
+    physical type must be re-sniffed (cache keys on mtime/size)."""
+    import shutil
+
+    d = _write_events_fixture(tmp_path, "us")
+    assert load_table(spark, d, "events").count() == 4
+    ns_dir = _write_events_fixture(tmp_path, "ns")
+    shutil.copyfile(f"{ns_dir}/events.parquet", f"{d}/events.parquet")
+    import os as _o
+
+    _o.utime(f"{d}/events.parquet")  # ensure distinct mtime_ns
+    assert load_table(spark, d, "events").select("ts").distinct().count() == 4
