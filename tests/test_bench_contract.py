@@ -27,3 +27,46 @@ def test_entry_contract_shape():
     orphans = [k for k in o if k not in q]
     assert not orphans, f"oracle_sql entries without queries(): {orphans}"
     assert callable(next(iter(q.values())))
+
+
+def test_bench_headline_metric_name_is_driver_parseable():
+    """The driver parses the r01 `metric`/`value` pair by name; the
+    r02 rename produced BENCH `"parsed": null`. Pin the literal."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench)
+    assert '"metric": "headline_queries_total_wall"' in src
+    assert '"warm_median_total"' in src
+
+
+def test_gate_priority_is_the_first_50_queries():
+    """The driver's correctness gate records only the first 50
+    ``queries()`` entries; GATE_PRIORITY curates them so every
+    operator family keeps a green row (VERDICT r2 ask #1)."""
+    import __spark_entry__ as E
+    from big_data_movie_recommendation_and_customer_segmentation_spark.plans import GATE_PRIORITY
+
+    names = list(E.queries())
+    assert len(GATE_PRIORITY) == 50
+    assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
+    # never-gated-before families must sit inside the gate window
+    for must in (
+        "training_corpus_manifest",
+        "ann_hyperplane_neighbors",
+        "ivf_knn_deterministic",
+        "embedding_near_duplicates_deterministic",
+        "purchase_attribution_asof",
+        "events_session_interval_join",
+        "props_json_stats",
+        "rolling_order_spend",
+        "simhash_duplicate_pairs",
+        "minhash_duplicate_pairs",
+        "video_frame_samples",
+        "kmeans_customer_segments",
+        "tumbling_hourly_events",
+        "sliding_window_events",
+        "session_windows_per_user",
+    ):
+        assert must in GATE_PRIORITY, must
