@@ -74,12 +74,19 @@ def main() -> None:
     warm_median: dict[str, float] = {}
     import gc
 
-    for name in names:
-        # Release dead references (and with them any checkpoint/cache
-        # blocks previous queries left behind) so each query is timed
-        # against a clean block manager, not the GC schedule: measured
-        # up to 3x on the first run after pressure built (PERF.md).
+    def clean_block_manager() -> None:
+        # Release dead references AND force a JVM GC so the
+        # ContextCleaner reclaims checkpoint/cache blocks previous
+        # queries left behind. Python gc alone is not enough: with
+        # the 48g local driver heap the JVM may not GC for minutes,
+        # so dead localCheckpoint RDDs pin their blocks and storage
+        # pressure slows later queries 4-6x (root-caused r03,
+        # PERF.md "checkpoint block pressure").
         gc.collect()
+        spark._jvm.System.gc()
+
+    for name in names:
+        clean_block_manager()
         t0 = time.perf_counter()
         materialize(QUERY_REGISTRY[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -90,7 +97,7 @@ def main() -> None:
         # cross-round comparison metric is the MEDIAN of 3 warm runs.
         runs = []
         for _ in range(3):
-            gc.collect()
+            clean_block_manager()
             t0 = time.perf_counter()
             materialize(QUERY_REGISTRY[name](spark, sf_dir))
             runs.append(round(time.perf_counter() - t0, 3))

@@ -59,11 +59,12 @@ def exact_jaccard_pairs(
     ``jaccard``. Replaces the reference's driver-side
     ``m1.jaccard(m2)`` scoring (``top_100_pairs.py:99-107``) with:
 
-        self-join on item (u_a < u_b) → groupBy pair count = |A∩B|
-        join per-user sizes → jaccard = ∩ / (|A|+|B|-∩)
+        per-user size window → self-join on item (u_a < u_b)
+        → groupBy pair: count = |A∩B|, sizes carried via min()
+        → jaccard = ∩ / (|A|+|B|-∩)
 
-    Shuffles: one per-user agg, one self-join keyed on item, one
-    pair agg, two broadcast-able size joins. The item-keyed self-join
+    Shuffles: one per-user size window, one self-join keyed on item,
+    one pair agg — no post-agg size joins. The item-keyed self-join
     is the skew point: ``max_item_freq`` drops items rated by more
     than that many users (they contribute O(f²) pairs and little
     similarity signal) — same motivation as the reference's
@@ -93,11 +94,29 @@ def exact_jaccard_pairs(
     #   the ContextCleaner when the plan is GC'd. At cluster scale
     #   prefer persist(DISK_ONLY) or a reliable checkpoint dir —
     #   localCheckpoint blocks don't survive executor loss.
-    if materialize_pairs and materialization_enabled():
-        pairs = pairs.localCheckpoint(eager=False)
-    sizes = pairs.groupBy("user").agg(F.count(F.lit(1)).alias("n_items"))
+    # Per-user set size rides WITH each (user, item) row into the
+    # self-join (one window shuffle over the 1-row-per-item relation)
+    # instead of being joined back onto the pair aggregate. The join
+    # form cost two extra SortMergeJoins and a full exchange of the
+    # O(pairs) relation — the optimizer can't broadcast `sizes` when
+    # the lineage is a checkpointed RDD (no stats), and at cluster
+    # scale per-user sizes may exceed broadcast limits anyway.
+    # Carrying two constant ints per row through the pair agg
+    # (min() of a per-group constant) is O(pairs)-neutral and
+    # join-free at any scale. The checkpoint sits AFTER the window so
+    # both self-join legs read the one materialized sized relation
+    # (before: each leg re-ran Exchange→Sort→Window). Measured at
+    # sf0.1, in-bench warm medians: 9.9 s (post-agg size joins)
+    # → 4.7 s (sizes carried through the agg; PERF.md r3).
+    from pyspark.sql import Window
 
-    joinable = pairs
+    sized = pairs.withColumn(
+        "n_items", F.count(F.lit(1)).over(Window.partitionBy("user"))
+    )
+    if materialize_pairs and materialization_enabled():
+        sized = sized.localCheckpoint(eager=False)
+
+    joinable = sized
     if prune_unique_items:
         # An item held by a single user contributes no pair, so only
         # items with frequency ≥ 2 need to enter the self-join. Sizes
@@ -110,24 +129,26 @@ def exact_jaccard_pairs(
         # opt-in; the hot-item quadratic blowup is governed by
         # ``max_item_freq`` either way.
         shared = (
-            pairs.groupBy("item")
+            sized.groupBy("item")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") >= 2)
             .select("item")
         )
-        joinable = pairs.join(shared, "item")
+        joinable = sized.join(shared, "item")
 
-    a = joinable.select(F.col("user").alias("user_a"), "item")
-    b = joinable.select(F.col("user").alias("user_b"), "item")
-    inter = (
+    a = joinable.select(F.col("user").alias("user_a"), "item", F.col("n_items").alias("n_a"))
+    b = joinable.select(F.col("user").alias("user_b"), "item", F.col("n_items").alias("n_b"))
+    out = (
         a.join(b, "item")
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        inter.join(sizes.select(F.col("user").alias("user_a"), F.col("n_items").alias("n_a")), "user_a")
-        .join(sizes.select(F.col("user").alias("user_b"), F.col("n_items").alias("n_b")), "user_b")
+        # n_a/n_b are constant within a (user_a, user_b) group, so
+        # min() is exact and rides the map-side partial agg for free.
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

@@ -153,3 +153,101 @@ def test_als_grid_search_deterministic_order(spark, ratings):
     assert [(r["rank"], r["reg_param"]) for r in out] == [(4, 0.1), (8, 0.1)]
     # more capacity on train-fit RMSE must not hurt at fixed reg
     assert out[1]["rmse"] <= out[0]["rmse"] + 1e-6
+
+
+def _compat_metrics(spark, ratings):
+    """The compat path end-to-end: deterministic split → damped
+    popularity scores → rank-eval with the reference's item-id
+    ordered recommendation lists (``compat_item_order=True``,
+    reproducing ``popularity_evalutaion.py:42-54`` reading order)."""
+    split = ML.split_ratings(ratings, min_ratings=5).cache()
+    out = ML.popularity_eval(
+        spark,
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "val"),
+        split.filter(F.col("split") == "test"),
+        bias=0.0,
+        min_ratings=5,
+        n_candidates=100,
+        k=10,
+        compat_item_order=True,
+    )
+    split.unpersist()
+    rows = []
+    for part in sorted(out):
+        for metric in sorted(out[part]):
+            rows.append((part, metric, round(float(out[part][metric]), 6)))
+    return rows
+
+
+def test_popularity_eval_compat_matches_golden(spark, ratings):
+    """Golden-parity artifact for compat mode (VERDICT r2 ask #6):
+    the committed CSV pins the full compat pipeline's metrics at
+    sf0.001 — the engine-side analog of the reference's committed
+    ``top_100_pairs.csv`` golden."""
+    import csv
+    import os
+
+    golden = os.path.join(
+        os.path.dirname(__file__), "golden", "popularity_compat_metrics_sf0001.csv"
+    )
+    got = _compat_metrics(spark, ratings)
+    if os.environ.get("SPARK_GRAFT_REGEN_GOLDEN"):
+        with open(golden, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["split", "metric", "value"])
+            w.writerows(got)
+    with open(golden) as f:
+        exp = [
+            (r["split"], r["metric"], float(r["value"]))
+            for r in csv.DictReader(f)
+        ]
+    assert [(s, m, round(v, 6)) for s, m, v in got] == [
+        (s, m, round(v, 6)) for s, m, v in exp
+    ]
+
+
+def test_als_seeded_quality_band(spark, ratings):
+    """Seeded-quality gate for ALS (VERDICT r2 ask #5):
+    ``als_recommendations`` is rows-only in the driver gate forever
+    (iterative + seeded), so the local evidence must carry the
+    weight: (a) fixed-seed RMSE lands in a fixed tolerance band,
+    (b) two fits with the same seed produce identical top-k
+    recommendation lists (rank-for-rank), (c) a different seed still
+    lands in the band (the band tests quality, not one lucky seed)."""
+    split = ML.split_ratings(ratings, min_ratings=5).cache()
+    tr = split.filter(F.col("split") == "train").cache()
+    va = split.filter(F.col("split") == "val")
+    cfg = ALSConfig(rank=8, reg_param=0.1, max_iter=5, seed=42)
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import als as ALSOPS
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import evaluate as EV
+
+    users = va.select("userId").distinct().orderBy("userId").limit(50).cache()
+
+    def fit_and_eval(config):
+        model = ALSOPS.fit_als(tr, "userId", "movieId", "rating", config)
+        preds = model.transform(va)
+        rmse = EV.rmse(preds, "rating", "prediction")
+        recs = ALSOPS.recommend_for_users(model, users, k=5)
+        ranked = sorted(
+            (r["user"], r["rank"], r["item"]) for r in recs.collect()
+        )
+        return rmse, ranked
+
+    rmse_a, recs_a = fit_and_eval(cfg)
+    # ratings are synthetic (quantity-derived, 1..5): a fitted model
+    # must beat the degenerate constant predictor on val and stay in
+    # a sane band; the 3x-wide band guards against noise while still
+    # failing on a broken seed plumb (rmse>2.2) or leakage (<0.5).
+    assert 0.5 < rmse_a < 2.2, rmse_a
+
+    rmse_b, recs_b = fit_and_eval(cfg)
+    assert abs(rmse_a - rmse_b) < 1e-9, (rmse_a, rmse_b)
+    assert recs_a == recs_b, "same-seed rank instability"
+
+    rmse_c, _ = fit_and_eval(ALSConfig(rank=8, reg_param=0.1, max_iter=5, seed=7))
+    assert 0.5 < rmse_c < 2.2, rmse_c
+    tr.unpersist()
+    split.unpersist()
+    users.unpersist()
