@@ -92,3 +92,46 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
 def test_stratified_sample_gets_window_group_limit(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "doc_sample_by_lang")
     assert "WindowGroupLimit" in plan
+
+
+def test_jaccard_pair_agg_is_join_free(spark, sf_dir):
+    """r3 size-carry pin: the only join in the exact-Jaccard plan is
+    the item-keyed self-join — per-user sizes must NOT be joined back
+    onto the O(pairs) aggregate (two extra SMJs + a full exchange of
+    the pair relation before the fix; similarity.py:96)."""
+    plan = plan_of(spark, sf_dir, "top_similar_customer_pairs")
+    joins = re.findall(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan)
+    assert len(joins) == 1, joins
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_has_no_cartesian(spark, sf_dir):
+    """As-of join = union + per-key window, never a range cross
+    product (temporal.asof_join)."""
+    plan = plan_of(spark, sf_dir, "purchase_attribution_asof")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_interval_join_is_equi_bucketed(spark, sf_dir):
+    """Interval join buckets time into grid cells so the physical
+    join is an equi-join on (key, cell) — no nested-loop scan."""
+    plan = plan_of(spark, sf_dir, "events_session_interval_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_window_single_shuffle(spark, sf_dir):
+    """Frame-spec rolling agg: one shuffle by the partition key, no
+    global sort, no SinglePartition exchange."""
+    plan = plan_of(spark, sf_dir, "rolling_order_spend")
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+
+
+def test_props_json_prunes_scan(spark, sf_dir):
+    """get_json_object runs JVM-side over a scan that reads only the
+    two referenced columns."""
+    plan = plan_of(spark, sf_dir, "props_json_stats")
+    assert "BatchEvalPython" not in plan
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m and "props" in m.group(1) and "user_id" not in m.group(1), m and m.group(1)
