@@ -275,3 +275,47 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    compression: str | None = None,
+) -> DataFrame:
+    """JSON-lines scan with mandatory schema — the interchange format
+    of LLM corpus pipelines (one document object per line).
+
+    Schema is required for the same reason as ``read_csv``: inference
+    is a full extra pass at 100 TB, and a declared schema projects
+    only referenced fields from each line (Jackson parses lazily —
+    ``ReadSchema`` in the plan shows the pruned struct). Corrupt
+    lines land in ``_corrupt_record`` if the schema declares it,
+    else the row is null-filled (PERMISSIVE mode): a 10-billion-line
+    crawl should never abort on one malformed record, and the
+    corrupt-count is one ``filter`` away instead of one failed job.
+    """
+    r = spark.read.schema(schema).option("mode", "PERMISSIVE")
+    if compression:
+        r = r.option("compression", compression)
+    return r.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """JSON-lines sink, gzip by default (JSONL is an interchange
+    format — it leaves the cluster, so wire size beats scan speed;
+    anything re-read by this engine belongs in parquet). One job
+    writes all partitions hive-partitioned, same as the other sinks.
+    """
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)

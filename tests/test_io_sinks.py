@@ -124,3 +124,60 @@ def test_footer_sniff_cache_invalidates_on_rewrite(spark, tmp_path):
 
     _o.utime(f"{d}/events.parquet")  # ensure distinct mtime_ns
     assert load_table(spark, d, "events").select("ts").distinct().count() == 4
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    """JSONL source/sink: gzip-compressed write, schema-declared
+    re-read, values preserved — the LLM-corpus interchange path."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, partition_by=("lang",))
+    back = read_jsonl(spark, out, docs.drop("lang").schema)
+    cols = ["doc_id", "text", "source", "n_chars"]
+    assert sorted(map(tuple, back.select(cols).collect())) == sorted(
+        map(tuple, docs.select(cols).collect())
+    )
+    # hive partitioning must prune at scan, not post-filter
+    part = spark.read.schema(docs.drop("lang").schema).json(out)
+    from pyspark.sql import functions as FF
+
+    plan = (
+        part.filter(FF.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:2000]
+
+
+def test_jsonl_corrupt_lines_do_not_abort(spark, tmp_path):
+    """PERMISSIVE mode: malformed lines surface as _corrupt_record
+    rows; a 10B-line crawl must never abort on one bad record."""
+    import gzip as _g
+
+    from pyspark.sql import types as TT
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import read_jsonl
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        'THIS IS NOT JSON\n'
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("text", TT.StringType()),
+            TT.StructField("_corrupt_record", TT.StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema).cache()
+    assert df.count() == 3
+    assert df.filter("_corrupt_record IS NOT NULL").count() == 1
+    assert df.filter("doc_id IS NOT NULL").count() == 2
+    df.unpersist()
