@@ -1580,19 +1580,79 @@ def rolling_order_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("media_image_features")  # Pandas-UDF decode stub → rows-only
+@query(
+    "media_image_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 'IMG:' || sha256(text) AS s FROM documents
+    )
+    SELECT doc_id AS media_id,
+           64 AS width, 64 AS height,
+           CAST(sum(CASE WHEN (i - 1) % 8 = 0 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f0,
+           CAST(sum(CASE WHEN (i - 1) % 8 = 1 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN (i - 1) % 8 = 2 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f2,
+           CAST(sum(CASE WHEN (i - 1) % 8 = 3 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f3,
+           CAST(sum(CASE WHEN (i - 1) % 8 = 4 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f4,
+           CAST(sum(CASE WHEN (i - 1) % 8 = 5 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f5,
+           CAST(sum(CASE WHEN (i - 1) % 8 = 6 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f6,
+           CAST(sum(CASE WHEN (i - 1) % 8 = 7 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f7
+    FROM m, generate_series(1, 68) t(i)
+    GROUP BY doc_id
+    """,
+)
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → Arrow-batched mapInPandas feature
-    extraction (decode stubbed deterministically; plumbing real)."""
+    extraction (decode stubbed deterministically; plumbing real).
+
+    VALUE-oracle-checked (upgraded from rows-only, r3): the fake
+    decode's features are position-interleaved byte averages of the
+    68-byte ``'IMG:' + sha256(text)`` payload, so the gate view
+    inverts them to exact integer byte-sums via ``round(f * 68)`` —
+    float32 storage error is ≤ ~1.3e-4 against a 0.5 rounding
+    margin, so the inversion is provably exact — and DuckDB rebuilds
+    the same sums from ``sha256``/``ord``. This puts the mapInPandas
+    batch plumbing itself (schema, batching, per-byte decode loop)
+    inside the value gate."""
     d = load_table(spark, sf_dir, "documents")
     media = MM.synthetic_media_table(d.withColumnRenamed("doc_id", "media_id"), "media_id", "text")
-    return MM.extract_image_features(media, fake=True)
+    feats = MM.extract_image_features(media, fake=True)
+    n = 68.0  # len("IMG:") + 64 hex chars — fixed by synthetic_media_table
+    return feats.select(
+        "media_id", "width", "height",
+        *[
+            F.round(F.element_at("features", k + 1) * F.lit(n)).cast("long").alias(f"f{k}")
+            for k in range(8)
+        ],
+    )
 
 
-@query("media_audio_frames")  # Pandas-UDF decode stub → rows-only
+@query(
+    "media_audio_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 'AUD:' || sha256(text) AS s, (doc_id % 7) + 1 AS nf FROM documents
+    ),
+    b AS (
+      SELECT doc_id, nf, sum(ord(substr(s, i, 1))) AS base
+      FROM m, generate_series(1, 64) t(i)
+      GROUP BY doc_id, nf
+    )
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, nf)) AS BIGINT) AS frame_idx,
+           CAST((base * (unnest(range(0, nf)) + 1)) % 997 AS BIGINT) AS rms_ticks
+    FROM b
+    """,
+)
 def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction plumbing: per-frame rows via the
-    Arrow-batched mapInPandas contract (decode stubbed)."""
+    Arrow-batched mapInPandas contract (decode stubbed).
+
+    VALUE-oracle-checked (upgraded from rows-only, r3): the fake
+    per-frame rms is ``((Σ first-64 payload bytes)·(i+1) mod 997) /
+    997`` — the gate view inverts to the exact mod-997 tick count
+    (float32 error ≤ ~6e-5 vs the 0.5 margin) and DuckDB rebuilds it
+    from ``sha256``/``ord`` plus a per-row ``range`` unnest for the
+    frame amplification."""
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.concat(F.lit("AUD:"), F.sha2(F.col("text"), 256)), "utf-8").alias("_payload"),
@@ -1605,7 +1665,12 @@ def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             duration_ms=F.col("_dur"), sample_rate=F.lit(16000),
         ).alias("media"),
     )
-    return MM.extract_audio_features(media, fake=True)
+    frames = MM.extract_audio_features(media, fake=True)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.round(F.col("rms") * F.lit(997.0)).cast("long").alias("rms_ticks"),
+    )
 
 
 @query(
