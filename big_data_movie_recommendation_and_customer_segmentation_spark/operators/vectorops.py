@@ -635,3 +635,80 @@ def kmeans_segments(
     model = km.fit(feats)
     keep = id_cols or [c for c in df.columns]
     return model.transform(feats).select(*keep, "segment")
+
+
+def kmeans_segments_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic quantized Lloyd k-means (K11's value-checkable
+    sibling — ``kmeans_segments`` keeps pyspark.ml KMeans for the
+    production path).
+
+    Every quantity is an exact integer, so the whole fit is
+    bit-reproducible across engines and a SQL oracle can replay it:
+
+    - components quantized ``floor(x * scale)`` (int64);
+    - init = the k vectors with the smallest ``md5(id)`` (hash-seeded,
+      engine-independent — no RNG);
+    - assignment = argmin of integer squared L2, ties to the lowest
+      cluster id;
+    - new centroids = element-wise ``floor(sum / n)`` (the division is
+      two exact ints through IEEE double — exact floor for any
+      |sum| < 2^53); empty clusters keep their previous centroid;
+    - a fixed ``iters`` Lloyd rounds, then one final assignment.
+
+    Scale shape: the vector relation explodes to |V|·dim narrow rows
+    once; each round is one broadcast join against k·dim centroid
+    rows plus two keyed aggregations — no driver loop over data, no
+    collect; plan depth grows with ``iters`` (keep it small, or
+    checkpoint between rounds at cluster scale).
+    Output: id_col, segment.
+    """
+    from pyspark.sql import Window
+
+    ve = df.select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("d", "xr")
+    ).select(
+        "vid", "d", F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("x")
+    )
+
+    seed_order = [F.md5(F.col("vid").cast("string")).asc(), F.col("vid").asc()]
+    # distributed top-k on the hash (TakeOrderedAndProject), THEN a
+    # row_number over just k rows — never a global single-partition
+    # window over all ids
+    seeds = (
+        df.select(F.col(id_col).alias("vid"))
+        .orderBy(*seed_order)
+        .limit(k)
+        .withColumn("cluster", F.row_number().over(Window.orderBy(*seed_order)) - 1)
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        dist = (
+            ve.join(F.broadcast(cent), "d")
+            .groupBy("vid", "cluster")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+        )
+        return dist.groupBy("vid").agg(
+            F.min(F.struct("dist", "cluster")).alias("m")
+        ).select("vid", F.col("m.cluster").alias("cluster"))
+
+    cent = ve.join(seeds, "vid").select("cluster", "d", F.col("x").alias("c"))
+    for _ in range(iters):
+        asg = assign(cent)
+        new = (
+            ve.join(asg, "vid")
+            .groupBy("cluster", "d")
+            .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("c_new"))
+        )
+        cent = (
+            cent.withColumnRenamed("c", "c_prev")
+            .join(new, ["cluster", "d"], "left")
+            .select("cluster", "d", F.coalesce("c_new", "c_prev").alias("c"))
+        )
+    return assign(cent).select(F.col("vid").alias(id_col), F.col("cluster").alias("segment"))

@@ -1356,6 +1356,75 @@ def kmeans_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_quantized_oracle(k: int = 5, iters: int = 2, dim: int = 64, scale: int = 1000) -> str:
+    """Replay the quantized-Lloyd fit in DuckDB: same integer
+    quantization, hash seeding, argmin tie-break, floored integer
+    means, and empty-cluster carry — unrolled one CTE block per
+    round (no recursion needed for a fixed iteration count)."""
+    sql = [
+        f"""
+    WITH ve AS (
+      SELECT vec_id AS vid, d,
+             CAST(floor(CAST(embedding[d] AS DOUBLE) * {scale}) AS BIGINT) AS x
+      FROM embeddings, generate_series(1, {dim}) t(d)
+    ),
+    seeds AS (
+      SELECT vid, row_number() OVER (ORDER BY md5(CAST(vid AS VARCHAR)), vid) - 1 AS cluster
+      FROM (SELECT vec_id AS vid FROM embeddings)
+      ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT {k}
+    ),
+    c0 AS (
+      SELECT s.cluster, ve.d, ve.x AS c FROM ve JOIN seeds s USING (vid)
+    )"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sql.append(f""",
+    d{t} AS (
+      SELECT ve.vid, c.cluster, sum((ve.x - c.c) * (ve.x - c.c)) AS dist
+      FROM ve JOIN {prev} c USING (d) GROUP BY ve.vid, c.cluster
+    ),
+    a{t} AS (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+        FROM d{t}) WHERE rn = 1
+    ),
+    m{t} AS (
+      SELECT a.cluster, ve.d,
+             CAST(floor(sum(ve.x) / count(*)) AS BIGINT) AS c_new
+      FROM ve JOIN a{t} a USING (vid) GROUP BY a.cluster, ve.d
+    ),
+    c{t} AS (
+      SELECT p.cluster, p.d, coalesce(m.c_new, p.c) AS c
+      FROM {prev} p LEFT JOIN m{t} m ON m.cluster = p.cluster AND m.d = p.d
+    )""")
+        prev = f"c{t}"
+    sql.append(f""",
+    df AS (
+      SELECT ve.vid, c.cluster, sum((ve.x - c.c) * (ve.x - c.c)) AS dist
+      FROM ve JOIN {prev} c USING (d) GROUP BY ve.vid, c.cluster
+    )
+    SELECT vid AS vec_id, cluster AS segment FROM (
+      SELECT vid, cluster,
+             row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+      FROM df) WHERE rn = 1
+    """)
+    return "".join(sql)
+
+
+@query("kmeans_embedding_segments_det", oracle=_kmeans_quantized_oracle())
+def kmeans_embedding_segments_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11's VALUE-checked sibling: deterministic quantized Lloyd
+    k-means over the embeddings table — exact-integer fit replayed
+    end-to-end by the DuckDB oracle (``vectorops.
+    kmeans_segments_quantized``). The pyspark.ml production path
+    (`kmeans_customer_segments`) stays rows-only + determinism-tested;
+    this query puts the clustering *algorithm* inside the value gate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return VO.kmeans_segments_quantized(e, k=5, iters=2)
+
+
 # --------------------------------------------------------------------------
 # Event-time windows (batch semantics; same code runs under streaming)
 # --------------------------------------------------------------------------
