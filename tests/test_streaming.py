@@ -191,3 +191,49 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
         assert (r.n_distinct_est, r.n_seen) == (b.n_distinct_est, b.n_seen), (
             status, (r.n_distinct_est, r.n_seen), (b.n_distinct_est, b.n_seen),
         )
+
+
+def test_stream_jsonl_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """JSONL is the corpus drop-zone format: new .json.gz files land
+    in a directory and the stream ingests them incrementally. Prove
+    the composition — write_jsonl → readStream.json with the declared
+    schema → windowed agg — equals the batch result on the same
+    bytes."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import write_jsonl
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    src = str(tmp_path / "events_jsonl")
+    write_jsonl(ev, src, compression=None)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)  # force multi-batch incremental ingest
+        .json(src)
+        .withWatermark("ts", "1 hour")
+    )
+    windowed = W.tumbling_agg(
+        stream, "ts", "1 hour", group_by=("event_type",),
+        aggs=(F.count(F.lit(1)).alias("n"),),
+    )
+    q = (
+        windowed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("jsonl_tumbling")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.event_type): r.n
+            for r in spark.sql("SELECT * FROM jsonl_tumbling").collect()
+        }
+    finally:
+        q.stop()
+
+    expected = {
+        (r.window_start, r.event_type): r.n
+        for r in W.tumbling_agg(
+            ev, "ts", "1 hour", group_by=("event_type",), aggs=(F.count(F.lit(1)).alias("n"),)
+        ).collect()
+    }
+    assert got == expected
