@@ -70,3 +70,16 @@ def test_gate_priority_is_the_first_50_queries():
         "session_windows_per_user",
     ):
         assert must in GATE_PRIORITY, must
+
+
+def test_gate_rows_only_entries_are_the_declared_two():
+    """Everything in the gate window must be value-checked except the
+    two inherently iterative queries (ALS, pyspark.ml k-means). A new
+    gate entry registered without an oracle is a silent downgrade of
+    the correctness gate — catch it here."""
+    import __spark_entry__ as E
+    from big_data_movie_recommendation_and_customer_segmentation_spark.plans import GATE_PRIORITY
+
+    o = E.oracle_sql()
+    rows_only = {n for n in GATE_PRIORITY if n not in o}
+    assert rows_only == {"als_recommendations", "kmeans_customer_segments"}, rows_only
