@@ -99,3 +99,27 @@ def temperature_mix_plan(
             F.least(F.lit(1.0), F.lit(budget) * F.col("mix_weight") / F.col("n_tokens")),
         )
     return out
+
+
+def balanced_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str,
+) -> DataFrame:
+    """Exactly-N-per-group deterministic sample — the balanced-subset
+    op a training-data mix actually runs ("take 1M docs per source"),
+    complementing the fraction-based ``stratified_hash_sample``.
+
+    Order within a group is the md5 hash of the id (uniform,
+    engine-independent, no RNG), so the subset is reproducible and a
+    SQL oracle can rebuild it. The per-group limit compiles to
+    WindowGroupLimit (rank pushed below the final sort — asserted in
+    tests/test_plans.py), so each task keeps at most N rows per group
+    before the shuffle: groups far larger than N never materialize.
+    Groups smaller than N pass through whole.
+    """
+    from .relational import per_group_topk
+
+    order = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+    return per_group_topk(df, group_col, order, n_per_group)

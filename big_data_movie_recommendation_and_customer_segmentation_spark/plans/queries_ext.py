@@ -1413,6 +1413,31 @@ def _kmeans_quantized_oracle(k: int = 5, iters: int = 2, dim: int = 64, scale: i
     return "".join(sql)
 
 
+@query(
+    "doc_balanced_by_source",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def doc_balanced_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-10-docs-per-source balanced subset by deterministic
+    hash order (``corpus.balanced_sample_by_group`` — WindowGroupLimit
+    keeps ≤10 rows per source per task before any shuffle). N=10 binds
+    at every test SF (sources have ≥25 docs), so the gate checks real
+    selection, not a pass-through."""
+    from ..operators import corpus as CP
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    return CP.balanced_sample_by_group(d, "source", 10, "doc_id")
+
+
 @query("kmeans_embedding_segments_det", oracle=_kmeans_quantized_oracle())
 def kmeans_embedding_segments_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K11's VALUE-checked sibling: deterministic quantized Lloyd

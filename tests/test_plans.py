@@ -135,3 +135,8 @@ def test_props_json_prunes_scan(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
     assert m and "props" in m.group(1) and "user_id" not in m.group(1), m and m.group(1)
+
+
+def test_balanced_sample_gets_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "doc_balanced_by_source")
+    assert "WindowGroupLimit" in plan
