@@ -53,3 +53,25 @@ def test_temperature_mix_invariants(spark, sf_dir):
     assert big["mix_weight"] <= big["token_share"] + 1e-9
     assert small["mix_weight"] >= small["token_share"] - 1e-9
     assert all(0.0 < r["sample_prob"] <= 1.0 for r in rows)
+
+
+def test_balanced_sample_per_group_counts(spark, sf_dir):
+    """Exactly-N-per-group semantics: groups at least N big emit
+    exactly N rows; smaller groups pass through whole; output is a
+    subset of the input and identical across invocations."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.corpus import (
+        balanced_sample_by_group,
+    )
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n = 7
+    out = balanced_sample_by_group(d, "source", n, "doc_id")
+    sizes = {r["source"]: r["cnt"] for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    got = {r["source"]: r["cnt"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == {s: min(n, c) for s, c in sizes.items()}
+    assert out.join(d, ["doc_id", "source"], "left_anti").count() == 0
+    again = balanced_sample_by_group(d, "source", n, "doc_id")
+    assert sorted(map(tuple, out.select("doc_id").collect())) == sorted(
+        map(tuple, again.select("doc_id").collect())
+    )
