@@ -84,6 +84,7 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int | None = None,
     prune_unique_shingles: bool = False,
     materialize_pairs: bool = False,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (ground truth).
 
@@ -92,9 +93,30 @@ def ngram_jaccard_pairs(
     shingles (the skew control at scale: a boilerplate header shared
     by millions of docs would otherwise quadratically explode the
     join).
+
+    ``hash_shingles=True`` replaces each shingle string with the
+    shared 60-bit md5-prefix int before the distinct/governor/join:
+    8-byte fixed keys instead of n-word strings through every shuffle
+    — at 100 TB the self-join moves hashes, never text. Collisions
+    (~|shingles|²/2⁶¹) merge a pair of shingles identically in engine
+    AND oracle (same primitive both sides), so gate comparisons stay
+    exact.
     Output: doc_a < doc_b, n_common, n_a, n_b, jaccard.
     """
-    pairs = _shingle_pairs(df, id_col, text_col, n)
+    if hash_shingles:
+        # hash BEFORE the distinct so even that first shuffle moves
+        # 8-byte ints; the distinct then deduplicates at hash level
+        # (mirrored in the oracle)
+        pairs = (
+            df.select(
+                F.col(id_col).alias("doc"),
+                F.explode(TX.word_shingles(text_col, n)).alias("_s"),
+            )
+            .select("doc", TX.shared_token_hash60(F.col("_s")).alias("shingle"))
+            .distinct()
+        )
+    else:
+        pairs = _shingle_pairs(df, id_col, text_col, n)
     out = exact_jaccard_pairs(
         pairs, "doc", "shingle", threshold=threshold, max_item_freq=max_shingle_freq,
         prune_unique_items=prune_unique_shingles, materialize_pairs=materialize_pairs,

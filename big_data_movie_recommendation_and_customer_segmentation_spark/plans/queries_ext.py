@@ -715,10 +715,40 @@ _SHINGLE_CAPPED = f"""
 """
 
 
+# ngram near-dup joins on 60-bit md5-prefix shingle hashes (8-byte
+# fixed join keys instead of n-word strings through every shuffle —
+# the shape that matters at 100 TB); hash-level distinct mirrored in
+# the oracle so collisions (negligible, ~|shingles|^2/2^61) merge
+# identically on both sides.
+_SHINGLE_CAPPED_HASHED = f"""
+    t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    sh_str AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS s_str
+      FROM t
+    ),
+    sh AS (
+      SELECT doc_id, ('0x' || substr(md5(s_str), 1, 15))::BIGINT AS s FROM sh_str
+    ),
+    d_all AS (SELECT DISTINCT doc_id, s FROM sh),
+    ok_sh AS (SELECT s FROM d_all GROUP BY s HAVING count(*) <= {MAX_SHINGLE_FREQ}),
+    d AS (SELECT d_all.* FROM d_all JOIN ok_sh USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+
 @query(
     "ngram_duplicate_pairs",
     oracle=f"""
-    WITH {_SHINGLE_CAPPED}
+    WITH {_SHINGLE_CAPPED_HASHED}
     SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
            round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
     FROM inter
@@ -731,11 +761,12 @@ def ngram_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs ≥ 0.5 — ground
     truth for the MinHash path (testdata plants ~25 such pairs).
     ``max_shingle_freq`` governs the shingle-keyed self-join against
-    boilerplate blowup (mirrored in the oracle)."""
+    boilerplate blowup; ``hash_shingles`` moves 8-byte ints, not
+    strings, through the joins (both mirrored in the oracle)."""
     d = load_table(spark, sf_dir, "documents")
     out = DD.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=MAX_SHINGLE_FREQ,
-        materialize_pairs=True,
+        materialize_pairs=True, hash_shingles=True,
     )
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
