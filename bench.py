@@ -52,6 +52,45 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def format_output(
+    timings: dict[str, float],
+    warm: dict[str, float],
+    warm_median: dict[str, float],
+    sf: float,
+) -> list[str]:
+    """Emit per-query detail lines FIRST and a compact headline line
+    LAST.
+
+    The driver records only the last ~2000 chars of stdout and parses
+    the `metric`/`value` pair out of them.  r02/r03 printed a single
+    ~2400-char JSON line, so the captured tail started mid-JSON and
+    `BENCH_r{02,03}.json` came back `"parsed": null`.  The headline
+    line must therefore stay small (< 1500 chars, pinned by
+    tests/test_bench_contract.py); the three per-query dicts ride on
+    their own preceding lines where truncation costs nothing.
+
+    Cross-round comparisons should read `warm_median_total`: the
+    hypervisor throttles CPU in bursts (an identical plan swung
+    3→14 s run-to-run, PERF.md), so one-shot totals moved 31→71→64 s
+    with zero code change; per-query medians of 3 warm runs are the
+    honest comparator.
+    """
+    return [
+        json.dumps({"queries": timings}),
+        json.dumps({"queries_warm": warm, "warm_total": round(sum(warm.values()), 3)}),
+        json.dumps({"queries_warm_median": warm_median}),
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "warm_median_total": round(sum(warm_median.values()), 3),
+                "sf": sf,
+            }
+        ),
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -104,30 +143,8 @@ def main() -> None:
         warm[name] = runs[0]
         warm_median[name] = sorted(runs)[1]
 
-    total = round(sum(timings.values()), 3)
-    # The `metric`/`value` pair keeps BENCH_r01's exact shape
-    # (metric name + one-shot total) — the driver parses that pair,
-    # and r02's renamed headline came back `"parsed": null`.
-    # Cross-round comparisons should read `warm_median_total`: the
-    # hypervisor throttles CPU in bursts (an identical plan swung
-    # 3→14 s run-to-run, PERF.md), so one-shot totals moved
-    # 31→71→64 s with zero code change; per-query medians of 3 warm
-    # runs are the honest comparator and ride alongside.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
-                "queries_warm_median": warm_median,
-                "warm_median_total": round(sum(warm_median.values()), 3),
-                "sf": sf,
-            }
-        )
-    )
+    for line in format_output(timings, warm, warm_median, sf):
+        print(line)
     spark.stop()
 
 

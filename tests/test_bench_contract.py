@@ -41,6 +41,30 @@ def test_bench_headline_metric_name_is_driver_parseable():
     assert '"warm_median_total"' in src
 
 
+def test_bench_final_line_fits_driver_tail_capture():
+    """The driver keeps only the last ~2000 chars of bench stdout;
+    r02/r03 printed one ~2400-char JSON line whose head (with the
+    `metric` key) was truncated away → `"parsed": null` two rounds
+    running. The LAST emitted line must stay compact and
+    self-contained even at worst-case float widths."""
+    import json
+
+    import bench
+
+    # worst-case: every headline query at a 4-digit-second timing
+    fat = {n: 9999.999 for n in bench.HEADLINE}
+    lines = bench.format_output(fat, fat, fat, sf=0.1)
+    final = lines[-1]
+    assert len(final) < 1500, len(final)
+    parsed = json.loads(final)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    for key in ("value", "unit", "warm_median_total", "sf"):
+        assert key in parsed, key
+    # and the detail lines individually stay under the tail capture
+    for ln in lines:
+        assert len(ln) < 2000, len(ln)
+
+
 def test_gate_priority_is_the_first_50_queries():
     """The driver's correctness gate records only the first 50
     ``queries()`` entries; GATE_PRIORITY curates them so every
