@@ -21,38 +21,46 @@ from . import queries_ext  # noqa: F401  (registers extension queries)
 # representative) + 21 rows for families that were never gated or
 # fell out of the r02 gate (VERDICT r2 asks #1/#4).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- relational / ML core (green r02, keep green) --
-    "pricing_summary",             # B1-B9, D2/D3 multi-agg
-    "customer_order_counts",       # D1
-    "distinct_segments",           # D6
-    "order_part_sets",             # D4 sorted collect_set
-    "segment_revenue",             # C2 join+agg
-    "customers_with_open_orders",  # C1/C5 semi-join, B10
-    "top_parts_by_price",          # F1/F2 TakeOrderedAndProject
-    "recent_orders_per_customer",  # E2 WindowGroupLimit
-    "part_popularity_biased",      # D2/D3
-    "candidates_unseen",           # C3 anti + C4 broadcast cross
-    "chronological_split_counts",  # E1 split window
-    "corr_qty_price_by_flag",      # D8/D9 grouped Pearson
-    "popularity_recommendations",  # D5 ordered collect_list
-    "top_similar_customer_pairs",  # F4 + C6 exact self-join
-    "minhash_pairs_lsh",           # C6/K1-K3 LSH path
-    "customers_orders_events_fullouter",  # full outer join
-    "revenue_rollup_region_nation",  # rollup
-    "sql_surface_top_customers",   # spark.sql entry path
-    "segment_price_quantiles",     # grouped quantiles
-    "order_year_status_pivot",     # pivot
-    "kmv_distinct_customers",      # KMV sketch (value-checked approx)
-    "event_type_stats",            # B10 isin on events
+    # -- r04 rotation (VERDICT r3 asks #2/#3): the 23 oracle-backed
+    # queries with no r03 driver row rotate IN; 23 triple-vouched
+    # r01-r03 rows rotate OUT to CORRECTNESS_LOCAL vouching. The 4
+    # no-oracle variants (approx_distinct_customers, ann_lsh_neighbors,
+    # ivf_knn, embedding_near_duplicates) stay ungated: each has a
+    # hash-green deterministic sibling inside the window, and gating
+    # them would only add rows-only entries.
+    # -- rotated in: core relational siblings --
+    "order_part_stats",            # D-agg family sibling
+    "parts_never_ordered",         # C3 anti-join sibling
+    "region_nation_acctbal",       # C2 join sibling
+    "popularity_recommendations_compat",  # D5 sibling (ref-order compat)
+    "jaccard_pairs_exact",         # C6 exact set-similarity
+    "pair_rating_correlation",     # D8 per-pair Pearson
+    "order_status_priority_cube",  # cube (rollup sibling)
+    # -- rotated in: textops / corpus family --
+    "doc_token_stats",
+    "lang_id_distribution",
+    "doc_bpe_token_stats",
+    "doc_rolling_fingerprints",
+    "doc_scrub_stats",
+    "doc_repetition_stats",
+    "doc_heuristic_filter",
+    "decontaminated_docs",         # exact decontamination variant
+    "doc_unigram_logprob",
+    "source_mix_plan",
+    "doc_sample_by_lang",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "doc_balanced_by_source",
+    # -- rotated in: vector / ML siblings --
+    "knn_bruteforce_vectorized",
+    "kmeans_embedding_segments_det",  # K11 value-checked (replaces rows-only ml-lib variant)
+    # -- kept anchors: families first-gated in r03 stay fresh --
+    "pricing_summary",             # flagship scan/agg
+    "candidates_unseen",           # C3+C4, perf-watched
+    "top_similar_customer_pairs",  # C6/F4, perf-watched
     "als_recommendations",         # K4-K6 (rows-only by nature)
-    "ranking_metrics_summary",     # K7-K9 MAP/NDCG/P@k
-    "random_pair_baseline_trials", # F5/F6 + D7
-    "doc_quality_scores",          # textops family anchor
-    "token_shard_assignment",      # packing prefix-sum
-    "ngram_decontaminated_docs",   # decontamination anchor
-    "exact_duplicate_groups",      # exact dedup anchor
-    # -- never-gated or dropped-from-r02 families (VERDICT r2 #1/#4) --
-    "dedup_exact_survivors",
+    "ranking_metrics_summary",     # K7-K9
+    "exact_duplicate_groups",
     "ngram_duplicate_pairs",
     "minhash_duplicate_pairs",
     "simhash_duplicate_pairs",
@@ -62,7 +70,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_hyperplane_neighbors",
     "ivf_knn_deterministic",
     "embedding_near_duplicates_deterministic",
-    "kmeans_customer_segments",    # K11
     "tumbling_hourly_events",
     "sliding_window_events",
     "session_windows_per_user",
@@ -73,16 +80,27 @@ GATE_PRIORITY: tuple[str, ...] = (
     "media_image_features",
     "media_audio_frames",
     "video_frame_samples",
+    "token_shard_assignment",
+    "ngram_decontaminated_docs",
 )
 
 
-def _gate_ordered(reg: dict) -> dict:
+def _gate_ordered(reg: dict) -> None:
+    """Reorder ``reg`` IN PLACE so GATE_PRIORITY comes first.
+
+    In-place (clear+update) rather than rebinding to a copy so that
+    any ``@query`` registration executed after this module is
+    imported still lands in the same dict object that
+    ``__spark_entry__`` reads (ADVICE r3: a rebound copy silently
+    orphaned late registrations).
+    """
     ordered = {n: reg[n] for n in GATE_PRIORITY if n in reg}
     ordered.update((n, v) for n, v in reg.items() if n not in ordered)
-    return ordered
+    reg.clear()
+    reg.update(ordered)
 
 
-QUERY_REGISTRY = _gate_ordered(QUERY_REGISTRY)
-ORACLE_REGISTRY = _gate_ordered(ORACLE_REGISTRY)
+_gate_ordered(QUERY_REGISTRY)
+_gate_ordered(ORACLE_REGISTRY)
 
 __all__ = ["ORACLE_REGISTRY", "QUERY_REGISTRY", "GATE_PRIORITY"]

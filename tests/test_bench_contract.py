@@ -75,35 +75,47 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # never-gated-before families must sit inside the gate window
+    # r04 rotation (VERDICT r3 asks #2/#3): every query with no r03
+    # driver row and an oracle must sit inside the gate window
     for must in (
-        "training_corpus_manifest",
-        "ann_hyperplane_neighbors",
-        "ivf_knn_deterministic",
-        "embedding_near_duplicates_deterministic",
-        "purchase_attribution_asof",
-        "events_session_interval_join",
-        "props_json_stats",
-        "rolling_order_spend",
-        "simhash_duplicate_pairs",
-        "minhash_duplicate_pairs",
-        "video_frame_samples",
-        "kmeans_customer_segments",
-        "tumbling_hourly_events",
-        "sliding_window_events",
-        "session_windows_per_user",
+        "order_part_stats",
+        "parts_never_ordered",
+        "region_nation_acctbal",
+        "popularity_recommendations_compat",
+        "jaccard_pairs_exact",
+        "pair_rating_correlation",
+        "order_status_priority_cube",
+        "doc_token_stats",
+        "lang_id_distribution",
+        "doc_bpe_token_stats",
+        "doc_rolling_fingerprints",
+        "doc_scrub_stats",
+        "doc_repetition_stats",
+        "doc_heuristic_filter",
+        "decontaminated_docs",
+        "doc_unigram_logprob",
+        "source_mix_plan",
+        "doc_sample_by_lang",
+        "doc_chunks",
+        "tfidf_top_terms",
+        "doc_balanced_by_source",
+        "knn_bruteforce_vectorized",
+        "kmeans_embedding_segments_det",
     ):
         assert must in GATE_PRIORITY, must
+    # the rows-only ml-lib k-means variant must have ceded its slot
+    # to the value-checked deterministic sibling (VERDICT r3 ask #3)
+    assert "kmeans_customer_segments" not in GATE_PRIORITY
 
 
-def test_gate_rows_only_entries_are_the_declared_two():
+def test_gate_rows_only_entries_are_the_declared_one():
     """Everything in the gate window must be value-checked except the
-    two inherently iterative queries (ALS, pyspark.ml k-means). A new
-    gate entry registered without an oracle is a silent downgrade of
-    the correctness gate — catch it here."""
+    single inherently iterative query (ALS — seeded, non-convex). A
+    new gate entry registered without an oracle is a silent downgrade
+    of the correctness gate — catch it here."""
     import __spark_entry__ as E
     from big_data_movie_recommendation_and_customer_segmentation_spark.plans import GATE_PRIORITY
 
     o = E.oracle_sql()
     rows_only = {n for n in GATE_PRIORITY if n not in o}
-    assert rows_only == {"als_recommendations", "kmeans_customer_segments"}, rows_only
+    assert rows_only == {"als_recommendations"}, rows_only
