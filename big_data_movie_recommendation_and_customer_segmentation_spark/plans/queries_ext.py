@@ -1387,17 +1387,24 @@ def kmeans_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_quantized_oracle(k: int = 5, iters: int = 2, dim: int = 64, scale: int = 1000) -> str:
+def _kmeans_quantized_oracle(k: int = 5, iters: int = 2, scale: int = 1000) -> str:
     """Replay the quantized-Lloyd fit in DuckDB: same integer
     quantization, hash seeding, argmin tie-break, floored integer
     means, and empty-cluster carry — unrolled one CTE block per
-    round (no recursion needed for a fixed iteration count)."""
+    round (no recursion needed for a fixed iteration count).
+
+    The dimension is derived from the data (zipped unnest over the
+    actual vector length, mirroring the Spark side's posexplode)
+    rather than hardcoded — a fixture with a different embedding
+    width changes both sides together instead of hash-mismatching
+    (ADVICE r3)."""
     sql = [
         f"""
     WITH ve AS (
-      SELECT vec_id AS vid, d,
-             CAST(floor(CAST(embedding[d] AS DOUBLE) * {scale}) AS BIGINT) AS x
-      FROM embeddings, generate_series(1, {dim}) t(d)
+      SELECT vec_id AS vid,
+             unnest(range(1, len(embedding) + 1)) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS x
+      FROM embeddings
     ),
     seeds AS (
       SELECT vid, row_number() OVER (ORDER BY md5(CAST(vid AS VARCHAR)), vid) - 1 AS cluster

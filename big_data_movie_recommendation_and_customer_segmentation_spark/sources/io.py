@@ -149,7 +149,10 @@ def _stored_as_int64(path: str, col: str) -> bool:
     return _sniff_ns_or_int64(p, st.st_mtime_ns, st.st_size, col)
 
 
-@_functools.lru_cache(maxsize=None)
+# Bounded: entries are tiny, but a long-lived driver re-sniffing many
+# regenerated fixture paths (mtime in the key) should not grow without
+# limit (ADVICE r3).
+@_functools.lru_cache(maxsize=1024)
 def _sniff_ns_or_int64(p: str, mtime_ns: int, size: int, col: str) -> bool:
     import warnings
 
@@ -158,7 +161,7 @@ def _sniff_ns_or_int64(p: str, mtime_ns: int, size: int, col: str) -> bool:
 
     try:
         typ = pq.read_schema(p).field(col).type
-    except (KeyError, pa.ArrowInvalid) as exc:
+    except (KeyError, OSError, pa.ArrowInvalid) as exc:
         warnings.warn(
             f"parquet footer sniff failed for {p!r} column {col!r} ({exc!r}); "
             "assuming declared timestamp schema",
@@ -281,7 +284,6 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
-    compression: str | None = None,
 ) -> DataFrame:
     """JSON-lines scan with mandatory schema — the interchange format
     of LLM corpus pipelines (one document object per line).
@@ -294,11 +296,12 @@ def read_jsonl(
     else the row is null-filled (PERMISSIVE mode): a 10-billion-line
     crawl should never abort on one malformed record, and the
     corrupt-count is one ``filter`` away instead of one failed job.
+
+    No ``compression`` parameter: it is a WRITE-side option — the
+    JSON reader infers the codec from each file's extension, so
+    accepting one here would be a silent no-op (ADVICE r3).
     """
-    r = spark.read.schema(schema).option("mode", "PERMISSIVE")
-    if compression:
-        r = r.option("compression", compression)
-    return r.json(path)
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
 
 def write_jsonl(
