@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
 from big_data_movie_recommendation_and_customer_segmentation_spark.plans import QUERY_REGISTRY
 
-SUSPECTS = ["chronological_split_counts", "doc_quality_scores", "knn_bruteforce"]
+SUSPECTS = ["candidates_unseen", "ngram_duplicate_pairs"]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
