@@ -712,3 +712,66 @@ def kmeans_segments_quantized(
             .select("cluster", "d", F.coalesce("c_new", "c_prev").alias("c"))
         )
     return assign(cent).select(F.col("vid").alias(id_col), F.col("cluster").alias("segment"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+    iters: int = 2,
+    scale: int = 1000,
+    min_cosine: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings, then compare vectors
+    only WITHIN a cluster and drop every item that has a lower-id
+    cluster-mate at cosine ≥ ``min_cosine``. Survivors are the
+    id-order minima of each within-cluster similarity neighborhood —
+    a one-pass, join-expressible pruning rule (no iteration, no
+    transitive closure), deterministic for a fixed clustering.
+
+    Clustering is ``kmeans_segments_quantized`` (hash-seeded integer
+    Lloyd), so the WHOLE pipeline — assignment and pruning decisions
+    — is bit-reproducible and SQL-oracle-checkable.
+
+    Scale shape: the paper's point is exactly this plan — k bounds
+    pair volume. The self-join shuffles on the cluster key and costs
+    Σ|cluster|² comparisons; pick k ∝ N / target_cluster_size (e.g.
+    ~N/5000 at corpus scale) so each cluster's pair block fits an
+    executor, and raise ``iters`` only as codegen depth allows. No
+    all-pairs path: cross-cluster near-dups are deliberately out of
+    scope (that is SemDeDup's recall/cost trade).
+
+    Output: ``id_col``, ``segment``, ``kept`` (true = survivor).
+    """
+    asg = kmeans_segments_quantized(
+        df, id_col=id_col, vec_col=vec_col, k=k, iters=iters, scale=scale
+    )
+    # The assignment feeds three consumers (both self-join sides and
+    # the final kept-flag join); localCheckpoint truncates the
+    # unrolled Lloyd lineage so the fit runs once, not three times
+    # (measured 11.5 s → ~6 s cold at sf0.1). Same pattern/rationale
+    # as dedup.cluster_representatives' per-round checkpoint.
+    asg = asg.localCheckpoint(eager=False)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    asg_v = asg.join(vecs, id_col)
+    a = asg_v.select(
+        F.col(id_col).alias("id_a"), F.col("segment").alias("_seg"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = asg_v.select(
+        F.col(id_col).alias("id_b"), F.col("segment").alias("_seg"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dropped = (
+        a.join(b, "_seg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(V.cosine("_va", "_vb") >= F.lit(min_cosine))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return asg.join(dropped, id_col, "left").select(
+        id_col, "segment", F.col("_dropped").isNull().alias("kept")
+    )

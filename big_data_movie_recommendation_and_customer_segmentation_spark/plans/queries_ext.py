@@ -1387,11 +1387,13 @@ def kmeans_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_quantized_oracle(k: int = 5, iters: int = 2, scale: int = 1000) -> str:
+def _kmeans_quantized_cte(k: int = 5, iters: int = 2, scale: int = 1000) -> str:
     """Replay the quantized-Lloyd fit in DuckDB: same integer
     quantization, hash seeding, argmin tie-break, floored integer
     means, and empty-cluster carry — unrolled one CTE block per
     round (no recursion needed for a fixed iteration count).
+    Returns an open WITH chain ending in ``asg(vid, cluster)`` so
+    downstream oracles (k-means gate, semantic dedup) can extend it.
 
     The dimension is derived from the data (zipped unnest over the
     actual vector length, mirroring the Spark side's posexplode)
@@ -1442,13 +1444,46 @@ def _kmeans_quantized_oracle(k: int = 5, iters: int = 2, scale: int = 1000) -> s
     df AS (
       SELECT ve.vid, c.cluster, sum((ve.x - c.c) * (ve.x - c.c)) AS dist
       FROM ve JOIN {prev} c USING (d) GROUP BY ve.vid, c.cluster
-    )
-    SELECT vid AS vec_id, cluster AS segment FROM (
-      SELECT vid, cluster,
-             row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
-      FROM df) WHERE rn = 1
-    """)
+    ),
+    asg AS (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+        FROM df) WHERE rn = 1
+    )""")
     return "".join(sql)
+
+
+def _kmeans_quantized_oracle(k: int = 5, iters: int = 2, scale: int = 1000) -> str:
+    return (
+        _kmeans_quantized_cte(k, iters, scale)
+        + "\n    SELECT vid AS vec_id, cluster AS segment FROM asg"
+    )
+
+
+def _semantic_dedup_oracle(
+    k: int = 20, iters: int = 2, scale: int = 1000, tau: float = 0.4
+) -> str:
+    """Extend the quantized-k-means replay with SemDeDup's pruning
+    rule: an item is dropped iff ANY lower-id cluster-mate sits at
+    cosine ≥ tau (cosine over the same double-cast vectors the Spark
+    side compares)."""
+    return (
+        _kmeans_quantized_cte(k, iters, scale)
+        + f""",
+    sem_dropped AS (
+      SELECT DISTINCT b.vid AS vid
+      FROM asg a
+      JOIN asg b ON a.cluster = b.cluster AND a.vid < b.vid
+      JOIN embeddings ea ON ea.vec_id = a.vid
+      JOIN embeddings eb ON eb.vec_id = b.vid
+      WHERE list_cosine_similarity(
+              ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= {tau}
+    )
+    SELECT a.vid AS vec_id, a.cluster AS segment, (d.vid IS NULL) AS kept
+    FROM asg a LEFT JOIN sem_dropped d ON d.vid = a.vid
+    """
+    )
 
 
 @query(
@@ -1831,3 +1866,23 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("media"),
     )
     return MM.sample_video_frames(media, every_ms=1000)
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style cluster-then-prune)
+# --------------------------------------------------------------------------
+
+
+@query("semantic_dedup_survivors", oracle=_semantic_dedup_oracle())
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table:
+    quantized-k-means clustering (k=20), then within-cluster pruning
+    at cosine ≥ 0.4 — every decision integer- or double-exact, so the
+    DuckDB oracle value-checks the full cluster-then-prune pipeline
+    (assignments AND kept flags). τ=0.4 drops 21/500 at sf0.01 and
+    217/2000 at sf0.1 on the synthetic vectors, so the gate exercises
+    real pruning, not a pass-through."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return VO.semantic_dedup(e, k=20, iters=2, min_cosine=0.4)

@@ -184,3 +184,40 @@ def test_ivf_deterministic_subset_and_exact_cosines(spark, emb):
         per_probe.setdefault(r.probe_id, []).append(r.rank)
     for pid, ranks in per_probe.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (pid, ranks)
+
+
+def test_semantic_dedup_matches_bruteforce_rule(spark, emb):
+    """semantic_dedup's kept flags must equal the brute-force replay
+    of its documented rule: drop j iff some i<j in the SAME cluster
+    has cosine(i, j) >= tau. Also pins the two global invariants:
+    output is a partition of the input ids, and every cluster keeps
+    at least its lowest-id member."""
+    import numpy as np
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    tau = 0.4
+    out = VO.semantic_dedup(e, k=8, iters=2, min_cosine=tau).collect()
+    rows = {r.vec_id: r for r in out}
+    vecs = {r.vec_id: np.array(r.embedding) for r in e.collect()}
+    assert set(rows) == set(vecs)
+
+    by_seg: dict[int, list[int]] = {}
+    for r in out:
+        by_seg.setdefault(r.segment, []).append(r.vec_id)
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    n_dropped = 0
+    for seg, ids in by_seg.items():
+        ids.sort()
+        assert rows[ids[0]].kept, "lowest id in a cluster can never drop"
+        for j in ids:
+            expect_drop = any(
+                i < j and cos(vecs[i], vecs[j]) >= tau for i in ids
+            )
+            assert rows[j].kept == (not expect_drop), (seg, j)
+            n_dropped += int(expect_drop)
+    assert n_dropped > 0, "tau=0.4 must exercise real pruning on testdata"
