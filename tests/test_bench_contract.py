@@ -119,3 +119,21 @@ def test_gate_rows_only_entries_are_the_declared_one():
     o = E.oracle_sql()
     rows_only = {n for n in GATE_PRIORITY if n not in o}
     assert rows_only == {"als_recommendations"}, rows_only
+
+
+def test_family_map_covers_the_whole_registry():
+    """tools/gate_freshness.py reports per-family driver-evidence age;
+    a query missing from its FAMILIES map silently escapes the
+    staleness check, so the map must stay total (and free of typos)."""
+    import __spark_entry__ as E
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    from gate_freshness import QUERY_TO_FAMILY
+
+    names = set(E.queries())
+    unmapped = names - set(QUERY_TO_FAMILY)
+    ghosts = set(QUERY_TO_FAMILY) - names
+    assert not unmapped, f"queries missing a family: {sorted(unmapped)}"
+    assert not ghosts, f"family map names not in registry: {sorted(ghosts)}"

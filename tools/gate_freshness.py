@@ -1,0 +1,153 @@
+"""Per-family driver-evidence freshness report (VERDICT r3 ask #2's
+done-criterion): for every operator family, when did a member last
+get a DRIVER correctness row (CORRECTNESS_r{N}.json), and is it
+still green locally (CORRECTNESS_LOCAL.json)?
+
+    python tools/gate_freshness.py        # table + stale warning
+
+A family is STALE when its newest driver row is more than 2 rounds
+old — the rotation budget (50 driver slots, 78 queries) is sized so
+no family ever has to go stale.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# family → registry queries. tests/test_bench_contract.py asserts the
+# mapping stays total over the registry.
+FAMILIES: dict[str, tuple[str, ...]] = {
+    "scan_agg": ("pricing_summary", "part_popularity_biased", "order_part_stats",
+                 "customer_order_counts", "event_type_stats", "region_nation_acctbal"),
+    "distinct": ("distinct_segments",),
+    "collect_aggs": ("order_part_sets", "popularity_recommendations",
+                     "popularity_recommendations_compat"),
+    "joins": ("segment_revenue", "customers_with_open_orders", "parts_never_ordered",
+              "customers_orders_events_fullouter"),
+    "candidate_gen": ("candidates_unseen",),
+    "topk": ("top_parts_by_price", "recent_orders_per_customer"),
+    "chrono_split": ("chronological_split_counts",),
+    "correlation": ("corr_qty_price_by_flag", "pair_rating_correlation"),
+    "set_similarity": ("top_similar_customer_pairs", "jaccard_pairs_exact",
+                       "minhash_pairs_lsh"),
+    "grouping_sets": ("revenue_rollup_region_nation", "order_status_priority_cube"),
+    "sql_surface": ("sql_surface_top_customers",),
+    "quantiles": ("segment_price_quantiles",),
+    "pivot": ("order_year_status_pivot",),
+    "sketches": ("kmv_distinct_customers", "approx_distinct_customers"),
+    "sampling": ("random_pair_baseline_trials",),
+    "als": ("als_recommendations",),
+    "ranking_metrics": ("ranking_metrics_summary",),
+    "kmeans": ("kmeans_customer_segments", "kmeans_embedding_segments_det"),
+    "text_stats": ("doc_quality_scores", "doc_token_stats", "doc_bpe_token_stats",
+                   "lang_id_distribution", "doc_scrub_stats", "doc_repetition_stats",
+                   "doc_heuristic_filter", "doc_rolling_fingerprints"),
+    "corpus_ops": ("doc_unigram_logprob", "source_mix_plan", "doc_sample_by_lang",
+                   "doc_chunks", "doc_balanced_by_source", "tfidf_top_terms"),
+    "packing": ("token_shard_assignment",),
+    "exact_dedup": ("exact_duplicate_groups", "dedup_exact_survivors"),
+    "ngram_dedup": ("ngram_duplicate_pairs",),
+    "minhash_dedup": ("minhash_duplicate_pairs",),
+    "simhash_dedup": ("simhash_duplicate_pairs",),
+    "dedup_closure": ("dedup_representatives",),
+    "decontamination": ("ngram_decontaminated_docs", "decontaminated_docs"),
+    "corpus_pipeline": ("training_corpus_manifest",),
+    "semantic_dedup": ("semantic_dedup_survivors",),
+    "knn": ("knn_bruteforce", "knn_bruteforce_vectorized"),
+    "ann": ("ann_hyperplane_neighbors", "ann_lsh_neighbors"),
+    "ivf": ("ivf_knn_deterministic", "ivf_knn"),
+    "embedding_dedup": ("embedding_near_duplicates_deterministic",
+                        "embedding_near_duplicates"),
+    "asof_join": ("purchase_attribution_asof",),
+    "interval_join": ("events_session_interval_join",),
+    "rolling_window": ("rolling_order_spend",),
+    "json_props": ("props_json_stats",),
+    "streaming_tumbling": ("tumbling_hourly_events",),
+    "streaming_sliding": ("sliding_window_events",),
+    "streaming_session": ("session_windows_per_user",),
+    "multimodal": ("media_image_features", "media_audio_frames",
+                   "video_frame_samples"),
+}
+
+QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
+
+
+def load_rounds() -> dict[int, dict]:
+    rounds = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            with open(path) as f:
+                rounds[int(m.group(1))] = json.load(f)
+    return rounds
+
+
+# Families whose first member registered in round N have no earlier
+# driver row BY CONSTRUCTION — not stale until N+2.
+NEW_IN_ROUND: dict[str, int] = {"semantic_dedup": 4}
+
+
+def row_green(row: dict) -> bool:
+    if row.get("err") == "no_oracle":
+        # rows-only driver evidence (ALS/ml-k-means): the run executed
+        # and produced rows; value vouching lives in local tests
+        return (row.get("spark_rows") or 0) > 0
+    if row.get("err") is not None:
+        return False
+    return bool(row.get("hash_match")) and bool(row.get("rows_match"))
+
+
+def main() -> int:
+    rounds = load_rounds()
+    latest = max(rounds)
+    local = {}
+    local_path = os.path.join(REPO, "CORRECTNESS_LOCAL.json")
+    if os.path.exists(local_path):
+        with open(local_path) as f:
+            local = json.load(f).get("queries", {})
+
+    per_family: dict[str, tuple[int | None, str]] = {}
+    for fam, qs in FAMILIES.items():
+        best: tuple[int, str] | None = None
+        for n in sorted(rounds, reverse=True):
+            for q in qs:
+                row = rounds[n].get(q)
+                if row is not None and row_green(row):
+                    best = (n, q)
+                    break
+            if best:
+                break
+        per_family[fam] = best or (None, "-")
+
+    stale = []
+    print(f"{'family':<20} {'last driver round':<18} {'via query':<40} local")
+    for fam, (n, q) in sorted(per_family.items(), key=lambda kv: (kv[1][0] or 0, kv[0])):
+        ok_local = all(
+            local.get(x, {}).get("err") is None
+            and local.get(x, {}).get("values_match", True)
+            for x in FAMILIES[fam]
+            if x in local
+        )
+        age = "-" if n is None else f"r{n:02d} (age {latest - n})"
+        print(f"{fam:<20} {age:<18} {q:<40} {'green' if ok_local else 'CHECK'}")
+        if n is None and latest < NEW_IN_ROUND.get(fam, 0) + 2:
+            continue  # first-registered too recently to have a row
+        if n is None or latest - n > 2:
+            stale.append(fam)
+    if stale:
+        print(f"\nSTALE (> 2 rounds without a driver row): {stale}")
+        return 1
+    print(f"\nAll {len(FAMILIES)} families have driver evidence within 2 rounds of r{latest:02d}.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
