@@ -1886,3 +1886,44 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     return VO.semantic_dedup(e, k=20, iters=2, min_cosine=0.4)
+
+
+@query(
+    "purchase_click_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream attribution join: every
+    (click, purchase) pair for the same user with the click inside
+    the hour before the purchase (inclusive at the purchase instant).
+    The SAME ``attribution_join`` runs under watermarks as a
+    Structured Streaming query (streaming/joins.py; equivalence
+    pinned by tests/test_streaming.py)."""
+    from ..streaming import joins as SJ
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return SJ.attribution_join(
+        clicks, buys, "user_id", "click_ts", "purchase_ts", "1 hour"
+    )

@@ -1,1 +1,1 @@
-from . import stateful, windows  # noqa: F401
+from . import joins, stateful, windows  # noqa: F401

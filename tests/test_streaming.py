@@ -237,3 +237,49 @@ def test_stream_jsonl_ingest_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with watermarks produces exactly the
+    batch attribution pairs once all files are processed — the
+    equivalence that makes streaming/joins.py's batch-first design
+    trustworthy."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming import joins as SJ
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_stream")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream_df = SJ.stream_attribution_join(
+        spark, src, ev.schema, cause_type="click", effect_type="purchase",
+        lookback="1 hour", watermark="2 hours",
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attribution_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.cause_id, r.effect_id)
+            for r in spark.sql("SELECT * FROM attribution_smoke").collect()
+        }
+    finally:
+        q.stop()
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cause_id"), F.col("ts").alias("cause_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("effect_id"), F.col("ts").alias("effect_ts")
+    )
+    expected = {
+        (r.user_id, r.cause_id, r.effect_id)
+        for r in SJ.attribution_join(
+            clicks, buys, "user_id", "cause_ts", "effect_ts", "1 hour"
+        ).collect()
+    }
+    assert expected, "testdata must contain click→purchase pairs"
+    assert got == expected

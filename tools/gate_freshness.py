@@ -73,6 +73,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "streaming_tumbling": ("tumbling_hourly_events",),
     "streaming_sliding": ("sliding_window_events",),
     "streaming_session": ("session_windows_per_user",),
+    "streaming_join": ("purchase_click_attribution",),
     "multimodal": ("media_image_features", "media_audio_frames",
                    "video_frame_samples"),
 }
@@ -92,7 +93,7 @@ def load_rounds() -> dict[int, dict]:
 
 # Families whose first member registered in round N have no earlier
 # driver row BY CONSTRUCTION — not stale until N+2.
-NEW_IN_ROUND: dict[str, int] = {"semantic_dedup": 4}
+NEW_IN_ROUND: dict[str, int] = {"semantic_dedup": 4, "streaming_join": 4}
 
 
 def row_green(row: dict) -> bool:
