@@ -140,3 +140,24 @@ def test_props_json_prunes_scan(spark, sf_dir):
 def test_balanced_sample_gets_window_group_limit(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "doc_balanced_by_source")
     assert "WindowGroupLimit" in plan
+
+
+def test_attribution_join_is_an_equi_join_not_cartesian(spark, sf_dir):
+    """The stream-stream-shaped attribution join must hash-partition
+    on the user key with the time bound as a range RESIDUAL — a plan
+    that fell back to CartesianProduct/BroadcastNestedLoopJoin would
+    explode at scale."""
+    plan = plan_of(spark, sf_dir, "purchase_click_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan[:1500]
+
+
+def test_semantic_dedup_stays_jvm_side_and_keyed(spark, sf_dir):
+    """SemDeDup's within-cluster prune must stay keyed on the cluster
+    id (hash joins, no all-pairs product) and fully codegen'd (no
+    Python eval in the pipeline)."""
+    plan = plan_of(spark, sf_dir, "semantic_dedup_survivors")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
