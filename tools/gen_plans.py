@@ -25,6 +25,8 @@ NOTES = {
     "recent_orders_per_customer": "Per-group top-k: WindowGroupLimit pushes the limit below the sort.",
     "minhash_duplicate_pairs": "Dedup scale path: one regex shingle scan, map-local universal-hash signatures, banded self-join, exact rescore.",
     "purchase_attribution_asof": "As-of join: union + single keyed window (one Exchange), no range join.",
+    "purchase_click_attribution": "Stream-stream-shaped attribution: equi-join on user with the hour bound as a range residual — no cartesian.",
+    "semantic_dedup_survivors": "SemDeDup: quantized-Lloyd assignment (checkpoint boundary), within-cluster pair prune keyed on the cluster id.",
 }
 
 
