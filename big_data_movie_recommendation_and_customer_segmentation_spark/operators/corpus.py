@@ -123,3 +123,36 @@ def balanced_sample_by_group(
 
     order = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
     return per_group_topk(df, group_col, order, n_per_group)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Reproducible global shuffle into ``n_shards`` training shards:
+    shard = first-32-bits-of-md5(seed ‖ id) mod n_shards, position =
+    rank of md5(seed ‖ id) within the shard. Changing ``seed``
+    re-shuffles; re-running doesn't — no RNG state, so the epoch
+    order is auditable and any engine (or the SQL oracle) can replay
+    it bit-for-bit.
+
+    Scale shape: one shuffle keyed on the shard id (uniform by
+    construction — md5 bits), then a per-shard sort of N/n_shards
+    rows for the position column; pick n_shards so a shard's key
+    column fits a task's sort buffer (positions never require a
+    global ordering pass). This is the epoch-shuffle a training-data
+    pipeline runs once per corpus snapshot, not per epoch — shards
+    are the unit downstream loaders randomize over.
+
+    Output: input columns + ``shard`` (int), ``pos`` (1-based rank
+    within shard).
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(n_shards)
+    ).cast("int")
+    out = df.withColumn("_h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w)).drop("_h")

@@ -1927,3 +1927,60 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.attribution_join(
         clicks, buys, "user_id", "click_ts", "purchase_ts", "1 hour"
     )
+
+
+@query(
+    "doc_shuffle_shards",
+    oracle="""
+    SELECT doc_id, shard, pos FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('ep1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY ('0x' || substr(md5('ep1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+               ORDER BY md5('ep1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INT) AS pos
+      FROM documents
+    )
+    """,
+)
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle of the corpus into 8 training
+    shards (``corpus.deterministic_shuffle``, seed='ep1'): md5-derived
+    shard + in-shard position, bit-replayable by the oracle."""
+    from ..operators import corpus as CP
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = CP.deterministic_shuffle(d, "doc_id", n_shards=8, seed="ep1")
+    return out.select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))
+
+
+@query(
+    "salted_user_segment_stats",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           round(sum(e.value), 4) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_user_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment event stats through ``relational.salted_join``
+    (salt=8): the hot-key-spreading join is row-identical to the
+    plain inner join, so the plain-SQL oracle value-checks the skew
+    path end to end — the driver-gate evidence for the L-family
+    (skew governance) that AQE-only plans can't show."""
+    from ..operators import relational as R
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = R.salted_join(ev, c, on="user_id", salt=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

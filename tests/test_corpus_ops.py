@@ -75,3 +75,33 @@ def test_balanced_sample_per_group_counts(spark, sf_dir):
     assert sorted(map(tuple, out.select("doc_id").collect())) == sorted(
         map(tuple, again.select("doc_id").collect())
     )
+
+
+def test_deterministic_shuffle_properties(spark, sf_dir):
+    """Epoch shuffle invariants: every input row lands in exactly one
+    shard with contiguous 1..|shard| positions, the layout is
+    identical across runs, and changing the seed actually permutes."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import corpus as CP
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    a = CP.deterministic_shuffle(d, "doc_id", n_shards=4, seed="s1").collect()
+    assert len(a) == n and len({r.doc_id for r in a}) == n
+
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # md5 uniformity: no shard more than 2x the ideal share
+    assert max(len(p) for p in by_shard.values()) <= 2 * (n // 4 + 1)
+
+    b = CP.deterministic_shuffle(d, "doc_id", n_shards=4, seed="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)), "same seed must be stable"
+
+    c = CP.deterministic_shuffle(d, "doc_id", n_shards=4, seed="s2").collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in c} != {
+        (r.doc_id, r.shard, r.pos) for r in a
+    }, "seed change must re-shuffle"

@@ -74,6 +74,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "streaming_sliding": ("sliding_window_events",),
     "streaming_session": ("session_windows_per_user",),
     "streaming_join": ("purchase_click_attribution",),
+    "corpus_shuffle": ("doc_shuffle_shards",),
+    "skew_join": ("salted_user_segment_stats",),
     "multimodal": ("media_image_features", "media_audio_frames",
                    "video_frame_samples"),
 }
@@ -93,7 +95,12 @@ def load_rounds() -> dict[int, dict]:
 
 # Families whose first member registered in round N have no earlier
 # driver row BY CONSTRUCTION — not stale until N+2.
-NEW_IN_ROUND: dict[str, int] = {"semantic_dedup": 4, "streaming_join": 4}
+NEW_IN_ROUND: dict[str, int] = {
+    "semantic_dedup": 4,
+    "streaming_join": 4,
+    "corpus_shuffle": 4,
+    "skew_join": 4,
+}
 
 
 def row_green(row: dict) -> bool:
