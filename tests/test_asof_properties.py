@@ -117,3 +117,94 @@ def test_asof_prededuped_right_ties_are_deterministic(spark):
         ).collect()
     }
     assert out == {0: 9, 1: 5}
+
+
+# ----- interval_join and attribution_join boundary properties -----
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=120),  # start offset (s)
+        st.integers(min_value=0, max_value=90),   # length (s)
+    ),
+    min_size=0,
+    max_size=12,
+)
+point_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=240),  # ts offset (s)
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(prows=point_rows, irows=interval_rows)
+def test_interval_join_matches_bruteforce(spark, prows, irows):
+    """The grid-cell rewrite must produce EXACTLY the pairs of the
+    naive [start, end) containment check, including boundary hits
+    (point == start in; point == end out) and intervals spanning
+    multiple grid cells (grid_seconds=60 < max length 90)."""
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000  # fixed epoch anchor keeps timestamps sane
+    pdata = [(k, base + t, i) for i, (k, t) in enumerate(prows)]
+    idata = [(k, base + s, base + s + ln, 100 + i) for i, (k, s, ln) in enumerate(irows)]
+    points = spark.createDataFrame(pdata, "k long, ts_s long, pid long").select(
+        "k", F.timestamp_seconds("ts_s").alias("ts"), "pid"
+    )
+    intervals = spark.createDataFrame(
+        idata, "k long, s_s long, e_s long, iid long"
+    ).select(
+        "k",
+        F.timestamp_seconds("s_s").alias("start"),
+        F.timestamp_seconds("e_s").alias("end"),
+        "iid",
+    )
+    out = TP.interval_join(
+        points, intervals, on=["k"], point_ts="ts",
+        start_col="start", end_col="end", grid_seconds=60,
+    ).collect()
+    got = {(r.pid, r.iid) for r in out}
+    expect = {
+        (pid, iid)
+        for pk, pt, pid in pdata
+        for ik, s, e, iid in idata
+        if pk == ik and s <= pt < e
+    }
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(crows=point_rows, erows=point_rows)
+def test_attribution_join_matches_bruteforce(spark, crows, erows):
+    """attribution_join's lookback window is (effect - lookback,
+    effect]: inclusive at the effect instant, exclusive at the
+    horizon. Check against the naive pairing on generated collisions
+    (lookback=60s over offsets 0..240 forces both boundaries)."""
+    from pyspark.sql import functions as F
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming import joins as SJ
+
+    base = 1_700_000_000
+    cdata = [(k, base + t, i) for i, (k, t) in enumerate(crows)]
+    edata = [(k, base + t, 100 + i) for i, (k, t) in enumerate(erows)]
+    causes = spark.createDataFrame(cdata, "k long, ts_s long, cid long").select(
+        "k", F.timestamp_seconds("ts_s").alias("cause_ts"), "cid"
+    )
+    effects = spark.createDataFrame(edata, "k long, ts_s long, eid long").select(
+        "k", F.timestamp_seconds("ts_s").alias("effect_ts"), "eid"
+    )
+    out = SJ.attribution_join(
+        causes, effects, "k", "cause_ts", "effect_ts", lookback="60 seconds"
+    ).collect()
+    got = {(r.cid, r.eid) for r in out}
+    expect = {
+        (cid, eid)
+        for ck, ct, cid in cdata
+        for ek, et, eid in edata
+        if ck == ek and et - 60 < ct <= et
+    }
+    assert got == expect
