@@ -775,3 +775,56 @@ def semantic_dedup(
     return asg.join(dropped, id_col, "left").select(
         id_col, "segment", F.col("_dropped").isNull().alias("kept")
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011, the
+    workhorse of billion-scale ANN): split each vector into ``m``
+    subspaces of ``dim/m`` components, fit an independent codebook of
+    ``k`` centroids per subspace with the deterministic quantized
+    Lloyd, and store each vector as its m code ids — dim floats
+    compress to m small ints (64×4 B → 8 B here), which is what lets
+    a 100 TB embedding corpus sit in executor memory for rescoring.
+
+    Subspace fits reuse ``kmeans_segments_quantized``, so codes are
+    bit-reproducible and the SQL oracle replays all m fits. Each
+    assignment is localCheckpointed: m independent shallow plans
+    joined on the id, instead of one m-times-deeper codegen unit.
+
+    Scale shape: the m fits scan the vector relation once each over
+    N×(dim/m) narrow rows (same broadcast-centroid pattern as the
+    full k-means — no driver loop); the final join chain is m-1
+    equi-joins on the id of (id, small-int) relations. ``dim`` is
+    asserted against the data at plan time via the slice bounds.
+
+    Output: ``id_col``, ``codes`` array<int> of length m.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub_d = dim // m
+    out = None
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub_d + 1, sub_d).alias("_sub"),
+        )
+        asg = (
+            kmeans_segments_quantized(
+                sub, id_col=id_col, vec_col="_sub", k=k, iters=iters, scale=scale
+            )
+            .withColumnRenamed("segment", f"_c{j}")
+            .localCheckpoint(eager=False)
+        )
+        out = asg if out is None else out.join(asg, id_col)
+    return out.select(
+        id_col, F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes")
+    )

@@ -1387,76 +1387,87 @@ def kmeans_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_quantized_cte(k: int = 5, iters: int = 2, scale: int = 1000) -> str:
+def _kmeans_quantized_cte(
+    k: int = 5,
+    iters: int = 2,
+    scale: int = 1000,
+    src: str = "embeddings",
+    prefix: str = "",
+) -> str:
     """Replay the quantized-Lloyd fit in DuckDB: same integer
     quantization, hash seeding, argmin tie-break, floored integer
     means, and empty-cluster carry — unrolled one CTE block per
     round (no recursion needed for a fixed iteration count).
-    Returns an open WITH chain ending in ``asg(vid, cluster)`` so
-    downstream oracles (k-means gate, semantic dedup) can extend it.
+    Returns an open CTE chain (no leading WITH) ending in
+    ``{prefix}asg(vid, cluster)`` so oracles can compose it — alone
+    (k-means gate, semantic dedup) or several times with distinct
+    prefixes over different source relations (product quantization's
+    per-subspace fits).
 
-    The dimension is derived from the data (zipped unnest over the
-    actual vector length, mirroring the Spark side's posexplode)
-    rather than hardcoded — a fixture with a different embedding
-    width changes both sides together instead of hash-mismatching
-    (ADVICE r3)."""
+    ``src`` is any relation exposing (vec_id, embedding). The
+    dimension is derived from the data (zipped unnest over the actual
+    vector length, mirroring the Spark side's posexplode) rather than
+    hardcoded — a fixture with a different embedding width changes
+    both sides together instead of hash-mismatching (ADVICE r3)."""
+    P = prefix
     sql = [
         f"""
-    WITH ve AS (
+    {P}ve AS (
       SELECT vec_id AS vid,
              unnest(range(1, len(embedding) + 1)) AS d,
              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS x
-      FROM embeddings
+      FROM {src}
     ),
-    seeds AS (
+    {P}seeds AS (
       SELECT vid, row_number() OVER (ORDER BY md5(CAST(vid AS VARCHAR)), vid) - 1 AS cluster
-      FROM (SELECT vec_id AS vid FROM embeddings)
+      FROM (SELECT vec_id AS vid FROM {src})
       ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT {k}
     ),
-    c0 AS (
-      SELECT s.cluster, ve.d, ve.x AS c FROM ve JOIN seeds s USING (vid)
+    {P}c0 AS (
+      SELECT s.cluster, ve.d, ve.x AS c FROM {P}ve ve JOIN {P}seeds s USING (vid)
     )"""
     ]
-    prev = "c0"
+    prev = f"{P}c0"
     for t in range(1, iters + 1):
         sql.append(f""",
-    d{t} AS (
+    {P}d{t} AS (
       SELECT ve.vid, c.cluster, sum((ve.x - c.c) * (ve.x - c.c)) AS dist
-      FROM ve JOIN {prev} c USING (d) GROUP BY ve.vid, c.cluster
+      FROM {P}ve ve JOIN {prev} c USING (d) GROUP BY ve.vid, c.cluster
     ),
-    a{t} AS (
+    {P}a{t} AS (
       SELECT vid, cluster FROM (
         SELECT vid, cluster,
                row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
-        FROM d{t}) WHERE rn = 1
+        FROM {P}d{t}) WHERE rn = 1
     ),
-    m{t} AS (
+    {P}m{t} AS (
       SELECT a.cluster, ve.d,
              CAST(floor(sum(ve.x) / count(*)) AS BIGINT) AS c_new
-      FROM ve JOIN a{t} a USING (vid) GROUP BY a.cluster, ve.d
+      FROM {P}ve ve JOIN {P}a{t} a USING (vid) GROUP BY a.cluster, ve.d
     ),
-    c{t} AS (
+    {P}c{t} AS (
       SELECT p.cluster, p.d, coalesce(m.c_new, p.c) AS c
-      FROM {prev} p LEFT JOIN m{t} m ON m.cluster = p.cluster AND m.d = p.d
+      FROM {prev} p LEFT JOIN {P}m{t} m ON m.cluster = p.cluster AND m.d = p.d
     )""")
-        prev = f"c{t}"
+        prev = f"{P}c{t}"
     sql.append(f""",
-    df AS (
+    {P}df AS (
       SELECT ve.vid, c.cluster, sum((ve.x - c.c) * (ve.x - c.c)) AS dist
-      FROM ve JOIN {prev} c USING (d) GROUP BY ve.vid, c.cluster
+      FROM {P}ve ve JOIN {prev} c USING (d) GROUP BY ve.vid, c.cluster
     ),
-    asg AS (
+    {P}asg AS (
       SELECT vid, cluster FROM (
         SELECT vid, cluster,
                row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
-        FROM df) WHERE rn = 1
+        FROM {P}df) WHERE rn = 1
     )""")
     return "".join(sql)
 
 
 def _kmeans_quantized_oracle(k: int = 5, iters: int = 2, scale: int = 1000) -> str:
     return (
-        _kmeans_quantized_cte(k, iters, scale)
+        "WITH "
+        + _kmeans_quantized_cte(k, iters, scale)
         + "\n    SELECT vid AS vec_id, cluster AS segment FROM asg"
     )
 
@@ -1469,7 +1480,8 @@ def _semantic_dedup_oracle(
     cosine ≥ tau (cosine over the same double-cast vectors the Spark
     side compares)."""
     return (
-        _kmeans_quantized_cte(k, iters, scale)
+        "WITH "
+        + _kmeans_quantized_cte(k, iters, scale)
         + f""",
     sem_dropped AS (
       SELECT DISTINCT b.vid AS vid
@@ -1984,3 +1996,41 @@ def salted_user_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+def _pq_codes_oracle(
+    dim: int = 64, m: int = 8, k: int = 16, iters: int = 2, scale: int = 1000
+) -> str:
+    """m prefixed quantized-k-means chains, one per subspace slice of
+    the embedding, joined on the vector id into the code array."""
+    sub_d = dim // m
+    chains = []
+    for j in range(m):
+        a, b = j * sub_d + 1, (j + 1) * sub_d
+        src = f"(SELECT vec_id, embedding[{a}:{b}] AS embedding FROM embeddings)"
+        chains.append(_kmeans_quantized_cte(k, iters, scale, src=src, prefix=f"s{j}_"))
+    joins = "".join(
+        f"\n    JOIN s{j}_asg a{j} ON a{j}.vid = a0.vid" for j in range(1, m)
+    )
+    codes = ", ".join(f"CAST(a{j}.cluster AS INT)" for j in range(m))
+    return (
+        "WITH "
+        + ",".join(chains)
+        + f"""
+    SELECT a0.vid AS vec_id, [{codes}] AS codes
+    FROM s0_asg a0{joins}
+    """
+    )
+
+
+@query("pq_codes", oracle=_pq_codes_oracle())
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every embedding (8 subspaces ×
+    16 centroids over the 64-dim vectors → 8 small ints per vector,
+    a 32× compression). All 8 subspace codebooks are deterministic
+    quantized-Lloyd fits, so the oracle replays the ENTIRE encoding —
+    the compression layer of a billion-scale ANN index is
+    value-checked, not just smoke-tested."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = VO.pq_encode(e, dim=64, m=8, k=16, iters=2)
+    return out.select("vec_id", F.col("codes").cast("array<int>").alias("codes"))

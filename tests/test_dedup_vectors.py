@@ -221,3 +221,44 @@ def test_semantic_dedup_matches_bruteforce_rule(spark, emb):
             assert rows[j].kept == (not expect_drop), (seg, j)
             n_dropped += int(expect_drop)
     assert n_dropped > 0, "tau=0.4 must exercise real pruning on testdata"
+
+
+def test_pq_codes_shape_determinism_and_distortion(spark, emb):
+    """PQ invariants: one code row per vector with m codes in [0, k);
+    identical across runs (hash-seeded fits, no RNG); and the codes
+    actually quantize — per subspace, mean intra-code distance is
+    below mean cross-code distance (a random labeling has them
+    equal in expectation)."""
+    import numpy as np
+
+    e = emb.select("vec_id", "embedding")
+    m, k, dim = 4, 8, 64
+    a = VO.pq_encode(e, dim=dim, m=m, k=k, iters=2).collect()
+    vecs = {r.vec_id: np.array([float(x) for x in r.embedding]) for r in e.collect()}
+    assert len(a) == len(vecs)
+    for r in a:
+        assert len(r.codes) == m
+        assert all(0 <= c < k for c in r.codes), r
+
+    b = VO.pq_encode(e, dim=dim, m=m, k=k, iters=2).collect()
+    assert sorted((r.vec_id, tuple(r.codes)) for r in a) == sorted(
+        (r.vec_id, tuple(r.codes)) for r in b
+    )
+
+    sub_d = dim // m
+    codes = {r.vec_id: list(r.codes) for r in a}
+    ids = sorted(vecs)
+    for j in range(m):
+        intra, cross = [], []
+        for x in range(0, len(ids), 7):          # subsample pairs for speed
+            for y in range(x + 1, len(ids), 11):
+                vi, vj = ids[x], ids[y]
+                d = float(
+                    np.sum(
+                        (vecs[vi][j * sub_d:(j + 1) * sub_d]
+                         - vecs[vj][j * sub_d:(j + 1) * sub_d]) ** 2
+                    )
+                )
+                (intra if codes[vi][j] == codes[vj][j] else cross).append(d)
+        assert intra and cross, "both pair kinds must occur"
+        assert np.mean(intra) < np.mean(cross), f"subspace {j} doesn't quantize"

@@ -64,6 +64,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "knn": ("knn_bruteforce", "knn_bruteforce_vectorized"),
     "ann": ("ann_hyperplane_neighbors", "ann_lsh_neighbors"),
     "ivf": ("ivf_knn_deterministic", "ivf_knn"),
+    "pq": ("pq_codes",),
     "embedding_dedup": ("embedding_near_duplicates_deterministic",
                         "embedding_near_duplicates"),
     "asof_join": ("purchase_attribution_asof",),
@@ -100,6 +101,7 @@ NEW_IN_ROUND: dict[str, int] = {
     "streaming_join": 4,
     "corpus_shuffle": 4,
     "skew_join": 4,
+    "pq": 4,
 }
 
 
