@@ -669,6 +669,26 @@ def kmeans_segments_quantized(
     checkpoint between rounds at cluster scale).
     Output: id_col, segment.
     """
+    asg, _ = kmeans_quantized_fit(
+        df, id_col=id_col, vec_col=vec_col, k=k, iters=iters, scale=scale
+    )
+    return asg
+
+
+def kmeans_quantized_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    iters: int = 2,
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """The quantized-Lloyd fit with its model exposed: returns
+    ``(assignments(id, segment), centroids(cluster, d, c))`` where
+    ``d`` is the 0-based component index and ``c`` the integer
+    centroid component — the relation PQ's asymmetric-distance
+    tables are built from (``pq_knn``). Same bit-exact semantics as
+    ``kmeans_segments_quantized`` (which now delegates here)."""
     from pyspark.sql import Window
 
     ve = df.select(
@@ -711,7 +731,10 @@ def kmeans_segments_quantized(
             .join(new, ["cluster", "d"], "left")
             .select("cluster", "d", F.coalesce("c_new", "c_prev").alias("c"))
         )
-    return assign(cent).select(F.col("vid").alias(id_col), F.col("cluster").alias("segment"))
+    asg = assign(cent).select(
+        F.col("vid").alias(id_col), F.col("cluster").alias("segment")
+    )
+    return asg, cent
 
 
 def semantic_dedup(
@@ -808,23 +831,111 @@ def pq_encode(
 
     Output: ``id_col``, ``codes`` array<int> of length m.
     """
+    codes, _ = pq_fit(
+        df, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k, iters=iters, scale=scale
+    )
+    return codes
+
+
+def pq_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """PQ encode with the model exposed: returns ``(codes(id, codes),
+    codebook(subspace, cluster, d, c))`` — the codebook is the union
+    of the m per-subspace centroid relations (m·k·dim/m integer
+    rows, broadcastable at any real geometry), which ``pq_knn`` turns
+    into per-probe distance tables."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub_d = dim // m
     out = None
+    books = []
     for j in range(m):
         sub = df.select(
             F.col(id_col),
             F.slice(F.col(vec_col), j * sub_d + 1, sub_d).alias("_sub"),
         )
-        asg = (
-            kmeans_segments_quantized(
-                sub, id_col=id_col, vec_col="_sub", k=k, iters=iters, scale=scale
-            )
-            .withColumnRenamed("segment", f"_c{j}")
-            .localCheckpoint(eager=False)
+        asg, cent = kmeans_quantized_fit(
+            sub, id_col=id_col, vec_col="_sub", k=k, iters=iters, scale=scale
         )
+        asg = asg.withColumnRenamed("segment", f"_c{j}").localCheckpoint(eager=False)
+        books.append(cent.select(F.lit(j).alias("subspace"), "cluster", "d", "c"))
         out = asg if out is None else out.join(asg, id_col)
-    return out.select(
+    codes = out.select(
         id_col, F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes")
+    )
+    codebook = books[0]
+    for b in books[1:]:
+        codebook = codebook.unionByName(b)
+    return codes, codebook.localCheckpoint(eager=False)
+
+
+def pq_knn(
+    codes: DataFrame,
+    codebook: DataFrame,
+    probes: DataFrame,
+    k_neighbors: int = 10,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    dim: int = 64,
+    m: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance PQ search (the IVFADC scoring half of
+    Jégou et al. 2011): each probe builds an m×k integer table of
+    squared distances to every subspace centroid, and a corpus
+    vector's approximate distance is the sum of m table lookups on
+    its codes — no corpus floats touched at query time.
+
+    Every quantity is an exact integer (probe components quantized
+    with the codebook's floor(x·scale)), so results are
+    bit-reproducible and SQL-replayable. Ties rank by id.
+
+    Scale shape: the distance tables are |probes|·m·k rows —
+    broadcast; the corpus side explodes codes to m rows per vector,
+    joins the broadcast tables, and sums — one narrow pass, then a
+    per-probe top-k (WindowGroupLimit). Nothing quadratic, no
+    vectors shuffled.
+
+    Output: probe_id, vec_id, adc_dist (long), rank.
+    """
+    sub_d = dim // m
+    # probe components, quantized like the codebook, keyed by
+    # (subspace, local 0-based component)
+    pe = probes.select(
+        F.col(probe_id_col), F.posexplode(probe_vec_col).alias("gd", "xr")
+    ).select(
+        probe_id_col,
+        (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
+        (F.col("gd") % F.lit(sub_d)).alias("d"),
+        F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("qx"),
+    )
+    dtab = (
+        pe.join(F.broadcast(codebook), ["subspace", "d"])
+        .groupBy(probe_id_col, "subspace", "cluster")
+        .agg(F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("dist"))
+    )
+    ce = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("subspace", "cluster")
+    )
+    scores = (
+        ce.join(F.broadcast(dtab), ["subspace", "cluster"])
+        .groupBy(probe_id_col, id_col)
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    return per_group_topk(
+        scores,
+        probe_id_col,
+        [F.col("adc_dist").asc(), F.col(id_col).asc()],
+        k_neighbors,
+        rank_col="rank",
+        keep_rank=True,
     )

@@ -2034,3 +2034,61 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = VO.pq_encode(e, dim=64, m=8, k=16, iters=2)
     return out.select("vec_id", F.col("codes").cast("array<int>").alias("codes"))
+
+
+def _pq_adc_oracle(
+    dim: int = 64, m: int = 8, k: int = 16, iters: int = 2, scale: int = 1000,
+    n_probes: int = 5, topk: int = 10,
+) -> str:
+    """Replay PQ asymmetric-distance search: per subspace, the probe→
+    centroid distance table over the SAME integer quantities as the
+    fit, summed across subspaces via the stored codes."""
+    sub_d = dim // m
+    chains, tails = [], []
+    for j in range(m):
+        a, b = j * sub_d + 1, (j + 1) * sub_d
+        src = f"(SELECT vec_id, embedding[{a}:{b}] AS embedding FROM embeddings)"
+        chains.append(_kmeans_quantized_cte(k, iters, scale, src=src, prefix=f"s{j}_"))
+        tails.append(f"""
+    t{j} AS (
+      SELECT ve.vid AS probe_id, c.cluster, sum((ve.x - c.c) * (ve.x - c.c)) AS dist
+      FROM s{j}_ve ve JOIN s{j}_c{iters} c USING (d)
+      WHERE ve.vid < {n_probes}
+      GROUP BY ve.vid, c.cluster
+    ),
+    u{j} AS (
+      SELECT t.probe_id, a.vid, t.dist
+      FROM s{j}_asg a JOIN t{j} t ON t.cluster = a.cluster
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM u{j}" for j in range(m))
+    return (
+        "WITH "
+        + ",".join(chains)
+        + ","
+        + ",".join(tails)
+        + f""",
+    tot AS (
+      SELECT probe_id, vid, sum(dist) AS adc_dist
+      FROM ({unions}) GROUP BY probe_id, vid
+    )
+    SELECT probe_id, vid AS vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+      SELECT probe_id, vid, adc_dist,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adc_dist, vid) AS rn
+      FROM tot) WHERE rn <= {topk}
+    """
+    )
+
+
+@query("pq_adc_knn", oracle=_pq_adc_oracle())
+def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 search for 5 probe vectors:
+    probes build m×k integer distance tables against the subspace
+    codebooks; corpus vectors score as m table lookups on their
+    stored codes — no corpus floats at query time. Integer-exact
+    end to end, so the oracle replays fit, encoding, AND search."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes, book = VO.pq_fit(e, dim=64, m=8, k=16, iters=2)
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return VO.pq_knn(codes, book, probes, k_neighbors=10, dim=64, m=8)

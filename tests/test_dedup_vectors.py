@@ -262,3 +262,31 @@ def test_pq_codes_shape_determinism_and_distortion(spark, emb):
                 (intra if codes[vi][j] == codes[vj][j] else cross).append(d)
         assert intra and cross, "both pair kinds must occur"
         assert np.mean(intra) < np.mean(cross), f"subspace {j} doesn't quantize"
+
+
+def test_pq_adc_recall_vs_exact(spark, emb):
+    """ADC is approximate — and the synthetic embeddings are weakly
+    clustered (within-cluster cosine ~0.1-0.3), so top-10 recall is
+    modest by nature. What a broken table join CANNOT fake: (a) every
+    probe's own vector at rank 1 (its codes are its own
+    quantization), and (b) recall far above chance (10/500 = 2%;
+    measured 0.4-0.5 mean at m=16/k=16, bound at 0.2 for margin)."""
+    import numpy as np
+
+    e = emb.select("vec_id", "embedding")
+    codes, book = VO.pq_fit(e, dim=64, m=16, k=16, iters=2)
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = VO.pq_knn(codes, book, probes, k_neighbors=10, dim=64, m=16).collect()
+    by_probe: dict[int, list] = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.vec_id))
+    vecs = {r.vec_id: np.array([float(x) for x in r.embedding]) for r in e.collect()}
+    overlaps = []
+    for pid, ranked in by_probe.items():
+        ranked.sort()
+        assert ranked[0][1] == pid, "own vector must be the ADC nearest"
+        exact = sorted(vecs, key=lambda v: (float(np.sum((vecs[pid] - vecs[v]) ** 2)), v))[:10]
+        overlaps.append(len({v for _, v in ranked} & set(exact)) / 10)
+    assert sum(overlaps) / len(overlaps) >= 0.2, overlaps
