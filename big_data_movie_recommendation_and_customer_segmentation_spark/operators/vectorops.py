@@ -848,33 +848,79 @@ def pq_fit(
     scale: int = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """PQ encode with the model exposed: returns ``(codes(id, codes),
-    codebook(subspace, cluster, d, c))`` — the codebook is the union
-    of the m per-subspace centroid relations (m·k·dim/m integer
-    rows, broadcastable at any real geometry), which ``pq_knn`` turns
-    into per-probe distance tables."""
+    codebook(subspace, cluster, d, c))`` — m·k·dim/m integer centroid
+    rows, broadcastable at any real geometry, which ``pq_knn`` turns
+    into per-probe distance tables.
+
+    All m codebooks fit in ONE joint Lloyd pass with ``subspace`` as
+    an extra grouping key — every aggregation/argmin groups by
+    (…, subspace), so the result is bit-identical to m independent
+    ``kmeans_quantized_fit`` runs over the subspace slices (the SQL
+    oracle replays exactly that formulation), but the corpus is
+    scanned once per round instead of m times and the plan is one
+    shallow job instead of m sequential ones (measured 19 s → ~3 s
+    warm at sf0.1 for m=8, PERF.md). Seeds are the k smallest
+    md5(id) vectors — shared across subspaces, as the per-slice fits
+    would also pick them (md5(id) is slice-independent)."""
+    from pyspark.sql import Window
+
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub_d = dim // m
-    out = None
-    books = []
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub_d + 1, sub_d).alias("_sub"),
-        )
-        asg, cent = kmeans_quantized_fit(
-            sub, id_col=id_col, vec_col="_sub", k=k, iters=iters, scale=scale
-        )
-        asg = asg.withColumnRenamed("segment", f"_c{j}").localCheckpoint(eager=False)
-        books.append(cent.select(F.lit(j).alias("subspace"), "cluster", "d", "c"))
-        out = asg if out is None else out.join(asg, id_col)
-    codes = out.select(
-        id_col, F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes")
+    ve = df.select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("gd", "xr")
+    ).select(
+        "vid",
+        (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
+        (F.col("gd") % F.lit(sub_d)).alias("d"),
+        F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("x"),
     )
-    codebook = books[0]
-    for b in books[1:]:
-        codebook = codebook.unionByName(b)
-    return codes, codebook.localCheckpoint(eager=False)
+    seed_order = [F.md5(F.col("vid").cast("string")).asc(), F.col("vid").asc()]
+    seeds = (
+        df.select(F.col(id_col).alias("vid"))
+        .orderBy(*seed_order)
+        .limit(k)
+        .withColumn("cluster", F.row_number().over(Window.orderBy(*seed_order)) - 1)
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        dist = (
+            ve.join(F.broadcast(cent), ["subspace", "d"])
+            .groupBy("vid", "subspace", "cluster")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+        )
+        return (
+            dist.groupBy("vid", "subspace")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select("vid", "subspace", F.col("m.cluster").alias("cluster"))
+        )
+
+    cent = ve.join(seeds, "vid").select("subspace", "cluster", "d", F.col("x").alias("c"))
+    for _ in range(iters):
+        asg = assign(cent)
+        new = (
+            ve.join(asg, ["vid", "subspace"])
+            .groupBy("subspace", "cluster", "d")
+            .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("c_new"))
+        )
+        cent = (
+            cent.withColumnRenamed("c", "c_prev")
+            .join(new, ["subspace", "cluster", "d"], "left")
+            .select("subspace", "cluster", "d", F.coalesce("c_new", "c_prev").alias("c"))
+        )
+    cent = cent.localCheckpoint(eager=False)
+    codes = (
+        assign(cent)
+        .groupBy("vid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "cluster"))),
+                lambda s: s["cluster"],
+            ).alias("codes")
+        )
+        .select(F.col("vid").alias(id_col), "codes")
+    )
+    return codes, cent
 
 
 def pq_knn(
