@@ -818,16 +818,10 @@ def pq_encode(
     compress to m small ints (64×4 B → 8 B here), which is what lets
     a 100 TB embedding corpus sit in executor memory for rescoring.
 
-    Subspace fits reuse ``kmeans_segments_quantized``, so codes are
-    bit-reproducible and the SQL oracle replays all m fits. Each
-    assignment is localCheckpointed: m independent shallow plans
-    joined on the id, instead of one m-times-deeper codegen unit.
-
-    Scale shape: the m fits scan the vector relation once each over
-    N×(dim/m) narrow rows (same broadcast-centroid pattern as the
-    full k-means — no driver loop); the final join chain is m-1
-    equi-joins on the id of (id, small-int) relations. ``dim`` is
-    asserted against the data at plan time via the slice bounds.
+    Semantics are m independent quantized-Lloyd fits over the
+    subspace slices (what the SQL oracle replays); execution is
+    ``pq_fit``'s single joint pass — see its docstring for why the
+    two are bit-identical and the scan count is independent of m.
 
     Output: ``id_col``, ``codes`` array<int> of length m.
     """
