@@ -2092,3 +2092,43 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     return VO.pq_knn(codes, book, probes, k_neighbors=10, dim=64, m=8)
+
+
+@query(
+    "trending_event_types",
+    oracle="""
+    SELECT window_start, event_type, n, CAST(rn AS INT) AS rank FROM (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type,
+             count(*) AS n,
+             row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY count(*) DESC, event_type ASC
+             ) AS rn
+      FROM events
+      GROUP BY 1, 2
+    ) WHERE rn <= 3
+    """,
+)
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour trending: top-3 event types per tumbling window by
+    count (ties by type name) — the windowed-leaderboard composite a
+    streaming analytics surface serves, here as its batch-equivalent
+    plan: one window-keyed aggregation, then WindowGroupLimit keeps
+    ≤3 rows per window per task before the final shuffle."""
+    from ..operators import relational as R
+    from ..streaming import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = W.tumbling_agg(
+        ev, "ts", "1 hour", group_by=("event_type",),
+        aggs=(F.count(F.lit(1)).alias("n"),),
+    ).select("window_start", "event_type", "n")
+    return R.per_group_topk(
+        counts,
+        "window_start",
+        [F.col("n").desc(), F.col("event_type").asc()],
+        3,
+        rank_col="rank",
+        keep_rank=True,
+    )
