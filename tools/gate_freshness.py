@@ -77,6 +77,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "streaming_join": ("purchase_click_attribution",),
     "corpus_shuffle": ("doc_shuffle_shards",),
     "skew_join": ("salted_user_segment_stats",),
+    "cohort": ("weekly_cohort_retention",),
+    "funnel": ("signup_click_purchase_funnel",),
     "multimodal": ("media_image_features", "media_audio_frames",
                    "video_frame_samples"),
 }
@@ -102,6 +104,8 @@ NEW_IN_ROUND: dict[str, int] = {
     "corpus_shuffle": 4,
     "skew_join": 4,
     "pq": 4,
+    "cohort": 4,
+    "funnel": 4,
 }
 
 
