@@ -322,3 +322,38 @@ def write_jsonl(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: tuple[str, ...],
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Parquet sink clustered on ``cluster_by``: rows are
+    range-partitioned across files and sorted within each file on the
+    cluster keys, so every file (and every row group inside it)
+    covers a narrow, non-overlapping key range.
+
+    This is the data-skipping layout for high-cardinality predicates
+    where hive partitioning is wrong (a directory per customer id is
+    a small-files disaster): parquet readers — Spark included — prune
+    row groups whose min/max statistics exclude the predicate, so a
+    point or range query on the cluster key touches O(1) of the
+    files instead of all of them. At 100 TB this is the difference
+    between a full scan and a few-MB read; the write itself costs one
+    range exchange (sampled bounds, skew-resistant) plus an
+    in-partition sort — no extra pass.
+
+    ``num_files`` caps the file count (defaults to the session's
+    shuffle parallelism). Verified by tests/test_io_sinks.py reading
+    the parquet footers: per-file key ranges must not overlap.
+    """
+    cols = [F.col(c) for c in cluster_by]
+    out = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

@@ -181,3 +181,45 @@ def test_jsonl_corrupt_lines_do_not_abort(spark, tmp_path):
     assert df.filter("_corrupt_record IS NOT NULL").count() == 1
     assert df.filter("doc_id IS NOT NULL").count() == 2
     df.unpersist()
+
+
+def test_range_clustered_write_produces_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    """write_range_clustered must yield parquet files whose
+    cluster-key min/max ranges are pairwise disjoint — the property
+    row-group/file skipping depends on. Checked from the real
+    footers via pyarrow, not from the plan."""
+    import pyarrow.parquet as pq
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import (
+        write_range_clustered,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    out = str(tmp_path / "clustered")
+    write_range_clustered(li, out, cluster_by=("l_orderkey",), num_files=8)
+
+    ranges = []
+    import os as _os
+
+    for f in sorted(_os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(_os.path.join(out, f)).metadata
+        lo = hi = None
+        n = 0
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # l_orderkey
+            assert col.statistics is not None and col.statistics.has_min_max
+            lo = col.statistics.min if lo is None else min(lo, col.statistics.min)
+            hi = col.statistics.max if hi is None else max(hi, col.statistics.max)
+            n += md.row_group(rg).num_rows
+        if n:
+            ranges.append((lo, hi))
+    assert len(ranges) >= 2, "expect several data files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # and the data round-trips
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
