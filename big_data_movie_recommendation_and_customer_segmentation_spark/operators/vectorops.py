@@ -979,3 +979,106 @@ def pq_knn(
         rank_col="rank",
         keep_rank=True,
     )
+
+
+def ivfadc_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k_neighbors: int = 10,
+    n_cells: int = 16,
+    n_probe_cells: int = 4,
+    dim: int = 64,
+    m: int = 8,
+    pq_k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    exclude_id_eq_probe: bool = False,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011) — the full billion-scale ANN
+    layout: an IVF coarse quantizer restricts each probe to
+    ``n_probe_cells`` of ``n_cells`` inverted lists, and candidates
+    score by PQ asymmetric distance (m integer table lookups on
+    their stored codes) instead of touching raw vectors. Search cost
+    is ~(n_probe_cells/n_cells) of the corpus per probe, at 8 bytes
+    of state per vector — both knobs independent of dim.
+
+    Deterministic end to end: the coarse quantizer is the
+    ``ivf_knn_deterministic`` hash-seeded one, the codebooks the
+    quantized joint Lloyd, probe tables the same floor(x·scale)
+    integers — so one SQL oracle replays index build, encoding,
+    routing, AND scoring. Ties rank by id.
+    Output: probe_id, vec_id, adc_dist (long), rank.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textops import shared_token_hash
+
+    codes, book = pq_fit(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=pq_k,
+        iters=iters, scale=scale,
+    )
+    hash_order = [
+        shared_token_hash(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    ]
+    cell_w = Window.orderBy(*hash_order)
+    centroids = (
+        corpus.select(id_col, vec_col)
+        .orderBy(*hash_order)
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(cell_w) - 1)
+        .select("cell", F.col(vec_col).alias("_cv"))
+    )
+    assigned = per_group_topk(
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(id_col, "cell", V.cosine(vec_col, "_cv").alias("_csim")),
+        id_col,
+        [F.col("_csim").desc(), F.col("cell").asc()],
+        1,
+    ).select(id_col, "cell")
+    probe_cells = per_group_topk(
+        probes.select(probe_id_col, probe_vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(probe_id_col, "cell", V.cosine(probe_vec_col, "_cv").alias("_csim")),
+        probe_id_col,
+        [F.col("_csim").desc(), F.col("cell").asc()],
+        n_probe_cells,
+    ).select(probe_id_col, "cell")
+    cand = probe_cells.join(assigned, "cell").select(probe_id_col, id_col)
+    if exclude_id_eq_probe:
+        cand = cand.filter(F.col(probe_id_col) != F.col(id_col))
+
+    sub_d = dim // m
+    pe = probes.select(
+        F.col(probe_id_col), F.posexplode(probe_vec_col).alias("gd", "xr")
+    ).select(
+        probe_id_col,
+        (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
+        (F.col("gd") % F.lit(sub_d)).alias("d"),
+        F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("qx"),
+    )
+    dtab = (
+        pe.join(F.broadcast(book), ["subspace", "d"])
+        .groupBy(probe_id_col, "subspace", "cluster")
+        .agg(F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("dist"))
+    )
+    ce = codes.select(F.col(id_col), F.posexplode("codes").alias("subspace", "cluster"))
+    scores = (
+        cand.join(ce, id_col)
+        .join(F.broadcast(dtab), [probe_id_col, "subspace", "cluster"])
+        .groupBy(probe_id_col, id_col)
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    return per_group_topk(
+        scores,
+        probe_id_col,
+        [F.col("adc_dist").asc(), F.col(id_col).asc()],
+        k_neighbors,
+        rank_col="rank",
+        keep_rank=True,
+    )

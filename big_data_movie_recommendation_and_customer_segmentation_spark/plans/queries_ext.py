@@ -2237,3 +2237,109 @@ def signup_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _ivfadc_oracle(
+    dim: int = 64, m: int = 8, pq_k: int = 16, iters: int = 2, scale: int = 1000,
+    n_cells: int = 16, n_probe_cells: int = 4, n_probes: int = 5, topk: int = 10,
+) -> str:
+    """IVFADC replay: the deterministic IVF routing CTEs (hash-seeded
+    cells, cosine argmax assignment, top-n probe cells) composed with
+    the PQ chains and per-probe distance tables; candidates from the
+    probed cells score by summed table lookups."""
+    sub_d = dim // m
+    chains, tails = [], []
+    for j in range(m):
+        a, b = j * sub_d + 1, (j + 1) * sub_d
+        src = f"(SELECT vec_id, embedding[{a}:{b}] AS embedding FROM embeddings)"
+        chains.append(_kmeans_quantized_cte(pq_k, iters, scale, src=src, prefix=f"s{j}_"))
+        tails.append(f"""
+    t{j} AS (
+      SELECT ve.vid AS probe_id, c.cluster, sum((ve.x - c.c) * (ve.x - c.c)) AS dist
+      FROM s{j}_ve ve JOIN s{j}_c{iters} c USING (d)
+      WHERE ve.vid < {n_probes}
+      GROUP BY ve.vid, c.cluster
+    ),
+    u{j} AS (
+      SELECT t.probe_id, a.vid, t.dist
+      FROM s{j}_asg a JOIN t{j} t ON t.cluster = a.cluster
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM u{j}" for j in range(m))
+    return (
+        "WITH "
+        + ",".join(chains)
+        + ","
+        + ",".join(tails)
+        + f""",
+    hashed AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+      FROM embeddings
+    ),
+    cellseeds AS (
+      SELECT embedding::DOUBLE[] AS cv,
+             row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell
+      FROM hashed
+      ORDER BY h ASC, vec_id ASC
+      LIMIT {n_cells}
+    ),
+    cellasg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.cv) DESC,
+                          s.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cellseeds s)
+      WHERE rn = 1
+    ),
+    probecells AS (
+      SELECT probe_id, cell FROM (
+        SELECT e.vec_id AS probe_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.cv) DESC,
+                          s.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cellseeds s
+        WHERE e.vec_id < {n_probes})
+      WHERE rn <= {n_probe_cells}
+    ),
+    cand AS (
+      SELECT pc.probe_id, a.vec_id
+      FROM probecells pc JOIN cellasg a ON a.cell = pc.cell
+      WHERE a.vec_id <> pc.probe_id
+    ),
+    tot AS (
+      SELECT probe_id, vid, sum(dist) AS adc_dist
+      FROM ({unions}) GROUP BY probe_id, vid
+    )
+    SELECT probe_id, vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+      SELECT c.probe_id, c.vec_id, tot.adc_dist,
+             row_number() OVER (PARTITION BY c.probe_id
+                                ORDER BY tot.adc_dist, c.vec_id) AS rn
+      FROM cand c
+      JOIN tot ON tot.probe_id = c.probe_id AND tot.vid = c.vec_id)
+    WHERE rn <= {topk}
+    """
+    )
+
+
+@query("ivfadc_knn", oracle=_ivfadc_oracle())
+def ivfadc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC search for 5 probes: hash-seeded IVF routing to 4
+    of 16 cells, then PQ asymmetric-distance scoring of the cell
+    candidates (self excluded). Index build, encoding, routing, and
+    scoring are all deterministic, so one oracle replays the entire
+    billion-scale ANN layout. Vectors cast to double up front so the
+    routing cosines use the same arithmetic as the oracle (the
+    ivf_knn_deterministic convention)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return VO.ivfadc_knn(
+        e, probes, k_neighbors=10, n_cells=16, n_probe_cells=4,
+        dim=64, m=8, pq_k=16, iters=2, exclude_id_eq_probe=True,
+    )

@@ -64,7 +64,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "knn": ("knn_bruteforce", "knn_bruteforce_vectorized"),
     "ann": ("ann_hyperplane_neighbors", "ann_lsh_neighbors"),
     "ivf": ("ivf_knn_deterministic", "ivf_knn"),
-    "pq": ("pq_codes", "pq_adc_knn"),
+    "pq": ("pq_codes", "pq_adc_knn", "ivfadc_knn"),
     "embedding_dedup": ("embedding_near_duplicates_deterministic",
                         "embedding_near_duplicates"),
     "asof_join": ("purchase_attribution_asof",),
