@@ -33,20 +33,29 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with the
-    same keys and ``right_ts <= left_ts`` (ASOF JOIN ... ON a.ts >=
-    b.ts in DuckDB terms; inclusive at equality).
+    """For each left row, attach the nearest right row with the same
+    keys: ``direction='backward'`` (default) takes the most recent
+    right row with ``right_ts <= left_ts`` (ASOF JOIN ... ON a.ts >=
+    b.ts in DuckDB terms), ``direction='forward'`` the earliest right
+    row with ``right_ts >= left_ts`` (ON a.ts <= b.ts). Both are
+    inclusive at equality.
 
     Output: every left column, plus ``right_cols`` (null when no
-    right row precedes — or the row dropped if ``how='inner'``).
+    right row qualifies — or the row dropped if ``how='inner'``).
 
-    Right rows sort before left rows at equal timestamps so an
-    equal-ts right row is visible to the left row (>= semantics).
-    Ties between right rows at the same (keys, ts) resolve to the
-    last in (ts, side) order — callers needing stronger determinism
-    should pre-dedupe right on (keys, ts).
+    The two directions share one physical shape — the sort direction
+    of the keyed window is the ONLY difference, so forward costs
+    exactly the same single exchange as backward. Right rows sort
+    before left rows at equal timestamps in either direction, so an
+    equal-ts right row is visible to the left row. Ties between right
+    rows at the same (keys, ts) resolve to the last in sort order —
+    callers needing stronger determinism should pre-dedupe right on
+    (keys, ts).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     on = list(on)
     left_cols = list(left.columns)
     right_types = dict(right.dtypes)
@@ -69,9 +78,15 @@ def asof_join(
         F.lit(0).alias("_side"),
         F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
+    # backward walks time ascending (carry the last right row seen so
+    # far); forward walks descending (the "last right row seen" is
+    # then the EARLIEST right_ts >= left_ts). _side stays ascending in
+    # both: right (0) before left (1) at equal ts keeps equality
+    # inclusive.
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

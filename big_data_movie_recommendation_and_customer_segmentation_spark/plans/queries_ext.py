@@ -1720,6 +1720,45 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchase_next_click_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           c.next_click_id,
+           c.ts AS next_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, max(event_id) AS next_click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ) c
+    ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def purchase_next_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (``direction='forward'``, VERDICT r4 ask
+    #6): each purchase paired with the user's EARLIEST click at or
+    after it — the "next touch" half of the standard as-of surface.
+    Same single-exchange union+window plan as backward; only the
+    window sort direction flips (operators/temporal.py). Clicks are
+    pre-deduped on (user, ts) so equal-ts ties are deterministic on
+    both engines (the documented escape hatch)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("next_click_id"))
+        .withColumn("next_click_ts", F.col("ts"))
+    )
+    out = TP.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["next_click_id", "next_click_ts"], direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_click_id", "next_click_ts")
+
+
+@query(
     "rolling_order_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
@@ -1939,6 +1978,47 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.attribution_join(
         clicks, buys, "user_id", "click_ts", "purchase_ts", "1 hour"
     )
+
+
+@query(
+    "purchase_click_attribution_left",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+    """,
+)
+def purchase_click_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer attribution (VERDICT r4 ask #5): every purchase
+    keeps a row — unattributed purchases (no same-user click in the
+    preceding hour) surface once with null click columns, giving the
+    funnel denominator the inner join can't. Same equi-join + range
+    residual plan; under watermarks the null-joined rows emit once
+    the click-side watermark passes the purchase (streaming/joins.py,
+    equivalence pinned by tests/test_streaming.py)."""
+    from ..streaming import joins as SJ
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return SJ.attribution_join(
+        clicks, buys, "user_id", "click_ts", "purchase_ts", "1 hour", how="left"
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
 
 @query(

@@ -22,6 +22,7 @@ def attribution_join(
     cause_ts: str,
     effect_ts: str,
     lookback: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Pair every effect with the same-user causes in the preceding
     ``lookback`` window: ``effect_ts - lookback < cause_ts <=
@@ -30,19 +31,54 @@ def attribution_join(
     before joining so names don't collide on anything but
     ``user_col``.
 
+    ``how='inner'`` returns attributed pairs only. ``how='left'``
+    keeps every EFFECT row — unattributed effects (no same-user cause
+    inside the window) come through once with null cause columns,
+    which is what conversion/funnel analyses need to count the
+    denominator. (The outer side is the effect; an outer-cause
+    variant has no analytics meaning here — a cause that produced no
+    effect is just an unconverted impression, countable by anti-join.)
+
     Scale shape: an equi-join on the user key with a range residual —
     one shuffle per side, no row-range explosion beyond the true
     match volume (cost tracks causes-per-user-per-window, governed by
     ``lookback``). On streams the same range condition is what lets
     Spark expire join state past the watermark + lookback horizon,
-    so state is bounded regardless of stream length.
+    so state is bounded regardless of stream length; for ``'left'``
+    the engine additionally holds each effect row until the
+    cause-side watermark passes ``effect_ts`` (only then is "no cause
+    arrived" final) before emitting its null-joined row — same state
+    bound, delayed by the watermark lag.
     """
     cond = (
         (causes[user_col] == effects[user_col])
         & (causes[cause_ts] <= effects[effect_ts])
         & (causes[cause_ts] > effects[effect_ts] - F.expr(f"INTERVAL {lookback}"))
     )
-    return causes.join(effects, cond, "inner").drop(effects[user_col])
+    if how == "inner":
+        return causes.join(effects, cond, "inner").drop(effects[user_col])
+    if how == "left":
+        # Left-outer on the EFFECT side: effects drive, causes attach.
+        # The effect-side user column is renamed BEFORE the join: both
+        # sides usually derive from the same scan, and dropping one of
+        # two same-named columns by DataFrame-qualified reference is
+        # unreliable under Spark's self-join attribute dedup (the
+        # inner path masks this because matched rows agree on the
+        # key; left rows don't — the cause side is null). With unique
+        # names, the drop is by-name and deterministic.
+        eff_user = f"__effect_{user_col}"
+        e2 = effects.withColumnRenamed(user_col, eff_user)
+        lcond = (
+            (causes[user_col] == e2[eff_user])
+            & (causes[cause_ts] <= e2[effect_ts])
+            & (causes[cause_ts] > e2[effect_ts] - F.expr(f"INTERVAL {lookback}"))
+        )
+        return (
+            e2.join(causes, lcond, "left")
+            .drop(user_col)
+            .withColumnRenamed(eff_user, user_col)
+        )
+    raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
 
 def stream_attribution_join(
@@ -56,16 +92,26 @@ def stream_attribution_join(
     id_col: str = "event_id",
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """The same attribution join as a Structured Streaming query over
     a single event-log file source split into two filtered streams.
 
-    Both sides carry a watermark — required for stream-stream inner
-    joins so the engine can GC buffered rows: a cause row can be
-    dropped once the effect-side watermark passes ``cause_ts +
-    lookback``, an effect row once the cause side catches up. State
-    is therefore O(rate × (watermark + lookback)), not O(stream).
-    Output (append mode): user, cause id/ts, effect id/ts.
+    Both sides carry a watermark — required for stream-stream joins
+    so the engine can GC buffered rows: a cause row can be dropped
+    once the effect-side watermark passes ``cause_ts + lookback``, an
+    effect row once the cause side catches up. State is therefore
+    O(rate × (watermark + lookback)), not O(stream).
+
+    ``how='left'`` (left-outer on the effect side) keeps the same
+    state bound but changes WHEN rows emit: a null-joined row for an
+    unattributed effect is only correct once no matching cause can
+    still arrive, i.e. once the cause-side watermark passes
+    ``effect_ts`` — so outer results trail the inner results by up to
+    the watermark delay. That is Spark's documented outer stream-
+    stream join semantics and exactly why both watermarks here are
+    mandatory, not advisory. Output (append mode): user, cause id/ts
+    (nullable when 'left'), effect id/ts.
     """
     stream = spark.readStream.schema(schema).parquet(source_dir)
     causes = (
@@ -87,5 +133,5 @@ def stream_attribution_join(
         .withWatermark("effect_ts", watermark)
     )
     return attribution_join(
-        causes, effects, user_col, "cause_ts", "effect_ts", lookback
+        causes, effects, user_col, "cause_ts", "effect_ts", lookback, how=how
     )

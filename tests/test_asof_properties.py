@@ -119,6 +119,81 @@ def test_asof_prededuped_right_ties_are_deterministic(spark):
     assert out == {0: 9, 1: 5}
 
 
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_forward_match_is_earliest_at_or_after(spark, lrows, rrows):
+    """direction='forward' (VERDICT r4 ask #6) mirrors the backward
+    contract: the match is the right row with the MINIMUM right_ts >=
+    left_ts, equality inclusive, ties at the winning ts unspecified
+    among duplicates."""
+    ldata = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    rdata = [(k, t, t, 1000 + i) for i, (k, t) in enumerate(rrows)]
+    left = spark.createDataFrame(ldata, "k long, ts long, lid long")
+    right = spark.createDataFrame(rdata, "k long, ts long, rts long, v long")
+
+    out = TP.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rts", "v"], direction="forward",
+    ).collect()
+    assert len(out) == len(ldata)
+
+    by_lid = {r.lid: r for r in out}
+    for k, ts, lid in ldata:
+        row = by_lid[lid]
+        cands = [(rt, v) for (rk, rt, _, v) in rdata if rk == k and rt >= ts]
+        if not cands:
+            assert row.rts is None and row.v is None, row
+        else:
+            best_ts = min(rt for rt, _ in cands)
+            assert row.rts == best_ts, (row, cands)
+            assert row.v in {v for rt, v in cands if rt == best_ts}, (row, cands)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_forward_inner_drops_exactly_the_unmatched(spark, lrows, rrows):
+    ldata = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    rdata = [(k, t, 1000 + i) for i, (k, t) in enumerate(rrows)]
+    left = spark.createDataFrame(ldata, "k long, ts long, lid long")
+    right = spark.createDataFrame(rdata, "k long, ts long, v long")
+
+    out = TP.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"], how="inner", direction="forward",
+    ).collect()
+    expect = {
+        lid
+        for k, ts, lid in ldata
+        if any(rk == k and rt >= ts for rk, rt, _ in rdata)
+    }
+    assert {r.lid for r in out} == expect
+    assert all(r.v is not None for r in out)
+
+
+def test_asof_forward_equal_ts_right_row_visible(spark):
+    """Forward >= semantics at the boundary: a right row stamped
+    exactly at left_ts must match (equality inclusive, both
+    directions)."""
+    left = spark.createDataFrame([(1, 10, 0)], "k long, ts long, lid long")
+    right = spark.createDataFrame([(1, 10, 7), (1, 12, 8)], "k long, ts long, v long")
+    out = TP.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["v"], direction="forward",
+    ).collect()
+    assert out[0].v == 7
+
+
+def test_asof_rejects_unknown_direction(spark):
+    left = spark.createDataFrame([(1, 10, 0)], "k long, ts long, lid long")
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        TP.asof_join(
+            left, left, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["lid"], direction="nearest",
+        )
+
+
 # ----- interval_join and attribution_join boundary properties -----
 
 interval_rows = st.lists(
@@ -208,3 +283,47 @@ def test_attribution_join_matches_bruteforce(spark, crows, erows):
         if ck == ek and et - 60 < ct <= et
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(crows=point_rows, erows=point_rows)
+def test_attribution_join_left_keeps_every_effect(spark, crows, erows):
+    """how='left' (VERDICT r4 ask #5): attributed pairs identical to
+    the inner join; every effect with NO in-window cause appears
+    exactly once with null cause columns; the effect-side user key is
+    never null (the regression the self-join attribute dedup caused:
+    dropping the wrong user column nulls the key on unmatched rows)."""
+    from pyspark.sql import functions as F
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming import joins as SJ
+
+    base = 1_700_000_000
+    cdata = [(k, base + t, i) for i, (k, t) in enumerate(crows)]
+    edata = [(k, base + t, 100 + i) for i, (k, t) in enumerate(erows)]
+    causes = spark.createDataFrame(cdata, "k long, ts_s long, cid long").select(
+        "k", F.timestamp_seconds("ts_s").alias("cause_ts"), "cid"
+    )
+    effects = spark.createDataFrame(edata, "k long, ts_s long, eid long").select(
+        "k", F.timestamp_seconds("ts_s").alias("effect_ts"), "eid"
+    )
+    out = SJ.attribution_join(
+        causes, effects, "k", "cause_ts", "effect_ts",
+        lookback="60 seconds", how="left",
+    ).collect()
+
+    inner = {
+        (cid, eid)
+        for ck, ct, cid in cdata
+        for ek, et, eid in edata
+        if ck == ek and et - 60 < ct <= et
+    }
+    attributed_effects = {eid for _, eid in inner}
+    got_pairs = {(r.cid, r.eid) for r in out if r.cid is not None}
+    assert got_pairs == inner
+    null_rows = [r for r in out if r.cid is None]
+    assert {r.eid for r in null_rows} == {
+        eid for _, _, eid in edata
+    } - attributed_effects
+    assert len(null_rows) == len(set(e[2] for e in edata)) - len(attributed_effects)
+    # the effect-side key survives on every row
+    assert all(r.k is not None for r in out)

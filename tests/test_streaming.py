@@ -283,3 +283,67 @@ def test_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert expected, "testdata must contain click→purchase pairs"
     assert got == expected
+
+
+def test_stream_attribution_left_join_matches_batch(spark, sf_dir, tmp_path):
+    """how='left' equivalence incl. NULL-cause rows (VERDICT r4 ask
+    #5). Outer results only emit once the watermark passes the effect
+    row — with a finite source the tail would otherwise never
+    finalize — so a far-future sentinel pair (excluded from the
+    comparison) is appended as a SECOND batch to push the watermark
+    past every real event; Spark then runs the no-data batch that
+    evicts state and emits the null-joined rows."""
+    import pyspark.sql.functions as F2
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming import joins as SJ
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_stream_left")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream_df = SJ.stream_attribution_join(
+        spark, src, ev.schema, cause_type="click", effect_type="purchase",
+        lookback="1 hour", watermark="2 hours", how="left",
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attribution_left")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel click+purchase 1 day past the end, sentinel user -1:
+        # advances BOTH filtered streams' watermarks past max(real ts)
+        max_ts = ev.agg(F2.max("ts")).collect()[0][0]
+        sentinel = spark.createDataFrame(
+            [(-101, max_ts, -1, "click", 0.0, "{}"),
+             (-102, max_ts, -1, "purchase", 0.0, "{}")],
+            ev.schema,
+        ).withColumn("ts", F2.col("ts") + F2.expr("INTERVAL 1 DAY"))
+        sentinel.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = [
+            r for r in spark.sql("SELECT * FROM attribution_left").collect()
+            if r.user_id != -1
+        ]
+    finally:
+        q.stop()
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cause_id"), F.col("ts").alias("cause_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("effect_id"), F.col("ts").alias("effect_ts")
+    )
+    batch = SJ.attribution_join(
+        clicks, buys, "user_id", "cause_ts", "effect_ts", "1 hour", how="left"
+    ).collect()
+    expect_pairs = {(r.user_id, r.cause_id, r.effect_id) for r in batch if r.cause_id is not None}
+    expect_nulls = {(r.user_id, r.effect_id) for r in batch if r.cause_id is None}
+    assert expect_nulls, "testdata must contain unattributed purchases"
+
+    got_pairs = {(r.user_id, r.cause_id, r.effect_id) for r in rows if r.cause_id is not None}
+    got_nulls = {(r.user_id, r.effect_id) for r in rows if r.cause_id is None}
+    assert got_pairs == expect_pairs
+    assert got_nulls == expect_nulls
