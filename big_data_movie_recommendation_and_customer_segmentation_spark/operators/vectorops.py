@@ -939,6 +939,12 @@ def pq_knn(
     with the codebook's floor(x·scale)), so results are
     bit-reproducible and SQL-replayable. Ties rank by id.
 
+    A caller passing an ``m`` different from the one the codes were
+    fit with would silently drop subspaces in the inner join and
+    return wrong-but-plausible rankings (ADVICE r4) — so every code
+    row is length-checked in the plan (codegen'd size() guard,
+    raise_error on mismatch: the job fails loudly instead).
+
     Scale shape: the distance tables are |probes|·m·k rows —
     broadcast; the corpus side explodes codes to m rows per vector,
     joins the broadcast tables, and sums — one narrow pass, then a
@@ -963,8 +969,17 @@ def pq_knn(
         .groupBy(probe_id_col, "subspace", "cluster")
         .agg(F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("dist"))
     )
+    codes_checked = F.when(F.size("codes") == F.lit(m), F.col("codes")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pq_knn: codes length "),
+                F.size("codes").cast("string"),
+                F.lit(f" != m={m} — codes were fit with a different m"),
+            )
+        )
+    )
     ce = codes.select(
-        F.col(id_col), F.posexplode("codes").alias("subspace", "cluster")
+        F.col(id_col), F.posexplode(codes_checked).alias("subspace", "cluster")
     )
     scores = (
         ce.join(F.broadcast(dtab), ["subspace", "cluster"])
@@ -997,30 +1012,41 @@ def ivfadc_knn(
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
     exclude_id_eq_probe: bool = False,
+    encode_residuals: bool = False,
 ) -> DataFrame:
-    """IVFADC (Jégou et al. 2011) — the full billion-scale ANN
-    layout: an IVF coarse quantizer restricts each probe to
+    """IVF + PQ search in the billion-scale ANN layout of Jégou et
+    al. 2011: an IVF coarse quantizer restricts each probe to
     ``n_probe_cells`` of ``n_cells`` inverted lists, and candidates
     score by PQ asymmetric distance (m integer table lookups on
     their stored codes) instead of touching raw vectors. Search cost
     is ~(n_probe_cells/n_cells) of the corpus per probe, at 8 bytes
     of state per vector — both knobs independent of dim.
 
-    Deterministic end to end: the coarse quantizer is the
+    ``encode_residuals`` picks the quantization target (ADVICE r4):
+    False (default) PQ-encodes the RAW vectors — the simpler, lower
+    -recall IVF+PQ variant; True encodes the RESIDUAL
+    x − centroid(cell(x)) after coarse assignment, which is the
+    paper's actual IVFADC: residuals concentrate near zero, so the
+    same pq_k spends its codewords on a much tighter distribution
+    (lower distortion at equal state — the benefit materializes when
+    cells are tight; on weakly-clustered data raw and residual
+    recall are comparable, measured in tests/test_dedup_vectors.py).
+    Probe distance tables are then per (probe, probed cell) — the
+    probe's residual against that cell's centroid —
+    |probes|·n_probe_cells·m·k rows, still a broadcast.
+
+    Deterministic end to end either way: the coarse quantizer is the
     ``ivf_knn_deterministic`` hash-seeded one, the codebooks the
-    quantized joint Lloyd, probe tables the same floor(x·scale)
-    integers — so one SQL oracle replays index build, encoding,
-    routing, AND scoring. Ties rank by id.
+    quantized joint Lloyd (over raw vectors or exact-double
+    residuals), probe tables the same floor(x·scale) integers — so
+    one SQL oracle replays index build, encoding, routing, AND
+    scoring. Ties rank by id.
     Output: probe_id, vec_id, adc_dist (long), rank.
     """
     from pyspark.sql import Window
 
     from ..functions.textops import shared_token_hash
 
-    codes, book = pq_fit(
-        corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=pq_k,
-        iters=iters, scale=scale,
-    )
     hash_order = [
         shared_token_hash(F.col(id_col).cast("string")).asc(),
         F.col(id_col).asc(),
@@ -1049,31 +1075,92 @@ def ivfadc_knn(
         [F.col("_csim").desc(), F.col("cell").asc()],
         n_probe_cells,
     ).select(probe_id_col, "cell")
-    cand = probe_cells.join(assigned, "cell").select(probe_id_col, id_col)
+    cand = probe_cells.join(assigned, "cell").select(probe_id_col, id_col, "cell")
     if exclude_id_eq_probe:
         cand = cand.filter(F.col(probe_id_col) != F.col(id_col))
 
     sub_d = dim // m
-    pe = probes.select(
-        F.col(probe_id_col), F.posexplode(probe_vec_col).alias("gd", "xr")
-    ).select(
-        probe_id_col,
-        (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
-        (F.col("gd") % F.lit(sub_d)).alias("d"),
-        F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("qx"),
-    )
-    dtab = (
-        pe.join(F.broadcast(book), ["subspace", "d"])
-        .groupBy(probe_id_col, "subspace", "cluster")
-        .agg(F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("dist"))
-    )
-    ce = codes.select(F.col(id_col), F.posexplode("codes").alias("subspace", "cluster"))
-    scores = (
-        cand.join(ce, id_col)
-        .join(F.broadcast(dtab), [probe_id_col, "subspace", "cluster"])
-        .groupBy(probe_id_col, id_col)
-        .agg(F.sum("dist").alias("adc_dist"))
-    )
+    if encode_residuals:
+        # Quantize x − centroid(cell(x)): exact double subtraction on
+        # both engines, then the SAME floor(x·scale) integers. The
+        # residual frame feeds every Lloyd round, so truncate its
+        # (crossJoin+window) lineage once instead of re-deriving it
+        # per round.
+        resid = (
+            corpus.select(id_col, vec_col)
+            .join(assigned, id_col)
+            .join(F.broadcast(centroids), "cell")
+            .select(
+                id_col,
+                F.zip_with(vec_col, "_cv", lambda a, b: a - b).alias(vec_col),
+            )
+            .localCheckpoint(eager=False)
+        )
+        codes, book = pq_fit(
+            resid, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=pq_k,
+            iters=iters, scale=scale,
+        )
+        # per-(probe, probed-cell) residual distance tables
+        pr = (
+            probes.select(probe_id_col, probe_vec_col)
+            .join(probe_cells, probe_id_col)
+            .join(F.broadcast(centroids), "cell")
+            .select(
+                probe_id_col,
+                "cell",
+                F.zip_with(probe_vec_col, "_cv", lambda a, b: a - b).alias("_pr"),
+            )
+        )
+        pe = pr.select(
+            probe_id_col, "cell", F.posexplode("_pr").alias("gd", "xr")
+        ).select(
+            probe_id_col,
+            "cell",
+            (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
+            (F.col("gd") % F.lit(sub_d)).alias("d"),
+            F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("qx"),
+        )
+        dtab = (
+            pe.join(F.broadcast(book), ["subspace", "d"])
+            .groupBy(probe_id_col, "cell", "subspace", "cluster")
+            .agg(
+                F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("dist")
+            )
+        )
+        ce = codes.select(F.col(id_col), F.posexplode("codes").alias("subspace", "cluster"))
+        scores = (
+            cand.join(ce, id_col)
+            .join(F.broadcast(dtab), [probe_id_col, "cell", "subspace", "cluster"])
+            .groupBy(probe_id_col, id_col)
+            .agg(F.sum("dist").alias("adc_dist"))
+        )
+    else:
+        codes, book = pq_fit(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=pq_k,
+            iters=iters, scale=scale,
+        )
+        pe = probes.select(
+            F.col(probe_id_col), F.posexplode(probe_vec_col).alias("gd", "xr")
+        ).select(
+            probe_id_col,
+            (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
+            (F.col("gd") % F.lit(sub_d)).alias("d"),
+            F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("qx"),
+        )
+        dtab = (
+            pe.join(F.broadcast(book), ["subspace", "d"])
+            .groupBy(probe_id_col, "subspace", "cluster")
+            .agg(
+                F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("dist")
+            )
+        )
+        ce = codes.select(F.col(id_col), F.posexplode("codes").alias("subspace", "cluster"))
+        scores = (
+            cand.join(ce, id_col)
+            .join(F.broadcast(dtab), [probe_id_col, "subspace", "cluster"])
+            .groupBy(probe_id_col, id_col)
+            .agg(F.sum("dist").alias("adc_dist"))
+        )
     return per_group_topk(
         scores,
         probe_id_col,

@@ -2423,3 +2423,140 @@ def ivfadc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, probes, k_neighbors=10, n_cells=16, n_probe_cells=4,
         dim=64, m=8, pq_k=16, iters=2, exclude_id_eq_probe=True,
     )
+
+
+def _ivfadc_residual_oracle(
+    dim: int = 64, m: int = 8, pq_k: int = 16, iters: int = 2, scale: int = 1000,
+    n_cells: int = 16, n_probe_cells: int = 4, n_probes: int = 5, topk: int = 10,
+) -> str:
+    """Residual-encoding IVFADC replay (the paper-fidelity variant):
+    the routing CTEs come FIRST so the PQ chains can fit over
+    ``residuals`` (x − centroid(cell(x)), exact double subtraction);
+    probe tables are per (probe, probed cell) over the probe's
+    residual against that cell's centroid; scoring requires the
+    candidate's cell to match the table's cell."""
+    sub_d = dim // m
+    routing = f"""
+    hashed AS (
+      SELECT vec_id, embedding,
+             ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+      FROM embeddings
+    ),
+    cellseeds AS (
+      SELECT embedding::DOUBLE[] AS cv,
+             row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS cell
+      FROM hashed
+      ORDER BY h ASC, vec_id ASC
+      LIMIT {n_cells}
+    ),
+    cellasg AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.cv) DESC,
+                          s.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cellseeds s)
+      WHERE rn = 1
+    ),
+    probecells AS (
+      SELECT probe_id, cell FROM (
+        SELECT e.vec_id AS probe_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.cv) DESC,
+                          s.cell ASC) AS rn
+        FROM embeddings e CROSS JOIN cellseeds s
+        WHERE e.vec_id < {n_probes})
+      WHERE rn <= {n_probe_cells}
+    ),
+    residuals AS (
+      SELECT e.vec_id,
+             list_transform(range(1, len(e.embedding) + 1),
+                            i -> e.embedding[i]::DOUBLE - s.cv[i]) AS embedding
+      FROM embeddings e
+      JOIN cellasg a USING (vec_id)
+      JOIN cellseeds s USING (cell)
+    ),
+    proberes AS (
+      SELECT e.vec_id AS probe_id, pc.cell,
+             list_transform(range(1, len(e.embedding) + 1),
+                            i -> e.embedding[i]::DOUBLE - s.cv[i]) AS resid
+      FROM embeddings e
+      JOIN probecells pc ON pc.probe_id = e.vec_id
+      JOIN cellseeds s USING (cell)
+    )"""
+    chains, tails = [], []
+    for j in range(m):
+        a, b = j * sub_d + 1, (j + 1) * sub_d
+        src = f"(SELECT vec_id, embedding[{a}:{b}] AS embedding FROM residuals)"
+        chains.append(_kmeans_quantized_cte(pq_k, iters, scale, src=src, prefix=f"s{j}_"))
+        tails.append(f"""
+    t{j}_ve AS (
+      SELECT probe_id, cell,
+             unnest(range(1, len(resid[{a}:{b}]) + 1)) AS d,
+             CAST(floor(CAST(unnest(resid[{a}:{b}]) AS DOUBLE) * {scale}) AS BIGINT) AS x
+      FROM proberes
+    ),
+    t{j} AS (
+      SELECT ve.probe_id, ve.cell, c.cluster,
+             sum((ve.x - c.c) * (ve.x - c.c)) AS dist
+      FROM t{j}_ve ve JOIN s{j}_c{iters} c USING (d)
+      GROUP BY ve.probe_id, ve.cell, c.cluster
+    ),
+    u{j} AS (
+      SELECT t.probe_id, a.vid, t.dist
+      FROM s{j}_asg a
+      JOIN cellasg ca ON ca.vec_id = a.vid
+      JOIN t{j} t ON t.cluster = a.cluster AND t.cell = ca.cell
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM u{j}" for j in range(m))
+    return (
+        "WITH "
+        + routing
+        + ","
+        + ",".join(chains)
+        + ","
+        + ",".join(tails)
+        + f""",
+    cand AS (
+      SELECT pc.probe_id, a.vec_id
+      FROM probecells pc JOIN cellasg a ON a.cell = pc.cell
+      WHERE a.vec_id <> pc.probe_id
+    ),
+    tot AS (
+      SELECT probe_id, vid, sum(dist) AS adc_dist
+      FROM ({unions}) GROUP BY probe_id, vid
+    )
+    SELECT probe_id, vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+      SELECT c.probe_id, c.vec_id, tot.adc_dist,
+             row_number() OVER (PARTITION BY c.probe_id
+                                ORDER BY tot.adc_dist, c.vec_id) AS rn
+      FROM cand c
+      JOIN tot ON tot.probe_id = c.probe_id AND tot.vid = c.vec_id)
+    WHERE rn <= {topk}
+    """
+    )
+
+
+@query("ivfadc_residual_knn", oracle=_ivfadc_residual_oracle())
+def ivfadc_residual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoding IVFADC (``encode_residuals=True`` — the
+    Jégou et al. 2011 paper-fidelity layout, added per ADVICE r4):
+    PQ codebooks fit on x − centroid(cell(x)) after coarse routing,
+    so codewords model the tight residual distribution instead of
+    the raw spread; probe tables are per (probe, probed cell). Same
+    deterministic scaffolding as ``ivfadc_knn``, so the oracle
+    replays routing, residual computation, codebook fit, encoding,
+    AND scoring."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return VO.ivfadc_knn(
+        e, probes, k_neighbors=10, n_cells=16, n_probe_cells=4,
+        dim=64, m=8, pq_k=16, iters=2, exclude_id_eq_probe=True,
+        encode_residuals=True,
+    )

@@ -6,8 +6,9 @@ still green locally (CORRECTNESS_LOCAL.json)?
     python tools/gate_freshness.py        # table + stale warning
 
 A family is STALE when its newest driver row is more than 2 rounds
-old — the rotation budget (50 driver slots, 78 queries) is sized so
-no family ever has to go stale.
+old — the rotation budget (50 driver slots over the whole registry;
+the exact count is whatever ``plans.QUERY_REGISTRY`` holds) is sized
+so no family ever has to go stale.
 """
 
 from __future__ import annotations
@@ -64,17 +65,18 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "knn": ("knn_bruteforce", "knn_bruteforce_vectorized"),
     "ann": ("ann_hyperplane_neighbors", "ann_lsh_neighbors"),
     "ivf": ("ivf_knn_deterministic", "ivf_knn"),
-    "pq": ("pq_codes", "pq_adc_knn", "ivfadc_knn"),
+    "pq": ("pq_codes", "pq_adc_knn", "ivfadc_knn", "ivfadc_residual_knn"),
     "embedding_dedup": ("embedding_near_duplicates_deterministic",
                         "embedding_near_duplicates"),
-    "asof_join": ("purchase_attribution_asof",),
+    "asof_join": ("purchase_attribution_asof", "purchase_next_click_asof"),
     "interval_join": ("events_session_interval_join",),
     "rolling_window": ("rolling_order_spend",),
     "json_props": ("props_json_stats",),
     "streaming_tumbling": ("tumbling_hourly_events", "trending_event_types"),
     "streaming_sliding": ("sliding_window_events",),
     "streaming_session": ("session_windows_per_user",),
-    "streaming_join": ("purchase_click_attribution",),
+    "streaming_join": ("purchase_click_attribution",
+                       "purchase_click_attribution_left"),
     "corpus_shuffle": ("doc_shuffle_shards",),
     "skew_join": ("salted_user_segment_stats",),
     "cohort": ("weekly_cohort_retention",),
@@ -121,6 +123,9 @@ def row_green(row: dict) -> bool:
 
 def main() -> int:
     rounds = load_rounds()
+    if not rounds:
+        print("no CORRECTNESS_r*.json found — run after the first driver round")
+        return 1
     latest = max(rounds)
     local = {}
     local_path = os.path.join(REPO, "CORRECTNESS_LOCAL.json")
@@ -152,8 +157,9 @@ def main() -> int:
         )
         age = "-" if n is None else f"r{n:02d} (age {latest - n})"
         print(f"{fam:<20} {age:<18} {q:<40} {'green' if ok_local else 'CHECK'}")
-        if n is None and latest < NEW_IN_ROUND.get(fam, 0) + 2:
+        if n is None and fam in NEW_IN_ROUND and latest - NEW_IN_ROUND[fam] <= 2:
             continue  # first-registered too recently to have a row
+            # (same `age > 2` rule as gated families — ADVICE r4)
         if n is None or latest - n > 2:
             stale.append(fam)
     if stale:
