@@ -21,67 +21,70 @@ from . import queries_ext  # noqa: F401  (registers extension queries)
 # representative) + 21 rows for families that were never gated or
 # fell out of the r02 gate (VERDICT r2 asks #1/#4).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r04 rotation (VERDICT r3 asks #2/#3): the 23 oracle-backed
-    # queries with no r03 driver row rotate IN; 23 triple-vouched
-    # r01-r03 rows rotate OUT to CORRECTNESS_LOCAL vouching. The 4
-    # no-oracle variants (approx_distinct_customers, ann_lsh_neighbors,
-    # ivf_knn, embedding_near_duplicates) stay ungated: each has a
-    # hash-green deterministic sibling inside the window, and gating
-    # them would only add rows-only entries.
-    # -- rotated in: core relational siblings --
-    "order_part_stats",            # D-agg family sibling
-    "parts_never_ordered",         # C3 anti-join sibling
-    "region_nation_acctbal",       # C2 join sibling
-    "popularity_recommendations_compat",  # D5 sibling (ref-order compat)
-    "jaccard_pairs_exact",         # C6 exact set-similarity
-    "pair_rating_correlation",     # D8 per-pair Pearson
-    "order_status_priority_cube",  # cube (rollup sibling)
-    # -- rotated in: textops / corpus family --
-    "doc_token_stats",
-    "lang_id_distribution",
-    "doc_bpe_token_stats",
-    "doc_rolling_fingerprints",
-    "doc_scrub_stats",
-    "doc_repetition_stats",
-    "doc_heuristic_filter",
-    "decontaminated_docs",         # exact decontamination variant
-    "doc_unigram_logprob",
-    "source_mix_plan",
-    "doc_sample_by_lang",
-    "doc_chunks",
-    "tfidf_top_terms",
-    "doc_balanced_by_source",
-    # -- rotated in: vector / ML siblings --
-    "knn_bruteforce_vectorized",
-    "kmeans_embedding_segments_det",  # K11 value-checked (replaces rows-only ml-lib variant)
-    # -- kept anchors: families first-gated in r03 stay fresh --
+    # -- r05 rotation (VERDICT r4 ask #1): the 10 r4-registered
+    # queries take their first driver rows; the 3 r5-registered
+    # queries gate immediately (no one-round lag this time); the 22
+    # oracle-backed rows rotated out in r04 (r03-vouched) rotate back
+    # in before their evidence ages past 2 rounds. 15 anchors keep the
+    # perf-watched queries and one representative per long-standing
+    # family. Everything r04-gated and not re-listed here is age-1 and
+    # scheduled for the r06 rotation (COVERAGE.md "gate budget"). The
+    # 4 no-oracle variants stay ungated as before (deterministic
+    # siblings are in the window).
+    # -- first driver rows: registered r4 --
+    "pq_codes",
+    "pq_adc_knn",
+    "ivfadc_knn",
+    "semantic_dedup_survivors",
+    "purchase_click_attribution",
+    "doc_shuffle_shards",
+    "salted_user_segment_stats",
+    "trending_event_types",
+    "weekly_cohort_retention",
+    "signup_click_purchase_funnel",
+    # -- first driver rows: registered r5 --
+    "ivfadc_residual_knn",              # paper-fidelity IVFADC (ADVICE r4)
+    "purchase_next_click_asof",         # asof direction='forward'
+    "purchase_click_attribution_left",  # attribution how='left'
+    # -- rotated back in: r03-vouched, out during r04 --
+    "customer_order_counts",
+    "distinct_segments",
+    "order_part_sets",
+    "popularity_recommendations",
+    "segment_revenue",
+    "customers_with_open_orders",
+    "customers_orders_events_fullouter",
+    "top_parts_by_price",
+    "recent_orders_per_customer",
+    "chronological_split_counts",
+    "corr_qty_price_by_flag",
+    "part_popularity_biased",
+    "revenue_rollup_region_nation",
+    "sql_surface_top_customers",
+    "segment_price_quantiles",
+    "order_year_status_pivot",
+    "random_pair_baseline_trials",
+    "event_type_stats",
+    "doc_quality_scores",
+    "dedup_exact_survivors",
+    "minhash_pairs_lsh",
+    "kmv_distinct_customers",
+    # -- kept anchors --
     "pricing_summary",             # flagship scan/agg
     "candidates_unseen",           # C3+C4, perf-watched
     "top_similar_customer_pairs",  # C6/F4, perf-watched
     "als_recommendations",         # K4-K6 (rows-only by nature)
     "ranking_metrics_summary",     # K7-K9
     "exact_duplicate_groups",
-    "ngram_duplicate_pairs",
+    "ngram_duplicate_pairs",       # perf-watched
     "minhash_duplicate_pairs",
-    "simhash_duplicate_pairs",
     "dedup_representatives",
     "training_corpus_manifest",
     "knn_bruteforce",
-    "ann_hyperplane_neighbors",
     "ivf_knn_deterministic",
-    "embedding_near_duplicates_deterministic",
     "tumbling_hourly_events",
-    "sliding_window_events",
     "session_windows_per_user",
-    "events_session_interval_join",
-    "props_json_stats",
     "purchase_attribution_asof",
-    "rolling_order_spend",
-    "media_image_features",
-    "media_audio_frames",
-    "video_frame_samples",
-    "token_shard_assignment",
-    "ngram_decontaminated_docs",
 )
 
 

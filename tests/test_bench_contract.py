@@ -14,8 +14,8 @@ def test_headline_queries_all_registered():
     import bench
     from big_data_movie_recommendation_and_customer_segmentation_spark.plans import QUERY_REGISTRY
 
-    missing = [n for n in bench.HEADLINE if n not in QUERY_REGISTRY]
-    assert not missing, f"bench HEADLINE names not in registry: {missing}"
+    missing = [n for n in bench.HEADLINE + bench.EXTENDED if n not in QUERY_REGISTRY]
+    assert not missing, f"bench HEADLINE/EXTENDED names not in registry: {missing}"
 
 
 def test_entry_contract_shape():
@@ -53,16 +53,44 @@ def test_bench_final_line_fits_driver_tail_capture():
 
     # worst-case: every headline query at a 4-digit-second timing
     fat = {n: 9999.999 for n in bench.HEADLINE}
-    lines = bench.format_output(fat, fat, fat, sf=0.1)
+    fat_ext = {n: 9999.999 for n in bench.EXTENDED}
+    lines = bench.format_output(fat, fat, fat, sf=0.1, extended=fat_ext)
     final = lines[-1]
     assert len(final) < 1500, len(final)
     parsed = json.loads(final)
     assert parsed["metric"] == "headline_queries_total_wall"
-    for key in ("value", "unit", "warm_median_total", "sf"):
+    for key in ("value", "unit", "warm_median_total", "sf", "extended_queries_wall"):
         assert key in parsed, key
     # and the detail lines individually stay under the tail capture
     for ln in lines:
         assert len(ln) < 2000, len(ln)
+
+
+def test_bench_detail_sidecar_covers_both_sets(tmp_path):
+    """VERDICT r4 ask #3: per-query numbers must be recoverable from
+    the committed BENCH_DETAIL sidecar alone (the driver's stdout
+    tail truncates the detail lines)."""
+    import json
+
+    import bench
+
+    fat = {n: 1.0 for n in bench.HEADLINE}
+    fat_ext = {n: 2.0 for n in bench.EXTENDED}
+    path = bench.write_detail_sidecar(
+        fat, fat, fat, fat_ext, sf=0.1, path=str(tmp_path / "detail.json")
+    )
+    with open(path) as f:
+        d = json.load(f)
+    for key in ("queries", "queries_warm", "queries_warm_median"):
+        assert set(d[key]) == set(bench.HEADLINE), key
+    assert set(d["extended_queries"]) == set(bench.EXTENDED)
+    for key in (
+        "headline_total", "warm_total", "warm_median_total",
+        "extended_queries_wall", "sf",
+    ):
+        assert key in d, key
+    # the real sidecar path is round-stamped from driver artifacts
+    assert bench._next_round() >= 1
 
 
 def test_gate_priority_is_the_first_50_queries():
@@ -75,32 +103,32 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r04 rotation (VERDICT r3 asks #2/#3): every query with no r03
-    # driver row and an oracle must sit inside the gate window
+    # r05 rotation (VERDICT r4 ask #1): the 10 r4-registered queries
+    # and the 3 r5-registered ones must take first driver rows, and
+    # the 22 rows rotated out in r04 must rotate back before their
+    # r03 evidence ages past the 2-round budget
     for must in (
-        "order_part_stats",
-        "parts_never_ordered",
-        "region_nation_acctbal",
-        "popularity_recommendations_compat",
-        "jaccard_pairs_exact",
-        "pair_rating_correlation",
-        "order_status_priority_cube",
-        "doc_token_stats",
-        "lang_id_distribution",
-        "doc_bpe_token_stats",
-        "doc_rolling_fingerprints",
-        "doc_scrub_stats",
-        "doc_repetition_stats",
-        "doc_heuristic_filter",
-        "decontaminated_docs",
-        "doc_unigram_logprob",
-        "source_mix_plan",
-        "doc_sample_by_lang",
-        "doc_chunks",
-        "tfidf_top_terms",
-        "doc_balanced_by_source",
-        "knn_bruteforce_vectorized",
-        "kmeans_embedding_segments_det",
+        # r4-registered, first driver rows
+        "pq_codes",
+        "pq_adc_knn",
+        "ivfadc_knn",
+        "semantic_dedup_survivors",
+        "purchase_click_attribution",
+        "doc_shuffle_shards",
+        "salted_user_segment_stats",
+        "trending_event_types",
+        "weekly_cohort_retention",
+        "signup_click_purchase_funnel",
+        # r5-registered, gated immediately
+        "ivfadc_residual_knn",
+        "purchase_next_click_asof",
+        "purchase_click_attribution_left",
+        # r03-vouched rotate-backs (sample of the 22)
+        "customer_order_counts",
+        "doc_quality_scores",
+        "dedup_exact_survivors",
+        "minhash_pairs_lsh",
+        "kmv_distinct_customers",
     ):
         assert must in GATE_PRIORITY, must
     # the rows-only ml-lib k-means variant must have ceded its slot

@@ -27,6 +27,8 @@ NOTES = {
     "purchase_attribution_asof": "As-of join: union + single keyed window (one Exchange), no range join.",
     "purchase_click_attribution": "Stream-stream-shaped attribution: equi-join on user with the hour bound as a range residual — no cartesian.",
     "semantic_dedup_survivors": "SemDeDup: quantized-Lloyd assignment (checkpoint boundary), within-cluster pair prune keyed on the cluster id.",
+    "ivfadc_residual_knn": "Residual IVFADC: coarse routing, residual computation (checkpoint boundary), joint-Lloyd codebooks, per-(probe,cell) broadcast tables.",
+    "purchase_click_attribution_left": "Left-outer attribution: effects drive, same equi-join + range residual, null causes for the unattributed.",
 }
 
 
