@@ -34,6 +34,7 @@ def asof_join(
     right_cols: Sequence[str],
     how: str = "left",
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row with the same
     keys: ``direction='backward'`` (default) takes the most recent
@@ -41,6 +42,13 @@ def asof_join(
     b.ts in DuckDB terms), ``direction='forward'`` the earliest right
     row with ``right_ts >= left_ts`` (ON a.ts <= b.ts). Both are
     inclusive at equality.
+
+    ``tolerance`` (pandas merge_asof surface) bounds how far the
+    match may sit from the left timestamp: an INTERVAL string (e.g.
+    ``"1 hour"``) for timestamp columns, or a plain number for
+    numeric ones. A nearest match beyond the bound becomes null
+    (or drops under ``how='inner'``) — applied as a post-window
+    column predicate, so it adds zero shuffles.
 
     Output: every left column, plus ``right_cols`` (null when no
     right row qualifies — or the row dropped if ``how='inner'``).
@@ -62,7 +70,12 @@ def asof_join(
     left_types = dict(left.dtypes)
     # Union with aligned schemas: left keeps its columns; right
     # contributes keys + ts + its payload packed into one struct.
-    payload_type = "struct<" + ",".join(f"{c}:{right_types[c]}" for c in right_cols) + ">"
+    # The payload carries the right timestamp as `_rts` so the
+    # tolerance bound can test how far the carried match sits.
+    payload_type = (
+        "struct<_rts:" + right_types[right_ts] + ","
+        + ",".join(f"{c}:{right_types[c]}" for c in right_cols) + ">"
+    )
     l_tagged = left.select(
         *left_cols,
         F.col(left_ts).alias("_ts"),
@@ -76,7 +89,9 @@ def asof_join(
         ],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+        F.struct(
+            F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]
+        ).alias("_r"),
     )
     # backward walks time ascending (carry the last right row seen so
     # far); forward walks descending (the "last right row seen" is
@@ -94,6 +109,17 @@ def asof_join(
         .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}") if isinstance(tolerance, str) else F.lit(tolerance)
+        gap = (
+            F.col("_ts") - F.col("_match._rts")
+            if direction == "backward"
+            else F.col("_match._rts") - F.col("_ts")
+        )
+        matched = matched.withColumn(
+            "_match",
+            F.when(F.col("_match").isNotNull() & (gap <= tol), F.col("_match")),
+        )
     if how == "inner":
         matched = matched.filter(F.col("_match").isNotNull())
     return matched.select(

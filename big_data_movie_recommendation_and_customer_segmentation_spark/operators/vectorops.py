@@ -1169,3 +1169,207 @@ def ivfadc_knn(
         rank_col="rank",
         keep_rank=True,
     )
+
+
+def build_ivfadc_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    m: int = 8,
+    pq_k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode_residuals: bool = False,
+) -> None:
+    """Materialize the IVFADC layout to storage — the form a 100 TB
+    ANN corpus actually lives in: per-vector state is (id, m code
+    bytes, cell), parquet-partitioned BY CELL so a search touching
+    ``n_probe_cells`` cells prunes every other partition at the scan
+    (PartitionFilters, asserted in tests). Alongside ride the two
+    tiny model tables — ``centroids`` (n_cells rows) and ``codebook``
+    (m·pq_k·dim/m integer rows) — plus a one-row ``meta`` table
+    recording the geometry, so ``ivfadc_index_search`` derives
+    dim/m/scale/encoding FROM THE INDEX rather than trusting the
+    caller to repeat them (the mismatch class ADVICE r4 flagged on
+    ``pq_knn``, solved structurally here).
+
+    Same deterministic construction as ``ivfadc_knn`` (hash-seeded
+    cells, joint quantized Lloyd, optional residual encoding), so a
+    stored index searched with the same knobs reproduces the
+    in-memory operator bit for bit (equivalence-tested).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textops import shared_token_hash
+
+    hash_order = [
+        shared_token_hash(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    ]
+    cell_w = Window.orderBy(*hash_order)
+    centroids = (
+        corpus.select(id_col, vec_col)
+        .orderBy(*hash_order)
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(cell_w) - 1)
+        .select("cell", F.col(vec_col).alias("_cv"))
+    )
+    assigned = per_group_topk(
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(id_col, "cell", V.cosine(vec_col, "_cv").alias("_csim")),
+        id_col,
+        [F.col("_csim").desc(), F.col("cell").asc()],
+        1,
+    ).select(id_col, "cell")
+
+    if encode_residuals:
+        fit_input = (
+            corpus.select(id_col, vec_col)
+            .join(assigned, id_col)
+            .join(F.broadcast(centroids), "cell")
+            .select(
+                id_col,
+                F.zip_with(vec_col, "_cv", lambda a, b: a - b).alias(vec_col),
+            )
+            .localCheckpoint(eager=False)
+        )
+    else:
+        fit_input = corpus.select(id_col, vec_col)
+    codes, book = pq_fit(
+        fit_input, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=pq_k,
+        iters=iters, scale=scale,
+    )
+
+    (
+        codes.join(assigned, id_col)
+        .select(id_col, F.col("codes").cast("array<int>").alias("codes"), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    centroids.select("cell", F.col("_cv").alias("center")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    book.write.mode("overwrite").parquet(f"{path}/codebook")
+    corpus.sparkSession.createDataFrame(
+        [(dim, m, pq_k, iters, scale, n_cells, encode_residuals)],
+        "dim int, m int, pq_k int, iters int, scale int, n_cells int, "
+        "encode_residuals boolean",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ivfadc_index_search(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k_neighbors: int = 10,
+    n_probe_cells: int = 4,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    exclude_id_eq_probe: bool = False,
+) -> DataFrame:
+    """Search a stored IVFADC index (``build_ivfadc_index``): route
+    each probe against the tiny centroid table, scan ONLY the
+    selected cell partitions of the codes table (partition pruning —
+    search I/O is ~n_probe_cells/n_cells of the 8-bytes-per-vector
+    state, never the raw vectors), and score by broadcast ADC
+    tables. Geometry (dim/m/scale/residual encoding) comes from the
+    index's meta table, so a knob mismatch with build time is
+    impossible by construction.
+
+    The ``wanted``-cells collect is bounded by n_probe_cells ×
+    |probes| ≤ n_cells distinct values — driver-safe at any scale.
+    Output: probe_id, vec_id, adc_dist (long), rank.
+    """
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    dim, m, scale = meta.dim, meta.m, meta.scale
+    sub_d = dim // m
+    centroids = spark.read.parquet(f"{path}/centroids").select(
+        "cell", F.col("center").alias("_cv")
+    )
+    book = spark.read.parquet(f"{path}/codebook")
+
+    probe_cells = per_group_topk(
+        probes.select(probe_id_col, probe_vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(probe_id_col, "cell", V.cosine(probe_vec_col, "_cv").alias("_csim")),
+        probe_id_col,
+        [F.col("_csim").desc(), F.col("cell").asc()],
+        n_probe_cells,
+    ).select(probe_id_col, "cell")
+    wanted = [r.cell for r in probe_cells.select("cell").distinct().collect()]
+    codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(wanted))
+
+    if meta.encode_residuals:
+        pr = (
+            probes.select(probe_id_col, probe_vec_col)
+            .join(probe_cells, probe_id_col)
+            .join(F.broadcast(centroids), "cell")
+            .select(
+                probe_id_col,
+                "cell",
+                F.zip_with(probe_vec_col, "_cv", lambda a, b: a - b).alias("_pr"),
+            )
+        )
+        pe = pr.select(
+            probe_id_col, "cell", F.posexplode("_pr").alias("gd", "xr")
+        ).select(
+            probe_id_col,
+            "cell",
+            (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
+            (F.col("gd") % F.lit(sub_d)).alias("d"),
+            F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("qx"),
+        )
+        dtab = (
+            pe.join(F.broadcast(book), ["subspace", "d"])
+            .groupBy(probe_id_col, "cell", "subspace", "cluster")
+            .agg(
+                F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("dist")
+            )
+        )
+        join_keys = [probe_id_col, "cell", "subspace", "cluster"]
+    else:
+        pe = probes.select(
+            F.col(probe_id_col), F.posexplode(probe_vec_col).alias("gd", "xr")
+        ).select(
+            probe_id_col,
+            (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
+            (F.col("gd") % F.lit(sub_d)).alias("d"),
+            F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("qx"),
+        )
+        dtab = (
+            pe.join(F.broadcast(book), ["subspace", "d"])
+            .groupBy(probe_id_col, "subspace", "cluster")
+            .agg(
+                F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("dist")
+            )
+        )
+        join_keys = [probe_id_col, "subspace", "cluster"]
+
+    cand = probe_cells.join(codes, "cell").select(
+        probe_id_col, id_col, "cell", "codes"
+    )
+    if exclude_id_eq_probe:
+        cand = cand.filter(F.col(probe_id_col) != F.col(id_col))
+    ce = cand.select(
+        probe_id_col, id_col, "cell",
+        F.posexplode("codes").alias("subspace", "cluster"),
+    )
+    scores = (
+        ce.join(F.broadcast(dtab), join_keys)
+        .groupBy(probe_id_col, id_col)
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    return per_group_topk(
+        scores,
+        probe_id_col,
+        [F.col("adc_dist").asc(), F.col(id_col).asc()],
+        k_neighbors,
+        rank_col="rank",
+        keep_rank=True,
+    )

@@ -1759,6 +1759,50 @@ def purchase_next_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchase_attribution_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, ts, max(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT p.event_id, c.click_event_id,
+             row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts <= p.ts AND p.ts - c.ts <= INTERVAL 1 HOUR
+    )
+    SELECT p.event_id, p.user_id, m.click_event_id
+    FROM p LEFT JOIN (SELECT event_id, click_event_id FROM m WHERE rn = 1) m
+      ON m.event_id = p.event_id
+    """,
+)
+def purchase_attribution_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded as-of (``tolerance='1 hour'``, the pandas merge_asof
+    surface): each purchase attributed to its most recent click only
+    if that click is within the hour — staler matches null out. For
+    the backward direction, filtering the nearest match by tolerance
+    is provably identical to searching within the window (anything
+    inside the window would BE nearer), which is what the plain-SQL
+    windowed oracle replays. Clicks pre-deduped on (user, ts) for
+    tie determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = TP.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["click_event_id"], tolerance="1 hour",
+    )
+    return out.select("event_id", "user_id", "click_event_id")
+
+
+@query(
     "rolling_order_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,

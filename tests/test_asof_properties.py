@@ -183,6 +183,65 @@ def test_asof_forward_equal_ts_right_row_visible(spark):
     assert out[0].v == 7
 
 
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_tolerance_nulls_stale_matches(spark, lrows, rrows):
+    """tolerance (pandas merge_asof surface): the nearest match still
+    wins, but if it sits further than the bound the row gets null
+    payload — NOT the next-nearest inside the bound (merge_asof
+    semantics: tolerance filters the nearest, it does not re-search).
+    tol=2 over ts domain 0..4 forces both outcomes."""
+    ldata = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    rdata = [(k, t, t, 1000 + i) for i, (k, t) in enumerate(rrows)]
+    left = spark.createDataFrame(ldata, "k long, ts long, lid long")
+    right = spark.createDataFrame(rdata, "k long, ts long, rts long, v long")
+
+    out = TP.asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rts", "v"], tolerance=2,
+    ).collect()
+    assert len(out) == len(ldata)
+    by_lid = {r.lid: r for r in out}
+    for k, ts, lid in ldata:
+        row = by_lid[lid]
+        cands = [rt for (rk, rt, _, _) in rdata if rk == k and rt <= ts]
+        if not cands or ts - max(cands) > 2:
+            assert row.rts is None and row.v is None, row
+        else:
+            assert row.rts == max(cands), row
+
+
+def test_asof_tolerance_forward_and_interval(spark):
+    """Forward direction honors tolerance on the other side, and
+    timestamp columns take INTERVAL-string tolerances."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 0, 0), (1, 100, 1)], "k long, ts_s long, lid long").select(
+        "k", F.timestamp_seconds(F.col("ts_s") + 1_700_000_000).alias("ts"), "lid"
+    )
+    right = spark.createDataFrame([(1, 30, 7)], "k long, ts_s long, v long").select(
+        "k", F.timestamp_seconds(F.col("ts_s") + 1_700_000_000).alias("ts"), "v"
+    )
+    out = {
+        r.lid: r.v
+        for r in TP.asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction="forward", tolerance="45 seconds",
+        ).collect()
+    }
+    # lid 0: next right at +30s, inside 45s → matches.
+    # lid 1: no right at-or-after → null.
+    assert out == {0: 7, 1: None}
+    out_tight = {
+        r.lid: r.v
+        for r in TP.asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction="forward", tolerance="10 seconds",
+        ).collect()
+    }
+    assert out_tight == {0: None, 1: None}
+
+
 def test_asof_rejects_unknown_direction(spark):
     left = spark.createDataFrame([(1, 10, 0)], "k long, ts long, lid long")
     import pytest

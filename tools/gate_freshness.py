@@ -68,7 +68,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "pq": ("pq_codes", "pq_adc_knn", "ivfadc_knn", "ivfadc_residual_knn"),
     "embedding_dedup": ("embedding_near_duplicates_deterministic",
                         "embedding_near_duplicates"),
-    "asof_join": ("purchase_attribution_asof", "purchase_next_click_asof"),
+    "asof_join": ("purchase_attribution_asof", "purchase_next_click_asof",
+                  "purchase_attribution_asof_tolerance"),
     "interval_join": ("events_session_interval_join",),
     "rolling_window": ("rolling_order_spend",),
     "json_props": ("props_json_stats",),
