@@ -1,0 +1,112 @@
+"""Market-basket association rules (support / confidence / lift).
+
+The classic co-occurrence recommender the reference's item-item
+pipeline approximates with driver-side pair dictionaries
+(reference: S2_item_similarity.py:1-120 builds per-item rating dicts
+in driver memory); here the whole rule mining is four keyed
+aggregations and one bounded self-join — no driver state.
+
+100 TB shape
+------------
+* Basket dedup is ONE shuffle on (basket, item).
+* The pair self-join shuffles on the basket key only; both sides are
+  the SAME deduped relation, so AQE coalesces into a single exchange
+  reused by both join inputs (ReuseExchange).
+* The quadratic term is bounded by ``max_basket_size``: a basket of
+  size s emits s·(s−1)/2 pairs, so a frequency governor on basket
+  size caps the blow-up exactly like the shingle-frequency governor
+  in dedup.py — the standard Apriori-style guard. Oversize baskets
+  are dropped (logged in the plan via the size filter), matching how
+  production market-basket jobs treat degenerate carts.
+* Item counts join back onto pair counts by item key — at 100 TB the
+  item-count side is |catalog| rows (millions, not billions) and
+  broadcastable; we mark it broadcast.
+* The basket total N is a scalar from a count() on the deduped
+  baskets — a bounded driver collect (1 value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair_count: int = 2,
+    max_basket_size: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mine pairwise association rules from a (basket, item) relation.
+
+    Returns one row per ordered rule ``antecedent → consequent``
+    (both directions of every unordered co-occurrence pair) with:
+
+    * ``pair_count``   — baskets containing both items
+    * ``support``      — pair_count / N baskets
+    * ``confidence``   — pair_count / count(antecedent)
+    * ``lift``         — support / (supp(antecedent)·supp(consequent))
+
+    All ratios are rounded to ``round_to`` for stable cross-engine
+    comparison. Deterministic: pure aggregation, no RNG.
+    """
+    b = F.col(basket_col)
+    i = F.col(item_col)
+
+    # One shuffle: dedup to basket–item incidence.
+    incidence = df.select(b.alias("_basket"), i.alias("_item")).distinct()
+
+    # Basket-size governor (keyed agg on the same partitioning as the
+    # self-join below — AQE reuses the exchange).
+    sizes = incidence.groupBy("_basket").agg(F.count("*").alias("_bsize"))
+    bounded = (
+        incidence.join(sizes, "_basket")
+        .filter(F.col("_bsize") <= F.lit(max_basket_size))
+        .drop("_bsize")
+    )
+
+    n_baskets = bounded.select("_basket").distinct().count()  # bounded scalar
+
+    # Per-item basket counts — catalog-sized, broadcast below.
+    item_counts = bounded.groupBy("_item").agg(F.count("*").alias("_icount"))
+
+    # Pair counts: self-join on the basket key, canonical a < b order.
+    left = bounded.select("_basket", F.col("_item").alias("_a"))
+    right = bounded.select("_basket", F.col("_item").alias("_b"))
+    pairs = (
+        left.join(right, "_basket")
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= F.lit(min_pair_count))
+    )
+
+    # Emit both rule directions from the unordered pair.
+    directed = pairs.select(
+        F.col("_a").alias("antecedent"), F.col("_b").alias("consequent"), "pair_count"
+    ).unionByName(
+        pairs.select(
+            F.col("_b").alias("antecedent"), F.col("_a").alias("consequent"), "pair_count"
+        )
+    )
+
+    ca = item_counts.select(F.col("_item").alias("antecedent"), F.col("_icount").alias("_na"))
+    cb = item_counts.select(F.col("_item").alias("consequent"), F.col("_icount").alias("_nb"))
+    n = F.lit(float(n_baskets))
+    return (
+        directed.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_count",
+            F.round(F.col("pair_count") / n, round_to).alias("support"),
+            F.round(F.col("pair_count") / F.col("_na"), round_to).alias("confidence"),
+            F.round(
+                (F.col("pair_count") * n) / (F.col("_na") * F.col("_nb")), round_to
+            ).alias("lift"),
+        )
+    )

@@ -156,3 +156,73 @@ def deterministic_shuffle(
     out = df.withColumn("_h", h).withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return out.withColumn("pos", F.row_number().over(w)).drop("_h")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query
+    terms (Robertson/Sparck-Jones idf: ln(1 + (N−df+0.5)/(df+0.5))).
+
+    100 TB shape: tokenization + per-(doc, term) tf is one shuffle;
+    doc lengths ride the SAME aggregation (conditional count), so the
+    corpus is scanned once. df per query term and avgdl/N are a
+    ≤|terms|-row and a 1-row aggregate — both joined back by
+    broadcast. Only rows whose term is in the (literal, broadcast)
+    query survive the tf filter, so the scored relation is
+    |matching docs| × |terms|, never the full posting list.
+
+    The reference has no ranked retrieval (tfidf_top_terms is the
+    nearest neighbor); BM25 is the standard next step for
+    training-data quality filtering by query relevance.
+    """
+    from ..functions import textops as TX
+
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TX.tokens(TX.normalized_text(text_col))).alias("term"),
+    )
+    # One pass: per-doc length AND per-(doc, query-term) tf.
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("_term_score"), round_to).alias("bm25"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )

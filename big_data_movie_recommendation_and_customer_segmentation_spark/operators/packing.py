@@ -54,15 +54,18 @@ def bucketed_running_sum(
     out_col: str = "running_total",
     num_buckets: int | None = None,
     relative_error: float = 1e-4,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Global running sum of ``weight_col`` in ``order_col`` order
     (inclusive), computed with the two-pass prefix-sum decomposition
     described in the module docstring.
 
     ``order_col`` must be numeric (boundaries come from
-    ``approxQuantile``) and should be unique — ties are broken by the
-    bucket-local window's order, which for duplicated keys straddling
-    a bucket boundary could differ from a global sort's tiebreak.
+    ``approxQuantile``). For duplicated keys pass ``tiebreak_cols``:
+    equal ``order_col`` values always land in the SAME bucket (the
+    bucket expression is a function of the value), so a within-bucket
+    tiebreak yields exactly the global order ``(order_col,
+    *tiebreak_cols)`` — no tie can straddle a boundary.
     ``weight_col`` is cast to long so bucket totals are exact (FP
     prefix sums would drift by association order).
 
@@ -102,7 +105,7 @@ def bucketed_running_sum(
     # then add the broadcast exclusive prefix offset.
     win = (
         Window.partitionBy("_grp")
-        .orderBy(order_col)
+        .orderBy(order_col, *(tiebreak_cols or []))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -1,0 +1,167 @@
+"""Customer segmentation primitives: RFM scoring and Pareto
+(cumulative-revenue-share) analysis.
+
+The reference's segmentation notebook does K-means over hand-scaled
+driver-side arrays (reference: S4_customer_segmentation.py:1-90);
+K-means parity lives in vectorops.py. This module adds the two
+standard *rule-based* segmentations a production CRM pipeline runs
+alongside clustering — RFM quintiles and the 80/20 revenue Pareto —
+both expressed so no global single-partition window appears.
+
+100 TB shape
+------------
+* RFM: per-customer metrics are one keyed agg. Scores come from
+  FOUR quantile cut points per metric computed ONCE on the
+  aggregated relation and broadcast into a codegen'd comparison
+  ladder — NOT ``ntile() OVER (ORDER BY metric)``, which plans as
+  Exchange SinglePartition over every customer. Cut points use
+  Spark's exact ``percentile`` (bit-identical to DuckDB
+  ``quantile_cont``, verified in tests); at extreme scale swap for
+  ``approxQuantile`` — the ladder is unchanged.
+* Pareto: global running share in revenue-descending order reuses
+  the two-pass bucketed prefix sum from packing.py (one full
+  shuffle, no SinglePartition exchange), with the customer key as
+  an in-bucket tiebreak so equal revenues are ordered
+  deterministically. Revenue is fixed-pointed to cents so the
+  prefix sum is exact-integer (FP cumsums drift by association
+  order and would break cross-engine hashing).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .packing import bucketed_running_sum
+
+_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def _ladder_asc(col: str, cuts: list[float]):
+    """1 + Σ [v > cut] — higher value ⇒ higher score (1..5)."""
+    return reduce(
+        lambda acc, c: acc + F.when(F.col(col) > F.lit(c), 1).otherwise(0),
+        cuts,
+        F.lit(1),
+    )
+
+
+def _ladder_desc(col: str, cuts: list[float]):
+    """1 + Σ [v < cut] — LOWER value ⇒ higher score (recency)."""
+    return reduce(
+        lambda acc, c: acc + F.when(F.col(col) < F.lit(c), 1).otherwise(0),
+        cuts,
+        F.lit(1),
+    )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    customer_col: str,
+    ts_col: str,
+    amount_col: str,
+    anchor_ts: str,
+) -> DataFrame:
+    """Per-customer RFM metrics and 1–5 quintile scores.
+
+    * recency_days  — days from the customer's latest order to
+      ``anchor_ts`` (smaller ⇒ better ⇒ higher r_score)
+    * frequency     — order count
+    * monetary      — total spend (rounded to cents)
+
+    Scores are quintile ladders against exact 20/40/60/80th
+    percentile cuts of each metric over the customer population;
+    ties sit on the same side of a cut in every engine (strict
+    comparison), so the scoring is reproducible cross-engine. Also
+    emits the standard composite ``rfm_segment`` label.
+    """
+    per_cust = orders.groupBy(F.col(customer_col).alias("customer_id")).agg(
+        F.datediff(F.lit(anchor_ts).cast("timestamp"), F.max(ts_col)).alias(
+            "recency_days"
+        ),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(amount_col), 2).alias("monetary"),
+    )
+
+    # One tiny job: 12 exact percentiles on the aggregated relation.
+    cuts_row = per_cust.select(
+        F.percentile("recency_days", F.lit(list(_QS))).alias("r"),
+        F.percentile("frequency", F.lit(list(_QS))).alias("f"),
+        F.percentile("monetary", F.lit(list(_QS))).alias("m"),
+    ).first()
+    r_cuts, f_cuts, m_cuts = list(cuts_row["r"]), list(cuts_row["f"]), list(cuts_row["m"])
+
+    scored = per_cust.select(
+        "customer_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _ladder_desc("recency_days", r_cuts).alias("r_score"),
+        _ladder_asc("frequency", f_cuts).alias("f_score"),
+        _ladder_asc("monetary", m_cuts).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), F.lit("champion"))
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), F.lit("new"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), F.lit("at_risk"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), F.lit("hibernating"))
+        .otherwise(F.lit("regular")),
+    )
+
+
+def revenue_pareto(
+    orders: DataFrame,
+    customer_col: str,
+    amount_col: str,
+    *,
+    threshold: float = 0.8,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Cumulative revenue share per customer, revenue-descending —
+    the 80/20 analysis. ``head_flag`` marks the customers whose
+    cumulative share first reaches ``threshold`` (the "vital few").
+
+    Revenue is fixed-pointed to cents (exact-integer prefix sum);
+    the running order is (revenue desc, customer_id asc), realised
+    as the bucketed prefix sum over ``-revenue_cents`` with the
+    customer key as the in-bucket tiebreak — no SinglePartition
+    exchange (see packing.py module docstring).
+    """
+    rev = orders.groupBy(F.col(customer_col).alias("customer_id")).agg(
+        F.round(F.sum(amount_col), 2).alias("revenue")
+    ).withColumn(
+        "revenue_cents", F.round(F.col("revenue") * 100).cast("long")
+    ).withColumn(
+        "_neg_rev", (-F.col("revenue_cents")).cast("double")
+    )
+
+    run = bucketed_running_sum(
+        rev,
+        order_col="_neg_rev",
+        weight_col="revenue_cents",
+        out_col="_cum_cents",
+        num_buckets=num_buckets,
+        tiebreak_cols=["customer_id"],
+    ).drop("_neg_rev")
+
+    total_cents = run.agg(F.sum("revenue_cents")).first()[0]  # bounded scalar
+    return (
+        run.withColumn(
+            "cum_share",
+            F.round(F.col("_cum_cents") / F.lit(float(total_cents)), 6),
+        )
+        .withColumn(
+            "head_flag",
+            # strictly-before-this-row share < threshold ⇒ this row is
+            # still needed to reach the threshold.
+            (
+                (F.col("_cum_cents") - F.col("revenue_cents"))
+                / F.lit(float(total_cents))
+                < F.lit(threshold)
+            ).cast("int"),
+        )
+        .drop("_cum_cents")
+    )

@@ -189,3 +189,58 @@ def interval_join(
         .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
         .drop("_cell")
     )
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    agg_exprs: dict[str, "F.Column"],
+    *,
+    zero_fill: list[str] | None = None,
+    ffill: list[str] | None = None,
+) -> DataFrame:
+    """Resample an event relation to a dense per-(group, day) grid:
+    aggregate to daily grain, then LEFT-join onto a complete date
+    spine so silent days appear explicitly — ``zero_fill`` columns
+    become 0, ``ffill`` columns carry the last observed value
+    forward (``last(ignorenulls)`` over a per-group date window).
+
+    100 TB shape: the spine is ``sequence(min_day, max_day)`` from a
+    2-value global agg, exploded and broadcast-cross-joined with the
+    DISTINCT group keys — spine size = |groups| × days, tiny relative
+    to the event relation. The expensive side is the daily agg (one
+    shuffle on (group, day)); the spine join and the forward-fill
+    window reuse that same (group)-hash partitioning. No
+    SinglePartition exchange: the fill window partitions by group.
+
+    The reference has no resampler (driver pandas would reindex);
+    this is the distributed equivalent of ``DataFrame.resample('D')``.
+    """
+    day = F.to_date(ts_col).alias("_day")
+    daily = df.groupBy(*group_cols, day).agg(
+        *[e.alias(n) for n, e in agg_exprs.items()]
+    )
+
+    # 2-value agg → exploded spine (runs as a 1-row broadcast side).
+    bounds = df.select(
+        F.min(F.to_date(ts_col)).alias("_lo"), F.max(F.to_date(ts_col)).alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("_lo", "_hi", F.expr("interval 1 day"))).alias("_day")
+    )
+    groups = df.select(*group_cols).distinct()
+    grid = groups.crossJoin(F.broadcast(spine))
+
+    out = grid.join(daily, [*group_cols, "_day"], "left")
+    for c in zero_fill or []:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    if ffill:
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in ffill:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.withColumnRenamed("_day", "day")

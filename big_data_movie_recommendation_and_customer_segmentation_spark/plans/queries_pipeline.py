@@ -1,0 +1,354 @@
+"""Round-5 pipeline queries: market-basket rules, RFM + Pareto
+segmentation, BM25 retrieval, time-series gap fill, snapshot CDC.
+
+Same registry + oracle conventions as ``queries.py``. Every oracle
+mirrors the Spark expression ORDER as well as its value (FP ops are
+replayed in the same association order so round(...,6) agrees).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import association as AS
+from ..operators import corpus as CP
+from ..operators import segmentation as SG
+from ..operators import snapshot as SN
+from ..operators import temporal as TP
+from ..sources import load_table
+from .queries import query
+from .queries_ext import _NTOKS
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules (recommendation parity-plus)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_association_rules",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    sizes AS (SELECT basket, count(*) AS bsize FROM inc GROUP BY 1),
+    bounded AS (
+      SELECT inc.basket, inc.item FROM inc JOIN sizes USING (basket)
+      WHERE bsize <= 8
+    ),
+    n AS (SELECT count(DISTINCT basket) AS n_baskets FROM bounded),
+    ic AS (SELECT item, count(*) AS icount FROM bounded GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS ia, b.item AS ib, count(*) AS pair_count
+      FROM bounded a JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    directed AS (
+      SELECT ia AS antecedent, ib AS consequent, pair_count FROM pairs
+      UNION ALL
+      SELECT ib AS antecedent, ia AS consequent, pair_count FROM pairs
+    )
+    SELECT d.antecedent, d.consequent, d.pair_count,
+           round(d.pair_count / CAST(n.n_baskets AS DOUBLE), 6)  AS support,
+           round(d.pair_count / CAST(ca.icount AS DOUBLE), 6)    AS confidence,
+           round((d.pair_count * CAST(n.n_baskets AS DOUBLE))
+                 / (ca.icount * cb.icount), 6)                   AS lift
+    FROM directed d
+    JOIN ic ca ON ca.item = d.antecedent
+    JOIN ic cb ON cb.item = d.consequent
+    CROSS JOIN n
+    """,
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over order baskets (support /
+    confidence / lift) — the co-occurrence recommender the
+    reference's item-item pipeline approximates with driver dicts
+    (reference: S2_item_similarity.py:1-120). Basket-size governor 8
+    bounds the pair blow-up; see association.py for the 100 TB
+    shuffle budget (one incidence shuffle + one basket-key
+    self-join + catalog-sized broadcast joins)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AS.association_rules(
+        li.select("l_orderkey", "l_partkey"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_count=2,
+        max_basket_size=8,
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM + Pareto segmentation
+# --------------------------------------------------------------------------
+
+_RFM_ANCHOR = "1998-12-31"
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS customer_id,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       DATE '{_RFM_ANCHOR}')          AS recency_days,
+             count(*)                                 AS frequency,
+             round(sum(o_totalprice), 2)              AS monetary
+      FROM orders GROUP BY 1
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS r,
+             quantile_cont(frequency,    [0.2, 0.4, 0.6, 0.8]) AS f,
+             quantile_cont(monetary,     [0.2, 0.4, 0.6, 0.8]) AS m
+      FROM per_cust
+    ),
+    scored AS (
+      SELECT customer_id, recency_days, frequency, monetary,
+             1 + CAST(recency_days < r[1] AS INT) + CAST(recency_days < r[2] AS INT)
+               + CAST(recency_days < r[3] AS INT) + CAST(recency_days < r[4] AS INT) AS r_score,
+             1 + CAST(frequency > f[1] AS INT) + CAST(frequency > f[2] AS INT)
+               + CAST(frequency > f[3] AS INT) + CAST(frequency > f[4] AS INT)       AS f_score,
+             1 + CAST(monetary > m[1] AS INT) + CAST(monetary > m[2] AS INT)
+               + CAST(monetary > m[3] AS INT) + CAST(monetary > m[4] AS INT)         AS m_score
+      FROM per_cust CROSS JOIN cuts
+    )
+    SELECT customer_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS rfm_segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation — the rule-based companion to the
+    reference's K-means segmentation (reference:
+    S4_customer_segmentation.py:1-90). Quintile cuts come from ONE
+    exact-percentile aggregate broadcast into a comparison ladder —
+    no ``ntile() OVER (ORDER BY …)`` SinglePartition exchange (see
+    segmentation.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return SG.rfm_scores(
+        o, "o_custkey", "o_orderdate", "o_totalprice", anchor_ts=_RFM_ANCHOR
+    )
+
+
+@query(
+    "customer_revenue_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS customer_id,
+             round(sum(o_totalprice), 2) AS revenue,
+             CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(revenue_cents) AS t FROM rev),
+    run AS (
+      SELECT customer_id, revenue, revenue_cents,
+             sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, customer_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    )
+    SELECT customer_id, revenue, revenue_cents,
+           round(cum / CAST(t AS DOUBLE), 6) AS cum_share,
+           CAST((cum - revenue_cents) / CAST(t AS DOUBLE) < 0.8 AS INT) AS head_flag
+    FROM run CROSS JOIN tot
+    """,
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 cumulative revenue share per customer. The global
+    running sum in revenue-descending order uses the two-pass
+    bucketed prefix sum (packing.py) with the customer key as the
+    in-bucket tiebreak — exact-integer cents, no SinglePartition
+    exchange; the oracle is the plain windowed SQL it is
+    byte-equivalent to."""
+    o = load_table(spark, sf_dir, "orders")
+    return SG.revenue_pareto(o, "o_custkey", "o_totalprice", threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window", "stream")
+
+
+@query(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_NTOKS}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'window', 'stream')
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN df USING (term)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25, count(*) AS n_matched_terms
+    FROM scored GROUP BY 1
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term
+    bag — ranked retrieval for relevance-based corpus filtering
+    (k1=1.2, b=0.75). One token shuffle feeds tf AND doc-length;
+    df/avgdl/N are broadcast-sized aggregates (corpus.py
+    ``bm25_scores``)."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.bm25_scores(d, "doc_id", "text", list(_BM25_TERMS))
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill / resample
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_orders_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS day_revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+             CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    grid AS (
+      SELECT p.o_orderpriority, s.day
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) p CROSS JOIN spine s
+    ),
+    j AS (
+      SELECT g.o_orderpriority, g.day,
+             coalesce(d.n_orders, 0) AS n_orders, d.day_revenue
+      FROM grid g LEFT JOIN daily d USING (o_orderpriority, day)
+    )
+    SELECT o_orderpriority, CAST(day AS TIMESTAMP) AS day, n_orders,
+           last_value(day_revenue IGNORE NULLS)
+             OVER (PARTITION BY o_orderpriority ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS day_revenue
+    FROM j
+    """,
+)
+def daily_orders_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-(priority, day) resample of the orders stream:
+    silent days appear with n_orders=0 and the last observed daily
+    revenue carried forward (``last(ignorenulls)`` per-group window;
+    leading days before the first observation stay null). The spine
+    is a broadcast |groups|×|days| grid — the distributed
+    ``resample('D')`` (temporal.py ``gap_fill_daily``)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = TP.gap_fill_daily(
+        o,
+        "o_orderdate",
+        ["o_orderpriority"],
+        {"n_orders": F.count(F.lit(1)), "day_revenue": F.round(F.sum("o_totalprice"), 2)},
+        zero_fill=["n_orders"],
+        ffill=["day_revenue"],
+    )
+    # DATE → TIMESTAMP for the cross-engine hash (driver stringifies
+    # timestamps identically; bare dates render differently).
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+# --------------------------------------------------------------------------
+# Snapshot CDC: diff + merge
+# --------------------------------------------------------------------------
+
+_OLD_SNAP = "o_orderkey % 10 <> 3"
+_NEW_SNAP = "o_orderkey % 10 <> 7"
+_BUMP = "o_orderkey % 13 = 0"
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic old/new snapshot pair derived from orders:
+    ~10% of keys deleted, ~10% inserted, ~1/13 price-bumped."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.expr(_OLD_SNAP))
+    # price bump is an exact IEEE add (no rounding step), so both
+    # engines produce the bit-identical double.
+    new = o.filter(F.expr(_NEW_SNAP)).withColumn(
+        "o_totalprice",
+        F.when(F.expr(_BUMP), F.col("o_totalprice") + 100.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return old, new
+
+
+_SNAP_CTES = f"""
+    old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE {_OLD_SNAP}
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN {_BUMP} THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE {_NEW_SNAP}
+    )
+"""
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH {_SNAP_CTES}
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                WHEN (old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus)
+                 AND (old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice)
+                  THEN 'unchanged'
+                ELSE 'update' END AS change_type,
+           new.o_orderstatus, new.o_totalprice
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between two deterministic order snapshots:
+    insert / delete / update / unchanged via ONE full-outer join on
+    the key + null-safe struct comparison (snapshot.py). At 100 TB,
+    bucketed snapshots make this join shuffle-free."""
+    old, new = _snapshots(spark, sf_dir)
+    return SN.snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+@query(
+    "snapshot_merge_orders",
+    oracle=f"""
+    WITH {_SNAP_CTES}
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM new
+    """,
+)
+def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE round-trip: apply the snapshot diff onto the old
+    snapshot; the result must be bit-identical to the new snapshot —
+    which is exactly what the oracle asserts. Two key-joins, no
+    window, no driver state (snapshot.py ``apply_changes``)."""
+    old, new = _snapshots(spark, sf_dir)
+    diff = SN.snapshot_diff(old, new, keys=["o_orderkey"])
+    return SN.apply_changes(old, diff, keys=["o_orderkey"])

@@ -1,0 +1,240 @@
+"""Unit tests for the round-5 pipeline operators: association rules,
+RFM/Pareto segmentation, BM25, gap fill, snapshot CDC.
+
+Registry-level oracle parity is covered by test_oracle_queries.py;
+these tests pin the operator SEMANTICS on hand-built inputs where the
+expected numbers are computable by inspection, plus the plan shapes
+that matter at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators.association import (
+    association_rules,
+)
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators.corpus import (
+    bm25_scores,
+)
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators.segmentation import (
+    revenue_pareto,
+    rfm_scores,
+)
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators.snapshot import (
+    apply_changes,
+    snapshot_diff,
+)
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators.temporal import (
+    gap_fill_daily,
+)
+
+
+# --------------------------------------------------------------------------
+# Association rules
+# --------------------------------------------------------------------------
+
+
+def test_association_rules_known_values(spark):
+    # 4 baskets: {a,b,c}, {a,b}, {a,c}, {d}
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "d")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = association_rules(
+        df, "basket", "item", min_pair_count=2, max_basket_size=10
+    ).collect()
+    rules = {(r["antecedent"], r["consequent"]): r for r in out}
+    # (a,b) together in baskets 1,2; a in 3 baskets, b in 2; N=4
+    ab = rules[("a", "b")]
+    assert ab["pair_count"] == 2
+    assert ab["support"] == pytest.approx(0.5)
+    assert ab["confidence"] == pytest.approx(2 / 3, abs=1e-6)
+    assert ab["lift"] == pytest.approx(2 * 4 / (3 * 2), abs=1e-6)
+    # directionality: b→a has different confidence (2/2)
+    assert rules[("b", "a")]["confidence"] == pytest.approx(1.0)
+    # (a,c) pair_count 2 present; (b,c) only basket 1 → filtered by min 2
+    assert ("a", "c") in rules and ("b", "c") not in rules
+
+
+def test_association_rules_basket_governor(spark):
+    # one oversize basket must contribute nothing (and shrink N)
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "x"), (3, "y"), (3, "z")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = association_rules(
+        df, "basket", "item", min_pair_count=1, max_basket_size=2
+    ).collect()
+    items = {r["antecedent"] for r in out} | {r["consequent"] for r in out}
+    assert items == {"a", "b"}
+    # N counts only surviving baskets (2), so support of (a,b) = 1.0
+    ab = {(r["antecedent"], r["consequent"]): r for r in out}[("a", "b")]
+    assert ab["support"] == pytest.approx(1.0)
+
+
+def test_association_rules_dedups_repeated_lines(spark):
+    # the same item twice in one basket is ONE incidence
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = association_rules(df, "basket", "item", min_pair_count=1).collect()
+    ab = {(r["antecedent"], r["consequent"]): r for r in out}[("a", "b")]
+    assert ab["pair_count"] == 2 and ab["confidence"] == pytest.approx(1.0)
+
+
+# --------------------------------------------------------------------------
+# RFM
+# --------------------------------------------------------------------------
+
+
+def test_rfm_scores_orders_monotone(spark):
+    # 10 customers, customer i places i+1 orders of 100 each, most
+    # recent order i days before the anchor.
+    rows = []
+    for c in range(10):
+        for j in range(c + 1):
+            rows.append((c, f"2024-06-{(j % 28) + 1:02d} 00:00:00", 100.0))
+    df = spark.createDataFrame(rows, "cust int, ts string, amount double").select(
+        "cust", F.col("ts").cast("timestamp").alias("ts"), "amount"
+    )
+    out = rfm_scores(df, "cust", "ts", "amount", anchor_ts="2024-07-01").collect()
+    by_cust = {r["customer_id"]: r for r in out}
+    # frequency and monetary are increasing in c ⇒ scores monotone non-decreasing
+    for a, b in zip(range(9), range(1, 10)):
+        assert by_cust[a]["f_score"] <= by_cust[b]["f_score"]
+        assert by_cust[a]["m_score"] <= by_cust[b]["m_score"]
+    assert all(1 <= r["r_score"] <= 5 for r in out)
+    assert by_cust[9]["frequency"] == 10 and by_cust[9]["monetary"] == 1000.0
+    assert set(r["rfm_segment"] for r in out) <= {
+        "champion", "new", "at_risk", "hibernating", "regular"
+    }
+
+
+# --------------------------------------------------------------------------
+# Pareto
+# --------------------------------------------------------------------------
+
+
+def test_revenue_pareto_shares_and_flags(spark):
+    rows = [(1, 500.0), (2, 300.0), (3, 150.0), (4, 50.0)]
+    df = spark.createDataFrame(rows, "cust int, amount double")
+    out = {
+        r["customer_id"]: r
+        for r in revenue_pareto(df, "cust", "amount", threshold=0.8).collect()
+    }
+    assert out[1]["cum_share"] == pytest.approx(0.5)
+    assert out[2]["cum_share"] == pytest.approx(0.8)
+    assert out[3]["cum_share"] == pytest.approx(0.95)
+    assert out[4]["cum_share"] == pytest.approx(1.0)
+    # head = customers needed to REACH 80%: 1 and 2 (strictly-before < 0.8)
+    assert [out[c]["head_flag"] for c in (1, 2, 3, 4)] == [1, 1, 0, 0]
+
+
+def test_revenue_pareto_tiebreak_deterministic(spark):
+    # equal revenues: cumulative order must follow customer_id asc
+    rows = [(c, 100.0) for c in range(8)]
+    df = spark.createDataFrame(rows, "cust int, amount double")
+    out = revenue_pareto(df, "cust", "amount", num_buckets=3).collect()
+    shares = [r["cum_share"] for r in sorted(out, key=lambda r: r["customer_id"])]
+    assert shares == pytest.approx([(i + 1) / 8 for i in range(8)])
+
+
+def test_revenue_pareto_no_single_partition_exchange(spark, sf_dir):
+    df = entrymod.queries()["customer_revenue_pareto"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+# --------------------------------------------------------------------------
+# BM25
+# --------------------------------------------------------------------------
+
+
+def test_bm25_ordering_and_saturation(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join filler filler"),
+            (2, "spark filler filler filler filler filler"),
+            (3, "filler filler filler filler filler filler"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(docs, "doc_id", "text", ["spark", "join"]).collect()}
+    assert 3 not in out  # no query term ⇒ no row
+    assert out[1]["bm25"] > out[2]["bm25"]
+    assert out[1]["n_matched_terms"] == 2 and out[2]["n_matched_terms"] == 1
+    # tf saturation on a single term (equal doc lengths): tripling tf
+    # must raise the score but NOT triple it
+    one = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, "doc_id", "text", ["spark"]).collect()}
+    assert one[2] < one[1] < 3 * one[2]
+
+
+# --------------------------------------------------------------------------
+# Gap fill
+# --------------------------------------------------------------------------
+
+
+def test_gap_fill_daily_semantics(spark):
+    rows = [
+        ("g1", "2024-01-01 10:00:00", 5.0),
+        ("g1", "2024-01-04 10:00:00", 7.0),
+        ("g2", "2024-01-02 09:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = gap_fill_daily(
+        df,
+        "ts",
+        ["g"],
+        {"n": F.count(F.lit(1)), "total": F.round(F.sum("v"), 2)},
+        zero_fill=["n"],
+        ffill=["total"],
+    ).collect()
+    # dense grid: 2 groups × 4 days (2024-01-01..04)
+    assert len(out) == 8
+    g1 = {str(r["day"]): r for r in out if r["g"] == "g1"}
+    assert g1["2024-01-01"]["n"] == 1 and g1["2024-01-02"]["n"] == 0
+    # forward fill across the gap, new value on re-observation
+    assert g1["2024-01-02"]["total"] == 5.0 and g1["2024-01-03"]["total"] == 5.0
+    assert g1["2024-01-04"]["total"] == 7.0
+    # leading nulls before a group's first observation stay null
+    g2 = {str(r["day"]): r for r in out if r["g"] == "g2"}
+    assert g2["2024-01-01"]["total"] is None and g2["2024-01-01"]["n"] == 0
+    assert g2["2024-01-02"]["total"] == 1.0 and g2["2024-01-04"]["total"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# Snapshot CDC
+# --------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", None)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 25.0), (4, "D", 40.0), (5, None, None)],
+        "k int, s string, v double",
+    )
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "update", 3: "delete", 4: "insert", 5: "insert"}
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    # null → value and value → null are updates, null → null is unchanged
+    old = spark.createDataFrame([(1, None), (2, 5.0), (3, None)], "k int, v double")
+    new = spark.createDataFrame([(1, 1.0), (2, None), (3, None)], "k int, v double")
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "update", 2: "update", 3: "unchanged"}
+
+
+def test_apply_changes_round_trip(spark):
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)], "k int, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 25.0), (3, "C", 30.0), (4, "D", 40.0)], "k int, s string, v double"
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    merged = apply_changes(old, diff, ["k"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, new.collect()))
