@@ -226,3 +226,45 @@ def bm25_scores(
         F.round(F.sum("_term_score"), round_to).alias("bm25"),
         F.count(F.lit(1)).alias("n_matched_terms"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006, A-ES): each row gets key u^(1/w) with
+    u ∈ (0,1] derived from md5(seed ‖ id) instead of an RNG; the k
+    largest keys are the sample. Inclusion probability is
+    proportional to weight, the draw is reproducible (and
+    SQL-replayable) bit-for-bit, and changing ``seed`` redraws.
+
+    Scale shape: one column pass for the key + a distributed top-k
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    sort). This is the corpus down-sampler to reach a token budget
+    with long-document bias control.
+
+    Output: input columns + ``sample_key`` (rounded) + ``sample_rank``.
+    """
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (h32 + F.lit(1.0)) / F.lit(4294967296.0)  # (0, 1]
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    ranked = (
+        df.withColumn("_key", key)
+        .orderBy(F.col("_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_key").desc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("sample_key", F.round(F.col("_key"), round_to))
+        .drop("_key")
+    )

@@ -544,3 +544,68 @@ def dedup_representatives(pairs: DataFrame, rounds: int | None = 3) -> DataFrame
             if changed == 0:
                 break
     return labels.filter(F.col("rep") < F.col("doc_id")).select("doc_id", F.col("rep").alias("rep_id"))
+
+
+def fuzzy_edit_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dist: int = 5,
+    prefix_chars: int = 64,
+    band_width: int = 16,
+    max_band_size: int = 200,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs, length-banded: candidate
+    pairs share (or sit in adjacent) ``band_width``-char length
+    bands of their normalized prefix, then are confirmed with
+    ``levenshtein`` ≤ ``max_dist`` on the first ``prefix_chars``
+    chars.
+
+    Length banding is sound pruning when ``band_width ≥ max_dist``:
+    two strings whose lengths differ by more than ``max_dist`` can't
+    be within ``max_dist`` edits, and emitting each doc into its own
+    band AND the next one covers every pair with |len(a)−len(b)| ≤
+    band_width. The ``max_band_size`` governor drops degenerate
+    bands (the shingle-frequency cap's analogue) so no band can go
+    quadratic at scale.
+
+    Normalization keeps only ``[a-z0-9 ]`` — Spark's levenshtein is
+    character-based while some engines (DuckDB included) count
+    bytes, so the comparison is pinned to ASCII where the two agree;
+    the oracle replays the identical normalization.
+
+    Costs: one normalize+band pass, one governed band self-join
+    (levenshtein on ≤ prefix_chars² cells per surviving pair), one
+    pair distinct. No text column ever shuffles twice — only the
+    prefix travels.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    pre = df.select(
+        F.col(id_col).alias("_id"), F.substring(norm, 1, prefix_chars).alias("_pre")
+    ).withColumn("_band", (F.length("_pre") / F.lit(band_width)).cast("int"))
+
+    # Each doc lands in its band and the next → adjacent bands meet.
+    cand = pre.select("_id", "_pre", F.col("_band").alias("_bkey")).unionByName(
+        pre.select("_id", "_pre", (F.col("_band") + 1).alias("_bkey"))
+    )
+    sizes = cand.groupBy("_bkey").agg(F.count(F.lit(1)).alias("_bn"))
+    governed = cand.join(sizes, "_bkey").filter(
+        F.col("_bn") <= F.lit(max_band_size)
+    )
+
+    left = governed.select("_bkey", F.col("_id").alias("id_a"), F.col("_pre").alias("_pa"))
+    right = governed.select("_bkey", F.col("_id").alias("id_b"), F.col("_pre").alias("_pb"))
+    return (
+        left.join(right, "_bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("_pa", "_pb") <= F.lit(max_dist))
+        .select("id_a", "id_b", F.levenshtein("_pa", "_pb").alias("edit_distance"))
+        .distinct()
+    )

@@ -1,0 +1,115 @@
+"""Grouped statistical modeling primitives: closed-form linear
+trend fitting and robust (median/MAD) outlier detection.
+
+Both are expressed as keyed aggregations over moments — the shape
+that survives 100 TB: one map-side-combined shuffle per pass, group
+results joined back by broadcast (group cardinality is the small
+dimension in both operators).
+
+The reference computes nothing like this distributed — its per-group
+stats are driver-side numpy (reference: S3_eval.py:40-80 RMSE loops);
+here every moment is a JVM-side column aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit y = slope·x +
+    intercept, via the closed-form moment solution:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    plus ``r2`` (squared Pearson correlation). One aggregation — five
+    sums and a count per group, all map-side combinable; no window,
+    no iteration, no driver math. Degenerate groups (n < 2 or zero
+    x-variance) yield null slope/intercept/r2 rather than NaN.
+
+    The moment formula (not Welford) is used deliberately: it is
+    replayable as six SQL SUMs by any engine, which is what the
+    DuckDB oracle does.
+    """
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(den_x > 0, cov / den_x)
+    intercept = F.when(den_x > 0, (sy - (cov / den_x) * sx) / n)
+    r2 = F.when((den_x > 0) & (den_y > 0), (cov * cov) / (den_x * den_y))
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n_points"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    cutoff: float = 3.0,
+    scale: float = 1.4826,
+    round_to: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier flags: a row is an outlier when its
+    absolute deviation from the group median exceeds
+    ``cutoff · scale · MAD`` (scale 1.4826 makes MAD a consistent
+    σ-estimator under normality).
+
+    Two keyed aggregations (group median, then median absolute
+    deviation) with the per-group results joined back by BROADCAST —
+    group cardinality is the small side. Medians are Spark's exact
+    ``percentile`` (bit-identical to DuckDB ``quantile_cont``,
+    pinned by the RFM parity tests); swap for ``approx_percentile``
+    at extreme group sizes — the flag logic is unchanged.
+
+    Output: input columns + ``group_median``, ``group_mad``,
+    ``is_outlier`` (int). Zero-MAD groups (>50% identical values)
+    flag only exact non-equal rows when cutoff·scale·0 == 0 —
+    the standard MAD degeneracy, kept as-is.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    dev = F.abs(F.col(value_col) - F.col("_med"))
+    mad = (
+        with_med.withColumn("_dev", dev)
+        .groupBy(*group_cols)
+        .agg(F.percentile("_dev", F.lit(0.5)).alias("_mad"))
+    )
+    out = with_med.join(F.broadcast(mad), group_cols)
+    return out.select(
+        *df.columns,
+        F.round(F.col("_med"), round_to).alias("group_median"),
+        F.round(F.col("_mad"), round_to).alias("group_mad"),
+        (
+            F.abs(F.col(value_col) - F.col("_med"))
+            > F.lit(cutoff) * F.lit(scale) * F.col("_mad")
+        )
+        .cast("int")
+        .alias("is_outlier"),
+    )

@@ -352,3 +352,153 @@ def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _snapshots(spark, sf_dir)
     diff = SN.snapshot_diff(old, new, keys=["o_orderkey"])
     return SN.apply_changes(old, diff, keys=["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (edit-distance) near-dup, weighted sampling, robust stats
+# --------------------------------------------------------------------------
+
+
+@query(
+    "fuzzy_duplicate_pairs",
+    oracle="""
+    WITH pre AS (
+      SELECT doc_id AS _id,
+             substr(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 64) AS _pre
+      FROM documents
+    ),
+    banded AS (
+      SELECT _id, _pre, CAST(floor(length(_pre) / 16.0) AS INT) AS _band FROM pre
+    ),
+    cand AS (
+      SELECT _id, _pre, _band AS _bkey FROM banded
+      UNION ALL
+      SELECT _id, _pre, _band + 1 AS _bkey FROM banded
+    ),
+    sizes AS (SELECT _bkey, count(*) AS _bn FROM cand GROUP BY 1),
+    governed AS (
+      SELECT c._bkey, c._id, c._pre FROM cand c JOIN sizes USING (_bkey)
+      WHERE _bn <= 600
+    )
+    SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+           levenshtein(a._pre, b._pre) AS edit_distance
+    FROM governed a JOIN governed b ON a._bkey = b._bkey AND a._id < b._id
+    WHERE levenshtein(a._pre, b._pre) <= 20
+    """,
+)
+def fuzzy_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs over length-banded
+    normalized prefixes (dedup.py ``fuzzy_edit_pairs``): banding is
+    sound pruning for |len diff| ≤ band width, the band-size governor
+    kills quadratic bands, and only ASCII survives normalization so
+    char-based (Spark) and byte-based (DuckDB) levenshtein agree."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators import dedup as DD
+
+    return DD.fuzzy_edit_pairs(
+        d, "doc_id", "text", max_dist=20, prefix_chars=64,
+        band_width=16, max_band_size=600,
+    )
+
+
+@query(
+    "doc_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             pow((CAST('0x' || substring(md5('r5' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) + 1.0) / 4294967296.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, text, lang, source, n_chars, k,
+             row_number() OVER (ORDER BY k DESC, doc_id ASC) AS sample_rank
+      FROM keyed
+    )
+    SELECT doc_id, text, lang, source, n_chars,
+           sample_rank, round(k, 6) AS sample_key
+    FROM ranked WHERE sample_rank <= 50
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Efraimidis–Spirakis weighted sample of 50
+    documents, weight = n_chars (corpus.py ``weighted_sample``): the
+    md5-derived u replaces the RNG so the draw is bit-reproducible
+    and fully SQL-replayable; selection is a distributed top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.weighted_sample(d, "doc_id", "n_chars", k=50, seed="r5")
+
+
+@query(
+    "priority_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+             round(sum(o_totalprice), 2) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(x AS DOUBLE)) AS sx, sum(y) AS sy,
+             sum(CAST(x AS DOUBLE) * y) AS sxy,
+             sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx,
+             sum(y * y) AS syy
+      FROM daily GROUP BY 1
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_points,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 END, 6) AS intercept,
+           round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                      THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+    FROM m
+    """,
+)
+def priority_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of daily revenue (stats.py
+    ``group_linear_trend``): closed-form moment solution — one
+    map-side-combined aggregation per group, no window, no driver
+    math; the oracle replays the six SUMs."""
+    from ..operators import stats as ST
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("x"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    return ST.group_linear_trend(daily, ["o_orderpriority"], "x", "y")
+
+
+@query(
+    "event_value_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1
+    ),
+    dev AS (SELECT e.*, m FROM events e JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d
+      FROM dev GROUP BY 1
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+           round(m, 6) AS group_median, round(d, 6) AS group_mad,
+           CAST(abs(value - m) > 3.0 * 1.4826 * d AS INT) AS is_outlier
+    FROM dev e JOIN mad USING (event_type)
+    """,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier flags on event values per type
+    (stats.py ``mad_outliers``): two exact-percentile aggregations
+    broadcast back onto the relation; medians are bit-identical to
+    DuckDB quantile_cont so the flags replay exactly."""
+    from ..operators import stats as ST
+
+    e = load_table(spark, sf_dir, "events")
+    return ST.mad_outliers(e, ["event_type"], "value")

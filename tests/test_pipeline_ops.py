@@ -238,3 +238,109 @@ def test_apply_changes_round_trip(spark):
     diff = snapshot_diff(old, new, ["k"])
     merged = apply_changes(old, diff, ["k"])
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, new.collect()))
+
+
+# --------------------------------------------------------------------------
+# Fuzzy edit-distance dedup
+# --------------------------------------------------------------------------
+
+
+def test_fuzzy_edit_pairs_finds_near_dupes(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.dedup import (
+        fuzzy_edit_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),   # 3 edits
+            (3, "completely different text about spark engines"),
+            (4, "Thé quick brown fox jumps over the lazy dog!!"),  # non-ascii/punct → same after norm
+        ],
+        "doc_id int, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["edit_distance"] for r in fuzzy_edit_pairs(
+        docs, "doc_id", "text", max_dist=5
+    ).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 3
+    # normalization strips the accent char and punctuation: "th quick ..." vs doc1
+    assert (1, 4) in out and out[(1, 4)] <= 2
+    assert not any(3 in p for p in out)
+
+
+def test_fuzzy_edit_pairs_band_governor(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.dedup import (
+        fuzzy_edit_pairs,
+    )
+
+    # 5 identical docs: with the governor at 3 the (duplicated) band
+    # overflows and yields nothing — quadratic bands are dropped.
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(5)], "doc_id int, text string"
+    )
+    assert fuzzy_edit_pairs(docs, "doc_id", "text", max_band_size=3).count() == 0
+    assert fuzzy_edit_pairs(docs, "doc_id", "text", max_band_size=100).count() == 10
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling
+# --------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.corpus import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1.0 if i < 500 else 100.0) for i in range(600)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    s1 = weighted_sample(df, "id", "w", k=80, seed="s").collect()
+    s2 = weighted_sample(df, "id", "w", k=80, seed="s").collect()
+    assert sorted(r["id"] for r in s1) == sorted(r["id"] for r in s2)  # reproducible
+    assert [r["sample_rank"] for r in sorted(s1, key=lambda r: r["sample_rank"])] == list(
+        range(1, 81)
+    )
+    # heavy items (100×weight, 100 of 600 rows) must dominate the sample
+    heavy = sum(1 for r in s1 if r["id"] >= 500)
+    assert heavy > 60
+    # a different seed redraws
+    s3 = weighted_sample(df, "id", "w", k=80, seed="other").collect()
+    assert sorted(r["id"] for r in s3) != sorted(r["id"] for r in s1)
+
+
+# --------------------------------------------------------------------------
+# Linear trend + MAD outliers
+# --------------------------------------------------------------------------
+
+
+def test_group_linear_trend_exact_line(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.stats import (
+        group_linear_trend,
+    )
+
+    rows = [("g", float(x), 2.0 * x + 5.0) for x in range(10)]
+    rows += [("flat", float(x), 7.0) for x in range(10)]
+    rows += [("one", 1.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in group_linear_trend(df, ["g"], "x", "y").collect()}
+    assert out["g"]["slope"] == pytest.approx(2.0)
+    assert out["g"]["intercept"] == pytest.approx(5.0)
+    assert out["g"]["r2"] == pytest.approx(1.0)
+    # zero y-variance: slope 0, r2 undefined → null
+    assert out["flat"]["slope"] == pytest.approx(0.0)
+    assert out["flat"]["r2"] is None
+    # single point: no x-variance → all null
+    assert out["one"]["slope"] is None and out["one"]["intercept"] is None
+
+
+def test_mad_outliers_flags(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.stats import (
+        mad_outliers,
+    )
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 200.0]
+    df = spark.createDataFrame([("a", i, v) for i, v in enumerate(vals)], "g string, i int, v double")
+    out = {r["i"]: r for r in mad_outliers(df, ["g"], "v").collect()}
+    assert out[6]["is_outlier"] == 1
+    assert all(out[i]["is_outlier"] == 0 for i in range(6))
+    assert out[0]["group_median"] == pytest.approx(10.0)
