@@ -1,0 +1,120 @@
+"""Data profiling and declarative quality constraints — the
+pre-training-run audit a 100 TB pipeline fronts every ingest with
+(the deequ/Great-Expectations niche, expressed as plain aggregates).
+
+Both operators are ONE full-relation aggregation regardless of how
+many columns/constraints are requested: every statistic is an agg
+expression in the same ``groupBy().agg(...)`` pass (map-side
+combined), and the per-column/per-constraint rows are unpivoted from
+that single result row with ``stack`` — a driver-free, scan-once
+plan. No per-column jobs, no driver loops over ``collect()``.
+
+The reference validates nothing (its loaders assume clean CSVs —
+reference: S1_load.py); profiling is table stakes for an engine
+meant to ingest web-scale corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_numeric(
+    df: DataFrame, cols: list[str], *, round_to: int = 6
+) -> DataFrame:
+    """Single-pass numeric profile: one output row per column with
+    ``n_rows, n_nonnull, n_null, n_distinct, min, max, mean,
+    stddev`` (sample stddev via the moment formula — replayable as
+    SQL sums by any engine; null when n < 2).
+
+    All statistics for all columns ride one aggregation; the
+    row-per-column shape comes from ``stack`` over that single row.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(x).alias(f"_cnt_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+            F.min(x).alias(f"_min_{c}"),
+            F.max(x).alias(f"_max_{c}"),
+            F.sum(x).alias(f"_sx_{c}"),
+            F.sum(x * x).alias(f"_sxx_{c}"),
+        ]
+    one = df.agg(*aggs)
+
+    # stack(n, label1, struct1, ...) → one row per column, computed
+    # from the single agg row (no second scan).
+    pieces = []
+    for c in cols:
+        n = F.col(f"_cnt_{c}")
+        sx, sxx = F.col(f"_sx_{c}"), F.col(f"_sxx_{c}")
+        mean = F.when(n > 0, sx / n)
+        var = F.when(n > 1, (n * sxx - sx * sx) / (n * (n - 1)))
+        stddev = F.when(var >= 0, F.sqrt(var))
+        pieces.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                n.alias("n_nonnull"),
+                (F.col("_n") - n).alias("n_null"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                F.round(F.col(f"_min_{c}"), round_to).alias("min"),
+                F.round(F.col(f"_max_{c}"), round_to).alias("max"),
+                F.round(mean, round_to).alias("mean"),
+                F.round(stddev, round_to).alias("stddev"),
+            )
+        )
+    return one.select(F.explode(F.array(*pieces)).alias("_p")).select("_p.*")
+
+
+def check_constraints(
+    df: DataFrame,
+    row_checks: dict[str, Column],
+    unique_keys: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality report: one output row per
+    constraint with ``check_name, n_rows, n_violations, passed``.
+
+    ``row_checks`` maps name → boolean Column that must hold per row
+    (nulls count as violations — a check that can't evaluate didn't
+    pass). ``unique_keys`` maps name → key columns that must be
+    globally unique; uniqueness violations = n_rows − n_distinct(key)
+    and ride the SAME single aggregation as the row checks
+    (count_distinct is the only extra shuffle-free-partial agg).
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in row_checks.items():
+        aggs.append(
+            F.sum(
+                F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_v_{name}")
+        )
+    for name, keys in (unique_keys or {}).items():
+        aggs.append(
+            F.count_distinct(*[F.col(k) for k in keys]).alias(f"_d_{name}")
+        )
+    one = df.agg(*aggs)
+
+    pieces = []
+    for name in row_checks:
+        pieces.append(
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_v_{name}").alias("n_violations"),
+                (F.col(f"_v_{name}") == 0).cast("int").alias("passed"),
+            )
+        )
+    for name in unique_keys or {}:
+        v = F.col("_n") - F.col(f"_d_{name}")
+        pieces.append(
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col("_n").alias("n_rows"),
+                v.alias("n_violations"),
+                (v == 0).cast("int").alias("passed"),
+            )
+        )
+    return one.select(F.explode(F.array(*pieces)).alias("_p")).select("_p.*")

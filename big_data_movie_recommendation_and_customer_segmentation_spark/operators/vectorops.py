@@ -1373,3 +1373,62 @@ def ivfadc_index_search(
         rank_col="rank",
         keep_rank=True,
     )
+
+
+def ivfadc_rerank_knn(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k_neighbors: int = 5,
+    shortlist: int = 30,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    round_to: int = 6,
+    **ivfadc_kwargs,
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN shape (Jégou et al.
+    2011 §V): IVFADC produces a ``shortlist`` of candidates per probe
+    from 8-byte PQ codes, then ONLY those candidates' raw vectors are
+    fetched and re-scored with exact cosine to pick the final
+    ``k_neighbors``. Quantization error affects WHICH ~30 candidates
+    surface, not their final order — recall at equal k strictly
+    dominates ADC-only ranking (pinned in tests).
+
+    100 TB shape: stage 1 never touches raw vectors (inherited from
+    ``ivfadc_knn``); stage 2 joins the |probes|·shortlist-row
+    shortlist (broadcast — bounded by contract, probes are a bounded
+    set) against the corpus by id, so exactly the shortlisted
+    vectors are read — a point-lookup join, not a scan-and-score.
+    """
+    short = ivfadc_knn(
+        corpus,
+        probes,
+        k_neighbors=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        probe_id_col=probe_id_col,
+        probe_vec_col=probe_vec_col,
+        **ivfadc_kwargs,
+    ).select(probe_id_col, id_col)
+    rescored = (
+        corpus.select(id_col, F.col(vec_col).alias("_cand_vec"))
+        .join(F.broadcast(short), id_col)
+        .join(
+            F.broadcast(probes.select(probe_id_col, probe_vec_col)), probe_id_col
+        )
+        .select(
+            probe_id_col,
+            id_col,
+            F.round(V.cosine(probe_vec_col, "_cand_vec"), round_to).alias("cos_sim"),
+        )
+    )
+    return per_group_topk(
+        rescored,
+        probe_id_col,
+        [F.col("cos_sim").desc(), F.col(id_col).asc()],
+        k_neighbors,
+        rank_col="rank",
+        keep_rank=True,
+    )

@@ -47,6 +47,21 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ivfadc_residual_knn",              # paper-fidelity IVFADC (ADVICE r4)
     "purchase_next_click_asof",         # asof direction='forward'
     "purchase_click_attribution_left",  # attribution how='left'
+    # -- first driver rows: r5 pipeline additions (one per new
+    # family; age-1 siblings snapshot_merge_orders,
+    # event_value_outliers, orders_quality_report are local-vouched
+    # and scheduled r06) --
+    "part_association_rules",    # market-basket support/conf/lift
+    "customer_rfm_segments",     # RFM quintile ladders
+    "customer_revenue_pareto",   # bucketed prefix-sum 80/20
+    "bm25_doc_ranking",          # Okapi BM25 retrieval
+    "daily_orders_gapfill",      # date-spine resample + ffill
+    "snapshot_diff_orders",      # CDC full-outer diff
+    "fuzzy_duplicate_pairs",     # levenshtein banded dedup
+    "doc_weighted_sample",       # Efraimidis-Spirakis A-ES
+    "priority_revenue_trend",    # closed-form grouped OLS
+    "orders_profile",            # single-pass numeric profiling
+    "ivfadc_rerank_knn",         # two-stage ANN (exact re-rank)
     # -- rotated back in: r03-vouched, out during r04 --
     "customer_order_counts",
     "distinct_segments",
@@ -70,22 +85,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_exact_survivors",
     "minhash_pairs_lsh",
     "kmv_distinct_customers",
-    # -- kept anchors --
+    # -- kept anchors (the rest of the r04 anchor set is age-1 and
+    # cedes its slots to the r5 pipeline queries above; every ceded
+    # family re-gates in the r06 rotation before its r04 evidence
+    # ages past 2 — see COVERAGE.md "gate budget") --
     "pricing_summary",             # flagship scan/agg
     "candidates_unseen",           # C3+C4, perf-watched
     "top_similar_customer_pairs",  # C6/F4, perf-watched
     "als_recommendations",         # K4-K6 (rows-only by nature)
-    "ranking_metrics_summary",     # K7-K9
-    "exact_duplicate_groups",
-    "ngram_duplicate_pairs",       # perf-watched
-    "minhash_duplicate_pairs",
-    "dedup_representatives",
-    "training_corpus_manifest",
-    "knn_bruteforce",
-    "ivf_knn_deterministic",
-    "tumbling_hourly_events",
-    "session_windows_per_user",
-    "purchase_attribution_asof",
 )
 
 

@@ -502,3 +502,144 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return ST.mad_outliers(e, ["event_type"], "value")
+
+
+# --------------------------------------------------------------------------
+# Two-stage ANN (shortlist + exact re-rank), profiling, constraints
+# --------------------------------------------------------------------------
+
+
+def _ivfadc_rerank_oracle(shortlist: int = 30, topk: int = 5) -> str:
+    """Wrap the full IVFADC replay as a derived table, then re-rank
+    its shortlist with exact cosine — the oracle replays BOTH
+    retrieval stages."""
+    from .queries_ext import _ivfadc_oracle
+
+    inner = _ivfadc_oracle(topk=shortlist)
+    return f"""
+    WITH short AS (SELECT probe_id, vec_id FROM ({inner}) q),
+    re AS (
+      SELECT s.probe_id, s.vec_id,
+             round(list_cosine_similarity(p.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN embeddings p ON p.vec_id = s.probe_id
+    )
+    SELECT probe_id, vec_id, cos_sim, CAST(rn AS INT) AS rank FROM (
+      SELECT probe_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM re)
+    WHERE rn <= {topk}
+    """
+
+
+@query("ivfadc_rerank_knn", oracle=_ivfadc_rerank_oracle())
+def ivfadc_rerank_knn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: IVFADC shortlists 30 candidates per probe
+    from PQ codes alone, then exact cosine re-ranks ONLY those 30
+    raw vectors to the final top-5 (vectorops.py
+    ``ivfadc_rerank_knn``). The production billion-scale shape —
+    quantization decides the shortlist, never the final order."""
+    from ..operators import vectorops as VO
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return VO.ivfadc_rerank_knn(
+        e, probes, k_neighbors=5, shortlist=30,
+        n_cells=16, n_probe_cells=4, dim=64, m=8, pq_k=16, iters=2,
+        exclude_id_eq_probe=True,
+    )
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _profile_oracle() -> str:
+    moments = []
+    rows = []
+    for c in _PROFILE_COLS:
+        moments.append(
+            f"count({c}) AS cnt_{c}, count(DISTINCT {c}) AS dist_{c}, "
+            f"min(CAST({c} AS DOUBLE)) AS min_{c}, max(CAST({c} AS DOUBLE)) AS max_{c}, "
+            f"sum(CAST({c} AS DOUBLE)) AS sx_{c}, "
+            f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)) AS sxx_{c}"
+        )
+        rows.append(f"""
+      SELECT '{c}' AS col_name, n AS n_rows, cnt_{c} AS n_nonnull,
+             n - cnt_{c} AS n_null, dist_{c} AS n_distinct,
+             round(min_{c}, 6) AS min, round(max_{c}, 6) AS max,
+             round(CASE WHEN cnt_{c} > 0 THEN sx_{c} / cnt_{c} END, 6) AS mean,
+             round(CASE WHEN cnt_{c} > 1 AND
+                        (cnt_{c} * sxx_{c} - sx_{c} * sx_{c})
+                          / (cnt_{c} * (cnt_{c} - 1)) >= 0
+                        THEN sqrt((cnt_{c} * sxx_{c} - sx_{c} * sx_{c})
+                                  / (cnt_{c} * (cnt_{c} - 1))) END, 6) AS stddev
+      FROM s""")
+    return (
+        "WITH s AS (SELECT count(*) AS n, "
+        + ", ".join(moments)
+        + " FROM orders) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@query("orders_profile", oracle=_profile_oracle())
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric profile of three order columns
+    (profiling.py ``profile_numeric``): all moments for all columns
+    in ONE aggregation, unpivoted to a row per column — no
+    per-column jobs, no driver loops."""
+    from ..operators import profiling as PF
+
+    o = load_table(spark, sf_dir, "orders")
+    return PF.profile_numeric(o, list(_PROFILE_COLS))
+
+
+@query(
+    "orders_quality_report",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN (o_totalprice > 0) IS NULL OR NOT (o_totalprice > 0)
+                      THEN 1 ELSE 0 END) AS v_price,
+             sum(CASE WHEN (o_orderstatus IN ('O','F','P')) IS NULL
+                       OR NOT (o_orderstatus IN ('O','F','P'))
+                      THEN 1 ELSE 0 END) AS v_status,
+             sum(CASE WHEN (o_orderdate IS NOT NULL) IS NULL
+                       OR NOT (o_orderdate IS NOT NULL)
+                      THEN 1 ELSE 0 END) AS v_date,
+             count(DISTINCT o_orderkey) AS d_key
+      FROM orders
+    )
+    SELECT 'positive_totalprice' AS check_name, n AS n_rows,
+           v_price AS n_violations, CAST(v_price = 0 AS INT) AS passed FROM s
+    UNION ALL
+    SELECT 'valid_status', n, v_status, CAST(v_status = 0 AS INT) FROM s
+    UNION ALL
+    SELECT 'orderdate_not_null', n, v_date, CAST(v_date = 0 AS INT) FROM s
+    UNION ALL
+    SELECT 'unique_orderkey', n, n - d_key, CAST(n - d_key = 0 AS INT) FROM s
+    """,
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint report over orders
+    (profiling.py ``check_constraints``): three row predicates plus
+    a key-uniqueness check, all riding one aggregation pass."""
+    from ..operators import profiling as PF
+
+    o = load_table(spark, sf_dir, "orders")
+    return PF.check_constraints(
+        o,
+        row_checks={
+            "positive_totalprice": F.col("o_totalprice") > 0,
+            "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+        },
+        unique_keys={"unique_orderkey": ["o_orderkey"]},
+    )

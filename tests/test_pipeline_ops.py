@@ -344,3 +344,107 @@ def test_mad_outliers_flags(spark):
     assert out[6]["is_outlier"] == 1
     assert all(out[i]["is_outlier"] == 0 for i in range(6))
     assert out[0]["group_median"] == pytest.approx(10.0)
+
+
+# --------------------------------------------------------------------------
+# Two-stage ANN re-rank
+# --------------------------------------------------------------------------
+
+
+def test_ivfadc_rerank_dominates_adc_recall(spark, sf_dir):
+    """Exact re-rank of a 30-candidate shortlist can never lose
+    recall vs ADC-only top-10 at the same routing: any true
+    neighbor in the shortlist is beaten by < 10 others under the
+    exact metric, so it survives the re-rank."""
+    import numpy as np
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        vectorops as VO,
+    )
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    kw = dict(n_cells=8, n_probe_cells=4, dim=64, m=8, pq_k=16, iters=2,
+              exclude_id_eq_probe=True)
+    adc = VO.ivfadc_knn(e, probes, k_neighbors=10, **kw).collect()
+    rr = VO.ivfadc_rerank_knn(e, probes, k_neighbors=10, shortlist=30, **kw).collect()
+
+    vecs = {r.vec_id: np.array([float(x) for x in r.embedding]) for r in e.collect()}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    exact = {
+        pid: set(
+            sorted((v for v in vecs if v != pid),
+                   key=lambda v: (-cos(vecs[pid], vecs[v]), v))[:10]
+        )
+        for pid in range(5) if pid in vecs
+    }
+
+    def recall(rows):
+        by = {}
+        for r in rows:
+            by.setdefault(r.probe_id, set()).add(r.vec_id)
+        return sum(len(by.get(p, set()) & exact[p]) / 10 for p in exact) / len(exact)
+
+    r_adc, r_rr = recall(adc), recall(rr)
+    assert r_rr >= r_adc, f"re-rank lost recall: adc={r_adc} rerank={r_rr}"
+    # ranks are dense 1..k per probe
+    ranks = {}
+    for r in rr:
+        ranks.setdefault(r.probe_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+# --------------------------------------------------------------------------
+# Profiling + constraints
+# --------------------------------------------------------------------------
+
+
+def test_profile_numeric_stats(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.profiling import (
+        profile_numeric,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, 10), (3.0, None), (None, 20)], "a double, b int"
+    )
+    out = {r["col_name"]: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    a = out["a"]
+    assert (a["n_rows"], a["n_nonnull"], a["n_null"], a["n_distinct"]) == (4, 3, 1, 3)
+    assert (a["min"], a["max"], a["mean"]) == (1.0, 3.0, 2.0)
+    assert a["stddev"] == pytest.approx(1.0)
+    b = out["b"]
+    assert (b["n_nonnull"], b["n_distinct"], b["min"], b["max"]) == (3, 2, 10.0, 20.0)
+
+
+def test_profile_single_scan(spark, sf_dir):
+    df = entrymod.queries()["orders_profile"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_check_constraints_report(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.profiling import (
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, None), (3, 2.0)], "k int, v double"
+    )
+    out = {r["check_name"]: r for r in check_constraints(
+        df,
+        row_checks={"v_positive": F.col("v") > 0},
+        unique_keys={"k_unique": ["k"]},
+    ).collect()}
+    # -1.0 violates; NULL comparison is a violation too
+    assert out["v_positive"]["n_violations"] == 2 and out["v_positive"]["passed"] == 0
+    assert out["k_unique"]["n_violations"] == 1 and out["k_unique"]["passed"] == 0

@@ -84,6 +84,17 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "funnel": ("signup_click_purchase_funnel",),
     "multimodal": ("media_image_features", "media_audio_frames",
                    "video_frame_samples"),
+    # -- registered r5 (pipeline batch) --
+    "association": ("part_association_rules",),
+    "rfm_pareto": ("customer_rfm_segments", "customer_revenue_pareto"),
+    "bm25": ("bm25_doc_ranking",),
+    "gapfill": ("daily_orders_gapfill",),
+    "snapshot_cdc": ("snapshot_diff_orders", "snapshot_merge_orders"),
+    "fuzzy_dedup": ("fuzzy_duplicate_pairs",),
+    "weighted_sampling": ("doc_weighted_sample",),
+    "robust_stats": ("priority_revenue_trend", "event_value_outliers"),
+    "profiling": ("orders_profile", "orders_quality_report"),
+    "ann_rerank": ("ivfadc_rerank_knn",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -109,6 +120,16 @@ NEW_IN_ROUND: dict[str, int] = {
     "pq": 4,
     "cohort": 4,
     "funnel": 4,
+    "association": 5,
+    "rfm_pareto": 5,
+    "bm25": 5,
+    "gapfill": 5,
+    "snapshot_cdc": 5,
+    "fuzzy_dedup": 5,
+    "weighted_sampling": 5,
+    "robust_stats": 5,
+    "profiling": 5,
+    "ann_rerank": 5,
 }
 
 
