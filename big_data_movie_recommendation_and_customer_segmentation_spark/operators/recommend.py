@@ -112,3 +112,44 @@ def truth_lists(ratings: DataFrame, user_col: str, item_col: str) -> DataFrame:
         .groupBy("user")
         .agg(F.array_sort(F.collect_set("item")).alias("actual"))
     )
+
+
+def negative_samples(
+    candidates: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-user negative sampling for implicit-feedback
+    training: from a (user, item) candidate relation (typically the
+    unseen-pairs output of the candidate generator), keep k items
+    per user chosen by md5 hash order — uniform over each user's
+    candidates, RNG-free, replayable.
+
+    The reference samples negatives driver-side with ``random``
+    (reference: S2_item_similarity.py training prep); here the hash
+    IS the randomness and selection compiles to WindowGroupLimit
+    (each task keeps ≤ k rows per user before the single per-user
+    exchange — the balanced-sampler shape).
+
+    Output: user, item, ``neg_rank`` (1..k).
+    """
+    from .relational import per_group_topk
+
+    h = F.md5(
+        F.concat(
+            F.lit(seed),
+            F.col(user_col).cast("string"),
+            F.lit("|"),
+            F.col(item_col).cast("string"),
+        )
+    )
+    return per_group_topk(
+        candidates.withColumn("_h", h),
+        user_col,
+        [F.col("_h").asc(), F.col(item_col).asc()],
+        k,
+        rank_col="neg_rank",
+        keep_rank=True,
+    ).drop("_h")

@@ -165,3 +165,39 @@ def revenue_pareto(
         )
         .drop("_cum_cents")
     )
+
+
+def quantile_bucket(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    *,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equi-depth bucketing: assign each row the 1-based quantile
+    bucket of ``value_col`` (bucket = 1 + #cuts strictly below the
+    value, cuts at i/n quantiles) — the generalized RFM ladder and
+    the scale-correct replacement for ``ntile(n) OVER (ORDER BY v)``
+    (which is a SinglePartition exchange). One exact-percentile
+    aggregate (n−1 values) + a broadcast codegen'd comparison
+    ladder; ties sit on the same side of a cut in every engine.
+
+    Unlike ntile, bucket POPULATIONS are only approximately equal
+    under heavy ties (all tied values share a bucket) — the
+    well-defined behavior for feature binning, where identical
+    inputs must get identical features.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = list(
+        df.select(
+            F.percentile(F.col(value_col).cast("double"), F.lit(probs)).alias("c")
+        ).first()["c"]
+    )
+    from functools import reduce
+
+    ladder = reduce(
+        lambda acc, c: acc + F.when(F.col(value_col) > F.lit(c), 1).otherwise(0),
+        cuts,
+        F.lit(1),
+    )
+    return df.withColumn(out_col, ladder)

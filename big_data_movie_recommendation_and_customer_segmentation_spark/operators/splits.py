@@ -71,3 +71,23 @@ def chronological_split(
         split_col,
         F.when(F.col("bucket") < 3, F.lit(TRAIN)).when(F.col("bucket") == 3, F.lit(VAL)).otherwise(F.lit(TEST)),
     ).drop("bucket")
+
+
+def kfold_assign(
+    df: DataFrame, id_col: str, k: int, seed: str = ""
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = first-32-md5-bits of
+    (seed ‖ id) mod k — the RNG-free analogue of ``randomSplit`` for
+    cross-validation. Pure column math (no shuffle, no RNG state to
+    coordinate across executors); folds are uniform by construction
+    (md5 bits) and bit-replayable by any engine, so fold membership
+    is auditable — the property ``randomSplit`` famously lacks
+    (its per-partition sampling resplits when partitioning changes).
+
+    Output: input columns + ``fold`` (int, 0..k-1).
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    fold = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(k)
+    ).cast("int")
+    return df.withColumn("fold", fold)

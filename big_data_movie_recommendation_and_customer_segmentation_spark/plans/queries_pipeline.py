@@ -643,3 +643,170 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_keys={"unique_orderkey": ["o_orderkey"]},
     )
+
+
+# --------------------------------------------------------------------------
+# K-fold CV, negative sampling, quantile bucketing, momentum
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_kfold_summary",
+    oracle="""
+    WITH folds AS (
+      SELECT CAST(CAST(('0x' || substring(md5('cv' || CAST(event_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 5 AS INT) AS fold,
+             user_id, value
+      FROM events
+    )
+    SELECT fold, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           round(avg(value), 6) AS avg_value
+    FROM folds GROUP BY fold
+    """,
+)
+def events_kfold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (splits.py ``kfold_assign``:
+    md5 mod k — RNG-free, repartition-stable, unlike randomSplit)
+    summarized per fold. Fold balance and value homogeneity are the
+    auditable properties a CV split must have."""
+    from ..operators import splits as SP
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        SP.kfold_assign(e, "event_id", k=5, seed="cv")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def _negative_samples_oracle() -> str:
+    from .queries import ORACLE_REGISTRY
+
+    cand = ORACLE_REGISTRY["candidates_unseen"]
+    return f"""
+    WITH cand AS (SELECT * FROM ({cand}) q),
+    h AS (
+      SELECT custkey, partkey,
+             md5('neg' || CAST(custkey AS VARCHAR) || '|'
+                        || CAST(partkey AS VARCHAR)) AS _h
+      FROM cand
+    )
+    SELECT custkey, partkey, CAST(rn AS INT) AS neg_rank FROM (
+      SELECT custkey, partkey,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY _h ASC, partkey ASC) AS rn
+      FROM h)
+    WHERE rn <= 3
+    """
+
+
+@query("negative_samples_per_customer", oracle=_negative_samples_oracle())
+def negative_samples_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback negative sampling: 3 deterministic unseen
+    items per customer, hash-ordered over the candidate generator's
+    output (recommend.py ``negative_samples`` — WindowGroupLimit
+    keeps ≤3 rows per user per task, the reference's driver-side
+    ``random`` sampling distributed and made replayable)."""
+    from ..operators import recommend as RC
+    from .queries import candidates_unseen as _cand_q
+
+    cands = _cand_q(spark, sf_dir)
+    return RC.negative_samples(cands, "custkey", "partkey", k=3, seed="neg")
+
+
+@query(
+    "part_price_deciles",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(CAST(p_retailprice AS DOUBLE),
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c
+      FROM part
+    )
+    SELECT p_partkey, p_retailprice,
+           1 + CAST(p_retailprice > c[1] AS INT) + CAST(p_retailprice > c[2] AS INT)
+             + CAST(p_retailprice > c[3] AS INT) + CAST(p_retailprice > c[4] AS INT)
+             + CAST(p_retailprice > c[5] AS INT) + CAST(p_retailprice > c[6] AS INT)
+             + CAST(p_retailprice > c[7] AS INT) + CAST(p_retailprice > c[8] AS INT)
+             + CAST(p_retailprice > c[9] AS INT) AS decile
+    FROM part CROSS JOIN cuts
+    """,
+)
+def part_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning of part prices (segmentation.py
+    ``quantile_bucket`` — the broadcast percentile-ladder that
+    replaces the ntile SinglePartition window for feature binning)."""
+    p = load_table(spark, sf_dir, "part")
+    return SG.quantile_bucket(
+        p.select("p_partkey", "p_retailprice"), "p_retailprice", 10, out_col="decile"
+    )
+
+
+@query(
+    "daily_revenue_momentum",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS day_revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+             CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    grid AS (
+      SELECT p.o_orderpriority, s.day
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) p CROSS JOIN spine s
+    ),
+    filled AS (
+      SELECT g.o_orderpriority, g.day,
+             coalesce(d.n_orders, 0) AS n_orders,
+             last_value(d.day_revenue IGNORE NULLS)
+               OVER (PARTITION BY g.o_orderpriority ORDER BY g.day
+                     ROWS UNBOUNDED PRECEDING) AS day_revenue
+      FROM grid g LEFT JOIN daily d USING (o_orderpriority, day)
+    )
+    SELECT o_orderpriority, CAST(day AS TIMESTAMP) AS day, n_orders, day_revenue,
+           round(day_revenue - lag(day_revenue)
+                 OVER (PARTITION BY o_orderpriority ORDER BY day), 6) AS rev_delta,
+           round(avg(day_revenue)
+                 OVER (PARTITION BY o_orderpriority ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rev_ma7
+    FROM filled
+    """,
+)
+def daily_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta + 7-day moving average per
+    priority on the gap-filled daily grid (composes
+    ``gap_fill_daily`` with lag/frame windows — both partitioned by
+    group, no global sort). Leading days before a group's first
+    observation stay null through delta and MA alike."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    filled = TP.gap_fill_daily(
+        o,
+        "o_orderdate",
+        ["o_orderpriority"],
+        {"n_orders": F.count(F.lit(1)), "day_revenue": F.round(F.sum("o_totalprice"), 2)},
+        zero_fill=["n_orders"],
+        ffill=["day_revenue"],
+    )
+    wlag = W.partitionBy("o_orderpriority").orderBy("day")
+    wma = wlag.rowsBetween(-6, W.currentRow)
+    return (
+        filled.withColumn(
+            "rev_delta",
+            F.round(F.col("day_revenue") - F.lag("day_revenue").over(wlag), 6),
+        )
+        .withColumn("rev_ma7", F.round(F.avg("day_revenue").over(wma), 6))
+        .withColumn("day", F.col("day").cast("timestamp"))
+    )

@@ -448,3 +448,61 @@ def test_check_constraints_report(spark):
     # -1.0 violates; NULL comparison is a violation too
     assert out["v_positive"]["n_violations"] == 2 and out["v_positive"]["passed"] == 0
     assert out["k_unique"]["n_violations"] == 1 and out["k_unique"]["passed"] == 0
+
+
+# --------------------------------------------------------------------------
+# K-fold, negative sampling, quantile bucketing
+# --------------------------------------------------------------------------
+
+
+def test_kfold_assign_stable_and_balanced(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.splits import (
+        kfold_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id int")
+    a = {r["id"]: r["fold"] for r in kfold_assign(df, "id", 5, seed="s").collect()}
+    b = {r["id"]: r["fold"] for r in kfold_assign(
+        df.repartition(7), "id", 5, seed="s"
+    ).collect()}
+    assert a == b  # repartition-stable (randomSplit is not)
+    sizes = [sum(1 for f in a.values() if f == k) for k in range(5)]
+    assert all(100 < s < 300 for s in sizes), sizes
+    c = {r["id"]: r["fold"] for r in kfold_assign(df, "id", 5, seed="t").collect()}
+    assert a != c  # seed redraws
+
+
+def test_negative_samples_k_per_user_and_unseen(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.recommend import (
+        negative_samples,
+    )
+
+    cand = spark.createDataFrame(
+        [(u, i) for u in range(10) for i in range(20)], "user int, item int"
+    )
+    out = negative_samples(cand, "user", "item", k=4, seed="x").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user"], []).append(r["item"])
+    assert all(len(v) == 4 for v in per_user.values())
+    # hash order differs per user (not the same 4 items for everyone)
+    assert len({tuple(sorted(v)) for v in per_user.values()}) > 1
+
+
+def test_quantile_bucket_monotone_and_ties(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.segmentation import (
+        quantile_bucket,
+    )
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id int, v double")
+    out = {r["id"]: r["bucket"] for r in quantile_bucket(df, "v", 4).collect()}
+    # monotone in v, all four buckets populated, ~equal depth
+    assert all(out[i] <= out[i + 1] for i in range(99))
+    from collections import Counter
+
+    depths = Counter(out.values())
+    assert set(depths) == {1, 2, 3, 4} and all(20 <= d <= 30 for d in depths.values())
+    # ties share a bucket
+    tied = spark.createDataFrame([(i, 5.0) for i in range(10)], "id int, v double")
+    tout = {r["bucket"] for r in quantile_bucket(tied, "v", 4).collect()}
+    assert len(tout) == 1

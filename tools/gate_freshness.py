@@ -33,7 +33,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                      "popularity_recommendations_compat"),
     "joins": ("segment_revenue", "customers_with_open_orders", "parts_never_ordered",
               "customers_orders_events_fullouter"),
-    "candidate_gen": ("candidates_unseen",),
+    "candidate_gen": ("candidates_unseen", "negative_samples_per_customer"),
     "topk": ("top_parts_by_price", "recent_orders_per_customer"),
     "chrono_split": ("chronological_split_counts",),
     "correlation": ("corr_qty_price_by_flag", "pair_rating_correlation"),
@@ -41,7 +41,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                        "minhash_pairs_lsh"),
     "grouping_sets": ("revenue_rollup_region_nation", "order_status_priority_cube"),
     "sql_surface": ("sql_surface_top_customers",),
-    "quantiles": ("segment_price_quantiles",),
+    "quantiles": ("segment_price_quantiles", "part_price_deciles"),
     "pivot": ("order_year_status_pivot",),
     "sketches": ("kmv_distinct_customers", "approx_distinct_customers"),
     "sampling": ("random_pair_baseline_trials",),
@@ -88,13 +88,14 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "association": ("part_association_rules",),
     "rfm_pareto": ("customer_rfm_segments", "customer_revenue_pareto"),
     "bm25": ("bm25_doc_ranking",),
-    "gapfill": ("daily_orders_gapfill",),
+    "gapfill": ("daily_orders_gapfill", "daily_revenue_momentum"),
     "snapshot_cdc": ("snapshot_diff_orders", "snapshot_merge_orders"),
     "fuzzy_dedup": ("fuzzy_duplicate_pairs",),
     "weighted_sampling": ("doc_weighted_sample",),
     "robust_stats": ("priority_revenue_trend", "event_value_outliers"),
     "profiling": ("orders_profile", "orders_quality_report"),
     "ann_rerank": ("ivfadc_rerank_knn",),
+    "cv_splits": ("events_kfold_summary",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -130,6 +131,7 @@ NEW_IN_ROUND: dict[str, int] = {
     "robust_stats": 5,
     "profiling": 5,
     "ann_rerank": 5,
+    "cv_splits": 5,
 }
 
 
