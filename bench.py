@@ -232,7 +232,11 @@ def main() -> None:
         materialize(QUERY_REGISTRY[name](spark, sf_dir))
         extended[name] = round(time.perf_counter() - t0, 3)
 
-    write_detail_sidecar(timings, warm, warm_median, extended, sf)
+    # Only the driver's scale (sf0.1) writes the committed sidecar —
+    # an sf0.01 smoke run must not clobber the round's cross-round
+    # comparable record (it did once in r5; see PERF.md).
+    if abs(sf - 0.1) < 1e-9:
+        write_detail_sidecar(timings, warm, warm_median, extended, sf)
     for line in format_output(timings, warm, warm_median, sf, extended):
         print(line)
     spark.stop()
