@@ -118,3 +118,76 @@ def check_constraints(
             )
         )
     return one.select(F.explode(F.array(*pieces)).alias("_p")).select("_p.*")
+
+
+def profile_numeric_partial(
+    df: DataFrame, cols: list[str], shard_col: str
+) -> DataFrame:
+    """Per-shard MERGEABLE profile state: raw moments (counts, min,
+    max, Σx, Σx²) per (shard, column) — the incremental-pipeline
+    form of :func:`profile_numeric`. Rounded stats are NOT mergeable
+    (a mean of means is wrong under skewed shard sizes); moments
+    are, by plain addition — so a 100 TB daily profile is one
+    partial per ingest day plus a trivial merge, never a re-scan.
+
+    One aggregation keyed by the shard column; same stack-unpivot as
+    the direct profile. (``n_distinct`` is deliberately absent: exact
+    distinct does not merge — use the KMV sketch family for that.)
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [
+            F.count(x).alias(f"_cnt_{c}"),
+            F.min(x).alias(f"_min_{c}"),
+            F.max(x).alias(f"_max_{c}"),
+            F.sum(x).alias(f"_sx_{c}"),
+            F.sum(x * x).alias(f"_sxx_{c}"),
+        ]
+    one = df.groupBy(F.col(shard_col).alias("shard")).agg(*aggs)
+    pieces = []
+    for c in cols:
+        pieces.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_cnt_{c}").alias("n_nonnull"),
+                F.col(f"_min_{c}").alias("min"),
+                F.col(f"_max_{c}").alias("max"),
+                F.col(f"_sx_{c}").alias("sx"),
+                F.col(f"_sxx_{c}").alias("sxx"),
+            )
+        )
+    return one.select("shard", F.explode(F.array(*pieces)).alias("_p")).select(
+        "shard", "_p.*"
+    )
+
+
+def merge_profiles(partials: DataFrame, *, round_to: int = 6) -> DataFrame:
+    """Merge per-shard moment rows (:func:`profile_numeric_partial`
+    output) into whole-relation statistics: counts and moment sums
+    add, min/max fold — then the same mean/stddev finalization as
+    the direct profile. ≤ |shards|·|cols| input rows: driver-free
+    and trivially cheap at any corpus size.
+    """
+    m = partials.groupBy("col_name").agg(
+        F.sum("n_rows").alias("_N"),
+        F.sum("n_nonnull").alias("_cnt"),
+        F.min("min").alias("_min"),
+        F.max("max").alias("_max"),
+        F.sum("sx").alias("_sx"),
+        F.sum("sxx").alias("_sxx"),
+    )
+    n, sx, sxx = F.col("_cnt"), F.col("_sx"), F.col("_sxx")
+    mean = F.when(n > 0, sx / n)
+    var = F.when(n > 1, (n * sxx - sx * sx) / (n * (n - 1)))
+    stddev = F.when(var >= 0, F.sqrt(var))
+    return m.select(
+        "col_name",
+        F.col("_N").alias("n_rows"),
+        F.col("_cnt").alias("n_nonnull"),
+        F.round(F.col("_min"), round_to).alias("min"),
+        F.round(F.col("_max"), round_to).alias("max"),
+        F.round(mean, round_to).alias("mean"),
+        F.round(stddev, round_to).alias("stddev"),
+    )

@@ -76,3 +76,73 @@ def kmv_distinct(
         F.round(F.lit(float(k - 1) * _HASH_SPACE) / F.col("_kth")).cast("long")
     )
     return sk.select(*groups, est.alias(est_col), "n_seen")
+
+
+def _cms_bucket(key, row_i: int, width: int):
+    """Deterministic CMS hash row: first 32 md5 bits of "i:key" mod
+    width — replayable by any engine, no salt state."""
+    h = F.md5(F.concat(F.lit(f"{row_i}:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(width)).cast(
+        "int"
+    )
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, *, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col`` frequencies: ``depth``
+    hash rows × ``width`` counters, as a (row, bucket, cnt) relation
+    of ≤ depth·width rows — constant-size state for an unbounded key
+    domain, and MERGEABLE by simple cnt addition across shards/days
+    (the property exact top-k lacks: you cannot merge two exact
+    top-100 lists, but you can always add two sketches).
+
+    One aggregation: each input row explodes to ``depth`` (row,
+    bucket) cells (array literal → explode, no UDF) and the keyed
+    count is map-side combined. Estimates are ``cms_estimate``.
+    """
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), _cms_bucket(key, i, width).alias("bucket"))
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a CMS built with
+    the same (depth, width): est(key) = min over rows of the key's
+    bucket counter — the classic one-sided bound (est ≥ true, whp
+    within εN for width ≈ e/ε). The sketch side is ≤ depth·width
+    rows, ALWAYS broadcast; keys never shuffle.
+
+    Output: key column + ``est_count``.
+    """
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), _cms_bucket(key, i, width).alias("bucket"))
+            for i in range(depth)
+        ]
+    )
+    probe = keys.select(key_col, F.explode(cells).alias("_c")).select(
+        key_col, F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )

@@ -113,3 +113,54 @@ def mad_outliers(
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Equi-width histogram with a dense bin spine: bin edges derive
+    from a 2-value (min, max) aggregate, each row maps to
+    ``least(n−1, floor((v−lo)/width))`` (pure column math), and a
+    broadcast 0..n−1 spine left-joins the counts so EMPTY bins
+    appear with count 0 — a histogram whose silent bins are visible
+    is a different (and more useful) artifact than a sparse one.
+
+    Degenerate case min == max puts everything in bin 0. Cost: the
+    bounds pass + one keyed count; the spine is n rows.
+
+    Output: ``bin, lo_edge, hi_edge, bin_count``.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_w", (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins)))
+        .withColumn(
+            "bin",
+            F.when(F.col("_w") > 0,
+                   F.least(F.lit(n_bins - 1),
+                           F.floor((v - F.col("_lo")) / F.col("_w"))))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"), "_lo", "_hi"
+    ).withColumn("_w", (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins)))
+    return (
+        spine.join(binned, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * F.col("_w"), round_to).alias("lo_edge"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * F.col("_w"), round_to).alias(
+                "hi_edge"
+            ),
+            F.coalesce(F.col("bin_count"), F.lit(0)).alias("bin_count"),
+        )
+    )

@@ -359,10 +359,10 @@ def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "fuzzy_duplicate_pairs",
-    oracle="""
-    WITH pre AS (
+# Shared fuzzy-dedup CTE chain (normalize → band → govern) — used by
+# both the pair oracle and the entity-resolution closure oracle.
+_FUZZY_CTES = """
+    pre AS (
       SELECT doc_id AS _id,
              substr(trim(regexp_replace(regexp_replace(lower(text),
                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 64) AS _pre
@@ -380,11 +380,21 @@ def snapshot_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     governed AS (
       SELECT c._bkey, c._id, c._pre FROM cand c JOIN sizes USING (_bkey)
       WHERE _bn <= 600
+    ),
+    fuzz AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+             levenshtein(a._pre, b._pre) AS edit_distance
+      FROM governed a JOIN governed b ON a._bkey = b._bkey AND a._id < b._id
+      WHERE levenshtein(a._pre, b._pre) <= 20
     )
-    SELECT DISTINCT a._id AS id_a, b._id AS id_b,
-           levenshtein(a._pre, b._pre) AS edit_distance
-    FROM governed a JOIN governed b ON a._bkey = b._bkey AND a._id < b._id
-    WHERE levenshtein(a._pre, b._pre) <= 20
+"""
+
+
+@query(
+    "fuzzy_duplicate_pairs",
+    oracle=f"""
+    WITH {_FUZZY_CTES}
+    SELECT id_a, id_b, edit_distance FROM fuzz
     """,
 )
 def fuzzy_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,3 +820,178 @@ def daily_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rev_ma7", F.round(F.avg("day_revenue").over(wma), 6))
         .withColumn("day", F.col("day").cast("timestamp"))
     )
+
+
+# --------------------------------------------------------------------------
+# CMS heavy hitters, entity-resolution closure, histogram, mergeable profiles
+# --------------------------------------------------------------------------
+
+
+def _cms_cells_sql(depth: int, width: int, key_expr: str) -> str:
+    """DuckDB replay of the per-row CMS cells."""
+    rows = [
+        f"SELECT {key_expr} AS k, {i} AS row, "
+        f"CAST(CAST(('0x' || substring(md5('{i}:' || CAST({key_expr} AS VARCHAR)), 1, 8)) "
+        f"AS UBIGINT) % {width} AS INT) AS bucket FROM events"
+        for i in range(4)
+    ]
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "event_type_cms_estimates",
+    oracle=f"""
+    WITH cells AS ({_cms_cells_sql(4, 64, "event_type")}),
+    sketch AS (
+      SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    probe AS (
+      SELECT k.event_type, x.row,
+             CAST(CAST(('0x' || substring(md5(CAST(x.row AS VARCHAR) || ':' ||
+                        CAST(k.event_type AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 64 AS INT) AS bucket
+      FROM keys k CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row) x
+    ),
+    est AS (
+      SELECT p.event_type, min(s.cnt) AS est_count
+      FROM probe p JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+      GROUP BY 1
+    ),
+    exact AS (SELECT event_type, count(*) AS exact_count FROM events GROUP BY 1)
+    SELECT e.event_type, est.est_count, e.exact_count,
+           est.est_count - e.exact_count AS overcount
+    FROM est JOIN exact e USING (event_type)
+    """,
+)
+def event_type_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates vs exact counts for every
+    event type (sketches.py ``count_min_sketch`` / ``cms_estimate``):
+    depth·width counters of MERGEABLE state for an unbounded key
+    domain; the one-sided overcount (est ≥ exact, a CMS invariant) is
+    emitted so the oracle verifies the bound row by row."""
+    from ..operators import sketches as SK
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = SK.count_min_sketch(e, "event_type", depth=4, width=64)
+    keys = e.select("event_type").distinct()
+    est = SK.cms_estimate(sketch, keys, "event_type", depth=4, width=64)
+    exact = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+@query(
+    "fuzzy_dedup_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM fuzz
+      UNION
+      SELECT id_b AS a, id_a AS b FROM fuzz
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    )
+    SELECT a AS doc_id, min(b) AS rep_id
+    FROM reach GROUP BY a HAVING min(b) < a
+    """,
+)
+def fuzzy_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy (edit-distance) blocking +
+    matching composed with min-label propagation to cluster
+    representatives — the blocking→matching→clustering pipeline, all
+    distributed, cross-checked against a recursive-CTE transitive
+    closure."""
+    from ..operators import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.fuzzy_edit_pairs(
+        d, "doc_id", "text", max_dist=20, prefix_chars=64,
+        band_width=16, max_band_size=600,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return DD.dedup_representatives(pairs, rounds=None)
+
+
+@query(
+    "event_value_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(value AS DOUBLE)) AS lo, max(CAST(value AS DOUBLE)) AS hi
+      FROM events
+    ),
+    binned AS (
+      SELECT CASE WHEN (hi - lo) / 20.0 > 0
+                  THEN CAST(least(19, floor((CAST(value AS DOUBLE) - lo)
+                                            / ((hi - lo) / 20.0))) AS INT)
+                  ELSE 0 END AS bin,
+             count(*) AS bin_count
+      FROM events CROSS JOIN bounds GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(range(0, 20)) AS bin, lo, hi,
+             (hi - lo) / 20.0 AS w
+      FROM bounds
+    )
+    SELECT CAST(s.bin AS INT) AS bin,
+           round(s.lo + s.bin * s.w, 6) AS lo_edge,
+           round(s.lo + (s.bin + 1) * s.w, 6) AS hi_edge,
+           coalesce(b.bin_count, 0) AS bin_count
+    FROM spine s LEFT JOIN binned b ON b.bin = s.bin
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of event values with a dense bin
+    spine — empty bins visible with count 0 (stats.py
+    ``histogram_fixed``). Bounds from a 2-value agg; binning is pure
+    column math; the spine is broadcast."""
+    from ..operators import stats as ST
+
+    e = load_table(spark, sf_dir, "events")
+    return ST.histogram_fixed(e, "value", 20)
+
+
+@query(
+    "orders_profile_incremental",
+    oracle="""
+    WITH partial AS (
+      SELECT o_orderstatus AS shard, count(*) AS n,
+             count(o_totalprice) AS cnt,
+             min(CAST(o_totalprice AS DOUBLE)) AS mn,
+             max(CAST(o_totalprice AS DOUBLE)) AS mx,
+             sum(CAST(o_totalprice AS DOUBLE)) AS sx,
+             sum(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE)) AS sxx
+      FROM orders GROUP BY 1
+    ),
+    merged AS (
+      SELECT sum(n) AS n, sum(cnt) AS cnt, min(mn) AS mn, max(mx) AS mx,
+             sum(sx) AS sx, sum(sxx) AS sxx
+      FROM partial
+    )
+    SELECT 'o_totalprice' AS col_name, n AS n_rows, cnt AS n_nonnull,
+           round(mn, 6) AS min, round(mx, 6) AS max,
+           round(CASE WHEN cnt > 0 THEN sx / cnt END, 6) AS mean,
+           round(CASE WHEN cnt > 1 AND (cnt * sxx - sx * sx) / (cnt * (cnt - 1)) >= 0
+                      THEN sqrt((cnt * sxx - sx * sx) / (cnt * (cnt - 1))) END, 6)
+             AS stddev
+    FROM merged
+    """,
+)
+def orders_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental profiling: per-status partial moment rows merged
+    into whole-relation statistics (profiling.py
+    ``profile_numeric_partial`` + ``merge_profiles``) — the
+    shard-then-merge shape that lets a 100 TB profile update from a
+    day's partial instead of a re-scan. The oracle replays the SAME
+    two-level structure so the merge itself is what's verified."""
+    from ..operators import profiling as PF
+
+    o = load_table(spark, sf_dir, "orders")
+    partials = PF.profile_numeric_partial(o, ["o_totalprice"], "o_orderstatus")
+    return PF.merge_profiles(partials)

@@ -506,3 +506,69 @@ def test_quantile_bucket_monotone_and_ties(spark):
     tied = spark.createDataFrame([(i, 5.0) for i in range(10)], "id int, v double")
     tout = {r["bucket"] for r in quantile_bucket(tied, "v", 4).collect()}
     assert len(tout) == 1
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch, histogram, mergeable profiles
+# --------------------------------------------------------------------------
+
+
+def test_cms_overestimates_and_merges(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(700)]
+    df = spark.createDataFrame(rows, "k string")
+    keys = df.distinct()
+    sk = count_min_sketch(df, "k", depth=4, width=16)
+    est = {r["k"]: r["est_count"] for r in cms_estimate(sk, keys, "k", depth=4, width=16).collect()}
+    assert all(est[f"k{i}"] >= 100 for i in range(7))  # one-sided bound
+    # mergeability: sketch(A) + sketch(B) == sketch(A ∪ B) by cnt addition
+    a = df.limit(300)
+    b = df.exceptAll(a)
+    sa = count_min_sketch(a, "k", depth=4, width=16)
+    sb = count_min_sketch(b, "k", depth=4, width=16)
+    merged = (
+        sa.unionByName(sb).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_histogram_fixed_dense_and_degenerate(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.stats import (
+        histogram_fixed,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in [0, 1, 2, 3, 10]], "v double")
+    out = {r["bin"]: r for r in histogram_fixed(df, "v", 5).collect()}
+    assert len(out) == 5  # dense spine
+    assert sum(r["bin_count"] for r in out.values()) == 5
+    assert out[4]["bin_count"] == 1  # max value lands in the LAST bin
+    assert out[3]["bin_count"] == 0  # empty bin visible
+    assert out[0]["lo_edge"] == 0.0 and out[4]["hi_edge"] == 10.0
+    # degenerate: all equal → everything in bin 0
+    same = spark.createDataFrame([(5.0,)] * 4, "v double")
+    sout = {r["bin"]: r["bin_count"] for r in histogram_fixed(same, "v", 5).collect()}
+    assert sout[0] == 4 and all(sout[b] == 0 for b in range(1, 5))
+
+
+def test_partial_profiles_merge_equals_direct(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.profiling import (
+        merge_profiles,
+        profile_numeric,
+        profile_numeric_partial,
+    )
+
+    rows = [("a", float(i)) for i in range(10)] + [("b", float(i * 3)) for i in range(7)]
+    df = spark.createDataFrame(rows, "shard string, v double")
+    direct = {r["col_name"]: r for r in profile_numeric(df, ["v"]).collect()}
+    merged = {r["col_name"]: r for r in merge_profiles(
+        profile_numeric_partial(df, ["v"], "shard")
+    ).collect()}
+    d, m = direct["v"], merged["v"]
+    for f in ("n_rows", "n_nonnull", "min", "max", "mean", "stddev"):
+        assert m[f] == pytest.approx(d[f]), f

@@ -43,7 +43,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sql_surface": ("sql_surface_top_customers",),
     "quantiles": ("segment_price_quantiles", "part_price_deciles"),
     "pivot": ("order_year_status_pivot",),
-    "sketches": ("kmv_distinct_customers", "approx_distinct_customers"),
+    "sketches": ("kmv_distinct_customers", "approx_distinct_customers",
+                 "event_type_cms_estimates"),
     "sampling": ("random_pair_baseline_trials",),
     "als": ("als_recommendations",),
     "ranking_metrics": ("ranking_metrics_summary",),
@@ -90,10 +91,12 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "bm25": ("bm25_doc_ranking",),
     "gapfill": ("daily_orders_gapfill", "daily_revenue_momentum"),
     "snapshot_cdc": ("snapshot_diff_orders", "snapshot_merge_orders"),
-    "fuzzy_dedup": ("fuzzy_duplicate_pairs",),
+    "fuzzy_dedup": ("fuzzy_duplicate_pairs", "fuzzy_dedup_representatives"),
     "weighted_sampling": ("doc_weighted_sample",),
-    "robust_stats": ("priority_revenue_trend", "event_value_outliers"),
-    "profiling": ("orders_profile", "orders_quality_report"),
+    "robust_stats": ("priority_revenue_trend", "event_value_outliers",
+                     "event_value_histogram"),
+    "profiling": ("orders_profile", "orders_quality_report",
+                  "orders_profile_incremental"),
     "ann_rerank": ("ivfadc_rerank_knn",),
     "cv_splits": ("events_kfold_summary",),
 }
