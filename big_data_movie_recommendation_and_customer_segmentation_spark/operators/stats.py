@@ -164,3 +164,86 @@ def histogram_fixed(
             F.coalesce(F.col("bin_count"), F.lit(0)).alias("bin_count"),
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    *,
+    num_buckets: int | None = None,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """2-D skyline (Pareto front, minimizing both axes): flag rows
+    not dominated by any other row (q dominates p iff q.x ≤ p.x,
+    q.y ≤ p.y, strict on at least one axis).
+
+    The naive spelling is a quadratic NOT-EXISTS theta-join (the
+    oracle uses it — an INDEPENDENT formulation, not a replay); the
+    plan here is the sort-sweep identity — p is dominated iff
+    min{y : x' < p.x} ≤ p.y, or an equal-x row earlier in (y, id)
+    order has y' < p.y — executed with the packing.py two-pass
+    decomposition generalized from SUM to MIN:
+
+    1. range-bucket on x (driver quantile sketch; equal x never
+       straddles buckets);
+    2. per-bucket min(y) → exclusive prefix-MIN offsets (≤ #buckets
+       driver rows, broadcast);
+    3. in-bucket windows: RANGE x < current for the strict-x min,
+       plus a (bucket, x)-partitioned running min for equal-x ties.
+
+    One hash shuffle total; no SinglePartition exchange — the same
+    scale shape as the running-sum, because MIN is a monoid too.
+    ``x_col`` must be integral (the RANGE −1 frame bound means
+    x' ≤ x−1). Output: input columns + ``on_skyline`` (int).
+    """
+    from pyspark.sql import Window
+
+    from .packing import _bucket_expr
+
+    spark = df.sparkSession
+    n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    probs = [i / n for i in range(1, n)]
+    boundaries = (
+        sorted(set(df.stat.approxQuantile(x_col, probs, relative_error)))
+        if probs
+        else []
+    )
+    grp = df.withColumn("_grp", _bucket_expr(x_col, boundaries))
+
+    mins = {
+        r["_grp"]: r["_m"]
+        for r in grp.groupBy("_grp").agg(F.min(y_col).alias("_m")).collect()
+    }
+    run = None
+    offsets = []
+    for g in sorted(mins):
+        offsets.append((g, run))  # EXCLUSIVE prefix min (None for first)
+        run = mins[g] if run is None else min(run, mins[g])
+    off_df = spark.createDataFrame(offsets, schema=f"_grp int, _pmin double")
+
+    w_lt = (
+        Window.partitionBy("_grp")
+        .orderBy(F.col(x_col).cast("long"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = (
+        Window.partitionBy("_grp", x_col)
+        .orderBy(F.col(y_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    y = F.col(y_col)
+    out = (
+        grp.join(F.broadcast(off_df), "_grp")
+        .withColumn("_mlt", F.least(F.min(y_col).over(w_lt), F.col("_pmin")))
+        .withColumn("_meq", F.min(y_col).over(w_eq))
+        .withColumn(
+            "on_skyline",
+            (
+                (F.col("_mlt").isNull() | (F.col("_mlt") > y))
+                & (F.col("_meq").isNull() | (F.col("_meq") >= y))
+            ).cast("int"),
+        )
+    )
+    return out.drop("_grp", "_pmin", "_mlt", "_meq")

@@ -995,3 +995,83 @@ def orders_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     partials = PF.profile_numeric_partial(o, ["o_totalprice"], "o_orderstatus")
     return PF.merge_profiles(partials)
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto front) + sub-document (chunk) dedup
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice,
+           CAST(NOT EXISTS (
+             SELECT 1 FROM part q
+             WHERE q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
+               AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice)
+           ) AS INT) AS on_skyline
+    FROM part p
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto front over (size, price), minimizing both (stats.py
+    ``skyline_2d``): the quadratic NOT-EXISTS becomes a sort-sweep
+    prefix-MIN executed with the packing.py two-pass decomposition
+    (MIN is a monoid) — one hash shuffle, no SinglePartition
+    exchange. The oracle is the INDEPENDENT naive quadratic
+    formulation, so the sweep identity itself is what's verified."""
+    from ..operators import stats as ST
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return ST.skyline_2d(p, "p_size", "p_retailprice", "p_partkey")
+
+
+@query(
+    "duplicate_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 40)) AS start
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(start / 40 AS INT) AS chunk_id,
+             array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text,
+             least(50, len(toks) - start) AS n_tokens
+      FROM s
+    ),
+    fp AS (
+      SELECT md5(chunk_text) AS chunk_fp, doc_id, chunk_id
+      FROM c WHERE n_tokens > 0
+    )
+    SELECT chunk_fp, count(*) AS n_copies,
+           min(doc_id) AS first_doc, min(chunk_id) AS first_chunk
+    FROM fp GROUP BY chunk_fp HAVING count(*) >= 2
+    """,
+)
+def duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) dedup: exact duplicate
+    50-token chunks ACROSS documents — the RefinedWeb-style
+    finer-grain pass that doc-level dedup misses (boilerplate
+    headers, repeated paragraphs). Chunking reuses the oracle-pinned
+    token-window expression; only the 16-byte fingerprint shuffles,
+    never chunk text."""
+    from ..functions import textops as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(d, "doc_id", "text", chunk_tokens=50, stride=40)
+    return (
+        chunks.select("doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_fp"))
+        .groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("chunk_id").alias("first_chunk"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -572,3 +572,34 @@ def test_partial_profiles_merge_equals_direct(spark):
     d, m = direct["v"], merged["v"]
     for f in ("n_rows", "n_nonnull", "min", "max", "mean", "stddev"):
         assert m[f] == pytest.approx(d[f]), f
+
+
+# --------------------------------------------------------------------------
+# Skyline
+# --------------------------------------------------------------------------
+
+
+def test_skyline_2d_known_front_and_ties(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.stats import (
+        skyline_2d,
+    )
+
+    rows = [
+        (1, 1, 9.0),   # front (smallest x)
+        (2, 3, 5.0),   # front
+        (3, 5, 2.0),   # front
+        (4, 4, 9.5),   # dominated by 2
+        (5, 5, 2.0),   # duplicate of 3 → BOTH stay (neither dominates)
+        (6, 5, 3.0),   # dominated by 3 (equal x, higher y)
+        (7, 6, 2.0),   # dominated by 3 (higher x, equal y)
+        (8, 2, 9.0),   # dominated by 1 (higher x, equal y)
+    ]
+    df = spark.createDataFrame(rows, "id int, x int, y double")
+    out = {r["id"]: r["on_skyline"] for r in skyline_2d(df, "x", "y", "id", num_buckets=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 0, 5: 1, 6: 0, 7: 0, 8: 0}
+
+
+def test_skyline_no_single_partition_exchange(spark, sf_dir):
+    df = entrymod.queries()["part_skyline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:2000]

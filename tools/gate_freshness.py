@@ -55,7 +55,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "corpus_ops": ("doc_unigram_logprob", "source_mix_plan", "doc_sample_by_lang",
                    "doc_chunks", "doc_balanced_by_source", "tfidf_top_terms"),
     "packing": ("token_shard_assignment",),
-    "exact_dedup": ("exact_duplicate_groups", "dedup_exact_survivors"),
+    "exact_dedup": ("exact_duplicate_groups", "dedup_exact_survivors",
+                    "duplicate_chunks"),
     "ngram_dedup": ("ngram_duplicate_pairs",),
     "minhash_dedup": ("minhash_duplicate_pairs",),
     "simhash_dedup": ("simhash_duplicate_pairs",),
@@ -99,6 +100,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                   "orders_profile_incremental"),
     "ann_rerank": ("ivfadc_rerank_knn",),
     "cv_splits": ("events_kfold_summary",),
+    "skyline": ("part_skyline",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -135,6 +137,7 @@ NEW_IN_ROUND: dict[str, int] = {
     "profiling": 5,
     "ann_rerank": 5,
     "cv_splits": 5,
+    "skyline": 5,
 }
 
 
