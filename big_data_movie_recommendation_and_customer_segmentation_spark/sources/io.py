@@ -357,3 +357,61 @@ def write_range_clustered(
         else df.repartitionByRange(*cols)
     )
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def read_parquet_evolved(
+    spark: SparkSession, paths: list[str], *, fill_missing: dict | None = None
+) -> DataFrame:
+    """Read parquet snapshots whose schemas EVOLVED across writes
+    (columns added over time): ``mergeSchema`` unifies the footer
+    schemas, older files surface the newer columns as null, and
+    ``fill_missing`` supplies per-column defaults (applied only
+    where null — pure column expressions).
+
+    The 100 TB reality this serves: a corpus written daily for a
+    year has k schema generations; re-writing history on every
+    schema change is a full-corpus rewrite, so the READER carries
+    the evolution. mergeSchema costs one footer read per file (not
+    per row) — fine at any scale when file counts are sane
+    (range-clustered or bucketed layouts keep them sane).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    for col, default in (fill_missing or {}).items():
+        df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return df
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV ingest that splits clean rows from quarantine:
+    returns ``(good, bad)`` where ``bad`` keeps the raw line of every
+    row that failed the schema (type mismatch, arity) in
+    ``corrupt_col``. The 100 TB posture: never fail a 6-hour ingest
+    on row 10^11, never silently null-out garbage either — quarantine
+    it for replay. Spark disallows plans whose scan is pruned down to
+    ONLY the corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    RECORD_COLUMN), so the parsed relation is cached first — the
+    documented workaround, and what you'd do anyway to avoid scanning
+    the ingest twice for the good/bad split.
+    """
+    full_schema = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(full_schema)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    ).cache()
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

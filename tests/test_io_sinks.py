@@ -223,3 +223,40 @@ def test_range_clustered_write_produces_disjoint_key_ranges(spark, sf_dir, tmp_p
     # and the data round-trips
     back = spark.read.parquet(out)
     assert back.count() == li.count()
+
+
+def test_read_parquet_evolved_merges_and_fills(spark, tmp_path):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import (
+        read_parquet_evolved,
+    )
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string").write.parquet(v1)
+    spark.createDataFrame(
+        [(3, "c", 0.9), (4, "d", 0.1)], "id int, name string, quality double"
+    ).write.parquet(v2)
+    out = read_parquet_evolved(spark, [v1, v2], fill_missing={"quality": 0.5})
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(out.columns) == {"id", "name", "quality"}
+    assert rows[1]["quality"] == 0.5 and rows[3]["quality"] == 0.9  # default only where missing
+
+
+def test_read_csv_with_quarantine_splits(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import (
+        read_csv_with_quarantine,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\ngarbage-row-no-comma\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("qty", T.IntegerType())]
+    )
+    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    bad_lines = {r["raw_line"] for r in bad.collect()}
+    assert any("notanumber" in b for b in bad_lines)
+    assert any("garbage-row-no-comma" in b for b in bad_lines)
+    assert len(bad_lines) == 2
