@@ -29,6 +29,13 @@ NOTES = {
     "semantic_dedup_survivors": "SemDeDup: quantized-Lloyd assignment (checkpoint boundary), within-cluster pair prune keyed on the cluster id.",
     "ivfadc_residual_knn": "Residual IVFADC: coarse routing, residual computation (checkpoint boundary), joint-Lloyd codebooks, per-(probe,cell) broadcast tables.",
     "purchase_click_attribution_left": "Left-outer attribution: effects drive, same equi-join + range residual, null causes for the unattributed.",
+    "part_association_rules": "Market-basket: incidence dedup + size governor (checkpoint boundary), basket-key self-join, broadcast item counts and N.",
+    "customer_revenue_pareto": "Bucketed two-pass prefix sum: per-bucket window + broadcast exclusive offsets — NO Exchange SinglePartition.",
+    "customer_rfm_segments": "RFM ladders: one keyed agg; percentile cuts folded in as literals — no global ntile window.",
+    "snapshot_diff_orders": "CDC diff: ONE full-outer sort-merge join on the key, codegen'd null-safe struct compare.",
+    "part_skyline": "Skyline sweep: bucketed prefix-MIN (broadcast offsets) + in-bucket RANGE window — no SinglePartition, no quadratic join.",
+    "orders_profile": "Single-pass profiling: one scan, Expand for the multi-distinct, stack-unpivot of the single agg row.",
+    "ivfadc_rerank_knn": "Two-stage ANN: PQ-code shortlist (stage 1), broadcast point-lookup join of shortlisted raw vectors (stage 2).",
 }
 
 
