@@ -1075,3 +1075,52 @@ def duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Running z-score anomaly flags (batch twin of the stateful stream op)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_running_zscore",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, value,
+             count(value) OVER w AS n,
+             sum(value) OVER w AS sx,
+             sum(value * value) OVER w AS sxx
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, ts, value,
+           CAST(n >= 5
+                AND (CASE WHEN n > 1 AND (n * sxx - sx * sx) / (n * (n - 1)) > 0
+                          THEN sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+                          ELSE 0.0 END) > 0
+                AND round(abs(value - sx / n), 9) >
+                    round(3.0 * (CASE WHEN n > 1 AND
+                                          (n * sxx - sx * sx) / (n * (n - 1)) > 0
+                                      THEN sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+                                      ELSE 0.0 END), 9)
+                AS INT) AS is_anomaly
+    FROM m
+    """,
+)
+def event_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window anomaly flags: each event scored against the
+    running mean/stddev of the user's PRIOR events (streaming/
+    stateful.py ``running_zscore_batch`` — the batch-first twin of
+    the ``applyInPandasWithState`` stream operator, whose keyed
+    state is three scalars per user forever). Per-user windows:
+    partition-parallel, no global sort."""
+    from ..streaming import stateful as STF
+
+    e = load_table(spark, sf_dir, "events")
+    return STF.running_zscore_batch(
+        e, "user_id", "ts", "value", tiebreak_col="event_id"
+    )

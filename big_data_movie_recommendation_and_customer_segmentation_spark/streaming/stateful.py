@@ -127,3 +127,112 @@ def streaming_kmv_distinct(
     return stream.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def running_zscore_flags(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    *,
+    cutoff: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Streaming anomaly flags: each event is scored against the
+    RUNNING mean/stddev of the key's PRIOR events (Welford-style
+    keyed state: n, Σx, Σx² — three scalars per key, constant
+    forever, no watermark needed). An event with
+    |v − mean_prev| > cutoff · stddev_prev after ``min_history``
+    prior observations flags as an anomaly; early events never flag
+    (no stable baseline yet).
+
+    Batch-first contract: the batch oracle is the expanding-window
+    formulation (``running_zscore_batch``) — prior-moment windows
+    per key ordered by time — and the equivalence test feeds the
+    same events through both paths. Within a micro-batch, rows are
+    processed in ``ts`` order so replays are deterministic.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, {ts_col} timestamp, {value_col} double, is_anomaly int"
+    )
+    state_schema = "n long, sx double, sxx double"
+
+    def update(key, pdfs, state: GroupState):
+        n, sx, sxx = state.get if state.exists else (0, 0.0, 0.0)
+        rows = {key_col: [], ts_col: [], value_col: [], "is_anomaly": []}
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(ts_col).iterrows():
+                v = float(r[value_col])
+                flag = 0
+                if n >= min_history:
+                    mean = sx / n
+                    var = (n * sxx - sx * sx) / (n * (n - 1)) if n > 1 else 0.0
+                    std = var**0.5 if var > 0 else 0.0
+                    if std > 0 and abs(v - mean) > cutoff * std:
+                        flag = 1
+                rows[key_col].append(key[0])
+                rows[ts_col].append(r[ts_col])
+                rows[value_col].append(v)
+                rows["is_anomaly"].append(flag)
+                n, sx, sxx = n + 1, sx + v, sxx + v * v
+        state.update((n, sx, sxx))
+        yield pd.DataFrame(rows)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def running_zscore_batch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    *,
+    cutoff: float = 3.0,
+    min_history: int = 5,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Batch twin of :func:`running_zscore_flags`: prior-row moment
+    windows per key (rows UNBOUNDED PRECEDING → 1 PRECEDING, ordered
+    by time) — partitioned by key, so fully parallel; the per-key
+    history is the only sequential dimension, exactly like the
+    streaming state. This is the oracle the stream/batch equivalence
+    test pins.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    v = F.col(value_col).cast("double")
+    n = F.count(v).over(w)
+    sx = F.sum(v).over(w)
+    sxx = F.sum(v * v).over(w)
+    mean = sx / n
+    var = F.when(n > 1, (n * sxx - sx * sx) / (n * (n - 1))).otherwise(F.lit(0.0))
+    std = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+    # the threshold compare rounds both sides to 9 decimals so
+    # engine-specific window-aggregation association order (running
+    # accumulation vs segment tree) can't flip a boundary flag
+    flag = (
+        (n >= min_history)
+        & (std > 0)
+        & (F.round(F.abs(v - mean), 9) > F.round(F.lit(cutoff) * std, 9))
+    ).cast("int")
+    return df.withColumn("is_anomaly", flag).select(
+        key_col,
+        ts_col,
+        F.col(value_col).cast("double").alias(value_col),
+        "is_anomaly",
+    )

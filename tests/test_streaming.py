@@ -347,3 +347,52 @@ def test_stream_attribution_left_join_matches_batch(spark, sf_dir, tmp_path):
     got_nulls = {(r.user_id, r.effect_id) for r in rows if r.cause_id is None}
     assert got_pairs == expect_pairs
     assert got_nulls == expect_nulls
+
+
+def test_running_zscore_stream_matches_batch(spark, tmp_path):
+    """Stream/batch equivalence for the running z-score operator:
+    the stateful stream path over micro-batched input must emit the
+    same flags as the expanding-window batch twin (values chosen
+    away from the 3-sigma boundary so the comparison is exact)."""
+    import pandas as pd
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming.stateful import (
+        running_zscore_batch,
+        running_zscore_flags,
+    )
+
+    rows = []
+    for u in (1, 2):
+        base = 10.0 if u == 1 else 50.0
+        for i in range(12):
+            # one hard anomaly per user at position 8
+            v = base + (i % 3) * 0.5 + (1000.0 if i == 8 else 0.0)
+            rows.append((u, f"2024-01-01 00:{i:02d}:00", v))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    src = tmp_path / "zsrc"
+    src.mkdir()
+    pdf.to_json(src / "a.json", orient="records", lines=True)
+
+    schema = "user_id long, ts timestamp, value double"
+    batch_df = spark.read.schema(schema).json(str(src))
+    expected = {
+        (r["user_id"], str(r["ts"])): r["is_anomaly"]
+        for r in running_zscore_batch(batch_df, "user_id", "ts", "value").collect()
+    }
+    assert sum(expected.values()) == 2  # exactly the two planted spikes
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = running_zscore_flags(stream, "user_id", "ts", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("zscore_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["ts"])): r["is_anomaly"]
+        for r in spark.sql("SELECT * FROM zscore_sink").collect()
+    }
+    assert got == expected

@@ -101,6 +101,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "ann_rerank": ("ivfadc_rerank_knn",),
     "cv_splits": ("events_kfold_summary",),
     "skyline": ("part_skyline",),
+    "streaming_stateful": ("event_running_zscore",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -138,6 +139,7 @@ NEW_IN_ROUND: dict[str, int] = {
     "ann_rerank": 5,
     "cv_splits": 5,
     "skyline": 5,
+    "streaming_stateful": 5,
 }
 
 
