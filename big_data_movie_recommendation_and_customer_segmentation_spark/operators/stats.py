@@ -247,3 +247,87 @@ def skyline_2d(
         )
     )
     return out.drop("_grp", "_pmin", "_mlt", "_meq")
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns: one row ``(chi_square, dof, n)`` where
+    ``chi_square = Σ_cells (obs − exp)² / exp`` over the FULL margin
+    grid (cells with zero observations still contribute, since their
+    expected count is positive).
+
+    100 TB shape: one map-side-combined shuffle builds the observed
+    contingency table (|A|×|B| rows — catalog-sized for categorical
+    columns by definition); margins derive from that table, not from
+    a second scan of the data; the zero-cell grid is a broadcast
+    cross join of the two margin relations. The final Σ is an
+    aggregate over the grid — no data-sized work after the first
+    shuffle.
+    """
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_obs"))
+    ma = obs.groupBy(col_a).agg(F.sum("_obs").alias("_ra"))
+    mb = obs.groupBy(col_b).agg(F.sum("_obs").alias("_cb"))
+    tot = obs.agg(F.sum("_obs").alias("_n"))
+    grid = (
+        ma.crossJoin(F.broadcast(mb))
+        .join(F.broadcast(obs), [col_a, col_b], "left")
+        .withColumn("_obs", F.coalesce("_obs", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_exp", F.col("_ra") * F.col("_cb") / F.col("_n"))
+    )
+    counts = grid.agg(
+        F.sum(F.pow(F.col("_obs") - F.col("_exp"), 2) / F.col("_exp")).alias("_chi"),
+        F.countDistinct(col_a).alias("_na"),
+        F.countDistinct(col_b).alias("_nb"),
+        F.first("_n").alias("n"),
+    )
+    return counts.select(
+        F.round("_chi", round_to).alias("chi_square"),
+        ((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group winsorized mean / stddev: values are clamped to the
+    group's exact interpolated [lower, upper] percentiles before the
+    moments — the robust location/scale estimate that, unlike
+    trimming, keeps n constant.
+
+    Two passes over the grouped values: pass 1 computes the exact
+    percentile pair per group (one shuffle, sort-based percentile
+    inside the aggregate); pass 2 re-aggregates the clamped values
+    (second shuffle on the same key — Catalyst reuses the hash
+    partitioning for the broadcast-joined bounds). Exact percentiles
+    are the oracle-matchable choice here; at 100 TB swap pass 1 to
+    ``approx_percentile`` (t-digest sketch, map-side mergeable) and
+    the plan shape is unchanged.
+    """
+    pct = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lower})").alias("_plo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("_phi"),
+    )
+    clipped = df.join(F.broadcast(pct), group_col).withColumn(
+        "_wv", F.least(F.greatest(F.col(value_col), F.col("_plo")), F.col("_phi"))
+    )
+    return clipped.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("_wv"), round_to).alias("winsorized_mean"),
+        F.round(F.stddev_samp("_wv"), round_to).alias("winsorized_std"),
+        F.round(F.first("_plo"), round_to).alias("p_lower"),
+        F.round(F.first("_phi"), round_to).alias("p_upper"),
+    )

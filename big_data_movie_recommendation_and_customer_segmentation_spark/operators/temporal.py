@@ -244,3 +244,51 @@ def gap_fill_daily(
         for c in ffill:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out.withColumnRenamed("_day", "day")
+
+
+def scd2_runs(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """Collapse a per-key ordered state stream into SCD Type-2
+    validity runs (the gaps-and-islands problem): consecutive rows
+    with the same ``state_col`` merge into one run carrying
+    ``valid_from`` (first order value), ``valid_to`` (next run's
+    start; null while the run is still open) and ``n_rows``.
+
+    Algorithm: one window pass flags state changes (``lag`` +
+    inequality), a running sum of flags numbers the runs, then a
+    keyed aggregate collapses each run and a second catalog-small
+    window derives ``valid_to`` from the successor run.
+
+    100 TB shape: everything partitions by the SCD key — the change
+    flag, run numbering, collapse, and valid_to windows all reuse ONE
+    hash-by-key exchange (Catalyst collapses the co-partitioned
+    windows/aggregate into a single sort-based stage per key). No
+    self-join formulation (the textbook LEFT JOIN on rank+1 would
+    shuffle the stream twice more for the same answer).
+    """
+    first_order = order_cols[0]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    flagged = df.withColumn(
+        "_chg",
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    collapsed = runs.groupBy(*key_cols, "run_id", state_col).agg(
+        F.min(first_order).alias("valid_from"),
+        F.max(first_order).alias("last_seen"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    succ = Window.partitionBy(*key_cols).orderBy("run_id")
+    return collapsed.withColumn("valid_to", F.lead("valid_from").over(succ))

@@ -1432,3 +1432,131 @@ def ivfadc_rerank_knn(
         rank_col="rank",
         keep_rank=True,
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Upper-triangle sample covariance matrix of a vector column:
+    rows ``(i, j, cov)`` for 0 <= i <= j < d.
+
+    Built the only way it survives 100 TB: each Arrow batch reduces
+    to its d×d Gram partial (one BLAS ``X.T @ X`` per batch) via
+    ``mapInPandas``, so the shuffle carries d(d+1)/2 rows PER BATCH
+    — the data-sized relation never moves. Per-dimension means come
+    from one ``posexplode`` aggregate (d rows per vector, map-side
+    combined to d rows total); cov_ij = (Σ x_i x_j − n μ_i μ_j) /
+    (n − 1).
+
+    A naive double-explode (d² rows per vector) would multiply the
+    scan 4096× at d=64 before the first combine — the Gram-partial
+    plan replaces that with in-batch matmul.
+    """
+    import numpy as np
+    import pandas as pd
+
+    el = df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
+    means = el.groupBy("i").agg(F.avg("x").alias("mu"), F.count("x").alias("n"))
+
+    def gram_partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            g = m.T @ m
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame({"i": iu.astype("int32"), "j": ju.astype("int32"),
+                                "sp": g[iu, ju]})
+
+    partials = df.select(vec_col).mapInPandas(gram_partial, "i int, j int, sp double")
+    sp = partials.groupBy("i", "j").agg(F.sum("sp").alias("sp"))
+    ma = means.select(F.col("i"), F.col("mu").alias("_mu_i"), F.col("n"))
+    mb = means.select(F.col("i").alias("j"), F.col("mu").alias("_mu_j"))
+    return (
+        sp.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            "i",
+            "j",
+            # + 0.0 collapses IEEE -0.0 so a near-zero covariance
+            # rounds to the same signed zero in every engine
+            (
+                F.round(
+                    (F.col("sp") - F.col("n") * F.col("_mu_i") * F.col("_mu_j"))
+                    / (F.col("n") - 1),
+                    round_to,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+):
+    """Principal components from the distributed covariance matrix:
+    returns ``(components, explained_variance, explained_ratio)``
+    where ``components`` is a k×d numpy array (rows = components,
+    descending eigenvalue order, sign-normalized so each row's
+    largest-|.| entry is positive — deterministic across LAPACK
+    builds).
+
+    The ONLY driver-side step is the d×d eigendecomposition —
+    bounded by d² (d=64 → 4 KB), never by n. No SQL oracle exists
+    for eigenvectors; correctness is pinned by property tests
+    (variance ordering, projection decorrelation, reconstruction
+    error monotone in k) — see tests/test_pca.py.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, vec_col, round_to=12).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    vals = vals[order]
+    comps = vecs[:, order].T                   # k×d
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    ratio = vals / max(np.trace(cov), 1e-300)
+    return comps, vals, ratio
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    vec_col: str = "embedding",
+    *,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project a vector column onto fitted components (k×d) — the
+    k dot products run as JVM-side higher-order ``aggregate`` over a
+    broadcast literal row, no Python in the per-row path."""
+    comp_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for row in components
+        ]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn(
+        out_col,
+        F.transform(
+            comp_lit,
+            lambda row: F.aggregate(
+                F.zip_with(v, row, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )

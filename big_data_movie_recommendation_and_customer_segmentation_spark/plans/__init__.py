@@ -16,6 +16,7 @@ decides which rows land in CORRECTNESS_r{N}.json.
 from .queries import ORACLE_REGISTRY, QUERY_REGISTRY
 from . import queries_ext  # noqa: F401  (registers extension queries)
 from . import queries_pipeline  # noqa: F401  (registers r5 pipeline queries)
+from . import queries_analytics  # noqa: F401  (registers r5 analytics batch 2)
 
 # The curated driver gate: 50 slots.
 # 29 core rows (every SURVEY §2 family that was green r02 keeps a

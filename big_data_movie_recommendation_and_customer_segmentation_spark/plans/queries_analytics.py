@@ -1,0 +1,375 @@
+"""Round-5 analytics batch 2: sequence mining (Markov transitions,
+frequent paths), SCD Type-2 history, chi-square independence,
+winsorized robust stats, RRF hybrid retrieval, and the distributed
+embedding covariance matrix.
+
+Same registry + oracle conventions as ``queries.py``: identical
+aliases both sides, FP aggregates rounded in both engines, total
+deterministic orders on every rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import corpus as CP
+from ..operators import retrieval as RT
+from ..operators import sequence as SEQ
+from ..operators import stats as ST
+from ..operators import temporal as TP
+from ..operators import vectorops as VO
+from ..sources import load_table
+from .queries import query
+from .queries_ext import _NTOKS
+from .queries_pipeline import _BM25_TERMS
+
+
+# --------------------------------------------------------------------------
+# Sequence mining over per-user event streams
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions / CAST(sum(n_transitions)
+                 OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream — the sequence model the reference's set-based item
+    similarity ignores (reference: S2_item_similarity.py:1-120
+    treats baskets as unordered). One user-hash window shuffle; the
+    transition aggregate is |types|²-sized with map-side partials
+    (sequence.py ``transition_matrix``)."""
+    e = load_table(spark, sf_dir, "events")
+    return SEQ.transition_matrix(
+        e, user_col="user_id", type_col="event_type", order_cols=["ts", "event_id"]
+    )
+
+
+@query(
+    "frequent_event_paths",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS step_1,
+             lead(event_type, 1) OVER w AS step_2,
+             lead(event_type, 2) OVER w AS step_3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step_1, step_2, step_3, count(*) AS n_paths
+    FROM g
+    WHERE step_2 IS NOT NULL AND step_3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 2
+    """,
+)
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide counts of contiguous event-type trigrams per user
+    — the frequent-path mining a funnel designer runs before fixing
+    stage definitions. k-grams come from ``lead`` offsets inside ONE
+    window pass, not k-way self-joins (sequence.py
+    ``event_kgrams``)."""
+    e = load_table(spark, sf_dir, "events")
+    return SEQ.event_kgrams(
+        e,
+        user_col="user_id",
+        type_col="event_type",
+        order_cols=["ts", "event_id"],
+        k=3,
+        min_count=2,
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 validity runs (gaps-and-islands)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_status_scd2",
+    oracle="""
+    WITH flagged AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                    OR lag(o_orderstatus) OVER w <> o_orderstatus
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM flagged
+    ),
+    collapsed AS (
+      SELECT o_custkey, run_id, o_orderstatus,
+             min(o_orderdate) AS valid_from,
+             max(o_orderdate) AS last_seen,
+             count(*) AS n_orders
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey, run_id, o_orderstatus, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY run_id) AS valid_to,
+           last_seen, n_orders
+    FROM collapsed
+    """,
+)
+def customer_order_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of each customer's order status: maximal
+    runs of consecutive equal statuses in (o_orderdate, o_orderkey)
+    order, with [valid_from, valid_to) validity (open run → null
+    valid_to). The gaps-and-islands collapse reuses one hash-by-key
+    exchange end-to-end (temporal.py ``scd2_runs``)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = TP.scd2_runs(
+        o,
+        key_cols=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        state_col="o_orderstatus",
+    )
+    return out.select(
+        "o_custkey",
+        "run_id",
+        "o_orderstatus",
+        "valid_from",
+        "valid_to",
+        "last_seen",
+        F.col("n_rows").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence + winsorized robust stats
+# --------------------------------------------------------------------------
+
+
+@query(
+    "segment_priority_chisq",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment, o_orderpriority
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    obs AS (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS obs
+      FROM j GROUP BY 1, 2
+    ),
+    ma AS (SELECT c_mktsegment, sum(obs) AS ra FROM obs GROUP BY 1),
+    mb AS (SELECT o_orderpriority, sum(obs) AS cb FROM obs GROUP BY 1),
+    tot AS (SELECT sum(obs) AS n FROM obs),
+    grid AS (
+      SELECT ma.c_mktsegment, mb.o_orderpriority,
+             coalesce(obs.obs, 0) AS obs,
+             (ma.ra * mb.cb) / CAST(tot.n AS DOUBLE) AS exp
+      FROM ma CROSS JOIN mb
+      LEFT JOIN obs USING (c_mktsegment, o_orderpriority)
+      CROSS JOIN tot
+    )
+    SELECT round(sum(pow(obs - exp, 2) / exp), 6) AS chi_square,
+           CAST((count(DISTINCT c_mktsegment) - 1)
+                * (count(DISTINCT o_orderpriority) - 1) AS BIGINT) AS dof,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n
+    FROM grid
+    """,
+)
+def segment_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between customer market
+    segment and order priority — the categorical-association check a
+    segmentation analyst runs before trusting a cross-tab. Observed
+    table from one shuffle; margins/grid are catalog-sized broadcast
+    relations (stats.py ``chi_square_independence``)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select("c_mktsegment", "o_orderpriority")
+    return ST.chi_square_independence(j, "c_mktsegment", "o_orderpriority")
+
+
+@query(
+    "event_value_winsorized",
+    oracle="""
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS plo,
+             quantile_cont(value, 0.95) AS phi
+      FROM events GROUP BY 1
+    ),
+    cl AS (
+      SELECT e.event_type, least(greatest(e.value, p.plo), p.phi) AS wv,
+             p.plo, p.phi
+      FROM events e JOIN pct p USING (event_type)
+    )
+    SELECT event_type, count(*) AS n,
+           round(avg(wv), 6) AS winsorized_mean,
+           round(stddev_samp(wv), 6) AS winsorized_std,
+           round(any_value(plo), 6) AS p_lower,
+           round(any_value(phi), 6) AS p_upper
+    FROM cl GROUP BY 1
+    """,
+)
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/std of event value per event type (exact
+    interpolated p05/p95 clamps) — the robust twin of the MAD
+    outlier pass: instead of flagging tails it bounds their
+    influence. Two keyed aggregates + a broadcast bounds join
+    (stats.py ``winsorized_stats``)."""
+    e = load_table(spark, sf_dir, "events")
+    return ST.winsorized_stats(e, "event_type", "value", lower=0.05, upper=0.95)
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ semantic ANN fused with RRF
+# --------------------------------------------------------------------------
+
+_RRF_DEPTH = 50
+_RRF_K0 = 60
+
+
+@query(
+    "hybrid_doc_retrieval_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_NTOKS}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'window', 'stream')
+      GROUP BY 1, 2
+    ),
+    idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS bm25
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN idf USING (term)
+      CROSS JOIN stats
+      GROUP BY 1
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      FROM bm
+      QUALIFY rank <= {_RRF_DEPTH}
+    ),
+    probe AS (
+      SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0
+    ),
+    sem AS (
+      SELECT e.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pv) DESC,
+                        e.vec_id ASC) AS rank
+      FROM embeddings e CROSS JOIN probe p
+      WHERE e.vec_id <> 0
+      QUALIFY rank <= {_RRF_DEPTH}
+    ),
+    contrib AS (
+      SELECT doc_id, 1.0 / ({_RRF_K0} + rank) AS c FROM lex
+      UNION ALL
+      SELECT doc_id, 1.0 / ({_RRF_K0} + rank) AS c FROM sem
+    ),
+    fused AS (
+      SELECT doc_id, round(sum(c), 6) AS rrf_score, count(*) AS n_lists
+      FROM contrib GROUP BY 1
+    )
+    SELECT doc_id, rrf_score, n_lists,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+    FROM fused
+    """,
+)
+def hybrid_doc_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-signal retrieval: lexical BM25 top-50 and semantic
+    cosine-kNN top-50 (probe = embedding 0, doc_id keyed 1:1 to
+    vec_id) fused with Reciprocal Rank Fusion (k0=60) — the
+    recall-stage union feeding a reranker in a RAG corpus pipeline.
+    Fusion is union + one keyed aggregate over Σ top-k rows; neither
+    list's score scale leaks into the other (retrieval.py
+    ``rrf_fuse``)."""
+    from ..functions import vector as V
+
+    d = load_table(spark, sf_dir, "documents")
+    bm = CP.bm25_scores(d, "doc_id", "text", list(_BM25_TERMS))
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = (
+        bm.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= _RRF_DEPTH)
+        .select("doc_id", "rank")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_pv"))
+    ws = Window.orderBy(F.col("_cs").desc(), F.col("vec_id").asc())
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .withColumn("_cs", V.cosine("embedding", "_pv"))
+        .withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= _RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return RT.rrf_fuse([lex, sem], "doc_id", "rank", k0=_RRF_K0)
+
+
+# --------------------------------------------------------------------------
+# Distributed embedding covariance (the PCA front half)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    m AS (SELECT i, avg(x) AS mu, count(*) AS n FROM el GROUP BY 1),
+    p AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
+      FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT p.i, p.j,
+           -- + 0.0 collapses IEEE -0.0: a near-zero covariance can
+           -- round to zero with either sign depending on engine
+           -- summation order, and the gate hashes the sign bit
+           round((p.sp - ma.n * ma.mu * mb.mu) / (ma.n - 1), 6) + 0.0 AS cov
+    FROM p
+    JOIN m ma ON ma.i = p.i
+    JOIN m mb ON mb.i = p.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance of the embedding column —
+    the distributed front half of PCA (``pca_fit`` eigendecomposes
+    the d×d result driver-side; see tests/test_pca.py). Each Arrow
+    batch reduces to a d×d Gram partial via one BLAS matmul, so the
+    shuffle carries d(d+1)/2 rows per batch, never the vectors
+    (vectorops.py ``embedding_covariance``). The oracle replays the
+    same moments with a double-unnest self-join — correct at sf0.01,
+    and exactly the d²-blow-up plan the Spark side avoids."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return VO.embedding_covariance(e, "embedding")

@@ -18,8 +18,9 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             if math.isnan(v):
                 return "∅"
-            # collapse -0.0 and float noise below the rounding we apply in queries
-            return f"{v:.9g}"
+            # collapse -0.0 (the +0.0 add flips the sign bit, IEEE 754)
+            # and float noise below the rounding we apply in queries
+            return f"{v + 0.0:.9g}"
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return "[" + ",".join(norm(x) for x in v) + "]"
         return str(v)

@@ -102,6 +102,11 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "cv_splits": ("events_kfold_summary",),
     "skyline": ("part_skyline",),
     "streaming_stateful": ("event_running_zscore",),
+    "sequence_mining": ("event_transition_matrix", "frequent_event_paths"),
+    "scd2": ("customer_order_status_scd2",),
+    "hypothesis_tests": ("segment_priority_chisq", "event_value_winsorized"),
+    "rank_fusion": ("hybrid_doc_retrieval_rrf",),
+    "pca": ("embedding_covariance",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -140,6 +145,11 @@ NEW_IN_ROUND: dict[str, int] = {
     "cv_splits": 5,
     "skyline": 5,
     "streaming_stateful": 5,
+    "sequence_mining": 5,
+    "scd2": 5,
+    "hypothesis_tests": 5,
+    "rank_fusion": 5,
+    "pca": 5,
 }
 
 
