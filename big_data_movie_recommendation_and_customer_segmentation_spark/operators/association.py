@@ -32,6 +32,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bounded_incidence(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    max_basket_size: int = 100,
+) -> DataFrame:
+    """Deduped (``_basket``, ``_item``) incidence with the basket-size
+    governor applied and lineage checkpointed — the shared front end
+    of pair mining (rules, co-occurrence graphs). See the module
+    docstring for the shuffle accounting."""
+    incidence = df.select(
+        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).distinct()
+    sizes = incidence.groupBy("_basket").agg(F.count("*").alias("_bsize"))
+    bounded = (
+        incidence.join(sizes, "_basket")
+        .filter(F.col("_bsize") <= F.lit(max_basket_size))
+        .drop("_bsize")
+    )
+    # multi-consumer lineage truncation (dedup.py convention)
+    return bounded.localCheckpoint(eager=False)
+
+
+def cooccurrence_pairs(
+    bounded: DataFrame,
+    *,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Unordered co-occurrence pairs ``(_a < _b, pair_count)`` from a
+    ``bounded_incidence`` relation: the basket-key self-join whose
+    quadratic term the size governor caps (one exchange, reused by
+    both join sides)."""
+    left = bounded.select("_basket", F.col("_item").alias("_a"))
+    right = bounded.select("_basket", F.col("_item").alias("_b"))
+    return (
+        left.join(right, "_basket")
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= F.lit(min_pair_count))
+    )
+
+
 def association_rules(
     df: DataFrame,
     basket_col: str,
@@ -54,25 +98,12 @@ def association_rules(
     All ratios are rounded to ``round_to`` for stable cross-engine
     comparison. Deterministic: pure aggregation, no RNG.
     """
-    b = F.col(basket_col)
-    i = F.col(item_col)
-
-    # One shuffle: dedup to basket–item incidence.
-    incidence = df.select(b.alias("_basket"), i.alias("_item")).distinct()
-
-    # Basket-size governor (keyed agg on the same partitioning as the
-    # self-join below — AQE reuses the exchange).
-    sizes = incidence.groupBy("_basket").agg(F.count("*").alias("_bsize"))
-    bounded = (
-        incidence.join(sizes, "_basket")
-        .filter(F.col("_bsize") <= F.lit(max_basket_size))
-        .drop("_bsize")
+    # One shuffle to deduped incidence + size governor + checkpoint
+    # (4 consumers below: N, item counts, both self-join sides;
+    # measured ~25% at sf0.1 vs re-deriving per consumer).
+    bounded = bounded_incidence(
+        df, basket_col, item_col, max_basket_size=max_basket_size
     )
-    # 4 consumers below (N, item counts, both self-join sides): a
-    # lazy localCheckpoint truncates the dedup+governor lineage so it
-    # materializes once instead of re-deriving per consumer (the
-    # dedup.py multi-consumer convention; measured ~25% at sf0.1).
-    bounded = bounded.localCheckpoint(eager=False)
 
     # N baskets as a broadcast 1-row aggregate — NOT a driver
     # .count() action, which would execute the dedup+governor subtree
@@ -85,15 +116,7 @@ def association_rules(
     item_counts = bounded.groupBy("_item").agg(F.count("*").alias("_icount"))
 
     # Pair counts: self-join on the basket key, canonical a < b order.
-    left = bounded.select("_basket", F.col("_item").alias("_a"))
-    right = bounded.select("_basket", F.col("_item").alias("_b"))
-    pairs = (
-        left.join(right, "_basket")
-        .filter(F.col("_a") < F.col("_b"))
-        .groupBy("_a", "_b")
-        .agg(F.count("*").alias("pair_count"))
-        .filter(F.col("pair_count") >= F.lit(min_pair_count))
-    )
+    pairs = cooccurrence_pairs(bounded, min_pair_count=min_pair_count)
 
     # Emit both rule directions from the unordered pair.
     directed = pairs.select(

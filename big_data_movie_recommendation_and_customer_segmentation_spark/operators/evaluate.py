@@ -67,3 +67,57 @@ def rmse(predictions: DataFrame, label_col: str = "rating", prediction_col: str 
 
     ev = RegressionEvaluator(metricName="rmse", labelCol=label_col, predictionCol=prediction_col)
     return ev.evaluate(predictions)
+
+
+def binary_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC for a binary label vs a numeric score, via the
+    Mann-Whitney rank-sum identity with average ranks for ties:
+
+        AUC = (Σ_pos avg_rank − P(P+1)/2) / (P·N)
+
+    where avg_rank(s) = #(scores < s) + (#(scores = s) + 1)/2.
+
+    100 TB shape: the score relation first collapses to DISTINCT
+    scores (one map-side-combined shuffle carrying (score, count,
+    pos_count)); the global #(scores < s) prefix count then runs on
+    the two-pass bucketed prefix sum (packing.py) — no
+    SinglePartition window ever sees the data. A driver-side
+    ``sortByScore.collect()`` formulation (how single-node libs do
+    it) would be O(N) driver memory; rejected by construction.
+
+    Returns one row ``(auc, n_pos, n_neg)``.
+    """
+    from .packing import bucketed_running_sum
+
+    d = (
+        df.select(
+            F.col(score_col).cast("double").alias("_score"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("_score")
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.sum("_y").alias("_pos"))
+    )
+    with_le = bucketed_running_sum(d, "_score", "_cnt", out_col="_cnt_le")
+    ranked = with_le.withColumn("_cnt_less", F.col("_cnt_le") - F.col("_cnt"))
+    agg = ranked.agg(
+        F.sum(
+            F.col("_pos") * (F.col("_cnt_less") + (F.col("_cnt") + 1) / F.lit(2.0))
+        ).alias("_rank_sum"),
+        F.sum("_pos").alias("_p"),
+        (F.sum("_cnt") - F.sum("_pos")).alias("_n"),
+    )
+    return agg.select(
+        F.round(
+            (F.col("_rank_sum") - F.col("_p") * (F.col("_p") + 1) / F.lit(2.0))
+            / (F.col("_p") * F.col("_n")),
+            round_to,
+        ).alias("auc"),
+        F.col("_p").cast("long").alias("n_pos"),
+        F.col("_n").cast("long").alias("n_neg"),
+    )

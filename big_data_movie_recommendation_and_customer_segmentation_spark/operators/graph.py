@@ -1,0 +1,80 @@
+"""Graph analytics over edge relations: fixed-iteration PageRank.
+
+PageRank here is the deterministic, oracle-replayable variant: a
+FIXED number of synchronous power iterations (no convergence RNG, no
+early exit), so the whole computation is a finite relational
+expression — each iteration is one join + one keyed aggregate, and a
+DuckDB oracle can replay it as unrolled CTEs.
+
+100 TB shape: per iteration, the rank relation (|V| rows) joins the
+edge relation (|E| rows) hash-partitioned on src, then aggregates by
+dst — two exchanges per iteration, both on graph keys, map-side
+combined. Rank state is |V| rows total; lineage is truncated with
+``localCheckpoint`` each iteration so the plan doesn't grow
+super-linearly with iteration count (same discipline as the dedup
+closure loop, dedup.py). Skewed hubs are bounded upstream by the
+edge builder's governors (e.g. basket-size caps in association.py).
+
+The transitive-closure loop in dedup.py covers the connected-
+components half of the graph family; this adds the centrality half.
+The reference has no graph operator at all (its item similarity is
+pairwise only, reference: S2_item_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    damping: float = 0.85,
+    iterations: int = 3,
+    round_to: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """PageRank after ``iterations`` synchronous power iterations on
+    a directed edge relation (feed each undirected edge twice).
+
+    Returns ``(node, pagerank)``. Nodes are the distinct edge
+    endpoints; initial rank is 1/N. Nodes without in-edges keep the
+    teleport mass (1−d)/N. Out-degree is computed once; a node that
+    appears only as a destination contributes nothing (its rank
+    still receives teleport + in-flow). Multi-edges count once —
+    dedup upstream if the edge builder can emit duplicates.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = nodes.count()  # scalar driver value (documented, bounded: one agg)
+
+    pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = (
+            pr.join(out_deg, "node")
+            .join(e, pr["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("_in"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .withColumn(
+                "pr",
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping) * F.coalesce("_in", F.lit(0.0)),
+            )
+            .drop("_in")
+        )
+        if checkpoint:
+            pr = pr.localCheckpoint(eager=False)
+    return pr.select("node", F.round("pr", round_to).alias("pagerank"))

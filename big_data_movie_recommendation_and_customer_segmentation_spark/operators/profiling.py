@@ -191,3 +191,48 @@ def merge_profiles(partials: DataFrame, *, round_to: int = 6) -> DataFrame:
         F.round(mean, round_to).alias("mean"),
         F.round(stddev, round_to).alias("stddev"),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_k: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hot-key diagnostics for shuffle planning: the ``top_k``
+    heaviest keys with their row share, cumulative share, and skew
+    ratio (key count / mean count over all keys) — the report that
+    decides whether a join needs salting (relational.py
+    ``salted_join``) before it runs at scale.
+
+    One map-side-combined shuffle builds per-key counts; totals and
+    key cardinality reduce from THAT relation (no second data scan).
+    The top-k cut is ``orderBy().limit()`` — TakeOrderedAndProject,
+    per-partition heaps merged on the driver, never a global
+    row_number over the (possibly huge) key relation. The rank +
+    cumulative windows then run over ``top_k`` rows — bounded by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col(key_col).asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(tot))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return top.select(
+        key_col,
+        "rank",
+        "n",
+        F.round(F.col("n") / F.col("_total"), round_to).alias("share"),
+        F.round(F.sum("n").over(w_cum) / F.col("_total"), round_to).alias("cum_share"),
+        F.round(F.col("n") * F.col("_n_keys") / F.col("_total"), round_to).alias("skew_ratio"),
+    )

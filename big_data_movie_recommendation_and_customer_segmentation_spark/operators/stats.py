@@ -331,3 +331,44 @@ def winsorized_stats(
         F.round(F.first("_plo"), round_to).alias("p_lower"),
         F.round(F.first("_phi"), round_to).alias("p_upper"),
     )
+
+
+def ewma_lagsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    *,
+    alpha: float = 0.3,
+    window: int = 8,
+    out_col: str = "ewma",
+    round_to: int = 6,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per group:
+
+        ewma_t = Σ_{i=0..W-1} (1−α)^i · x_{t−i}  /  Σ_{i=0..W-1} (1−α)^i
+
+    over the W most recent OBSERVATIONS (observation-index EWMA, not
+    calendar-decay — resample first via ``gap_fill_daily`` when
+    calendar spacing matters). Partial histories normalize by the
+    weights actually present, so early rows are unbiased rather than
+    damped toward zero.
+
+    The W lag terms expand inside ONE per-group window pass — fixed
+    W keeps the expression finite and SQL-replayable (the exact
+    recursive EWMA is not window-expressible; the truncation error
+    is (1−α)^W ≈ 5.8% of the tail mass at α=0.3, W=8). Numerator and
+    denominator are built in identical left-to-right term order as
+    the oracle so the FP result matches bit-for-bit before rounding.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    num: Column = F.lit(0.0)
+    den: Column = F.lit(0.0)
+    for i in range(window):
+        lag_v = F.lag(value_col, i).over(w) if i else F.col(value_col)
+        weight = (1.0 - alpha) ** i
+        num = num + F.when(lag_v.isNotNull(), F.lit(weight) * lag_v).otherwise(F.lit(0.0))
+        den = den + F.when(lag_v.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(num / den, round_to))

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import corpus as CP
+from ..operators import evaluate as EV
+from ..operators import profiling as PF
 from ..operators import retrieval as RT
 from ..operators import sequence as SEQ
 from ..operators import stats as ST
@@ -373,3 +375,201 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exactly the d²-blow-up plan the Spark side avoids."""
     e = load_table(spark, sf_dir, "embeddings")
     return VO.embedding_covariance(e, "embedding")
+
+
+# --------------------------------------------------------------------------
+# Graph centrality: PageRank on the co-purchase graph
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_copurchase_pagerank",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    sizes AS (SELECT basket, count(*) AS bsize FROM inc GROUP BY 1),
+    bounded AS (
+      SELECT inc.basket, inc.item FROM inc JOIN sizes USING (basket)
+      WHERE bsize <= 8
+    ),
+    pairs AS (
+      SELECT a.item AS ia, b.item AS ib
+      FROM bounded a JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    ed AS (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION ALL
+      SELECT ib AS src, ia AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (SELECT src AS node, deg, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn),
+    it1 AS (SELECT e.dst AS node, sum(p.pr / p.deg) AS m
+            FROM ed e JOIN pr0 p ON p.node = e.src GROUP BY 1),
+    pr1 AS (SELECT p.node, p.deg, (1 - 0.85) / nn.n + 0.85 * coalesce(it1.m, 0) AS pr
+            FROM pr0 p CROSS JOIN nn LEFT JOIN it1 ON it1.node = p.node),
+    it2 AS (SELECT e.dst AS node, sum(p.pr / p.deg) AS m
+            FROM ed e JOIN pr1 p ON p.node = e.src GROUP BY 1),
+    pr2 AS (SELECT p.node, p.deg, (1 - 0.85) / nn.n + 0.85 * coalesce(it2.m, 0) AS pr
+            FROM pr1 p CROSS JOIN nn LEFT JOIN it2 ON it2.node = p.node),
+    it3 AS (SELECT e.dst AS node, sum(p.pr / p.deg) AS m
+            FROM ed e JOIN pr2 p ON p.node = e.src GROUP BY 1),
+    pr3 AS (SELECT p.node, (1 - 0.85) / nn.n + 0.85 * coalesce(it3.m, 0) AS pr
+            FROM pr2 p CROSS JOIN nn LEFT JOIN it3 ON it3.node = p.node)
+    SELECT node, round(pr, 6) AS pagerank FROM pr3
+    """,
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (d=0.85, 3 fixed synchronous iterations)
+    over the undirected co-purchase graph: parts as nodes, an edge
+    when two parts share ≥2 order baskets (same governors as
+    `part_association_rules`). The graph-centrality half of the
+    graph family — the closure loop in dedup.py is the
+    connected-components half (graph.py ``pagerank``; the oracle
+    unrolls all three iterations as CTEs)."""
+    from ..operators import association as AS2
+    from ..operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bounded = AS2.bounded_incidence(
+        li, "l_orderkey", "l_partkey", max_basket_size=8
+    )
+    pairs = AS2.cooccurrence_pairs(bounded, min_pair_count=2)
+    edges = pairs.select(F.col("_a").alias("src"), F.col("_b").alias("dst")).unionByName(
+        pairs.select(F.col("_b").alias("src"), F.col("_a").alias("dst"))
+    )
+    return G.pagerank(edges, damping=0.85, iterations=3)
+
+
+# --------------------------------------------------------------------------
+# Exact distributed AUC (Mann-Whitney rank-sum)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "purchase_value_auc",
+    oracle="""
+    WITH s AS (
+      SELECT value AS score, CAST(event_type = 'purchase' AS INT) AS y
+      FROM events
+    ),
+    d AS (SELECT score, count(*) AS cnt, sum(y) AS pos FROM s GROUP BY 1),
+    r AS (
+      SELECT score, cnt, pos,
+             sum(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+               - cnt AS cnt_less
+      FROM d
+    ),
+    agg AS (
+      SELECT sum(pos * (cnt_less + (cnt + 1) / 2.0)) AS rank_sum,
+             sum(pos) AS p, sum(cnt) - sum(pos) AS nneg
+      FROM r
+    )
+    SELECT round((rank_sum - p * (p + 1) / 2.0) / (p * nneg), 6) AS auc,
+           CAST(p AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg
+    FROM agg
+    """,
+)
+def purchase_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of event value as a purchase-vs-rest classifier
+    score, via the Mann-Whitney rank-sum identity with tie-averaged
+    ranks. The global rank prefix runs on the two-pass bucketed
+    prefix sum — no SinglePartition window, no driver-side sort
+    (evaluate.py ``binary_auc``; the oracle is the plain windowed
+    SQL the decomposition is equivalent to)."""
+    e = load_table(spark, sf_dir, "events")
+    labeled = e.select(
+        F.col("value"), (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return EV.binary_auc(labeled, "y", "value")
+
+
+# --------------------------------------------------------------------------
+# Truncated EWMA smoothing
+# --------------------------------------------------------------------------
+
+
+def _ewma_sql(alpha: float, window: int, value: str) -> tuple[str, str]:
+    """Numerator/denominator SQL mirroring ewma_lagsum's exact term
+    order (left-to-right over i), so the FP result matches
+    bit-for-bit before rounding."""
+    num_terms, den_terms = [], []
+    for i in range(window):
+        lag = value if i == 0 else f"lag({value}, {i}) OVER w"
+        weight = (1.0 - alpha) ** i
+        num_terms.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN {weight!r} * {lag} ELSE 0.0 END"
+        )
+        den_terms.append(f"CASE WHEN {lag} IS NOT NULL THEN {weight!r} ELSE 0.0 END")
+    return "(0.0 + " + " + ".join(num_terms) + ")", "(0.0 + " + " + ".join(den_terms) + ")"
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql(0.3, 8, "day_revenue")
+
+
+@query(
+    "daily_revenue_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+             round(sum(o_totalprice), 2) AS day_revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day, day_revenue,
+           round({_EWMA_NUM} / {_EWMA_DEN}, 6) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
+    """,
+)
+def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.3, 8-observation
+    truncation) of daily revenue per order priority — the smoothing
+    layer over the same daily grain the gap-fill and momentum
+    queries use. The W lag terms expand inside ONE per-group window
+    pass; identical term order in both engines makes the FP result
+    replayable (stats.py ``ewma_lagsum``)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.to_date("o_orderdate").cast("timestamp").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("day_revenue"))
+    return ST.ewma_lagsum(
+        daily, ["o_orderpriority"], ["day"], "day_revenue", alpha=0.3, window=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Hot-key skew diagnostics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_user_skew_report",
+    oracle="""
+    WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM counts),
+    top AS (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+      FROM counts
+      QUALIFY rank <= 20
+    )
+    SELECT user_id, rank, n,
+           round(n / CAST(tot.total AS DOUBLE), 6) AS share,
+           round(sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                 / CAST(tot.total AS DOUBLE), 6) AS cum_share,
+           round(n * tot.n_keys / CAST(tot.total AS DOUBLE), 6) AS skew_ratio
+    FROM top CROSS JOIN tot
+    """,
+)
+def event_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest user keys in the event stream with row share,
+    cumulative share, and skew ratio (count / mean-per-key) — the
+    pre-flight report that decides whether a join on this key needs
+    salting (`salted_user_segment_stats`). The top-k cut is
+    TakeOrderedAndProject; windows only ever see 20 rows
+    (profiling.py ``key_skew_report``)."""
+    e = load_table(spark, sf_dir, "events")
+    return PF.key_skew_report(e, "user_id", top_k=20)

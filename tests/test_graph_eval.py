@@ -1,0 +1,165 @@
+"""PageRank, binary AUC, EWMA, and key-skew report — hand-computable
+checks and invariants (oracle equivalence runs in
+test_oracle_queries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+    evaluate as EV,
+    graph as G,
+    profiling as PF,
+    stats as ST,
+)
+
+
+# ------------------------------------------------------------------ pagerank
+
+
+def _undirected(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_pagerank_path_graph_symmetry_and_mass(spark):
+    # path a(1)-b(2)-c(3): ends symmetric, middle highest
+    e = _undirected(spark, [(1, 2), (2, 3)])
+    pr = {r["node"]: r["pagerank"] for r in G.pagerank(e, iterations=5).collect()}
+    assert pr[1] == pr[3]
+    assert pr[2] > pr[1]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    e = _undirected(spark, pairs)
+    got = {r["node"]: r["pagerank"] for r in G.pagerank(e, iterations=4).collect()}
+
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((len(nodes), len(nodes)))
+    for a, b in pairs:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    out_deg = adj.sum(axis=1)
+    pr = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(4):
+        pr = (1 - 0.85) / len(nodes) + 0.85 * (adj.T @ (pr / out_deg))
+    for n in nodes:
+        assert got[n] == pytest.approx(pr[idx[n]], abs=1e-6)
+
+
+def test_pagerank_regular_graph_uniform(spark):
+    # 4-cycle: every node identical by symmetry
+    e = _undirected(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    pr = {r["node"]: r["pagerank"] for r in G.pagerank(e, iterations=3).collect()}
+    assert len(set(pr.values())) == 1
+    assert list(pr.values())[0] == pytest.approx(0.25, abs=1e-6)
+
+
+# ------------------------------------------------------------------ auc
+
+
+def test_auc_perfect_separation(spark):
+    rows = [(0, 1.0), (0, 2.0), (0, 3.0), (1, 4.0), (1, 5.0)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    out = EV.binary_auc(df, "y", "s").collect()[0]
+    assert out["auc"] == pytest.approx(1.0, abs=1e-6)
+    assert (out["n_pos"], out["n_neg"]) == (2, 3)
+
+
+def test_auc_all_tied_is_half(spark):
+    rows = [(0, 1.0)] * 4 + [(1, 1.0)] * 4
+    df = spark.createDataFrame(rows, "y int, s double")
+    out = EV.binary_auc(df, "y", "s").collect()[0]
+    assert out["auc"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_auc_hand_value_with_ties(spark):
+    # scores: neg [1, 2, 2], pos [2, 3]
+    rows = [(0, 1.0), (0, 2.0), (0, 2.0), (1, 2.0), (1, 3.0)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    out = EV.binary_auc(df, "y", "s").collect()[0]
+    # pairwise: P(pos>neg) + 0.5 P(pos=neg) over 2*3=6 pairs
+    # pos=2: beats neg=1 (1), ties neg=2,2 (2*0.5) → 2
+    # pos=3: beats all 3 → 3 ; AUC = (1+1+3)/6
+    assert out["auc"] == pytest.approx(5.0 / 6.0, abs=1e-6)
+
+
+def test_auc_label_flip_complements(spark):
+    rng = np.random.default_rng(7)
+    rows = [(int(rng.integers(0, 2)), float(rng.normal())) for _ in range(200)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    a = EV.binary_auc(df, "y", "s").collect()[0]["auc"]
+    flipped = df.withColumn("y", 1 - F.col("y"))
+    b = EV.binary_auc(flipped, "y", "s").collect()[0]["auc"]
+    assert a + b == pytest.approx(1.0, abs=1e-5)
+
+
+# ------------------------------------------------------------------ ewma
+
+
+def _days(vals):
+    return [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(days=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+
+
+def test_ewma_constant_series_is_constant(spark):
+    df = spark.createDataFrame([("g", d, v) for d, v in _days([5] * 10)],
+                               "g string, day timestamp, v double")
+    out = ST.ewma_lagsum(df, ["g"], ["day"], "v", alpha=0.3, window=4).collect()
+    assert all(r["ewma"] == pytest.approx(5.0, abs=1e-6) for r in out)
+
+
+def test_ewma_first_row_equals_value(spark):
+    df = spark.createDataFrame([("g", d, v) for d, v in _days([7.0, 1.0])],
+                               "g string, day timestamp, v double")
+    out = {r["day"]: r["ewma"] for r in
+           ST.ewma_lagsum(df, ["g"], ["day"], "v", alpha=0.3, window=8).collect()}
+    assert out[dt.datetime(2024, 1, 1)] == pytest.approx(7.0, abs=1e-6)
+    # second row: (1 + 0.7*7) / (1 + 0.7)
+    assert out[dt.datetime(2024, 1, 2)] == pytest.approx((1 + 0.7 * 7) / 1.7, abs=1e-6)
+
+
+def test_ewma_matches_manual_weights(spark):
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0]
+    df = spark.createDataFrame([("g", d, v) for d, v in _days(vals)],
+                               "g string, day timestamp, v double")
+    out = sorted(
+        ST.ewma_lagsum(df, ["g"], ["day"], "v", alpha=0.3, window=3).collect(),
+        key=lambda r: r["day"],
+    )
+    for t, r in enumerate(out):
+        window = vals[max(0, t - 2): t + 1][::-1]  # most recent first
+        ws = [0.7 ** i for i in range(len(window))]
+        want = sum(w * x for w, x in zip(ws, window)) / sum(ws)
+        assert r["ewma"] == pytest.approx(want, abs=1e-6)
+
+
+# ------------------------------------------------------------------ skew
+
+
+def test_key_skew_report_hand_values(spark):
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["k"]: r for r in PF.key_skew_report(df, "k", top_k=2).collect()}
+    assert set(out) == {"a", "b"}  # top-2 cut
+    assert out["a"]["rank"] == 1 and out["b"]["rank"] == 2
+    assert out["a"]["share"] == pytest.approx(0.6, abs=1e-6)
+    assert out["a"]["cum_share"] == pytest.approx(0.6, abs=1e-6)
+    assert out["b"]["cum_share"] == pytest.approx(0.9, abs=1e-6)
+    # mean per key = 10/3 → skew_ratio(a) = 6 / (10/3) = 1.8
+    assert out["a"]["skew_ratio"] == pytest.approx(1.8, abs=1e-6)
+
+
+def test_key_skew_report_tiebreak_deterministic(spark):
+    rows = [("x",)] * 2 + [("y",)] * 2 + [("z",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    out = sorted(PF.key_skew_report(df, "k", top_k=2).collect(), key=lambda r: r["rank"])
+    assert [r["k"] for r in out] == ["x", "y"]  # key asc breaks count ties

@@ -107,6 +107,10 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "hypothesis_tests": ("segment_priority_chisq", "event_value_winsorized"),
     "rank_fusion": ("hybrid_doc_retrieval_rrf",),
     "pca": ("embedding_covariance",),
+    "graph_centrality": ("part_copurchase_pagerank",),
+    "auc": ("purchase_value_auc",),
+    "ewma": ("daily_revenue_ewma",),
+    "skew_report": ("event_user_skew_report",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -150,6 +154,10 @@ NEW_IN_ROUND: dict[str, int] = {
     "hypothesis_tests": 5,
     "rank_fusion": 5,
     "pca": 5,
+    "graph_centrality": 5,
+    "auc": 5,
+    "ewma": 5,
+    "skew_report": 5,
 }
 
 
