@@ -48,20 +48,29 @@ def pagerank(
     dedup upstream if the edge builder can emit duplicates.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # Checkpoint the edge relation FIRST: every downstream consumer
+    # (degrees, node set, and one join per iteration) re-derives the
+    # whole upstream edge-builder pipeline otherwise — measured 15.9 s
+    # → 2.6 s warm at sf0.1 on the co-purchase graph, whose pair
+    # self-join dominates the query.
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(out_deg, "node", "left")  # deg rides in the rank relation:
+        .withColumn("deg", F.coalesce("deg", F.lit(0)))  # no per-iter join
     )
-    out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
     n_nodes = nodes.count()  # scalar driver value (documented, bounded: one agg)
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
-    if checkpoint:
-        e = e.localCheckpoint(eager=False)
     for _ in range(iterations):
         contrib = (
-            pr.join(out_deg, "node")
+            pr.filter(F.col("deg") > 0)
             .join(e, pr["node"] == e["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("_in"))
