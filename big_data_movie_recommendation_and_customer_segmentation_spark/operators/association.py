@@ -145,3 +145,55 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def item_cosine_neighbors(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    k: int = 5,
+    min_pair_count: int = 2,
+    max_basket_size: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-item cosine similarity top-k from basket co-occurrence:
+    cos(a, b) = |baskets(a) ∩ baskets(b)| / sqrt(|baskets(a)| ·
+    |baskets(b)|) over binary incidence vectors — the normalized
+    item-item recommender (the reference's S2 pipeline computes this
+    per-pair in driver dicts; here it's the governed pair self-join
+    + a broadcast count join + WindowGroupLimit top-k).
+
+    Returns ``(item, neighbor, pair_count, cosine, rank)``, rank 1 =
+    most similar, ties broken by neighbor id. Shares
+    ``bounded_incidence`` / ``cooccurrence_pairs`` with rules mining
+    and PageRank — one governed shuffle budget for the whole
+    co-occurrence family.
+    """
+    from .relational import per_group_topk
+
+    bounded = bounded_incidence(df, basket_col, item_col, max_basket_size=max_basket_size)
+    item_counts = bounded.groupBy("_item").agg(F.count("*").alias("_icount"))
+    pairs = cooccurrence_pairs(bounded, min_pair_count=min_pair_count)
+    directed = pairs.select(
+        F.col("_a").alias("item"), F.col("_b").alias("neighbor"), "pair_count"
+    ).unionByName(
+        pairs.select(F.col("_b").alias("item"), F.col("_a").alias("neighbor"), "pair_count")
+    )
+    ca = item_counts.select(F.col("_item").alias("item"), F.col("_icount").alias("_na"))
+    cb = item_counts.select(F.col("_item").alias("neighbor"), F.col("_icount").alias("_nb"))
+    scored = (
+        directed.join(F.broadcast(ca), "item")
+        .join(F.broadcast(cb), "neighbor")
+        .withColumn(
+            "cosine", F.round(F.col("pair_count") / F.sqrt(F.col("_na") * F.col("_nb")), round_to)
+        )
+    )
+    return per_group_topk(
+        scored.select("item", "neighbor", "pair_count", "cosine"),
+        "item",
+        [F.col("cosine").desc(), F.col("neighbor").asc()],
+        k,
+        rank_col="rank",
+        keep_rank=True,
+    )

@@ -121,3 +121,64 @@ def binary_auc(
         F.col("_p").cast("long").alias("n_pos"),
         F.col("_n").cast("long").alias("n_neg"),
     )
+
+
+def decile_lift(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    *,
+    n_buckets: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lift / gains table for a binary label vs a numeric score: one
+    row per equi-depth score bucket (1 = lowest scores) with
+
+    * ``n``, ``n_pos``, ``pos_rate``
+    * ``lift``          — pos_rate / global base rate
+    * ``cum_capture``   — share of ALL positives captured from the
+      top bucket down to this one (the gains curve, read bottom-up)
+
+    The model-evaluation companion to ``binary_auc``: AUC summarizes
+    ranking quality in one number; the lift table says what acting on
+    the top k% actually yields.
+
+    100 TB shape: bucketing is the broadcast percentile ladder
+    (segmentation.py ``quantile_bucket`` — no ntile SinglePartition
+    window); per-bucket stats are one map-side-combined shuffle over
+    ``n_buckets`` keys; base rate and the cumulative window operate
+    on ``n_buckets`` rows.
+    """
+    from pyspark.sql import Window
+
+    from .segmentation import quantile_bucket
+
+    labeled = df.select(
+        F.col(score_col).alias("_score"), F.col(label_col).cast("int").alias("_y")
+    )
+    bucketed = quantile_bucket(labeled, "_score", n_buckets, out_col="bucket")
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")
+    )
+    tot = per.agg(
+        F.sum("n").alias("_tn"), F.sum("n_pos").alias("_tp")
+    )
+    w_cum = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("pos_rate", F.col("n_pos") / F.col("n"))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round("pos_rate", round_to).alias("pos_rate"),
+            F.round(
+                F.col("pos_rate") / (F.col("_tp") / F.col("_tn")), round_to
+            ).alias("lift"),
+            F.round(F.sum("n_pos").over(w_cum) / F.col("_tp"), round_to).alias(
+                "cum_capture"
+            ),
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import association as AS3
 from ..operators import corpus as CP
 from ..operators import evaluate as EV
 from ..operators import profiling as PF
@@ -573,3 +574,154 @@ def event_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (profiling.py ``key_skew_report``)."""
     e = load_table(spark, sf_dir, "events")
     return PF.key_skew_report(e, "user_id", top_k=20)
+
+
+# --------------------------------------------------------------------------
+# Lift / gains table (the actionable companion to AUC)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "purchase_value_lift",
+    oracle="""
+    WITH s AS (
+      SELECT value AS score, CAST(event_type = 'purchase' AS INT) AS y
+      FROM events
+    ),
+    cuts AS (
+      SELECT quantile_cont(CAST(score AS DOUBLE),
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c
+      FROM s
+    ),
+    b AS (
+      SELECT y,
+             1 + CAST(score > c[1] AS INT) + CAST(score > c[2] AS INT)
+               + CAST(score > c[3] AS INT) + CAST(score > c[4] AS INT)
+               + CAST(score > c[5] AS INT) + CAST(score > c[6] AS INT)
+               + CAST(score > c[7] AS INT) + CAST(score > c[8] AS INT)
+               + CAST(score > c[9] AS INT) AS bucket
+      FROM s CROSS JOIN cuts
+    ),
+    per AS (SELECT bucket, count(*) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+    tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per)
+    SELECT bucket, n, n_pos,
+           round(n_pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+           round((n_pos / CAST(n AS DOUBLE))
+                 / (tp / CAST(tn AS DOUBLE)), 6) AS lift,
+           round(sum(n_pos) OVER (ORDER BY bucket DESC
+                                  ROWS UNBOUNDED PRECEDING)
+                 / CAST(tp AS DOUBLE), 6) AS cum_capture
+    FROM per CROSS JOIN tot
+    """,
+)
+def purchase_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table for event value as a purchase
+    score: what acting on the top-k% of scores actually captures —
+    the actionable companion to `purchase_value_auc`. Equi-depth
+    buckets come from the broadcast percentile ladder (no ntile
+    SinglePartition window); every window after the bucket agg sees
+    10 rows (evaluate.py ``decile_lift``)."""
+    e = load_table(spark, sf_dir, "events")
+    labeled = e.select(
+        F.col("value"), (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return EV.decile_lift(labeled, "y", "value", n_buckets=10)
+
+
+# --------------------------------------------------------------------------
+# Item-item cosine recommendations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_cosine_neighbors",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    sizes AS (SELECT basket, count(*) AS bsize FROM inc GROUP BY 1),
+    bounded AS (
+      SELECT inc.basket, inc.item FROM inc JOIN sizes USING (basket)
+      WHERE bsize <= 8
+    ),
+    ic AS (SELECT item, count(*) AS icount FROM bounded GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS ia, b.item AS ib, count(*) AS pair_count
+      FROM bounded a JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    directed AS (
+      SELECT ia AS item, ib AS neighbor, pair_count FROM pairs
+      UNION ALL
+      SELECT ib AS item, ia AS neighbor, pair_count FROM pairs
+    ),
+    scored AS (
+      SELECT d.item, d.neighbor, d.pair_count,
+             round(d.pair_count / sqrt(CAST(ca.icount * cb.icount AS DOUBLE)), 6)
+               AS cosine
+      FROM directed d
+      JOIN ic ca ON ca.item = d.item
+      JOIN ic cb ON cb.item = d.neighbor
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY item
+                                   ORDER BY cosine DESC, neighbor ASC) AS rank
+      FROM scored
+    )
+    SELECT item, neighbor, pair_count, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def part_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 item-item cosine neighbors over basket co-occurrence —
+    the normalized item-item recommender the reference's S2 pipeline
+    builds in driver dicts (reference: S2_item_similarity.py:1-120),
+    here the governed pair self-join + broadcast count join +
+    WindowGroupLimit top-k (association.py ``item_cosine_neighbors``,
+    sharing its incidence front end with rules mining and
+    PageRank)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AS3.item_cosine_neighbors(
+        li, "l_orderkey", "l_partkey", k=5, min_pair_count=2, max_basket_size=8
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekday seasonality profile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weekday_revenue_seasonality",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority,
+             CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INT) AS dow,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, dow, n_orders, revenue,
+           round(revenue * 7 / sum(revenue)
+                 OVER (PARTITION BY o_orderpriority), 6) AS seasonal_index
+    FROM per
+    """,
+)
+def weekday_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week revenue seasonality per order priority: the
+    seasonal index is each weekday's revenue against the priority's
+    uniform-week expectation (index 1.0 = flat). One keyed aggregate;
+    the normalizing window runs over 7 rows per priority. dow 0 =
+    Monday in BOTH engines (Spark ``weekday`` ≡ DuckDB
+    ``isodow − 1``)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(
+        "o_orderpriority", F.weekday("o_orderdate").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return per.withColumn(
+        "seasonal_index", F.round(F.col("revenue") * 7 / F.sum("revenue").over(w), 6)
+    )

@@ -111,6 +111,9 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "auc": ("purchase_value_auc",),
     "ewma": ("daily_revenue_ewma",),
     "skew_report": ("event_user_skew_report",),
+    "lift_gains": ("purchase_value_lift",),
+    "item_item_cosine": ("part_cosine_neighbors",),
+    "seasonality": ("weekday_revenue_seasonality",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -158,6 +161,9 @@ NEW_IN_ROUND: dict[str, int] = {
     "auc": 5,
     "ewma": 5,
     "skew_report": 5,
+    "lift_gains": 5,
+    "item_item_cosine": 5,
+    "seasonality": 5,
 }
 
 
