@@ -1,0 +1,76 @@
+"""Exactly-once streaming sinks via ``foreachBatch`` (north-star
+extension; the reference has no streaming — SURVEY §2.I).
+
+Structured Streaming's ``foreachBatch`` delivers each micro-batch
+with a monotonically-increasing ``batch_id``, but the delivery is
+AT-LEAST-once: after a failure the same (batch_id, data) pair can be
+re-delivered. An exactly-once parquet sink therefore has to make the
+write a pure function of ``batch_id`` — replaying a batch must
+overwrite its own previous (possibly partial) output and nothing
+else.
+
+The implementation: write each batch under an ``_epoch=<id>``
+partition with ``partitionOverwriteMode=dynamic``, so a replay
+replaces exactly the one epoch directory atomically at commit time
+while every other epoch's files are untouched. Readers see the union
+of committed epochs (a plain partitioned parquet scan that prunes on
+``_epoch`` if queried).
+
+100 TB shape: each epoch commit is an independent partitioned write
+(no global coordination beyond the directory rename); compaction of
+many small epochs is the standard follow-up job (read N epochs,
+``write_range_clustered``, swap) — deliberately out of band, as in
+production lakehouse pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPOCH_COL = "_epoch"
+
+
+def idempotent_epoch_writer(path: str):
+    """Return a ``foreachBatch`` function writing each micro-batch to
+    ``path/_epoch=<batch_id>/`` such that re-delivery of a batch id
+    is idempotent (same rows → same committed state, partial output
+    from a failed attempt is replaced, other epochs untouched)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn(EPOCH_COL, F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy(EPOCH_COL)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return write_batch
+
+
+def attach_idempotent_sink(stream: DataFrame, path: str, checkpoint_dir: str):
+    """Wire the idempotent epoch writer onto a streaming DataFrame:
+    ``writeStream.foreachBatch(...)`` with a checkpoint location, so
+    batch ids survive restarts and replays hit the same epoch dirs.
+
+    Returns the un-started ``DataStreamWriter`` (callers pick
+    trigger/availableNow and manage the query lifecycle)."""
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(idempotent_epoch_writer(path))
+    )
+
+
+def read_epochs(spark, path: str) -> DataFrame:
+    """Read everything the idempotent sink has committed (all epochs,
+    ``_epoch`` exposed as a long column for pruning/audit)."""
+    return spark.read.parquet(path).withColumn(
+        EPOCH_COL, F.col(EPOCH_COL).cast("long")
+    )

@@ -1,0 +1,65 @@
+"""Exactly-once foreachBatch parquet sink: replay idempotence,
+epoch isolation, and end-to-end streaming delivery."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_movie_recommendation_and_customer_segmentation_spark.streaming import sinks as SK
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    write = SK.idempotent_epoch_writer(out)
+    b0 = spark.range(5).withColumn("v", F.col("id") * 10)
+    write(b0, 0)
+    # partial/failed first attempt of epoch 1 …
+    write(spark.range(2).withColumn("v", F.lit(-1)), 1)
+    # … then the full redelivery of epoch 1 replaces it
+    b1 = spark.range(3).withColumn("v", F.col("id") + 100)
+    write(b1, 1)
+    got = SK.read_epochs(spark, out)
+    assert got.count() == 8  # 5 + 3, the partial 2 rows are gone
+    assert got.filter((F.col("_epoch") == 1) & (F.col("v") == -1)).count() == 0
+    # epoch 0 untouched by epoch-1 replay
+    assert got.filter(F.col("_epoch") == 0).count() == 5
+
+
+def test_epoch_replay_same_data_stable(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    write = SK.idempotent_epoch_writer(out)
+    b = spark.range(10).withColumn("v", F.col("id") % 3)
+    write(b, 7)
+    before = sorted(SK.read_epochs(spark, out).select("id", "v").collect())
+    write(b, 7)  # exact redelivery
+    after = sorted(SK.read_epochs(spark, out).select("id", "v").collect())
+    assert before == after
+
+
+def test_streaming_end_to_end_availablenow(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = spark.range(20).withColumn("v", F.col("id") * 2)
+    rows.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    out = str(tmp_path / "sink")
+    stream = spark.readStream.schema("id long, v long").parquet(str(src))
+    q = (
+        SK.attach_idempotent_sink(stream, out, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = SK.read_epochs(spark, out)
+    assert got.count() == 20
+    assert got.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(20))
+    # batch ids recorded as epochs
+    assert got.select("_epoch").distinct().count() >= 1
+
+
+def test_sink_restores_overwrite_mode(spark, tmp_path):
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    write = SK.idempotent_epoch_writer(str(tmp_path / "s"))
+    write(spark.range(3), 0)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static") == prev

@@ -36,6 +36,11 @@ NOTES = {
     "part_skyline": "Skyline sweep: bucketed prefix-MIN (broadcast offsets) + in-bucket RANGE window — no SinglePartition, no quadratic join.",
     "orders_profile": "Single-pass profiling: one scan, Expand for the multi-distinct, stack-unpivot of the single agg row.",
     "ivfadc_rerank_knn": "Two-stage ANN: PQ-code shortlist (stage 1), broadcast point-lookup join of shortlisted raw vectors (stage 2).",
+    "customer_order_status_scd2": "SCD2 gaps-and-islands: ONE hash-by-key Exchange feeds change-flag window, run-id running sum, collapse agg, and valid_to lead.",
+    "embedding_covariance": "Covariance via Gram partials: ArrowEvalPython/mapInPandas emits d(d+1)/2 rows per batch; vectors never shuffle.",
+    "part_copurchase_pagerank": "PageRank: checkpointed edge relation (Scan ExistingRDD boundary in production), 2 keyed exchanges per iteration.",
+    "purchase_value_auc": "Exact AUC: distinct-score collapse, bucketed prefix count (broadcast offsets), one scalar agg — no SinglePartition window.",
+    "hybrid_doc_retrieval_rrf": "RRF fusion: two bounded top-50 producers union into one keyed agg; rank window sees <=100 rows.",
 }
 
 
