@@ -725,3 +725,76 @@ def weekday_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.withColumn(
         "seasonal_index", F.round(F.col("revenue") * 7 / F.sum("revenue").over(w), 6)
     )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "purchase_click_multitouch",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.user_id, p.purchase_id, p.purchase_ts, p.purchase_value,
+             c.click_id, c.click_ts
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.click_ts <= p.purchase_ts
+       AND c.click_ts > p.purchase_ts - INTERVAL 1 HOUR
+    ),
+    credited AS (
+      SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touches
+      FROM pairs
+    )
+    SELECT user_id, purchase_id, click_id, click_ts, purchase_ts,
+           n_touches,
+           round(1.0 / n_touches, 6) AS weight,
+           round(purchase_value / n_touches, 6) AS attributed_value
+    FROM credited
+    """,
+)
+def purchase_click_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution of purchase value across every
+    same-user click in the preceding hour (weight = 1/n_touches) —
+    the many-touch generalization of last-touch as-of attribution.
+    Equi-join + range residual builds the pairs (state bounded by
+    the lookback); the credit window partitions by purchase id
+    (streaming/joins.py ``multi_touch_attribution``)."""
+    from ..streaming import joins as SJ
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = SJ.multi_touch_attribution(
+        clicks,
+        buys,
+        "user_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        value_col="purchase_value",
+        lookback="1 hour",
+    )
+    return out.select(
+        "user_id", "purchase_id", "click_id", "click_ts", "purchase_ts",
+        "n_touches", "weight", "attributed_value",
+    )

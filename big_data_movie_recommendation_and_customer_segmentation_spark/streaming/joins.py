@@ -135,3 +135,45 @@ def stream_attribution_join(
     return attribution_join(
         causes, effects, user_col, "cause_ts", "effect_ts", lookback, how=how
     )
+
+
+def multi_touch_attribution(
+    causes: DataFrame,
+    effects: DataFrame,
+    user_col: str,
+    cause_ts: str,
+    effect_id: str,
+    effect_ts: str,
+    *,
+    value_col: str | None = None,
+    lookback: str = "1 hour",
+    round_to: int = 6,
+) -> DataFrame:
+    """Linear multi-touch attribution: every cause in the effect's
+    lookback window shares the credit equally — ``weight = 1 /
+    n_touches`` per (effect, cause) pair, and ``attributed_value =
+    value / n_touches`` when ``value_col`` is given. The
+    many-touch generalization of the last-touch as-of join
+    (temporal.asof_join) and the all-pairs `attribution_join`.
+
+    Scale shape: the pair relation comes from the same equi-join +
+    range residual as ``attribution_join`` (state bounded by
+    lookback); the credit window partitions by ``effect_id``, whose
+    partitions are exactly the per-effect touch sets — bounded by
+    causes-per-user-per-window, never by stream length.
+    """
+    from pyspark.sql import Window
+
+    pairs = attribution_join(
+        causes, effects, user_col, cause_ts, effect_ts, lookback=lookback, how="inner"
+    )
+    w = Window.partitionBy(effect_id)
+    out = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w)).withColumn(
+        "weight", F.round(F.lit(1.0) / F.col("n_touches"), round_to)
+    )
+    if value_col is not None:
+        out = out.withColumn(
+            "attributed_value",
+            F.round(F.col(value_col) / F.col("n_touches"), round_to),
+        )
+    return out
