@@ -1560,3 +1560,137 @@ def pca_project(
             ),
         ),
     )
+
+
+def pq_encode_with_book(
+    df: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode vectors against an EXISTING codebook (no refit): the
+    assignment half of ``pq_fit``, exposed for incremental index
+    maintenance — new vectors entering a stored ANN index must use
+    the index's codebooks, not codebooks refit on themselves, or
+    their codes live in a different quantization space than the
+    corpus they join (standard IVF practice: encode with the frozen
+    model, retrain only on rebuild).
+
+    Same integer quantization (floor(x·scale)) and argmin tiebreak
+    as ``pq_fit``'s in-loop assignment, so encoding the ORIGINAL
+    corpus with its own codebook reproduces its codes bit for bit
+    (tested). One explode + broadcast-codebook join + two keyed
+    aggregates; nothing quadratic.
+    """
+    sub_d = dim // m
+    ve = df.select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("gd", "xr")
+    ).select(
+        "vid",
+        (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
+        (F.col("gd") % F.lit(sub_d)).alias("d"),
+        F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("x"),
+    )
+    dist = (
+        ve.join(F.broadcast(codebook), ["subspace", "d"])
+        .groupBy("vid", "subspace", "cluster")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+    )
+    return (
+        dist.groupBy("vid", "subspace")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select("vid", "subspace", F.col("m.cluster").alias("cluster"))
+        .groupBy("vid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "cluster"))),
+                lambda s: s["cluster"],
+            ).alias("codes")
+        )
+        .select(F.col("vid").alias(id_col), "codes")
+    )
+
+
+def upsert_ivfadc_index(
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally upsert vectors into a stored IVFADC index
+    (``build_ivfadc_index``) WITHOUT rebuilding: route each new
+    vector with the index's frozen centroids, encode it with the
+    index's frozen codebook (residual-aware per the meta table), and
+    rewrite ONLY the affected cell partitions (dynamic partition
+    overwrite — untouched cells keep their files). An id that
+    already exists in an affected cell is replaced (update
+    semantics); ids in untouched cells are untouched by
+    construction.
+
+    Model tables (meta/centroids/codebook) are immutable here —
+    quantization drift from a shifting data distribution is a
+    REBUILD decision, surfaced by recall monitoring, not something
+    an upsert should silently change.
+
+    Scale notes: the merged affected-cell relation is pinned with an
+    eager localCheckpoint before the overwrite (Spark cannot
+    overwrite a path it is still reading); its size is the affected
+    cells' rows — bounded by the upsert batch's cell locality, not
+    the index size. The affected-cell id list collect is ≤ n_cells
+    values.
+    """
+    spark = new_vectors.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    centroids = spark.read.parquet(f"{path}/centroids").select(
+        "cell", F.col("center").alias("_cv")
+    )
+    book = spark.read.parquet(f"{path}/codebook")
+
+    assigned = per_group_topk(
+        new_vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(id_col, "cell", V.cosine(vec_col, "_cv").alias("_csim")),
+        id_col,
+        [F.col("_csim").desc(), F.col("cell").asc()],
+        1,
+    ).select(id_col, "cell")
+
+    if meta.encode_residuals:
+        fit_input = (
+            new_vectors.select(id_col, vec_col)
+            .join(assigned, id_col)
+            .join(F.broadcast(centroids), "cell")
+            .select(
+                id_col,
+                F.zip_with(vec_col, "_cv", lambda a, b: a - b).alias(vec_col),
+            )
+        )
+    else:
+        fit_input = new_vectors.select(id_col, vec_col)
+    codes = pq_encode_with_book(
+        fit_input, book, id_col=id_col, vec_col=vec_col,
+        dim=meta.dim, m=meta.m, scale=meta.scale,
+    )
+    new_rows = codes.join(assigned, id_col).select(
+        id_col, F.col("codes").cast("array<int>").alias("codes"), "cell"
+    )
+
+    cells = [r.cell for r in new_rows.select("cell").distinct().collect()]
+    old = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(cells))
+    merged = (
+        old.join(new_rows.select(id_col), id_col, "left_anti")
+        .select(id_col, "codes", "cell")
+        .unionByName(new_rows)
+        .localCheckpoint(eager=True)  # break the read-from-overwrite-target dependency
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
