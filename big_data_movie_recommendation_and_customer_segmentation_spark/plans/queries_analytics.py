@@ -798,3 +798,99 @@ def purchase_click_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "purchase_id", "click_id", "click_ts", "purchase_ts",
         "n_touches", "weight", "attributed_value",
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-trend decomposition anomalies (STL-lite composition)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_revenue_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+             round(sum(o_totalprice), 2) AS day_revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT *, avg(day_revenue) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY day
+                                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend
+      FROM daily
+    ),
+    det AS (
+      SELECT *, day_revenue - trend AS detrended,
+             CAST(isodow(CAST(day AS DATE)) - 1 AS INT) AS dow
+      FROM trended
+    ),
+    seas AS (
+      SELECT o_orderpriority, dow, avg(detrended) AS seasonal
+      FROM det GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT det.o_orderpriority, det.day, det.day_revenue, det.trend,
+             seas.seasonal, det.detrended - seas.seasonal AS residual
+      FROM det JOIN seas USING (o_orderpriority, dow)
+    ),
+    scored AS (
+      SELECT *,
+             (residual - avg(residual) OVER (PARTITION BY o_orderpriority))
+               / stddev_samp(residual) OVER (PARTITION BY o_orderpriority) AS z
+      FROM resid
+    )
+    SELECT o_orderpriority, day, day_revenue,
+           round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+           round(residual, 6) AS residual, round(z, 6) AS zscore,
+           CAST(abs(z) > 3 AS INT) AS is_anomaly
+    FROM scored
+    """,
+)
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite anomaly detection on daily revenue per priority:
+    centered 7-day moving-average trend → weekday seasonal component
+    of the detrended series → per-priority z-score of the remaining
+    residual, flagged at |z| > 3. A pure composition of the engine's
+    window/agg primitives — trend and z windows partition by
+    priority, the seasonal join is catalog-sized (|priorities|×7
+    broadcast). The decomposition a revenue-monitoring job runs
+    daily; the streaming twin is `event_running_zscore`."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.to_date("o_orderdate").cast("timestamp").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("day_revenue"))
+    w_ma = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    det = (
+        daily.withColumn("trend", F.avg("day_revenue").over(w_ma))
+        .withColumn("detrended", F.col("day_revenue") - F.col("trend"))
+        .withColumn("dow", F.weekday("day"))
+    )
+    seas = det.groupBy("o_orderpriority", "dow").agg(
+        F.avg("detrended").alias("seasonal")
+    )
+    resid = det.join(F.broadcast(seas), ["o_orderpriority", "dow"]).withColumn(
+        "residual", F.col("detrended") - F.col("seasonal")
+    )
+    w_p = Window.partitionBy("o_orderpriority")
+    scored = resid.withColumn(
+        "z",
+        (F.col("residual") - F.avg("residual").over(w_p))
+        / F.stddev_samp("residual").over(w_p),
+    )
+    return scored.select(
+        "o_orderpriority",
+        "day",
+        "day_revenue",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("residual", 6).alias("residual"),
+        F.round("z", 6).alias("zscore"),
+        (F.abs("z") > 3).cast("int").alias("is_anomaly"),
+    )

@@ -114,7 +114,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "skew_report": ("event_user_skew_report",),
     "lift_gains": ("purchase_value_lift",),
     "item_item_cosine": ("part_cosine_neighbors",),
-    "seasonality": ("weekday_revenue_seasonality",),
+    "seasonality": ("weekday_revenue_seasonality", "daily_revenue_anomalies"),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
