@@ -67,6 +67,11 @@ EXTENDED = [
     "customer_revenue_pareto",
     "fuzzy_duplicate_pairs",
     "snapshot_diff_orders",
+    # r5 analytics families (same debut window): the two heaviest new
+    # plans — the iterative graph job and the governed cosine
+    # self-join — so regressions in them are driver-recorded
+    "part_copurchase_pagerank",
+    "part_cosine_neighbors",
 ]
 
 
