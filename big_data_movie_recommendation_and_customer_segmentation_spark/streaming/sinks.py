@@ -74,3 +74,29 @@ def read_epochs(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).withColumn(
         EPOCH_COL, F.col(EPOCH_COL).cast("long")
     )
+
+
+def compact_epochs(
+    spark,
+    sink_path: str,
+    out_path: str,
+    cluster_by: tuple[str, ...],
+    *,
+    num_files: int | None = None,
+) -> int:
+    """The out-of-band compaction job the epoch sink's small-file
+    growth calls for: read every committed epoch, drop the epoch
+    column, and rewrite ONCE through the range-clustered sink
+    (``sources.io.write_range_clustered``) so the compacted copy gets
+    the data-skipping layout streaming appends can't maintain.
+    Returns the row count written.
+
+    Compaction writes to a NEW path and leaves the sink untouched —
+    the swap (repoint readers, expire the old prefix) is the
+    caller's atomic step, keeping the job restartable at any point.
+    """
+    from ..sources.io import write_range_clustered
+
+    df = read_epochs(spark, sink_path).drop(EPOCH_COL)
+    write_range_clustered(df, out_path, cluster_by, num_files=num_files)
+    return spark.read.parquet(out_path).count()

@@ -63,3 +63,39 @@ def test_sink_restores_overwrite_mode(spark, tmp_path):
     write = SK.idempotent_epoch_writer(str(tmp_path / "s"))
     write(spark.range(3), 0)
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static") == prev
+
+
+def test_compact_epochs_roundtrip_and_clusters(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    out = str(tmp_path / "sink")
+    write = SK.idempotent_epoch_writer(out)
+    for epoch in range(4):
+        write(
+            spark.range(epoch * 25, (epoch + 1) * 25).withColumn(
+                "v", F.col("id") % 7
+            ),
+            epoch,
+        )
+    compacted = str(tmp_path / "compacted")
+    n = SK.compact_epochs(spark, out, compacted, ("id",), num_files=4)
+    assert n == 100
+    got = spark.read.parquet(compacted)
+    assert got.count() == 100
+    assert "_epoch" not in got.columns
+    # range clustering: per-file id ranges are pairwise disjoint
+    ranges = []
+    for f in _glob.glob(f"{compacted}/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # original sink untouched
+    assert SK.read_epochs(spark, out).count() == 100
