@@ -894,3 +894,89 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 6).alias("zscore"),
         (F.abs("z") > 3).cast("int").alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# Customer value-segment migration (segmentation over time)
+# --------------------------------------------------------------------------
+
+_MIGRATION_PIVOT = "1998-01-01 00:00:00"
+
+
+def _quintile_ladder_sql(cuts_cte: str) -> str:
+    return (
+        "1 + CAST(revenue > c[1] AS INT) + CAST(revenue > c[2] AS INT)"
+        f" + CAST(revenue > c[3] AS INT) + CAST(revenue > c[4] AS INT)"
+    )
+
+
+@query(
+    "customer_value_migration",
+    oracle=f"""
+    WITH r1 AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_MIGRATION_PIVOT}'
+      GROUP BY 1
+    ),
+    r2 AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_MIGRATION_PIVOT}'
+      GROUP BY 1
+    ),
+    c1 AS (SELECT quantile_cont(CAST(revenue AS DOUBLE),
+                                [0.2,0.4,0.6,0.8]) AS c FROM r1),
+    c2 AS (SELECT quantile_cont(CAST(revenue AS DOUBLE),
+                                [0.2,0.4,0.6,0.8]) AS c FROM r2),
+    s1 AS (SELECT o_custkey, {_quintile_ladder_sql('c1')} AS seg_before
+           FROM r1 CROSS JOIN c1),
+    s2 AS (SELECT o_custkey, {_quintile_ladder_sql('c2')} AS seg_after
+           FROM r2 CROSS JOIN c2),
+    m AS (
+      SELECT seg_before, seg_after, count(*) AS n_customers
+      FROM s1 JOIN s2 USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT seg_before, seg_after, n_customers,
+           round(n_customers / CAST(sum(n_customers)
+                 OVER (PARTITION BY seg_before) AS DOUBLE), 6) AS prob
+    FROM m
+    """,
+)
+def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-segment migration matrix: spend quintile in the
+    pre-1998 period vs the post-1998 period, for customers active in
+    both — the over-time upgrade of the static RFM segmentation
+    (reference report pp.7-9 segments once; migration is what a
+    retention team actually reads). Each period's quintiles come
+    from the broadcast percentile ladder (segmentation.py
+    ``quantile_bucket``); the matrix is a 5×5 aggregate and the
+    row-normalizing window runs over it."""
+    from ..operators import segmentation as SG2
+
+    o = load_table(spark, sf_dir, "orders")
+    pivot = F.lit(_MIGRATION_PIVOT).cast("timestamp")
+
+    def period_segments(rev_df, out_col):
+        b = SG2.quantile_bucket(rev_df, "revenue", 5, out_col=out_col)
+        return b.select("o_custkey", out_col)
+
+    r1 = (
+        o.filter(F.col("o_orderdate") < pivot)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    r2 = (
+        o.filter(F.col("o_orderdate") >= pivot)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    s1 = period_segments(r1, "seg_before")
+    s2 = period_segments(r2, "seg_after")
+    m = s1.join(s2, "o_custkey").groupBy("seg_before", "seg_after").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    w = Window.partitionBy("seg_before")
+    return m.withColumn(
+        "prob",
+        F.round(F.col("n_customers") / F.sum("n_customers").over(w), 6),
+    )
