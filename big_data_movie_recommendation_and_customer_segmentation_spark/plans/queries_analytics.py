@@ -980,3 +980,89 @@ def customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prob",
         F.round(F.col("n_customers") / F.sum("n_customers").over(w), 6),
     )
+
+
+# --------------------------------------------------------------------------
+# Recommender beyond-accuracy metrics: coverage + novelty
+# --------------------------------------------------------------------------
+
+
+@query(
+    "recommendation_coverage_novelty",
+    oracle="""
+    WITH scores AS (
+      SELECT l_partkey AS item,
+             count(*) AS n_ratings,
+             sum(l_quantity) / (count(*) + 100) AS score
+      FROM lineitem
+      GROUP BY l_partkey
+    ),
+    top_items AS (
+      SELECT item, score FROM scores
+      ORDER BY score DESC, item ASC LIMIT 20
+    ),
+    users AS (SELECT DISTINCT o_custkey AS "user" FROM orders),
+    seen AS (
+      SELECT DISTINCT o.o_custkey AS "user", l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    unseen AS (
+      SELECT u."user", t.item, t.score
+      FROM users u CROSS JOIN top_items t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM seen s WHERE s."user" = u."user" AND s.item = t.item)
+    ),
+    ranked AS (
+      SELECT "user", item,
+             row_number() OVER (PARTITION BY "user"
+                                ORDER BY score DESC, item ASC) AS rank
+      FROM unseen
+    ),
+    recs AS (SELECT "user", item FROM ranked WHERE rank <= 5),
+    tot AS (SELECT sum(n_ratings) AS ti, count(*) AS catalog FROM scores)
+    SELECT count(DISTINCT "user")                    AS n_users,
+           count(*)                                  AS n_rec_rows,
+           round(count(DISTINCT r.item)
+                 / CAST(any_value(tot.catalog) AS DOUBLE), 6) AS coverage_at_k,
+           round(avg(-log2(s.n_ratings
+                 / CAST(tot.ti AS DOUBLE))), 6)      AS novelty
+    FROM recs r
+    JOIN scores s ON s.item = r.item
+    CROSS JOIN tot
+    """,
+)
+def recommendation_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy evaluation of the popularity recommender:
+    catalog coverage@5 (what fraction of interacted items the
+    recommender ever shows) and mean novelty −log2(item interaction
+    share) — the diversity/serendipity counterweight to P@k/MAP
+    (evaluate.py's accuracy metrics). The popularity share join is
+    catalog-sized and broadcast; the final row is one scalar
+    aggregate over the bounded rec relation (|users|·k rows)."""
+    from ..operators import recommend as REC
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ratings = o.join(li, o.o_orderkey == li.l_orderkey)
+    scores = REC.popularity_scores(ratings, "l_partkey", "l_quantity", bias=100.0)
+    cands = REC.top_items(scores, 20)
+    users = o.select(F.col("o_custkey").alias("user")).distinct()
+    seen = ratings.select(
+        F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+    ).distinct()
+    recs = REC.recommend_unseen_topk(users, cands, seen, k=5).select("user", "item")
+    pop = scores.select("item", "n_ratings")
+    tot = scores.agg(
+        F.sum("n_ratings").alias("_ti"), F.count(F.lit(1)).alias("_catalog")
+    )
+    j = recs.join(F.broadcast(pop), "item").crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.countDistinct("user").alias("n_users"),
+        F.count(F.lit(1)).alias("n_rec_rows"),
+        F.round(
+            F.countDistinct("item") / F.first("_catalog").cast("double"), 6
+        ).alias("coverage_at_k"),
+        F.round(
+            F.avg(-F.log2(F.col("n_ratings") / F.col("_ti").cast("double"))), 6
+        ).alias("novelty"),
+    )

@@ -47,7 +47,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                  "event_type_cms_estimates"),
     "sampling": ("random_pair_baseline_trials",),
     "als": ("als_recommendations",),
-    "ranking_metrics": ("ranking_metrics_summary",),
+    "ranking_metrics": ("ranking_metrics_summary",
+                        "recommendation_coverage_novelty"),
     "kmeans": ("kmeans_customer_segments", "kmeans_embedding_segments_det"),
     "text_stats": ("doc_quality_scores", "doc_token_stats", "doc_bpe_token_stats",
                    "lang_id_distribution", "doc_scrub_stats", "doc_repetition_stats",
