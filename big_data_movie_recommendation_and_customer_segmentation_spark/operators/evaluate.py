@@ -113,9 +113,13 @@ def binary_auc(
         (F.sum("_cnt") - F.sum("_pos")).alias("_n"),
     )
     return agg.select(
+        # try_divide: a single-class input has no defined AUC — null,
+        # not an ANSI divide-by-zero failure
         F.round(
-            (F.col("_rank_sum") - F.col("_p") * (F.col("_p") + 1) / F.lit(2.0))
-            / (F.col("_p") * F.col("_n")),
+            F.try_divide(
+                F.col("_rank_sum") - F.col("_p") * (F.col("_p") + 1) / F.lit(2.0),
+                F.col("_p") * F.col("_n"),
+            ),
             round_to,
         ).alias("auc"),
         F.col("_p").cast("long").alias("n_pos"),

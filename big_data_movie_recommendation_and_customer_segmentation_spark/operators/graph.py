@@ -66,6 +66,8 @@ def pagerank(
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=False)
     n_nodes = nodes.count()  # scalar driver value (documented, bounded: one agg)
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("pagerank")).limit(0)
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
     for _ in range(iterations):

@@ -163,3 +163,18 @@ def test_key_skew_report_tiebreak_deterministic(spark):
     df = spark.createDataFrame(rows, "k string")
     out = sorted(PF.key_skew_report(df, "k", top_k=2).collect(), key=lambda r: r["rank"])
     assert [r["k"] for r in out] == ["x", "y"]  # key asc breaks count ties
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    out = G.pagerank(e, iterations=3)
+    assert out.columns == ["node", "pagerank"]
+    assert out.count() == 0
+
+
+def test_auc_single_class_is_null(spark):
+    # degenerate: no negatives → AUC undefined, surfaced as null
+    df = spark.createDataFrame([(1, 1.0), (1, 2.0)], "y int, s double")
+    out = EV.binary_auc(df, "y", "s").collect()[0]
+    assert out["auc"] is None
+    assert out["n_pos"] == 2 and out["n_neg"] == 0
