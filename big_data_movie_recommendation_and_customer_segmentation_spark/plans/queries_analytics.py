@@ -1,7 +1,11 @@
 """Round-5 analytics batch 2: sequence mining (Markov transitions,
 frequent paths), SCD Type-2 history, chi-square independence,
-winsorized robust stats, RRF hybrid retrieval, and the distributed
-embedding covariance matrix.
+winsorized robust stats, RRF hybrid retrieval, the distributed
+embedding covariance matrix, PageRank centrality, exact AUC + decile
+lift, truncated EWMA, hot-key skew diagnostics, item-item cosine
+top-k, weekday seasonality + STL-lite anomalies, linear multi-touch
+attribution, value-segment migration, and recommender coverage /
+novelty.
 
 Same registry + oracle conventions as ``queries.py``: identical
 aliases both sides, FP aggregates rounded in both engines, total
