@@ -153,3 +153,55 @@ def negative_samples(
         rank_col="neg_rank",
         keep_rank=True,
     ).drop("_h")
+
+
+def item_cf_recommendations(
+    history: DataFrame,
+    neighbors: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    n: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-based collaborative filtering: score each unseen item for
+    a user as the SUM of item-item similarities between that item and
+    the items the user already interacted with — the classic
+    Sarwar et al. 2001 item-kNN recommender, and the distributed form
+    of what the reference assembles in driver dicts (reference:
+    S2_item_similarity.py builds per-item neighbor lists, then loops
+    users in Python; here both sides stay DataFrames end to end).
+
+    Inputs: ``history`` = distinct (user, item) interactions;
+    ``neighbors`` = (item, neighbor, cosine) from
+    ``association.item_cosine_neighbors`` (already top-k-truncated
+    per item, which is what bounds the fan-out).
+
+    Plan: history ⋈ neighbors on item (shuffle on item id — the
+    neighbor relation is k rows per catalog item; co-partition or
+    broadcast when the catalog fits), anti-join to drop items the
+    user has already seen, one keyed aggregation for the score, and
+    a WindowGroupLimit top-n per user. Fan-out is |history| × k rows
+    — linear in history, never |users| × |catalog|.
+
+    Determinism: score = round(sum of 6-dp cosines, round_to); ties
+    broken by ascending item id.
+    """
+    cand = (
+        history.select(F.col(user_col), F.col(item_col).alias("_seen"))
+        .join(neighbors.select(F.col("item").alias("_seen"), "neighbor", "cosine"), "_seen")
+        .select(F.col(user_col), F.col("neighbor").alias(item_col), "cosine")
+    )
+    unseen = anti_join(cand, history, [user_col, item_col])
+    scored = unseen.groupBy(user_col, item_col).agg(
+        F.round(F.sum("cosine"), round_to).alias("score"),
+        F.count(F.lit(1)).alias("n_contributors"),
+    )
+    return per_group_topk(
+        scored,
+        user_col,
+        [F.col("score").desc(), F.col(item_col).asc()],
+        n,
+        rank_col="rank",
+        keep_rank=True,
+    )

@@ -256,3 +256,83 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return l_salted.join(r_salted, keys + ["_salt"], how).drop("_salt")
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    *,
+    num_bits: int = 4096,
+    num_hashes: int = 3,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Semi-join with a deterministic Bloom pre-filter: probe rows
+    whose key misses ANY of ``num_hashes`` md5-derived bit positions
+    are discarded BEFORE the exact semi-join exchange — the
+    runtime-filter pattern that makes big-probe/small-build joins
+    survive 100 TB (Spark's own row-level runtime filtering does
+    this implicitly; this operator makes it explicit, governable,
+    and oracle-replayable).
+
+    The occupied-bits relation is at most ``num_bits`` rows (~KBs)
+    and broadcasts; the probe side explodes to ``num_hashes`` rows
+    per record, inner-joins the bits broadcast, and keeps keys
+    matching all ``num_hashes`` positions. Survivors are then
+    verified with an exact left-semi join against the build keys, so
+    the result EQUALS the plain semi-join (Bloom filters admit false
+    positives, never false negatives) — the filter only cuts the
+    rows entering the exact join's exchange. Hashes are
+    ``md5(seed || i || key)`` first-32-bits mod num_bits: no RNG, so
+    the oracle replays the exact candidate set.
+
+    Scale note: at a real deployment the exact-verify join is the
+    shuffle that matters; the Bloom stage cuts its probe-side volume
+    by the filter's false-positive rate ~(1-e^{-kn/m})^k while the
+    bits stay broadcast-sized. num_bits governs memory, num_hashes
+    the FP/compute trade.
+    """
+
+    def positions(col: Column, i: int) -> Column:
+        h = F.md5(F.concat(F.lit(seed), F.lit(str(i)), col.cast("string")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % num_bits).cast("int")
+
+    build_keys = build.select(F.col(build_key).alias("_bk")).dropDuplicates(["_bk"])
+    bits = (
+        build_keys.select(
+            F.explode(
+                F.array(*[positions(F.col("_bk"), i) for i in range(num_hashes)])
+            ).alias("_bit")
+        )
+        .dropDuplicates(["_bit"])
+    )
+    # Distinct bits per key: two hash functions may collide on the
+    # same position for one key, so "all bits set" means matching the
+    # key's DISTINCT bit set, not num_hashes rows (else collisions
+    # would manufacture false negatives — Bloom filters must have none).
+    probed = probe.withColumn(
+        "_bitset",
+        F.array_distinct(
+            F.array(*[positions(F.col(probe_key), i) for i in range(num_hashes)])
+        ),
+    )
+    candidates = (
+        probed.select(
+            F.col(probe_key).alias("_pk"),
+            F.size("_bitset").alias("_need"),
+            F.explode("_bitset").alias("_bit"),
+        )
+        .dropDuplicates(["_pk", "_bit"])
+        .join(F.broadcast(bits), "_bit")
+        .groupBy("_pk", "_need")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == F.col("_need"))
+        .select("_pk")
+    )
+    prefiltered = probed.drop("_bitset").join(
+        F.broadcast(candidates), F.col(probe_key) == F.col("_pk"), "left_semi"
+    )
+    return prefiltered.join(
+        build_keys, F.col(probe_key) == F.col("_bk"), "left_semi"
+    )

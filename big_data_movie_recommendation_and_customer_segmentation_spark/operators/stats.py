@@ -372,3 +372,114 @@ def ewma_lagsum(
         num = num + F.when(lag_v.isNotNull(), F.lit(weight) * lag_v).otherwise(F.lit(0.0))
         den = den + F.when(lag_v.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
     return df.withColumn(out_col, F.round(num / den, round_to))
+
+
+def welch_ttest_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic for EVERY pair
+    of groups: ``t = (m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b)`` with
+    Welch-Satterthwaite degrees of freedom — the A/B comparison that
+    does not assume pooled variance (the reference's segment
+    comparisons eyeball means only, S3_customer_segmentation.py).
+
+    100 TB shape: ONE map-side-combined shuffle reduces the data to
+    per-group (n, mean, var_samp); the pairing is a broadcast self
+    cross-join of that tiny relation (|groups|^2 / 2 rows). Groups
+    with n < 2 propagate null t/dof via var_samp — surfaced, not
+    dropped. Output order key is (group_a, group_b) with
+    group_a < group_b.
+    """
+    g = df.groupBy(group_col).agg(
+        F.count(value_col).alias("_n"),
+        F.avg(value_col).alias("_m"),
+        F.var_samp(value_col).alias("_s2"),
+    )
+    a = g.select(
+        F.col(group_col).alias("group_a"),
+        F.col("_n").alias("_na"),
+        F.col("_m").alias("_ma"),
+        F.col("_s2").alias("_sa"),
+    )
+    b = g.select(
+        F.col(group_col).alias("group_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_m").alias("_mb"),
+        F.col("_s2").alias("_sb"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("group_a") < F.col("group_b"))
+    se2 = F.col("_sa") / F.col("_na") + F.col("_sb") / F.col("_nb")
+    dof = (se2 * se2) / (
+        F.pow(F.col("_sa") / F.col("_na"), 2) / (F.col("_na") - 1)
+        + F.pow(F.col("_sb") / F.col("_nb"), 2) / (F.col("_nb") - 1)
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round("_ma", round_to).alias("mean_a"),
+        F.round("_mb", round_to).alias("mean_b"),
+        F.round((F.col("_ma") - F.col("_mb")) / F.sqrt(se2), round_to).alias("t_stat"),
+        F.round(dof, 2).alias("welch_dof"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information (in bits) between two categorical columns,
+    with marginal entropies and the sqrt-normalized coefficient
+    ``nmi = MI / sqrt(H(a) * H(b))`` — the effect-size companion to
+    ``chi_square_independence`` (chi-square grows with n; NMI is
+    scale-free).
+
+    ``MI = sum_cells p_ab * log2(p_ab / (p_a * p_b))`` over OBSERVED
+    cells only (empty cells contribute exactly 0, unlike chi-square's
+    expected counts, so no zero-fill grid is needed).
+
+    Same 100 TB shape as chi-square: one shuffle builds the
+    contingency table; margins derive from that table; the final
+    sums run over the catalog-sized grid. Degenerate single-level
+    columns yield H = 0 and ``nmi`` null (0/0 guarded).
+    """
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_obs"))
+    ma = obs.groupBy(col_a).agg(F.sum("_obs").alias("_ra"))
+    mb = obs.groupBy(col_b).agg(F.sum("_obs").alias("_cb"))
+    tot = obs.agg(F.sum("_obs").alias("_n"))
+    joined = (
+        obs.join(F.broadcast(ma), col_a)
+        .join(F.broadcast(mb), col_b)
+        .crossJoin(F.broadcast(tot))
+    )
+    p_ab = F.col("_obs") / F.col("_n")
+    p_a = F.col("_ra") / F.col("_n")
+    p_b = F.col("_cb") / F.col("_n")
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    agg = joined.agg(
+        F.sum(p_ab * log2(p_ab / (p_a * p_b))).alias("_mi"),
+        F.first("_n").alias("n"),
+    )
+    ha = obs.groupBy(col_a).agg(F.sum("_obs").alias("_c")).crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("_c") / F.col("_n")) * log2(F.col("_c") / F.col("_n")))).alias("_ha")
+    )
+    hb = obs.groupBy(col_b).agg(F.sum("_obs").alias("_c")).crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("_c") / F.col("_n")) * log2(F.col("_c") / F.col("_n")))).alias("_hb")
+    )
+    out = agg.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    denom = F.sqrt(F.col("_ha") * F.col("_hb"))
+    return out.select(
+        F.round("_mi", round_to).alias("mi_bits"),
+        F.round("_ha", round_to).alias("entropy_a"),
+        F.round("_hb", round_to).alias("entropy_b"),
+        F.round(F.when(denom > 0, F.col("_mi") / denom), round_to).alias("nmi"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -17,6 +17,7 @@ from .queries import ORACLE_REGISTRY, QUERY_REGISTRY
 from . import queries_ext  # noqa: F401  (registers extension queries)
 from . import queries_pipeline  # noqa: F401  (registers r5 pipeline queries)
 from . import queries_analytics  # noqa: F401  (registers r5 analytics batch 2)
+from . import queries_insights  # noqa: F401  (registers r5 analytics batch 3)
 
 # The curated driver gate: 50 slots.
 # 29 core rows (every SURVEY §2 family that was green r02 keeps a

@@ -638,10 +638,12 @@ def purchase_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "part_cosine_neighbors",
-    oracle="""
-    WITH inc AS (
+# Shared CTE chain replaying item_cosine_neighbors over lineitem
+# baskets (k=5, min_pair_count=2, max_basket_size=8) — used by the
+# part_cosine_neighbors oracle here and by the item-CF recommender
+# oracle in queries_insights.py.
+_COSINE_CTES = """
+    inc AS (
       SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
     ),
     sizes AS (SELECT basket, count(*) AS bsize FROM inc GROUP BY 1),
@@ -673,6 +675,13 @@ def purchase_value_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cosine DESC, neighbor ASC) AS rank
       FROM scored
     )
+"""
+
+
+@query(
+    "part_cosine_neighbors",
+    oracle=f"""
+    WITH {_COSINE_CTES}
     SELECT item, neighbor, pair_count, cosine, rank FROM ranked WHERE rank <= 5
     """,
 )

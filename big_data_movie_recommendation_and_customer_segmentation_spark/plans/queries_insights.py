@@ -1,0 +1,306 @@
+"""Round-5 analytics batch 3: item-based CF recommendations (the
+Sarwar item-kNN composition of the cosine-neighbor relation),
+Kaplan-Meier repurchase survival per customer segment, Welch pairwise
+t-tests, mutual information / NMI, and the Bloom-prefiltered
+semi-join.
+
+Same registry + oracle conventions as ``queries.py``: identical
+aliases both sides, FP aggregates rounded in both engines, total
+deterministic orders on every rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import association as AS3
+from ..operators import recommend as RC
+from ..operators import stats as ST
+from ..operators import survival as SV
+from ..operators.relational import bloom_semi_join
+from ..sources import load_table
+from .queries import query
+from .queries_analytics import _COSINE_CTES
+
+
+# --------------------------------------------------------------------------
+# Item-based collaborative filtering (item-kNN recommender)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_item_cf_recommendations",
+    oracle=f"""
+    WITH {_COSINE_CTES},
+    nb AS (SELECT item, neighbor, cosine FROM ranked WHERE rank <= 5),
+    hist AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cand AS (
+      SELECT h.custkey, nb.neighbor AS item, nb.cosine
+      FROM hist h JOIN nb ON nb.item = h.item
+    ),
+    unseen AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM hist h
+                        WHERE h.custkey = c.custkey AND h.item = c.item)
+    ),
+    cf_scored AS (
+      SELECT custkey, item, round(sum(cosine), 6) AS score,
+             count(*) AS n_contributors
+      FROM unseen GROUP BY 1, 2
+    ),
+    cf_ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY custkey
+                                   ORDER BY score DESC, item ASC) AS rank
+      FROM cf_scored
+    )
+    SELECT custkey, item, score, n_contributors, rank
+    FROM cf_ranked WHERE rank <= 5
+    """,
+)
+def customer_item_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 item-based CF recommendations per customer: unseen parts
+    scored by summed cosine similarity to the parts the customer has
+    already ordered (Sarwar et al. 2001 item-kNN) — the distributed
+    form of the reference's driver-dict neighbor scoring (reference:
+    S2_item_similarity.py loops users in Python;
+    recommend.py ``item_cf_recommendations`` keeps both relations
+    distributed: history ⋈ top-k neighbors on item, anti-join seen,
+    one keyed agg, WindowGroupLimit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    neighbors = AS3.item_cosine_neighbors(
+        li, "l_orderkey", "l_partkey", k=5, min_pair_count=2, max_basket_size=8
+    ).select("item", "neighbor", "cosine")
+    hist = (
+        o.select(F.col("o_custkey").alias("custkey"), "o_orderkey")
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("item")),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("custkey", "item")
+        .distinct()
+    )
+    return RC.item_cf_recommendations(
+        hist, neighbors, user_col="custkey", item_col="item", n=5
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier repurchase survival per segment
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_repurchase_survival",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    sel AS (
+      SELECT o_custkey,
+             min(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+             min(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+      FROM o2 WHERE rn <= 2 GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    subj AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_diff('day', CAST(s.d1 AS DATE),
+                  CAST(coalesce(s.d2, mx.dmax) AS DATE)) AS INT) AS duration_days,
+             CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+      FROM sel s JOIN customer c ON c.c_custkey = s.o_custkey
+      CROSS JOIN mx
+    ),
+    lt AS (
+      SELECT segment, duration_days,
+             CAST(sum(event) AS BIGINT) AS n_events,
+             CAST(sum(1 - event) AS BIGINT) AS n_censored
+      FROM subj GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT *,
+             CAST(sum(n_events + n_censored)
+                    OVER (PARTITION BY segment)
+                  - coalesce(sum(n_events + n_censored)
+                      OVER (PARTITION BY segment ORDER BY duration_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS n_at_risk
+      FROM lt
+    ),
+    terms AS (
+      SELECT *,
+             CASE WHEN 1.0 - n_events * 1.0 / n_at_risk > 0
+                  THEN ln(1.0 - n_events * 1.0 / n_at_risk) END AS lnf,
+             CASE WHEN 1.0 - n_events * 1.0 / n_at_risk <= 0
+                  THEN 1 ELSE 0 END AS z
+      FROM risk
+    )
+    SELECT segment, duration_days, n_events, n_censored, n_at_risk,
+           round(CASE WHEN sum(z) OVER w > 0 THEN 0.0
+                      ELSE exp(coalesce(sum(lnf) OVER w, 0.0)) END, 6) AS survival
+    FROM terms
+    WINDOW w AS (PARTITION BY segment ORDER BY duration_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def customer_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of time-to-second-order per market
+    segment: duration = days from a customer's first to second order,
+    right-censored at the corpus max order date for one-order
+    customers (survival.py ``kaplan_meier``). The life table is one
+    map-side-combined shuffle; the product-limit curve is windows
+    over the |segments| x |days| table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    firsts = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("d2"),
+        )
+    )
+    dmax = o.agg(F.max("o_orderdate").alias("dmax"))
+    subj = (
+        firsts.join(c.select(F.col("c_custkey").alias("o_custkey"),
+                             F.col("c_mktsegment").alias("segment")), "o_custkey")
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            "segment",
+            F.datediff(F.coalesce("d2", "dmax"), F.col("d1"))
+            .cast("int").alias("duration_days"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    out = SV.kaplan_meier(subj, "duration_days", "event", "segment")
+    return out.select(
+        "segment", "duration_days", "n_events", "n_censored",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"), "survival",
+    )
+
+
+# --------------------------------------------------------------------------
+# Welch pairwise t-tests (A/B across order priorities)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "priority_spend_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp, count(o_totalprice) AS n,
+             avg(o_totalprice) AS m, var_samp(o_totalprice) AS s2
+      FROM orders GROUP BY 1
+    )
+    SELECT a.grp AS group_a, b.grp AS group_b,
+           a.n AS n_a, b.n AS n_b,
+           round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+           round((a.m - b.m) / sqrt(a.s2 / a.n + b.s2 / b.n), 6) AS t_stat,
+           round(pow(a.s2 / a.n + b.s2 / b.n, 2)
+                 / (pow(a.s2 / a.n, 2) / (a.n - 1)
+                    + pow(b.s2 / b.n, 2) / (b.n - 1)), 2) AS welch_dof
+    FROM g a JOIN g b ON a.grp < b.grp
+    """,
+)
+def priority_spend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t statistic for every pair of order
+    priorities on order value — the distributed A/B test battery
+    (stats.py ``welch_ttest_pairs``): one shuffle to per-group
+    moments, broadcast self-join of the 5-row group relation."""
+    o = load_table(spark, sf_dir, "orders")
+    return ST.welch_ttest_pairs(o, "o_orderpriority", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# Mutual information between segment and priority
+# --------------------------------------------------------------------------
+
+
+@query(
+    "segment_priority_mutual_info",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    obs AS (SELECT a, b, count(*) AS obs FROM j GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(sum(obs) AS BIGINT) AS ra FROM obs GROUP BY 1),
+    mb AS (SELECT b, CAST(sum(obs) AS BIGINT) AS cb FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM obs),
+    mi AS (
+      SELECT sum((obs * 1.0 / n) * log2((obs * 1.0 / n)
+                 / ((ra * 1.0 / n) * (cb * 1.0 / n)))) AS mi
+      FROM obs JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+    ),
+    ha AS (SELECT -sum((ra * 1.0 / n) * log2(ra * 1.0 / n)) AS ha
+           FROM ma CROSS JOIN tot),
+    hb AS (SELECT -sum((cb * 1.0 / n) * log2(cb * 1.0 / n)) AS hb
+           FROM mb CROSS JOIN tot)
+    SELECT round(mi.mi, 6) AS mi_bits,
+           round(ha.ha, 6) AS entropy_a,
+           round(hb.hb, 6) AS entropy_b,
+           round(CASE WHEN sqrt(ha.ha * hb.hb) > 0
+                      THEN mi.mi / sqrt(ha.ha * hb.hb) END, 6) AS nmi,
+           tot.n AS n
+    FROM mi, ha, hb, tot
+    """,
+)
+def segment_priority_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information / NMI between customer market segment and
+    order priority — the scale-free effect size next to
+    ``segment_priority_chisq`` (stats.py ``mutual_information``):
+    one contingency-table shuffle, margins derived from the table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, c.c_custkey == o.o_custkey).select(
+        F.col("c_mktsegment").alias("a"), F.col("o_orderpriority").alias("b")
+    )
+    return ST.mutual_information(j, "a", "b")
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered semi-join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bloom_filtered_order_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lineitems,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS urgent_revenue
+    FROM lineitem
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey
+                    AND o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_filtered_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to URGENT orders via the
+    Bloom-prefiltered semi-join (relational.py ``bloom_semi_join``):
+    probe rows failing any of 3 md5-derived bit positions skip the
+    exact-verify exchange; survivors verify exactly, so the result
+    equals the plain semi-join the oracle runs. The explicit form of
+    the runtime-filter pattern that keeps big-probe joins affordable
+    at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    filtered = bloom_semi_join(
+        li, urgent, "l_orderkey", "o_orderkey", num_bits=16384, num_hashes=3
+    )
+    return filtered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("urgent_revenue"),
+    )

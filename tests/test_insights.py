@@ -1,0 +1,245 @@
+"""Semantics tests for the batch-3 insight operators: Kaplan-Meier,
+Welch t-test, mutual information, Bloom-prefiltered semi-join, and
+item-based CF recommendations — hand-computed values and invariants
+the DuckDB oracle replay can't express (equivalence to the plain
+semi-join, no-false-negative property, CF seen-item exclusion)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+    recommend as RC,
+    stats as ST,
+    survival as SV,
+)
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators.relational import (
+    bloom_semi_join,
+)
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier
+# --------------------------------------------------------------------------
+
+
+def test_kaplan_meier_hand_example(spark):
+    # Classic textbook: durations 1,2,2,3,4 with censoring at 3.
+    # t=1: n=5, d=1 -> S=4/5
+    # t=2: n=4, d=2 -> S=4/5 * 2/4 = 0.4
+    # t=3: n=2, d=0 (censored) -> S stays 0.4
+    # t=4: n=1, d=1 -> S=0
+    rows = [(1, 1), (2, 1), (2, 1), (3, 0), (4, 1)]
+    df = spark.createDataFrame([("g", d, e) for d, e in rows], ["g", "dur", "ev"])
+    out = {
+        r["dur"]: r
+        for r in SV.kaplan_meier(df, "dur", "ev", "g").collect()
+    }
+    assert out[1]["n_at_risk"] == 5 and out[1]["survival"] == pytest.approx(0.8)
+    assert out[2]["n_at_risk"] == 4 and out[2]["survival"] == pytest.approx(0.4)
+    assert out[3]["n_censored"] == 1 and out[3]["survival"] == pytest.approx(0.4)
+    assert out[4]["n_at_risk"] == 1 and out[4]["survival"] == 0.0
+
+
+def test_kaplan_meier_all_censored_group_stays_at_one(spark):
+    df = spark.createDataFrame(
+        [("a", 5, 0), ("a", 9, 0), ("b", 1, 1), ("b", 2, 1)],
+        ["g", "dur", "ev"],
+    )
+    out = SV.kaplan_meier(df, "dur", "ev", "g").collect()
+    a = {r["dur"]: r["survival"] for r in out if r["g"] == "a"}
+    assert a == {5: 1.0, 9: 1.0}
+    b = {r["dur"]: r["survival"] for r in out if r["g"] == "b"}
+    assert b[1] == pytest.approx(0.5) and b[2] == 0.0
+
+
+def test_kaplan_meier_is_monotone_nonincreasing(spark, sf_dir):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.plans.queries_insights import (
+        customer_repurchase_survival,
+    )
+
+    pdf = customer_repurchase_survival(spark, sf_dir).toPandas()
+    for _, g in pdf.groupby("segment"):
+        s = g.sort_values("duration_days")["survival"].tolist()
+        assert all(x >= y - 1e-9 for x, y in zip(s, s[1:]))
+        assert all(0.0 <= v <= 1.0 for v in s)
+
+
+# --------------------------------------------------------------------------
+# Welch t-test
+# --------------------------------------------------------------------------
+
+
+def test_welch_ttest_hand_value(spark):
+    # a = [1,2,3,4] (m=2.5, s2=5/3, n=4); b = [2,4,6] (m=4, s2=4, n=3)
+    a = [("a", float(v)) for v in (1, 2, 3, 4)]
+    b = [("b", float(v)) for v in (2, 4, 6)]
+    out = ST.welch_ttest_pairs(
+        spark.createDataFrame(a + b, ["g", "v"]), "g", "v"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    se2 = (5 / 3) / 4 + 4 / 3
+    t = (2.5 - 4) / math.sqrt(se2)
+    dof = se2**2 / (((5 / 3) / 4) ** 2 / 3 + (4 / 3) ** 2 / 2)
+    assert r["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert r["welch_dof"] == pytest.approx(dof, abs=0.01)
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+
+
+def test_welch_ttest_identical_groups_t_zero(spark):
+    rows = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)]
+    r = ST.welch_ttest_pairs(spark.createDataFrame(rows, ["g", "v"]), "g", "v").first()
+    assert r["t_stat"] == 0.0
+
+
+def test_welch_ttest_singleton_group_null(spark):
+    rows = [("a", 1.0), ("a", 3.0), ("b", 2.0)]
+    r = ST.welch_ttest_pairs(spark.createDataFrame(rows, ["g", "v"]), "g", "v").first()
+    assert r["t_stat"] is None and r["welch_dof"] is None
+
+
+# --------------------------------------------------------------------------
+# Mutual information
+# --------------------------------------------------------------------------
+
+
+def test_mutual_information_independent_is_zero(spark):
+    rows = [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(10)]
+    r = ST.mutual_information(spark.createDataFrame(rows, ["a", "b"]), "a", "b").first()
+    assert r["mi_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert r["entropy_a"] == pytest.approx(1.0)
+    assert r["nmi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mutual_information_deterministic_equals_entropy(spark):
+    # b = f(a), uniform over 4 levels: MI = H(a) = H(b) = 2 bits, NMI = 1
+    rows = [(str(i), str(i)) for i in range(4) for _ in range(5)]
+    r = ST.mutual_information(spark.createDataFrame(rows, ["a", "b"]), "a", "b").first()
+    assert r["mi_bits"] == pytest.approx(2.0)
+    assert r["nmi"] == pytest.approx(1.0)
+    assert r["n"] == 20
+
+
+def test_mutual_information_single_level_nmi_null(spark):
+    rows = [("only", b) for b in ("p", "q", "p", "q")]
+    r = ST.mutual_information(spark.createDataFrame(rows, ["a", "b"]), "a", "b").first()
+    assert r["entropy_a"] == 0.0 and r["nmi"] is None
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered semi-join
+# --------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    got = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey", num_bits=512, num_hashes=3)
+    want = li.join(
+        urgent.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    )
+    assert got.count() == want.count()
+    assert got.select("l_orderkey").subtract(want.select("l_orderkey")).count() == 0
+    assert want.select("l_orderkey").subtract(got.select("l_orderkey")).count() == 0
+
+
+def test_bloom_semi_join_tiny_filter_still_exact(spark):
+    # num_bits=2 saturates instantly: every probe passes the Bloom
+    # stage, the exact verify must still produce the right answer.
+    probe = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    build = spark.createDataFrame([(7,), (42,)], ["bk"])
+    out = bloom_semi_join(probe, build, "k", "bk", num_bits=2, num_hashes=2)
+    assert sorted(r["k"] for r in out.collect()) == [7, 42]
+
+
+def test_bloom_semi_join_empty_build(spark):
+    probe = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    build = spark.createDataFrame([], "bk long")
+    assert bloom_semi_join(probe, build, "k", "bk").count() == 0
+
+
+def test_bloom_prefilter_is_selective(spark):
+    # With ample bits the candidate stage should reject most
+    # non-matching probes — measure the FP rate stays well under 50%.
+    probe = spark.createDataFrame([(i,) for i in range(2000)], ["k"])
+    build = spark.createDataFrame([(i,) for i in range(50)], ["bk"])
+    out = bloom_semi_join(probe, build, "k", "bk", num_bits=4096, num_hashes=3)
+    assert out.count() == 50  # exactness regardless of selectivity
+    # selectivity probe: replicate the internal candidate filter by
+    # checking how many of 2000 keys pass 3-of-3 bit membership
+    from pyspark.sql import Column
+
+    def positions(col: Column, i: int) -> Column:
+        h = F.md5(F.concat(F.lit("bloom"), F.lit(str(i)), col.cast("string")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 4096).cast("int")
+
+    bits = {
+        r["b"]
+        for r in build.select(
+            F.explode(F.array(*[positions(F.col("bk"), i) for i in range(3)])).alias("b")
+        ).collect()
+    }
+    passed = (
+        probe.withColumn(
+            "ok",
+            F.forall(
+                F.array(*[positions(F.col("k"), i) for i in range(3)]),
+                lambda b: b.isin(*[F.lit(x) for x in bits]) if bits else F.lit(False),
+            ),
+        )
+        .filter("ok")
+        .count()
+    )
+    assert passed < 2000 * 0.5
+
+
+# --------------------------------------------------------------------------
+# Item-based CF
+# --------------------------------------------------------------------------
+
+
+def test_item_cf_scores_and_excludes_seen(spark):
+    hist = spark.createDataFrame(
+        [("u1", "i1"), ("u1", "i2"), ("u2", "i3")], ["user", "item"]
+    )
+    neighbors = spark.createDataFrame(
+        [
+            ("i1", "i3", 0.9),
+            ("i1", "i2", 0.8),  # u1 already saw i2 -> must not recommend
+            ("i2", "i3", 0.4),
+            ("i3", "i1", 0.9),
+        ],
+        ["item", "neighbor", "cosine"],
+    )
+    out = RC.item_cf_recommendations(
+        hist, neighbors, user_col="user", item_col="item", n=5
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user"], {})[r["item"]] = r
+    # u1: i3 scored from i1 (0.9) + i2 (0.4) = 1.3, two contributors
+    assert set(by_user["u1"]) == {"i3"}
+    assert by_user["u1"]["i3"]["score"] == pytest.approx(1.3)
+    assert by_user["u1"]["i3"]["n_contributors"] == 2
+    # u2: i1 from i3 (0.9); i3 itself is seen
+    assert set(by_user["u2"]) == {"i1"}
+    assert by_user["u2"]["i1"]["score"] == pytest.approx(0.9)
+
+
+def test_item_cf_topn_truncates_by_score_then_id(spark):
+    hist = spark.createDataFrame([("u", "s")], ["user", "item"])
+    neighbors = spark.createDataFrame(
+        [("s", c, w) for c, w in (("a", 0.5), ("b", 0.5), ("c", 0.9))],
+        ["item", "neighbor", "cosine"],
+    )
+    out = RC.item_cf_recommendations(
+        hist, neighbors, user_col="user", item_col="item", n=2
+    ).collect()
+    ranked = sorted(((r["rank"], r["item"]) for r in out))
+    assert ranked == [(1, "c"), (2, "a")]  # 0.9 first, 0.5-tie broken by id

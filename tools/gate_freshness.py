@@ -107,7 +107,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "streaming_stateful": ("event_running_zscore",),
     "sequence_mining": ("event_transition_matrix", "frequent_event_paths"),
     "scd2": ("customer_order_status_scd2",),
-    "hypothesis_tests": ("segment_priority_chisq", "event_value_winsorized"),
+    "hypothesis_tests": ("segment_priority_chisq", "event_value_winsorized",
+                         "priority_spend_ttest", "segment_priority_mutual_info"),
     "rank_fusion": ("hybrid_doc_retrieval_rrf",),
     "pca": ("embedding_covariance",),
     "graph_centrality": ("part_copurchase_pagerank",),
@@ -115,8 +116,12 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "ewma": ("daily_revenue_ewma",),
     "skew_report": ("event_user_skew_report",),
     "lift_gains": ("purchase_value_lift",),
-    "item_item_cosine": ("part_cosine_neighbors",),
+    "item_item_cosine": ("part_cosine_neighbors",
+                         "customer_item_cf_recommendations"),
     "seasonality": ("weekday_revenue_seasonality", "daily_revenue_anomalies"),
+    # -- registered r5 (insights batch 3) --
+    "survival": ("customer_repurchase_survival",),
+    "bloom_join": ("bloom_filtered_order_revenue",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -167,6 +172,8 @@ NEW_IN_ROUND: dict[str, int] = {
     "lift_gains": 5,
     "item_item_cosine": 5,
     "seasonality": 5,
+    "survival": 5,
+    "bloom_join": 5,
 }
 
 
