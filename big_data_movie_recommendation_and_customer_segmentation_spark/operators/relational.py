@@ -272,26 +272,30 @@ def bloom_semi_join(
     whose key misses ANY of ``num_hashes`` md5-derived bit positions
     are discarded BEFORE the exact semi-join exchange — the
     runtime-filter pattern that makes big-probe/small-build joins
-    survive 100 TB (Spark's own row-level runtime filtering does
-    this implicitly; this operator makes it explicit, governable,
-    and oracle-replayable).
+    survive 100 TB (Spark's own row-level runtime filtering does this
+    implicitly; this operator makes it explicit, governable, and
+    replayable).
 
-    The occupied-bits relation is at most ``num_bits`` rows (~KBs)
-    and broadcasts; the probe side explodes to ``num_hashes`` rows
-    per record, inner-joins the bits broadcast, and keeps keys
-    matching all ``num_hashes`` positions. Survivors are then
-    verified with an exact left-semi join against the build keys, so
-    the result EQUALS the plain semi-join (Bloom filters admit false
-    positives, never false negatives) — the filter only cuts the
-    rows entering the exact join's exchange. Hashes are
-    ``md5(seed || i || key)`` first-32-bits mod num_bits: no RNG, so
-    the oracle replays the exact candidate set.
+    Physical shape: the occupied-bits relation is at most
+    ``num_bits`` one-int rows (~KBs) and BROADCASTS; the probe side
+    passes through ``num_hashes`` broadcast-hash LEFT SEMI joins, one
+    per hash function, each keyed on that hash's bit position — all
+    map-side, same stage as the scan, no explode/aggregate/extra
+    exchange (an earlier draft embedded the bitmap as a string
+    literal: ``substring`` with a column offset is O(offset) per row
+    in UTF8String, quadratic in num_bits — joins are the fast path).
+    Survivors then verify with an exact left-semi join against the
+    build keys, so the result EQUALS the plain semi-join (Bloom
+    filters admit false positives, never false negatives) — the
+    pre-filter only cuts the rows entering the exact join's exchange.
+    Hashes are ``md5(seed || i || key)`` first-32-bits mod num_bits:
+    no RNG, replayable anywhere.
 
-    Scale note: at a real deployment the exact-verify join is the
-    shuffle that matters; the Bloom stage cuts its probe-side volume
-    by the filter's false-positive rate ~(1-e^{-kn/m})^k while the
-    bits stay broadcast-sized. num_bits governs memory, num_hashes
-    the FP/compute trade.
+    Scale note: FP rate ~(1-e^{-kn/m})^k; num_bits governs broadcast
+    size, num_hashes the FP/compute trade. The build side pays two
+    tiny shuffles (key dedup + bit dedup) bounded by the build
+    relation, which is small by contract — that's what makes it the
+    BUILD side.
     """
 
     def positions(col: Column, i: int) -> Column:
@@ -307,32 +311,11 @@ def bloom_semi_join(
         )
         .dropDuplicates(["_bit"])
     )
-    # Distinct bits per key: two hash functions may collide on the
-    # same position for one key, so "all bits set" means matching the
-    # key's DISTINCT bit set, not num_hashes rows (else collisions
-    # would manufacture false negatives — Bloom filters must have none).
-    probed = probe.withColumn(
-        "_bitset",
-        F.array_distinct(
-            F.array(*[positions(F.col(probe_key), i) for i in range(num_hashes)])
-        ),
-    )
-    candidates = (
-        probed.select(
-            F.col(probe_key).alias("_pk"),
-            F.size("_bitset").alias("_need"),
-            F.explode("_bitset").alias("_bit"),
+    cand = probe
+    for i in range(num_hashes):
+        cand = cand.join(
+            F.broadcast(bits.withColumnRenamed("_bit", f"_b{i}")),
+            positions(F.col(probe_key), i) == F.col(f"_b{i}"),
+            "left_semi",
         )
-        .dropDuplicates(["_pk", "_bit"])
-        .join(F.broadcast(bits), "_bit")
-        .groupBy("_pk", "_need")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-        .filter(F.col("_hits") == F.col("_need"))
-        .select("_pk")
-    )
-    prefiltered = probed.drop("_bitset").join(
-        F.broadcast(candidates), F.col(probe_key) == F.col("_pk"), "left_semi"
-    )
-    return prefiltered.join(
-        build_keys, F.col(probe_key) == F.col("_bk"), "left_semi"
-    )
+    return cand.join(build_keys, F.col(probe_key) == F.col("_bk"), "left_semi")
