@@ -268,3 +268,80 @@ def weighted_sample(
         .withColumn("sample_key", F.round(F.col("_key"), round_to))
         .drop("_key")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_pair_count: int = 3,
+    top_n: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top collocations (adjacent token bigrams) ranked by pointwise
+    mutual information: ``pmi = log2(p(w1,w2) / (p(w1) p(w2)))`` with
+    bigram probability over all adjacent pairs and unigram
+    probabilities over all tokens — the classic collocation detector
+    (Church & Hanks 1990), the corpus-curation step that finds
+    multiword units worth protecting from tokenizers.
+
+    Plan: bigrams come from an array-level ``zip_with`` of the token
+    array against its own tail — no per-token window, no self-join;
+    one shuffle counts bigrams, one counts unigrams (both map-side
+    combined, vocabulary-sized outputs), the totals broadcast back,
+    and the final cut is TakeOrderedAndProject (top_n heap per
+    partition, driver merges). ``min_pair_count`` suppresses the
+    unstable PMI of rare pairs (the standard governor — PMI is
+    maximal for hapax pairs by construction).
+
+    Determinism: ties broken by (w1, w2) ascending; pmi rounded.
+    """
+    toks = TX.tokens(TX.normalized_text(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    bigrams = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_toks", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("_toks", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg")
+    ).select("_bg.w1", "_bg.w2")
+    pair_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    unigrams = base.select(F.explode("_toks").alias("_w")).groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_uc")
+    )
+    totals = bigrams.agg(F.count(F.lit(1)).alias("_tb")).crossJoin(
+        unigrams.agg(F.sum("_uc").alias("_tu"))
+    )
+    scored = (
+        pair_counts.join(
+            F.broadcast(unigrams.select(F.col("_w").alias("w1"), F.col("_uc").alias("_c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(unigrams.select(F.col("_w").alias("w2"), F.col("_uc").alias("_c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                (F.log(F.col("pair_count") / F.col("_tb"))
+                 - F.log(F.col("_c1") / F.col("_tu"))
+                 - F.log(F.col("_c2") / F.col("_tu"))) / F.log(F.lit(2.0)),
+                round_to,
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "pair_count", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_n)
+    )

@@ -483,3 +483,54 @@ def mutual_information(
         F.round(F.when(denom > 0, F.col("_mi") / denom), round_to).alias("nmi"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion pooled z test for every pair of groups:
+    ``z = (p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b))`` with ``p`` the
+    pooled success rate — the conversion-rate A/B test (the binary
+    counterpart of ``welch_ttest_pairs``). ``success_col`` is 0/1
+    per subject.
+
+    Same 100 TB shape as the t-test battery: one map-side-combined
+    shuffle to per-group (n, successes); the pairing is a broadcast
+    self cross-join of the tiny group relation. Degenerate pairs
+    (pooled p of 0 or 1 → zero variance) surface null z rather than
+    dividing by zero.
+    """
+    g = df.groupBy(group_col).agg(
+        F.count(success_col).alias("_n"),
+        F.sum(F.col(success_col).cast("long")).alias("_s"),
+    )
+    a = g.select(
+        F.col(group_col).alias("group_a"),
+        F.col("_n").alias("_na"),
+        F.col("_s").alias("_sa"),
+    )
+    b = g.select(
+        F.col(group_col).alias("group_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_s").alias("_sb"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("group_a") < F.col("group_b"))
+    p_a = F.col("_sa") / F.col("_na")
+    p_b = F.col("_sb") / F.col("_nb")
+    pooled = (F.col("_sa") + F.col("_sb")) / (F.col("_na") + F.col("_nb"))
+    var = pooled * (1 - pooled) * (1 / F.col("_na") + 1 / F.col("_nb"))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(p_a, round_to).alias("rate_a"),
+        F.round(p_b, round_to).alias("rate_b"),
+        F.round(
+            F.when(var > 0, (p_a - p_b) / F.sqrt(var)), round_to
+        ).alias("z_stat"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import association as AS3
+from ..operators import corpus as CP
 from ..operators import recommend as RC
 from ..operators import stats as ST
 from ..operators import survival as SV
@@ -22,6 +23,7 @@ from ..operators.relational import bloom_semi_join
 from ..sources import load_table
 from .queries import query
 from .queries_analytics import _COSINE_CTES
+from .queries_ext import _NTOKS
 
 
 # --------------------------------------------------------------------------
@@ -304,3 +306,99 @@ def bloom_filtered_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
         .alias("urgent_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# PMI bigram collocations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_bigram_collocations",
+    oracle=f"""
+    WITH t AS (SELECT {_NTOKS} AS toks FROM documents),
+    s AS (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS g FROM t),
+    bg AS (SELECT toks[g] AS w1, toks[g + 1] AS w2 FROM s),
+    pc AS (
+      SELECT w1, w2, count(*) AS pair_count FROM bg
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    ug AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, count(*) AS c FROM ug GROUP BY 1),
+    tb AS (SELECT count(*) AS tb FROM bg),
+    tu AS (SELECT CAST(sum(c) AS BIGINT) AS tu FROM uc),
+    scored AS (
+      SELECT pc.w1, pc.w2, pc.pair_count,
+             round((ln(pc.pair_count * 1.0 / tb.tb)
+                    - ln(c1.c * 1.0 / tu.tu)
+                    - ln(c2.c * 1.0 / tu.tu)) / ln(2.0), 6) AS pmi
+      FROM pc
+      JOIN uc c1 ON c1.w = pc.w1
+      JOIN uc c2 ON c2.w = pc.w2
+      CROSS JOIN tb CROSS JOIN tu
+    )
+    SELECT w1, w2, pair_count, pmi FROM scored
+    ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
+    """,
+)
+def doc_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by pointwise mutual
+    information (Church & Hanks 1990) over the documents corpus —
+    the multiword-unit detector of tokenizer curation (corpus.py
+    ``pmi_collocations``): bigrams via array-level zip_with (no
+    window), two vocabulary-sized counting shuffles, and a
+    TakeOrderedAndProject cut."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.pmi_collocations(d, "doc_id", "text", min_pair_count=3, top_n=50)
+
+
+# --------------------------------------------------------------------------
+# Two-proportion conversion z-test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "segment_conversion_ztest",
+    oracle="""
+    WITH conv AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events e GROUP BY 1
+    ),
+    j AS (
+      SELECT c.c_mktsegment AS seg, conv.converted
+      FROM conv JOIN customer c ON c.c_custkey = conv.user_id
+    ),
+    g AS (SELECT seg, count(converted) AS n,
+                 CAST(sum(converted) AS BIGINT) AS s
+          FROM j GROUP BY 1)
+    SELECT a.seg AS group_a, b.seg AS group_b, a.n AS n_a, b.n AS n_b,
+           round(a.s * 1.0 / a.n, 6) AS rate_a,
+           round(b.s * 1.0 / b.n, 6) AS rate_b,
+           round(CASE WHEN (a.s + b.s) * 1.0 / (a.n + b.n)
+                           * (1 - (a.s + b.s) * 1.0 / (a.n + b.n))
+                           * (1.0 / a.n + 1.0 / b.n) > 0
+                      THEN (a.s * 1.0 / a.n - b.s * 1.0 / b.n)
+                           / sqrt((a.s + b.s) * 1.0 / (a.n + b.n)
+                                  * (1 - (a.s + b.s) * 1.0 / (a.n + b.n))
+                                  * (1.0 / a.n + 1.0 / b.n)) END, 6) AS z_stat
+    FROM g a JOIN g b ON a.seg < b.seg
+    """,
+)
+def segment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z test of purchase-conversion rate for
+    every pair of customer segments — the conversion-funnel A/B
+    battery (stats.py ``two_proportion_ztest``): per-user conversion
+    flags in one keyed agg, segment join, then the tiny-group
+    moments/pairing shape shared with the Welch battery."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    conv = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    )
+    j = conv.join(
+        c.select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("seg")),
+        "user_id",
+    )
+    return ST.two_proportion_ztest(j, "seg", "converted")

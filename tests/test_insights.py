@@ -243,3 +243,61 @@ def test_item_cf_topn_truncates_by_score_then_id(spark):
     ).collect()
     ranked = sorted(((r["rank"], r["item"]) for r in out))
     assert ranked == [(1, "c"), (2, "a")]  # 0.9 first, 0.5-tie broken by id
+
+
+# --------------------------------------------------------------------------
+# PMI collocations
+# --------------------------------------------------------------------------
+
+
+def test_pmi_collocations_hand_value(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york"), (2, "san francisco"), (3, "new york city")],
+        ["doc_id", "text"],
+    )
+    out = CP.pmi_collocations(docs, "doc_id", "text", min_pair_count=1, top_n=10)
+    rows = {(r["w1"], r["w2"]): r for r in out.collect()}
+    # bigrams: (new,york)x3 (york,new)x1 (san,francisco)x1 (york,city)x1 -> T=6
+    # unigrams: new 3, york 3, city 1, san 1, francisco 1 -> U=9
+    r = rows[("new", "york")]
+    assert r["pair_count"] == 3
+    assert r["pmi"] == pytest.approx(math.log2((3 / 6) / ((3 / 9) * (3 / 9))), abs=1e-6)
+    # hapax pair of hapax words has the max PMI: (san, francisco)
+    top = min(rows.values(), key=lambda x: (-x["pmi"], x["w1"], x["w2"]))
+    assert (top["w1"], top["w2"]) == ("san", "francisco")
+
+
+def test_pmi_collocations_governor_filters_rare_pairs(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import corpus as CP
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d")], ["doc_id", "text"]
+    )
+    out = CP.pmi_collocations(docs, "doc_id", "text", min_pair_count=2, top_n=10)
+    pairs = {(r["w1"], r["w2"]) for r in out.collect()}
+    assert ("a", "b") in pairs and ("c", "d") not in pairs
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test
+# --------------------------------------------------------------------------
+
+
+def test_two_proportion_ztest_hand_value(spark):
+    rows = [("a", 1)] * 30 + [("a", 0)] * 20 + [("b", 1)] * 20 + [("b", 0)] * 30
+    r = ST.two_proportion_ztest(
+        spark.createDataFrame(rows, ["g", "s"]), "g", "s"
+    ).first()
+    # pooled p = 0.5, var = 0.25 * (2/50) = 0.01, z = 0.2/0.1 = 2.0
+    assert r["rate_a"] == pytest.approx(0.6) and r["rate_b"] == pytest.approx(0.4)
+    assert r["z_stat"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_two_proportion_ztest_degenerate_null(spark):
+    rows = [("a", 1)] * 5 + [("b", 1)] * 5
+    r = ST.two_proportion_ztest(
+        spark.createDataFrame(rows, ["g", "s"]), "g", "s"
+    ).first()
+    assert r["z_stat"] is None and r["rate_a"] == 1.0

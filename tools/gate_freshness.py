@@ -108,7 +108,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sequence_mining": ("event_transition_matrix", "frequent_event_paths"),
     "scd2": ("customer_order_status_scd2",),
     "hypothesis_tests": ("segment_priority_chisq", "event_value_winsorized",
-                         "priority_spend_ttest", "segment_priority_mutual_info"),
+                         "priority_spend_ttest", "segment_priority_mutual_info",
+                         "segment_conversion_ztest"),
     "rank_fusion": ("hybrid_doc_retrieval_rrf",),
     "pca": ("embedding_covariance",),
     "graph_centrality": ("part_copurchase_pagerank",),
@@ -122,6 +123,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     # -- registered r5 (insights batch 3) --
     "survival": ("customer_repurchase_survival",),
     "bloom_join": ("bloom_filtered_order_revenue",),
+    "collocations": ("doc_bigram_collocations",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -174,6 +176,7 @@ NEW_IN_ROUND: dict[str, int] = {
     "seasonality": 5,
     "survival": 5,
     "bloom_join": 5,
+    "collocations": 5,
 }
 
 
