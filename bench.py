@@ -72,6 +72,10 @@ EXTENDED = [
     # self-join — so regressions in them are driver-recorded
     "part_copurchase_pagerank",
     "part_cosine_neighbors",
+    # r5 insights batch (same debut window): the item-CF recommender
+    # rides the same cosine subtree plus its own join/agg tail — the
+    # heaviest insights plan, worth a driver-recorded number
+    "customer_item_cf_recommendations",
 ]
 
 

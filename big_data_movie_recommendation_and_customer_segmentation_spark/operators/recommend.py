@@ -205,3 +205,68 @@ def item_cf_recommendations(
         rank_col="rank",
         keep_rank=True,
     )
+
+
+def user_cf_recommendations(
+    history: DataFrame,
+    user_pairs: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    sim_col: str = "jaccard",
+    k_neighbors: int = 10,
+    n: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """User-based collaborative filtering: recommend the items a
+    user's top-k most similar users have that the user lacks, scored
+    by the SUM of neighbor similarities — the user-kNN recommender
+    (Resnick et al. 1994 GroupLens shape), and the natural consumer
+    of the reference's customer-pair similarity pipeline (reference:
+    S1 top_100_pairs.py ranks the pairs and stops; this operator is
+    the "so what" that turns pairs into recommendations).
+
+    Inputs: ``history`` = distinct (user, item); ``user_pairs`` =
+    undirected (user_a < user_b, sim) from
+    ``similarity.exact_jaccard_pairs`` (round ``sim_col`` first if
+    oracle parity matters).
+
+    Plan: direct the pair relation both ways (unionByName), keep
+    k_neighbors per user via WindowGroupLimit (this is the fan-out
+    governor), join neighbors' histories on the neighbor key
+    (user-keyed shuffle), anti-join seen, one keyed aggregation, then
+    top-n per user. Fan-out bounded at |users| × k_neighbors ×
+    avg-basket — linear in history for fixed k.
+    """
+    from .relational import anti_join as _anti, per_group_topk as _topk
+
+    directed = user_pairs.select(
+        F.col("user_a").alias(user_col),
+        F.col("user_b").alias("_nb"),
+        F.col(sim_col).alias("_sim"),
+    ).unionByName(
+        user_pairs.select(
+            F.col("user_b").alias(user_col),
+            F.col("user_a").alias("_nb"),
+            F.col(sim_col).alias("_sim"),
+        )
+    )
+    top = _topk(
+        directed, user_col, [F.col("_sim").desc(), F.col("_nb").asc()], k_neighbors
+    )
+    cand = top.join(
+        history.select(F.col(user_col).alias("_nb"), F.col(item_col)), "_nb"
+    ).select(user_col, item_col, "_sim")
+    unseen = _anti(cand, history, [user_col, item_col])
+    scored = unseen.groupBy(user_col, item_col).agg(
+        F.round(F.sum("_sim"), round_to).alias("score"),
+        F.count(F.lit(1)).alias("n_contributors"),
+    )
+    return _topk(
+        scored,
+        user_col,
+        [F.col("score").desc(), F.col(item_col).asc()],
+        n,
+        rank_col="rank",
+        keep_rank=True,
+    )

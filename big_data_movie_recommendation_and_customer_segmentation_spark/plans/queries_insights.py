@@ -17,11 +17,12 @@ from pyspark.sql import functions as F
 from ..operators import association as AS3
 from ..operators import corpus as CP
 from ..operators import recommend as RC
+from ..operators import similarity as SIM
 from ..operators import stats as ST
 from ..operators import survival as SV
 from ..operators.relational import bloom_semi_join
 from ..sources import load_table
-from .queries import query
+from .queries import MAX_ITEM_FREQ, _CO_PURCHASE_SQL, _co_purchases, query
 from .queries_analytics import _COSINE_CTES
 from .queries_ext import _NTOKS
 
@@ -402,3 +403,76 @@ def segment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     return ST.two_proportion_ztest(j, "seg", "converted")
+
+
+# --------------------------------------------------------------------------
+# User-based collaborative filtering (user-kNN recommender)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_user_cf_recommendations",
+    oracle=_CO_PURCHASE_SQL
+    + """
+, rj AS (
+      SELECT user_a, user_b, round(jaccard, 6) AS sim
+      FROM jac WHERE jaccard >= 0.05
+    ),
+    directed AS (
+      SELECT user_a AS u, user_b AS nb, sim FROM rj
+      UNION ALL
+      SELECT user_b AS u, user_a AS nb, sim FROM rj
+    ),
+    tk AS (
+      SELECT u, nb, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY u
+                                     ORDER BY sim DESC, nb ASC) AS rnk
+        FROM directed
+      ) WHERE rnk <= 10
+    ),
+    cand AS (
+      SELECT tk.u, h.i, tk.sim FROM tk JOIN ui_all h ON h.u = tk.nb
+    ),
+    unseen AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM ui_all s
+                        WHERE s.u = c.u AND s.i = c.i)
+    ),
+    sc AS (
+      SELECT u AS custkey, i AS item, round(sum(sim), 6) AS score,
+             count(*) AS n_contributors
+      FROM unseen GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY custkey
+                                   ORDER BY score DESC, item ASC) AS rank
+      FROM sc
+    )
+    SELECT custkey, item, score, n_contributors, rank
+    FROM rk WHERE rank <= 5
+    """,
+)
+def customer_user_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 user-based CF recommendations per customer: items
+    held by the customer's 10 most Jaccard-similar customers
+    (governed co-purchase sets, same relation as
+    ``jaccard_pairs_exact``), scored by summed similarity,
+    seen items excluded (recommend.py
+    ``user_cf_recommendations``) — the recommender the
+    reference's S1 pair ranking stops short of. Candidate
+    baskets come from the UNGOVERNED full history so hot items
+    can still be recommended; only the similarity metric uses
+    the governed sets."""
+    cp = _co_purchases(spark, sf_dir)
+    pairs = SIM.exact_jaccard_pairs(
+        cp, "o_custkey", "l_partkey", threshold=0.05,
+        max_item_freq=MAX_ITEM_FREQ, materialize_pairs=True,
+    ).withColumn("jaccard", F.round("jaccard", 6))
+    hist = cp.select(
+        F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("item")
+    ).distinct()
+    return RC.user_cf_recommendations(
+        hist, pairs, user_col="custkey", item_col="item",
+        sim_col="jaccard", k_neighbors=10, n=5,
+    )
+

@@ -301,3 +301,50 @@ def test_two_proportion_ztest_degenerate_null(spark):
         spark.createDataFrame(rows, ["g", "s"]), "g", "s"
     ).first()
     assert r["z_stat"] is None and r["rate_a"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# User-based CF
+# --------------------------------------------------------------------------
+
+
+def test_user_cf_scores_and_excludes_seen(spark):
+    hist = spark.createDataFrame(
+        [("u1", "a"), ("u1", "b"), ("u2", "b"), ("u2", "c"), ("u3", "c")],
+        ["user", "item"],
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2", 0.5), ("u2", "u3", 0.4)],
+        ["user_a", "user_b", "jaccard"],
+    )
+    out = RC.user_cf_recommendations(
+        hist, pairs, user_col="user", item_col="item", k_neighbors=10, n=5
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user"], {})[r["item"]] = r
+    # u1's neighbor is u2 (0.5): u2 has {b, c}; b seen -> only c
+    assert set(by_user["u1"]) == {"c"}
+    assert by_user["u1"]["c"]["score"] == pytest.approx(0.5)
+    # u2 neighbors u1 (0.5) and u3 (0.4): candidates a (from u1), c seen
+    assert set(by_user["u2"]) == {"a"}
+    # u3's neighbor is u2: candidate b (c seen)
+    assert set(by_user["u3"]) == {"b"}
+    assert by_user["u3"]["b"]["score"] == pytest.approx(0.4)
+
+
+def test_user_cf_neighbor_cap_limits_contributors(spark):
+    # u0 is similar to u1..u3; with k_neighbors=1 only the strongest
+    # neighbor (u1, 0.9) contributes candidates.
+    hist = spark.createDataFrame(
+        [("u0", "x"), ("u1", "a"), ("u2", "b"), ("u3", "c")], ["user", "item"]
+    )
+    pairs = spark.createDataFrame(
+        [("u0", "u1", 0.9), ("u0", "u2", 0.8), ("u0", "u3", 0.7)],
+        ["user_a", "user_b", "jaccard"],
+    )
+    out = RC.user_cf_recommendations(
+        hist, pairs, user_col="user", item_col="item", k_neighbors=1, n=5
+    ).collect()
+    u0 = [r for r in out if r["user"] == "u0"]
+    assert {r["item"] for r in u0} == {"a"}

@@ -124,6 +124,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "survival": ("customer_repurchase_survival",),
     "bloom_join": ("bloom_filtered_order_revenue",),
     "collocations": ("doc_bigram_collocations",),
+    "user_cf": ("customer_user_cf_recommendations",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -177,6 +178,7 @@ NEW_IN_ROUND: dict[str, int] = {
     "survival": 5,
     "bloom_join": 5,
     "collocations": 5,
+    "user_cf": 5,
 }
 
 
