@@ -41,6 +41,9 @@ NOTES = {
     "part_copurchase_pagerank": "PageRank: checkpointed edge relation (Scan ExistingRDD boundary in production), 2 keyed exchanges per iteration.",
     "purchase_value_auc": "Exact AUC: distinct-score collapse, bucketed prefix count (broadcast offsets), one scalar agg — no SinglePartition window.",
     "hybrid_doc_retrieval_rrf": "RRF fusion: two bounded top-50 producers union into one keyed agg; rank window sees <=100 rows.",
+    "bloom_filtered_order_revenue": "Bloom semi-join: one broadcast-hash LEFT SEMI join per hash function fused into the scan stage, then the exact verify — zero probe-side exchanges before the agg.",
+    "customer_item_cf_recommendations": "Item-kNN CF: governed cosine-neighbor subtree (checkpoint boundary), item-keyed history join, anti-join seen, WindowGroupLimit top-n.",
+    "customer_repurchase_survival": "Kaplan-Meier: first/second-order window, one life-table agg, per-segment prefix windows on the tiny table.",
 }
 
 
