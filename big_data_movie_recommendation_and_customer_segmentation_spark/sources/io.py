@@ -17,7 +17,7 @@ from __future__ import annotations
 import functools as _functools
 import os as _os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -415,3 +415,73 @@ def read_csv_with_quarantine(
         F.col(corrupt_col).alias("raw_line")
     )
     return good, bad
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: tuple[str, str],
+    mode: str = "overwrite",
+    num_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Parquet sink clustered on a Z-order (Morton) curve over TWO
+    numeric columns: each column is affinely mapped onto ``bits``-bit
+    integers, their bits are interleaved into one z-value, and rows
+    are range-partitioned + sorted on it — so every file's min/max
+    envelope is narrow on BOTH dimensions at once, which 1-D range
+    clustering (``write_range_clustered``) cannot do for the second
+    key.
+
+    This is the lakehouse multi-dimensional data-skipping layout
+    (Delta/Iceberg ``OPTIMIZE ZORDER BY``): predicates on either (or
+    both) cluster columns prune files/row groups via parquet min-max
+    stats, at the cost of each dimension's per-file extent shrinking
+    as ~n_files^-1/2 instead of the 1-D layout's n_files^-1. Write
+    cost is identical to the range-clustered sink — one agg for the
+    bounds, one range exchange on the z-value, in-partition sort; the
+    interleave is 2·bits codegen'd shift/or terms, no UDF.
+
+    The affine min-max mapping is skew-sensitive (a heavy hitter
+    compresses the rest of the axis); for skewed columns map through
+    a percentile ladder first (segmentation.quantile_bucket) and
+    z-order the bucket ids. Nulls map to cell 0.
+
+    Verified by tests/test_io_sinks.py from the parquet footers: the
+    mean normalized (dim1-extent × dim2-extent) file area must be a
+    fraction of both the unclustered layout's and the 1-D layout's
+    second-dimension coverage.
+    """
+    c1, c2 = cluster_by
+    bounds = df.agg(
+        F.min(F.col(c1).cast("double")).alias("_lo1"),
+        F.max(F.col(c1).cast("double")).alias("_hi1"),
+        F.min(F.col(c2).cast("double")).alias("_lo2"),
+        F.max(F.col(c2).cast("double")).alias("_hi2"),
+    )
+    cells = (1 << bits) - 1
+
+    def norm(col: str, lo: str, hi: str) -> Column:
+        span = F.col(hi) - F.col(lo)
+        scaled = F.when(
+            span > 0,
+            F.floor((F.col(col).cast("double") - F.col(lo)) / span * cells),
+        ).otherwise(F.lit(0))
+        return F.coalesce(F.least(scaled, F.lit(cells)), F.lit(0)).cast("long")
+
+    with_cells = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_zx", norm(c1, "_lo1", "_hi1")
+    ).withColumn("_zy", norm(c2, "_lo2", "_hi2"))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(F.col("_zx"), i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(F.col("_zy"), i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    zed = with_cells.withColumn("_z", z).drop("_lo1", "_hi1", "_lo2", "_hi2", "_zx", "_zy")
+    out = (
+        zed.repartitionByRange(num_files, F.col("_z"))
+        if num_files
+        else zed.repartitionByRange(F.col("_z"))
+    )
+    out.sortWithinPartitions("_z").drop("_z").write.mode(mode).parquet(path)

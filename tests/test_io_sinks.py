@@ -188,6 +188,8 @@ def test_range_clustered_write_produces_disjoint_key_ranges(spark, sf_dir, tmp_p
     cluster-key min/max ranges are pairwise disjoint — the property
     row-group/file skipping depends on. Checked from the real
     footers via pyarrow, not from the plan."""
+    import os
+
     import pyarrow.parquet as pq
 
     from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import (
@@ -260,3 +262,63 @@ def test_read_csv_with_quarantine_splits(spark, tmp_path):
     assert any("notanumber" in b for b in bad_lines)
     assert any("garbage-row-no-comma" in b for b in bad_lines)
     assert len(bad_lines) == 2
+
+
+def test_zorder_clustered_write_shrinks_both_dims(spark, tmp_path):
+    """Footer-verified Z-order quality: with files' min/max stats
+    from the parquet footers, the mean normalized (dim1 x dim2)
+    bounding area per file must be far below 1 (unclustered), and
+    the SECOND dimension's mean extent must beat the 1-D
+    range-clustered layout, which cannot shrink it."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 141).cast("long").alias("x"),
+        ((F.col("id") * 7919) % 149).cast("long").alias("y"),
+    )
+    zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "range1d")
+    write_zorder_clustered(df, zpath, ("x", "y"), num_files=16, bits=8)
+    write_range_clustered(df, rpath, ("x",), num_files=16)
+
+    def extents(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                        maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+            out.append(
+                ((maxs["x"] - mins["x"]) / 140.0, (maxs["y"] - mins["y"]) / 148.0)
+            )
+        return out
+
+    zext = extents(zpath)
+    rext = extents(rpath)
+    assert len(zext) >= 8
+    z_area = sum(ex * ey for ex, ey in zext) / len(zext)
+    z_ymean = sum(ey for _, ey in zext) / len(zext)
+    r_ymean = sum(ey for _, ey in rext) / len(rext)
+    # both dims shrink: mean file area a small fraction of the domain
+    assert z_area < 0.25, z_area
+    # the 1-D layout leaves y uncontrolled (~full extent per file)
+    assert r_ymean > 0.9, r_ymean
+    assert z_ymean < 0.6, z_ymean
+    # and nothing was lost
+    assert spark.read.parquet(zpath).count() == n
