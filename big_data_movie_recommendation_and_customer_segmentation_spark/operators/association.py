@@ -1,10 +1,11 @@
 """Market-basket association rules (support / confidence / lift).
 
-The classic co-occurrence recommender the reference's item-item
-pipeline approximates with driver-side pair dictionaries
-(reference: S2_item_similarity.py:1-120 builds per-item rating dicts
-in driver memory); here the whole rule mining is four keyed
-aggregations and one bounded self-join — no driver state.
+The classic co-occurrence recommender. The reference's similarity
+pipeline is user-pair only and driver-resident (reference:
+codes/Customer Segmentation/part1/top_100_pairs.py:58-80 builds
+per-user MinHash objects in a Python dict); here the item/basket
+side it never distributes is four keyed aggregations and one
+bounded self-join — no driver state.
 
 100 TB shape
 ------------

@@ -17,8 +17,9 @@ edge builder's governors (e.g. basket-size caps in association.py).
 
 The transitive-closure loop in dedup.py covers the connected-
 components half of the graph family; this adds the centrality half.
-The reference has no graph operator at all (its item similarity is
-pairwise only, reference: S2_item_similarity.py).
+The reference has no graph operator at all — its similarity work
+stops at ranked user pairs (reference: codes/Customer
+Segmentation/part1/top_100_pairs.py:95-111 heapq top-100).
 """
 
 from __future__ import annotations

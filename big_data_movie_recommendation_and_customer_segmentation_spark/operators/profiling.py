@@ -9,8 +9,10 @@ combined), and the per-column/per-constraint rows are unpivoted from
 that single result row with ``stack`` — a driver-free, scan-once
 plan. No per-column jobs, no driver loops over ``collect()``.
 
-The reference validates nothing (its loaders assume clean CSVs —
-reference: S1_load.py); profiling is table stakes for an engine
+The reference validates nothing (its loaders inferSchema clean CSVs
+and go — reference: codes/Customer Segmentation/part1/
+top_100_pairs.py:26, codes/Movie Recommendation/part3/
+partition.py:11); profiling is table stakes for an engine
 meant to ingest web-scale corpora.
 """
 

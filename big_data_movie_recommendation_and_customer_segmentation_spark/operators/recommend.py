@@ -127,8 +127,9 @@ def negative_samples(
     per user chosen by md5 hash order — uniform over each user's
     candidates, RNG-free, replayable.
 
-    The reference samples negatives driver-side with ``random``
-    (reference: S2_item_similarity.py training prep); here the hash
+    The reference never builds negatives — its training prep stops
+    at the positives split (reference: codes/Movie Recommendation/
+    part3/partition.py); here the hash
     IS the randomness and selection compiles to WindowGroupLimit
     (each task keeps ≤ k rows per user before the single per-user
     exchange — the balanced-sampler shape).
@@ -167,10 +168,11 @@ def item_cf_recommendations(
     """Item-based collaborative filtering: score each unseen item for
     a user as the SUM of item-item similarities between that item and
     the items the user already interacted with — the classic
-    Sarwar et al. 2001 item-kNN recommender, and the distributed form
-    of what the reference assembles in driver dicts (reference:
-    S2_item_similarity.py builds per-item neighbor lists, then loops
-    users in Python; here both sides stay DataFrames end to end).
+    Sarwar et al. 2001 item-kNN recommender. The reference's only
+    neighbor structure is user-pair and driver-resident (reference:
+    codes/Customer Segmentation/part1/top_100_pairs.py:58-88 MinHash
+    dict + LSH index in driver memory); here the item-side analogue
+    stays a DataFrame end to end on both relations.
 
     Inputs: ``history`` = distinct (user, item) interactions;
     ``neighbors`` = (item, neighbor, cosine) from

@@ -12,8 +12,9 @@ outer join — input lists are already top-k truncated by their
 producers, so the shuffle moves Σ|list_i| rows (thousands) no matter
 how large the corpus behind them is.
 
-The reference has no retrieval fusion (single-signal item ranks,
-reference: S2_item_similarity.py); this is the plumbing a
+The reference has no retrieval fusion — each of its rankings is
+single-signal (popularity S4a, similarity S1, per SURVEY.md §1);
+this is the plumbing a
 RAG-corpus builder runs between recall and rerank stages.
 """
 

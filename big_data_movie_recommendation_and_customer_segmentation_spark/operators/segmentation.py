@@ -1,9 +1,11 @@
 """Customer segmentation primitives: RFM scoring and Pareto
 (cumulative-revenue-share) analysis.
 
-The reference's segmentation notebook does K-means over hand-scaled
-driver-side arrays (reference: S4_customer_segmentation.py:1-90);
-K-means parity lives in vectorops.py. This module adds the two
+The reference's Customer Segmentation track stops at similar-pair
+mining (reference: codes/Customer Segmentation/part1/
+top_100_pairs.py, part2/correlation_optimised.py — no scoring or
+binning of customers); K-means segmentation lives in vectorops.py.
+This module adds the two
 standard *rule-based* segmentations a production CRM pipeline runs
 alongside clustering — RFM quintiles and the 80/20 revenue Pareto —
 both expressed so no global single-partition window appears.

@@ -8,7 +8,8 @@ map-side partial counts — the output is catalog-sized regardless of
 input rows, so the second shuffle moves almost nothing.
 
 The reference's recommendation pipeline never models order at all
-(reference: S2_item_similarity.py treats baskets as sets); transition
+(reference: codes/Customer Segmentation/part1/top_100_pairs.py:47
+collapses each user's history to an unordered collect_set); transition
 structure is the sequence-aware upgrade a session-based recommender
 needs, expressed here without any driver-side iteration.
 """

@@ -5,7 +5,8 @@ same keyed relation, and apply a change set onto a base snapshot
 on any store, not just ACID table formats).
 
 The reference pipeline re-derives everything from full reloads
-(reference: S1_load.py reads the whole ratings file each run); diff +
+(reference: every script re-reads the whole ratings CSV — e.g.
+codes/Customer Segmentation/part1/top_100_pairs.py:26); diff +
 merge is what replaces that full reload at 100 TB.
 
 100 TB shape

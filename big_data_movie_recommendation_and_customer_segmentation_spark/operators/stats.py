@@ -6,9 +6,10 @@ that survives 100 TB: one map-side-combined shuffle per pass, group
 results joined back by broadcast (group cardinality is the small
 dimension in both operators).
 
-The reference computes nothing like this distributed — its per-group
-stats are driver-side numpy (reference: S3_eval.py:40-80 RMSE loops);
-here every moment is a JVM-side column aggregate.
+The reference computes nothing like this distributed — its pair
+statistics are driver-side numpy loops (reference: codes/Customer
+Segmentation/part2/correlation_optimised.py:44-55 np.corrcoef per
+pair); here every moment is a JVM-side column aggregate.
 """
 
 from __future__ import annotations
@@ -384,8 +385,10 @@ def welch_ttest_pairs(
     """Welch's unequal-variance two-sample t statistic for EVERY pair
     of groups: ``t = (m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b)`` with
     Welch-Satterthwaite degrees of freedom — the A/B comparison that
-    does not assume pooled variance (the reference's segment
-    comparisons eyeball means only, S3_customer_segmentation.py).
+    does not assume pooled variance. The reference compares its
+    similar-pair correlations to random-pair baselines by eyeballing
+    means with no test statistic (reference: codes/Customer
+    Segmentation/part2/correlation_optimised.py:60-79).
 
     100 TB shape: ONE map-side-combined shuffle reduces the data to
     per-group (n, mean, var_samp); the pairing is a broadcast self

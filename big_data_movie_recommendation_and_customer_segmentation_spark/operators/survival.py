@@ -1,10 +1,11 @@
 """Kaplan-Meier survival estimation, distributed.
 
-Time-to-event analysis is the churn-side complement of the
-reference's RFM-style segmentation (reference:
-S3_customer_segmentation.py:1-90 scores customers on a snapshot; a
-survival curve says how long segments take to come back). The
-estimator is the classic product-limit form
+Time-to-event analysis is the churn-side complement the reference's
+Customer Segmentation track never reaches — it models a snapshot of
+co-rating behaviour (reference: codes/Customer Segmentation/part1/
+top_100_pairs.py, part2/correlation_optimised.py) and says nothing
+about how long customers take to come back; a survival curve does.
+The estimator is the classic product-limit form
 
     S(t) = prod_{t_i <= t} (1 - d_i / n_i)
 

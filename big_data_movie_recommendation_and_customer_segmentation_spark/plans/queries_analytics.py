@@ -58,10 +58,11 @@ from .queries_pipeline import _BM25_TERMS
 )
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of event types per user
-    stream — the sequence model the reference's set-based item
-    similarity ignores (reference: S2_item_similarity.py:1-120
-    treats baskets as unordered). One user-hash window shuffle; the
-    transition aggregate is |types|²-sized with map-side partials
+    stream — the sequence model the reference's set-based similarity
+    ignores (reference: codes/Customer Segmentation/part1/
+    top_100_pairs.py:47 collapses histories to collect_set). One
+    user-hash window shuffle; the transition aggregate is
+    |types|²-sized with map-side partials
     (sequence.py ``transition_matrix``)."""
     e = load_table(spark, sf_dir, "events")
     return SEQ.transition_matrix(
@@ -687,8 +688,9 @@ _COSINE_CTES = """
 )
 def part_cosine_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 item-item cosine neighbors over basket co-occurrence —
-    the normalized item-item recommender the reference's S2 pipeline
-    builds in driver dicts (reference: S2_item_similarity.py:1-120),
+    the normalized item-item recommender — the item-side analogue of
+    the reference's driver-dict user-pair similarity (reference:
+    codes/Customer Segmentation/part1/top_100_pairs.py:58-88) —
     here the governed pair self-join + broadcast count join +
     WindowGroupLimit top-k (association.py ``item_cosine_neighbors``,
     sharing its incidence front end with rules mining and

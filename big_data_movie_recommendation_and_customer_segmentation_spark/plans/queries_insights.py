@@ -67,9 +67,10 @@ from .queries_ext import _NTOKS
 def customer_item_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 item-based CF recommendations per customer: unseen parts
     scored by summed cosine similarity to the parts the customer has
-    already ordered (Sarwar et al. 2001 item-kNN) — the distributed
-    form of the reference's driver-dict neighbor scoring (reference:
-    S2_item_similarity.py loops users in Python;
+    already ordered (Sarwar et al. 2001 item-kNN) — the item-side
+    recommender the reference's driver-dict pair similarity stops
+    short of (reference: codes/Customer Segmentation/part1/
+    top_100_pairs.py:58-111 ranks user pairs and stops;
     recommend.py ``item_cf_recommendations`` keeps both relations
     distributed: history ⋈ top-k neighbors on item, anti-join seen,
     one keyed agg, WindowGroupLimit)."""

@@ -62,9 +62,10 @@ from .queries_ext import _NTOKS
 )
 def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise association rules over order baskets (support /
-    confidence / lift) — the co-occurrence recommender the
-    reference's item-item pipeline approximates with driver dicts
-    (reference: S2_item_similarity.py:1-120). Basket-size governor 8
+    confidence / lift) — the co-occurrence recommender; the
+    reference keeps all pair state in driver dicts (reference:
+    codes/Customer Segmentation/part1/top_100_pairs.py:58-80).
+    Basket-size governor 8
     bounds the pair blow-up; see association.py for the 100 TB
     shuffle budget (one incidence shuffle + one basket-key
     self-join + catalog-sized broadcast joins)."""
@@ -123,9 +124,9 @@ _RFM_ANCHOR = "1998-12-31"
     """,
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM quintile segmentation — the rule-based companion to the
-    reference's K-means segmentation (reference:
-    S4_customer_segmentation.py:1-90). Quintile cuts come from ONE
+    """RFM quintile segmentation — the rule-based customer scoring
+    the reference's segmentation track (similar-pair mining only,
+    SURVEY.md §1 S1/S2) never reaches. Quintile cuts come from ONE
     exact-percentile aggregate broadcast into a comparison ladder —
     no ``ntile() OVER (ORDER BY …)`` SinglePartition exchange (see
     segmentation.py)."""
