@@ -186,3 +186,51 @@ def decile_lift(
             ),
         )
     )
+
+
+def intra_list_diversity(
+    recs: DataFrame,
+    similarities: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Intra-list diversity (ILD): mean pairwise dissimilarity
+    ``1 - sim`` inside each user's recommendation list, averaged over
+    users — the third beyond-accuracy metric next to coverage@k and
+    novelty (Ziegler et al. 2005 topic diversification). Pairs absent
+    from the similarity relation count as fully dissimilar (sim 0),
+    so ILD is measured under the same model the recommender ranked
+    with.
+
+    Inputs: ``recs`` = (user, item) lists; ``similarities`` =
+    directed (item, neighbor, cosine) — e.g.
+    ``association.item_cosine_neighbors`` output, which carries both
+    directions of each pair.
+
+    Cost: the within-list self-join emits k(k-1)/2 rows per user
+    (k is the small list length, so this is list-bounded, never
+    catalog-bounded); one join against the similarity relation and
+    two keyed aggregations. Users with fewer than 2 recommendations
+    have no pairs and drop out of the average.
+
+    Output: one row ``(ild, n_users, n_pairs)``.
+    """
+    a = recs.select(F.col(user_col), F.col(item_col).alias("_ia"))
+    b = recs.select(F.col(user_col), F.col(item_col).alias("_ib"))
+    pairs = a.join(b, user_col).filter(F.col("_ia") < F.col("_ib"))
+    sims = similarities.select(
+        F.col("item").alias("_ia"), F.col("neighbor").alias("_ib"), "cosine"
+    )
+    j = pairs.join(sims, ["_ia", "_ib"], "left").withColumn(
+        "_d", F.lit(1.0) - F.coalesce(F.col("cosine"), F.lit(0.0))
+    )
+    per_user = j.groupBy(user_col).agg(
+        F.avg("_d").alias("_ild"), F.count(F.lit(1)).alias("_np")
+    )
+    return per_user.agg(
+        F.round(F.avg("_ild"), round_to).alias("ild"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_np").alias("n_pairs"),
+    )

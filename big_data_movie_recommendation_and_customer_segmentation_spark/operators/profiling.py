@@ -238,3 +238,60 @@ def key_skew_report(
         F.round(F.sum("n").over(w_cum) / F.col("_total"), round_to).alias("cum_share"),
         F.round(F.col("n") * F.col("_n_keys") / F.col("_total"), round_to).alias("skew_ratio"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson correlation for EVERY pair of numeric columns in ONE
+    scan: the aggregate computes per-column sums/sum-of-squares and
+    per-pair cross-products (k + k(k-1)/2 expressions), then plain
+    column math unpivots to tidy ``(col_a, col_b, n, corr)`` rows —
+    the profiling step before feature selection, at the cost of a
+    single map-side-combined scalar aggregate regardless of row
+    count (the reference computes correlations one pair at a time in
+    a driver numpy loop — codes/Customer Segmentation/part2/
+    correlation_optimised.py:44-55).
+
+    Rows with a null in EITHER column of a pair are excluded from
+    that pair's moments (pairwise deletion, matching SQL ``corr``).
+    Zero-variance columns yield null corr. Output has one row per
+    unordered pair (col_a < col_b in ``cols`` order).
+    """
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            x = F.when(both, F.col(a).cast("double"))
+            y = F.when(both, F.col(b).cast("double"))
+            tag = f"{i}_{cols.index(b)}"
+            aggs += [
+                F.count(x).alias(f"_n_{tag}"),
+                F.sum(x).alias(f"_sx_{tag}"),
+                F.sum(y).alias(f"_sy_{tag}"),
+                F.sum(x * y).alias(f"_sxy_{tag}"),
+                F.sum(x * x).alias(f"_sxx_{tag}"),
+                F.sum(y * y).alias(f"_syy_{tag}"),
+            ]
+    moments = df.agg(*aggs)
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            tag = f"{i}_{cols.index(b)}"
+            n = F.col(f"_n_{tag}").cast("double")
+            sx, sy = F.col(f"_sx_{tag}"), F.col(f"_sy_{tag}")
+            sxy, sxx, syy = F.col(f"_sxy_{tag}"), F.col(f"_sxx_{tag}"), F.col(f"_syy_{tag}")
+            den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            corr = F.when(den2 > 0, (n * sxy - sx * sy) / F.sqrt(den2))
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(f"_n_{tag}").cast("long").alias("n"),
+                    F.round(corr, round_to).alias("corr"),
+                )
+            )
+    return moments.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators import association as AS3
 from ..operators import corpus as CP
+from ..operators import profiling as PF
 from ..operators import recommend as RC
 from ..operators import similarity as SIM
 from ..operators import stats as ST
@@ -32,10 +33,10 @@ from .queries_ext import _NTOKS
 # --------------------------------------------------------------------------
 
 
-@query(
-    "customer_item_cf_recommendations",
-    oracle=f"""
-    WITH {_COSINE_CTES},
+# Shared CTE chain replaying the full item-CF pipeline on top of
+# _COSINE_CTES — used by the item-CF oracle here and by the ILD
+# diversity oracle below.
+_ITEM_CF_CTES = _COSINE_CTES + """,
     nb AS (SELECT item, neighbor, cosine FROM ranked WHERE rank <= 5),
     hist AS (
       SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS item
@@ -60,6 +61,13 @@ from .queries_ext import _NTOKS
                                    ORDER BY score DESC, item ASC) AS rank
       FROM cf_scored
     )
+"""
+
+
+@query(
+    "customer_item_cf_recommendations",
+    oracle=f"""
+    WITH {_ITEM_CF_CTES}
     SELECT custkey, item, score, n_contributors, rank
     FROM cf_ranked WHERE rank <= 5
     """,
@@ -477,3 +485,93 @@ def customer_user_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFr
         sim_col="jaccard", k_neighbors=10, n=5,
     )
 
+
+
+# --------------------------------------------------------------------------
+# Single-pass correlation matrix
+# --------------------------------------------------------------------------
+
+_LI_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "lineitem_correlation_matrix",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{a}' AS col_a, '{b}' AS col_b,
+               CAST(count(*) FILTER (WHERE {a} IS NOT NULL
+                                       AND {b} IS NOT NULL) AS BIGINT) AS n,
+               round(corr({a}, {b}), 6) AS corr
+        FROM lineitem
+        """
+        for i, a in enumerate(_LI_CORR_COLS)
+        for b in _LI_CORR_COLS[i + 1:]
+    ),
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of every pair of lineitem numeric columns
+    in ONE scan (profiling.py ``correlation_matrix``): k(k-1)/2
+    pairwise moment sets in a single map-side-combined aggregate,
+    unpivoted to tidy pairs — vs the reference's one-pair-at-a-time
+    driver numpy loop. The oracle is DuckDB's native ``corr``, an
+    INDEPENDENT formulation, not a replay."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return PF.correlation_matrix(li, list(_LI_CORR_COLS))
+
+
+# --------------------------------------------------------------------------
+# Intra-list diversity of the item-CF recommendations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "recommendation_diversity_ild",
+    oracle=f"""
+    WITH {_ITEM_CF_CTES},
+    recs AS (SELECT custkey, item FROM cf_ranked WHERE rank <= 5),
+    p AS (
+      SELECT a.custkey, a.item AS ia, b.item AS ib
+      FROM recs a JOIN recs b ON a.custkey = b.custkey AND a.item < b.item
+    ),
+    d AS (
+      SELECT p.custkey, 1.0 - coalesce(nb.cosine, 0.0) AS dis
+      FROM p LEFT JOIN nb ON nb.item = p.ia AND nb.neighbor = p.ib
+    ),
+    per_user AS (
+      SELECT custkey, avg(dis) AS ild_u, count(*) AS np
+      FROM d GROUP BY 1
+    )
+    SELECT round(avg(ild_u), 6) AS ild,
+           count(*) AS n_users,
+           CAST(sum(np) AS BIGINT) AS n_pairs
+    FROM per_user
+    """,
+)
+def recommendation_diversity_ild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-list diversity of the item-CF top-5 lists under the same
+    cosine model that ranked them (evaluate.py
+    ``intra_list_diversity``): within-list pairs (k(k-1)/2 per user,
+    list-bounded) left-join the directed neighbor relation, absent
+    pairs count as fully dissimilar — the beyond-accuracy
+    counterweight to similarity-driven recommenders alongside
+    coverage@k and novelty."""
+    from ..operators import evaluate as EV
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    neighbors = AS3.item_cosine_neighbors(
+        li, "l_orderkey", "l_partkey", k=5, min_pair_count=2, max_basket_size=8
+    ).select("item", "neighbor", "cosine")
+    hist = (
+        o.select(F.col("o_custkey").alias("custkey"), "o_orderkey")
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("item")),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("custkey", "item")
+        .distinct()
+    )
+    recs = RC.item_cf_recommendations(
+        hist, neighbors, user_col="custkey", item_col="item", n=5
+    ).select("custkey", "item")
+    return EV.intra_list_diversity(
+        recs, neighbors, user_col="custkey", item_col="item"
+    )

@@ -348,3 +348,53 @@ def test_user_cf_neighbor_cap_limits_contributors(spark):
     ).collect()
     u0 = [r for r in out if r["user"] == "u0"]
     assert {r["item"] for r in u0} == {"a"}
+
+
+# --------------------------------------------------------------------------
+# Correlation matrix + ILD
+# --------------------------------------------------------------------------
+
+
+def test_correlation_matrix_hand_values(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        profiling as PF,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 4.0), (3.0, 6.0, 3.0), (4.0, 8.0, None)],
+        ["x", "y", "z"],
+    )
+    out = {(r["col_a"], r["col_b"]): r for r in PF.correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")]["corr"] == pytest.approx(1.0)  # y = 2x
+    assert out[("x", "y")]["n"] == 4
+    # z pairs use pairwise deletion: 3 rows, z = 6 - x -> corr -1
+    assert out[("x", "z")]["n"] == 3
+    assert out[("x", "z")]["corr"] == pytest.approx(-1.0)
+
+
+def test_correlation_matrix_zero_variance_null(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        profiling as PF,
+    )
+
+    df = spark.createDataFrame([(1.0, 7.0), (2.0, 7.0)], ["x", "c"])
+    r = PF.correlation_matrix(df, ["x", "c"]).first()
+    assert r["corr"] is None
+
+
+def test_intra_list_diversity_hand_value(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        evaluate as EV,
+    )
+
+    recs = spark.createDataFrame(
+        [("u1", "a"), ("u1", "b"), ("u1", "c"), ("u2", "x")], ["user", "item"]
+    )
+    sims = spark.createDataFrame(
+        [("a", "b", 0.8), ("b", "a", 0.8)], ["item", "neighbor", "cosine"]
+    )
+    r = EV.intra_list_diversity(recs, sims, user_col="user", item_col="item").first()
+    # u1 pairs: (a,b)->1-0.8=0.2, (a,c)->1, (b,c)->1 => ild_u1 = 2.2/3
+    # u2 has one rec -> no pairs -> excluded
+    assert r["n_users"] == 1 and r["n_pairs"] == 3
+    assert r["ild"] == pytest.approx(2.2 / 3, abs=1e-6)

@@ -48,7 +48,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sampling": ("random_pair_baseline_trials",),
     "als": ("als_recommendations",),
     "ranking_metrics": ("ranking_metrics_summary",
-                        "recommendation_coverage_novelty"),
+                        "recommendation_coverage_novelty",
+                        "recommendation_diversity_ild"),
     "kmeans": ("kmeans_customer_segments", "kmeans_embedding_segments_det"),
     "text_stats": ("doc_quality_scores", "doc_token_stats", "doc_bpe_token_stats",
                    "lang_id_distribution", "doc_scrub_stats", "doc_repetition_stats",
@@ -100,7 +101,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "robust_stats": ("priority_revenue_trend", "event_value_outliers",
                      "event_value_histogram"),
     "profiling": ("orders_profile", "orders_quality_report",
-                  "orders_profile_incremental"),
+                  "orders_profile_incremental",
+                  "lineitem_correlation_matrix"),
     "ann_rerank": ("ivfadc_rerank_knn",),
     "cv_splits": ("events_kfold_summary",),
     "skyline": ("part_skyline",),
