@@ -537,3 +537,86 @@ def two_proportion_ztest(
             F.when(var > 0, (p_a - p_b) / F.sqrt(var)), round_to
         ).alias("z_stat"),
     )
+
+
+# Cumulative Poisson(1) probabilities for the deterministic bootstrap
+# weight ladder (capped at 5; the >5 tail mass is 6e-5). The SAME
+# literals appear in the SQL oracle — the ladder must match digit for
+# digit for the replay to be exact.
+_POISSON1_CDF = (0.3678794412, 0.7357588824, 0.9196986029,
+                 0.9810118431, 0.9963401532)
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    n_replicates: int = 20,
+    lower: float = 0.025,
+    upper: float = 0.975,
+    seed: str = "boot",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    POISSON bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams"): each row independently contributes a
+    Poisson(1)-distributed weight to every replicate, so resampling
+    needs no global n, no sampling pass per replicate, and no shared
+    state — the only bootstrap that distributes cleanly.
+
+    RNG-free: the weight for (row, replicate) is a ladder lookup on
+    ``u = md5(seed‖replicate‖id)/2^32`` against the Poisson(1) CDF
+    (capped at 5), so the whole procedure — and therefore the CI — is
+    bit-replayable by the SQL oracle.
+
+    Cost: the explode emits n_replicates rows per input row, but
+    map-side combine collapses the shuffle to |groups| × n_replicates
+    partial sums — the exchange never carries data-sized volume. The
+    replicate means then reduce to one row per group with exact
+    interpolated percentiles over n_replicates values.
+
+    Output: ``(group, n_rows, boot_mean, ci_lo, ci_hi)``.
+    """
+    b = F.explode(F.sequence(F.lit(1), F.lit(n_replicates))).alias("_b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.col("_b").cast("string"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(5)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(F.col("_u") < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    replicated = (
+        df.select(F.col(group_col), F.col(value_col).cast("double").alias("_x"),
+                  F.col(id_col), b)
+        .withColumn("_u", u)
+        .withColumn("_w", w)
+    )
+    means = replicated.groupBy(group_col, "_b").agg(
+        (F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_mb"),
+        (F.sum("_w") > 0).alias("_ok"),
+    ).filter(F.col("_ok"))
+    n_rows = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    out = means.groupBy(group_col).agg(
+        F.round(F.avg("_mb"), round_to).alias("boot_mean"),
+        F.round(F.expr(f"percentile(_mb, {lower})"), round_to).alias("ci_lo"),
+        F.round(F.expr(f"percentile(_mb, {upper})"), round_to).alias("ci_hi"),
+    )
+    return n_rows.join(out, group_col).select(
+        group_col, "n_rows", "boot_mean", "ci_lo", "ci_hi"
+    )

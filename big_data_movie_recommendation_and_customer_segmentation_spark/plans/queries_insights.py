@@ -575,3 +575,64 @@ def recommendation_diversity_ild(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.intra_list_diversity(
         recs, neighbors, user_col="custkey", item_col="item"
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap CI for segment account-balance means
+# --------------------------------------------------------------------------
+
+
+@query(
+    "segment_acctbal_bootstrap_ci",
+    oracle="""
+    WITH rep AS (
+      SELECT c.c_mktsegment AS segment, c.c_acctbal AS x, c.c_custkey AS id,
+             b.b AS b
+      FROM customer c, unnest(range(1, 21)) AS b(b)
+    ),
+    uw AS (
+      SELECT segment, x, b,
+             ('0x' || substr(md5('boot' || CAST(b AS VARCHAR)
+                                 || CAST(id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM rep
+    ),
+    wt AS (
+      SELECT segment, x, b,
+             CASE WHEN u < 0.3678794412 THEN 0
+                  WHEN u < 0.7357588824 THEN 1
+                  WHEN u < 0.9196986029 THEN 2
+                  WHEN u < 0.9810118431 THEN 3
+                  WHEN u < 0.9963401532 THEN 4
+                  ELSE 5 END AS w
+      FROM uw
+    ),
+    means AS (
+      SELECT segment, b, sum(w * x) / sum(w) AS mb
+      FROM wt GROUP BY 1, 2 HAVING sum(w) > 0
+    ),
+    nr AS (SELECT c_mktsegment AS segment, count(*) AS n_rows
+           FROM customer GROUP BY 1)
+    SELECT nr.segment, nr.n_rows,
+           round(avg(mb), 6) AS boot_mean,
+           round(quantile_cont(mb, 0.025), 6) AS ci_lo,
+           round(quantile_cont(mb, 0.975), 6) AS ci_hi
+    FROM means JOIN nr ON nr.segment = means.segment
+    GROUP BY nr.segment, nr.n_rows
+    """,
+)
+def segment_acctbal_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for mean account balance per market
+    segment, 20 replicates (stats.py ``poisson_bootstrap_mean_ci``) —
+    the distributed bootstrap (per-row independent Poisson(1)
+    weights, no global-n resampling), made bit-replayable with
+    md5-ladder weights so the oracle reruns the exact procedure."""
+    c = load_table(spark, sf_dir, "customer")
+    out = ST.poisson_bootstrap_mean_ci(
+        c, "c_mktsegment", "c_acctbal", "c_custkey",
+        n_replicates=20, seed="boot",
+    )
+    return out.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n_rows", "boot_mean", "ci_lo", "ci_hi",
+    )

@@ -398,3 +398,51 @@ def test_intra_list_diversity_hand_value(spark):
     # u2 has one rec -> no pairs -> excluded
     assert r["n_users"] == 1 and r["n_pairs"] == 3
     assert r["ild"] == pytest.approx(2.2 / 3, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap CI
+# --------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    rows = [("g", float(i), i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["seg", "v", "id"])
+    r1 = ST.poisson_bootstrap_mean_ci(df, "seg", "v", "id", n_replicates=20).first()
+    r2 = ST.poisson_bootstrap_mean_ci(df, "seg", "v", "id", n_replicates=20).first()
+    assert r1 == r2  # md5 ladder: bit-deterministic
+    assert r1["n_rows"] == 200
+    assert r1["ci_lo"] <= r1["boot_mean"] <= r1["ci_hi"]
+    # true mean 99.5; a 95% CI on n=200 should comfortably contain it
+    assert r1["ci_lo"] < 99.5 < r1["ci_hi"]
+    # and the interval is not degenerate or absurdly wide (se ~ 4.1)
+    assert 1.0 < r1["ci_hi"] - r1["ci_lo"] < 25.0
+
+
+def test_poisson_bootstrap_weights_average_near_one(spark):
+    # mean of the ladder weights over many (row, replicate) draws
+    # must be ~E[Poisson(1)] = 1 (capped tail shifts it by <1e-4)
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([("g", 1.0, i) for i in range(500)], ["seg", "v", "id"])
+    rep = (
+        df.select(F2.col("id"), F2.explode(F2.sequence(F2.lit(1), F2.lit(10))).alias("b"))
+        .withColumn(
+            "u",
+            F2.conv(
+                F2.substring(
+                    F2.md5(F2.concat(F2.lit("boot"), F2.col("b").cast("string"),
+                                     F2.col("id").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("long") / F2.lit(4294967296.0),
+        )
+    )
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.stats import (
+        _POISSON1_CDF,
+    )
+
+    w = F2.lit(5)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F2.when(F2.col("u") < F2.lit(_POISSON1_CDF[k]), F2.lit(k)).otherwise(w)
+    mean_w = rep.withColumn("w", w).agg(F2.avg("w")).first()[0]
+    assert abs(mean_w - 1.0) < 0.05

@@ -127,6 +127,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "bloom_join": ("bloom_filtered_order_revenue",),
     "collocations": ("doc_bigram_collocations",),
     "user_cf": ("customer_user_cf_recommendations",),
+    "bootstrap": ("segment_acctbal_bootstrap_ci",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -181,6 +182,7 @@ NEW_IN_ROUND: dict[str, int] = {
     "bloom_join": 5,
     "collocations": 5,
     "user_cf": 5,
+    "bootstrap": 5,
 }
 
 
