@@ -100,3 +100,69 @@ def compact_epochs(
     df = read_epochs(spark, sink_path).drop(EPOCH_COL)
     write_range_clustered(df, out_path, cluster_by, num_files=num_files)
     return spark.read.parquet(out_path).count()
+
+
+def dedup_append_writer(path: str, id_col: str):
+    """Return a ``foreachBatch`` function implementing CROSS-BATCH
+    exact dedup against a persistent parquet index: each micro-batch
+    drops rows whose ``id_col`` already exists in ANY previously
+    committed epoch, dedups within itself (first row per id in id
+    order), and appends the survivors under its own ``_epoch``
+    partition — continuous corpus ingestion where a document is
+    admitted exactly once across the stream's whole lifetime.
+
+    Idempotence falls out of the semantics: a replayed batch finds
+    its own ids already committed and appends nothing new after the
+    epoch overwrite replaces its previous output (the epoch dir is
+    rewritten with the same survivors — a pure function of batch_id
+    given the committed prefix).
+
+    State story at 100 TB: the "index" IS the committed data — no
+    second store to keep consistent; the anti-join reads only
+    ``id_col`` (column pruning) from prior epochs. When the id scan
+    gets hot, compact epochs into a range-clustered layout on the id
+    (``compact_epochs`` + ``write_range_clustered``) so the
+    anti-join prunes row groups. Contrast with
+    ``dropDuplicatesWithinWatermark``: that bounds state by TIME and
+    forgets; this is the unbounded exact membership the corpus-dedup
+    contract actually needs.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import Window
+
+        fresh = batch_df
+        try:
+            seen = (
+                spark.read.parquet(path)
+                .filter(F.col(EPOCH_COL) != int(batch_id))
+                .select(id_col)
+            )
+            fresh = batch_df.join(seen, id_col, "left_anti")
+        except AnalysisException:
+            pass  # first epoch: nothing committed yet
+        # deterministic within-batch winner: order duplicate ids by
+        # full row content, not arrival order (which shuffles freely)
+        w = Window.partitionBy(id_col).orderBy(
+            *[F.col(c) for c in batch_df.columns]
+        )
+        survivors = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                survivors.withColumn(EPOCH_COL, F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy(EPOCH_COL)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return write_batch

@@ -99,3 +99,41 @@ def test_compact_epochs_roundtrip_and_clusters(spark, tmp_path):
         assert hi1 < lo2
     # original sink untouched
     assert SK.read_epochs(spark, out).count() == 100
+
+
+def test_dedup_append_sink_cross_batch_and_replay(spark, tmp_path):
+    """Cross-batch exact dedup: ids admitted once across the stream's
+    lifetime; replaying an epoch changes nothing (idempotent)."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming.sinks import (
+        dedup_append_writer,
+    )
+
+    path = str(tmp_path / "dedup_sink")
+    write = dedup_append_writer(path, "doc_id")
+
+    b0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b-dup")], ["doc_id", "text"]
+    )
+    b1 = spark.createDataFrame(
+        [(2, "b-again"), (3, "c")], ["doc_id", "text"]
+    )
+    write(b0, 0)
+    write(b1, 1)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    # id 2 admitted once, from batch 0, with the deterministic
+    # (content-ordered) winner; id 3 from batch 1
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    # replay batch 1 (at-least-once delivery): same final state
+    write(b1, 1)
+    again = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+    # replay batch 1 with EXTRA rows (failed attempt wrote partial
+    # data, retry carries the full batch): own epoch is replaced
+    b1b = spark.createDataFrame(
+        [(2, "b-again"), (3, "c"), (4, "d")], ["doc_id", "text"]
+    )
+    write(b1b, 1)
+    final = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    assert final == {1: "a", 2: "b", 3: "c", 4: "d"}
