@@ -446,3 +446,40 @@ def test_poisson_bootstrap_weights_average_near_one(spark):
         w = F2.when(F2.col("u") < F2.lit(_POISSON1_CDF[k]), F2.lit(k)).otherwise(w)
     mean_w = rep.withColumn("w", w).agg(F2.avg("w")).first()[0]
     assert abs(mean_w - 1.0) < 0.05
+
+
+# --------------------------------------------------------------------------
+# Algebraic properties of the new stats ops
+# --------------------------------------------------------------------------
+
+
+def test_welch_antisymmetric_under_relabeling(spark):
+    rows = [("a", float(v)) for v in (1, 5, 9, 2)] + [
+        ("b", float(v)) for v in (3, 3, 4, 8, 1)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    t_ab = ST.welch_ttest_pairs(df, "g", "v").first()["t_stat"]
+    # relabel so the lexicographic pair order flips: a->z
+    flipped = df.withColumn("g", F.when(F.col("g") == "a", "z").otherwise("b"))
+    t_bz = ST.welch_ttest_pairs(flipped, "g", "v").first()["t_stat"]
+    assert t_ab == pytest.approx(-t_bz, abs=1e-9)
+
+
+def test_mutual_information_symmetric_in_columns(spark):
+    rows = [("x", "p")] * 5 + [("x", "q")] * 2 + [("y", "p")] * 1 + [("y", "q")] * 7
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r1 = ST.mutual_information(df, "a", "b").first()
+    r2 = ST.mutual_information(df, "b", "a").first()
+    assert r1["mi_bits"] == pytest.approx(r2["mi_bits"], abs=1e-9)
+    assert r1["nmi"] == pytest.approx(r2["nmi"], abs=1e-9)
+    assert r1["entropy_a"] == pytest.approx(r2["entropy_b"], abs=1e-9)
+
+
+def test_kaplan_meier_no_censoring_equals_empirical_survival(spark):
+    durs = [1, 1, 2, 3, 3, 3, 5, 8, 8, 13]
+    df = spark.createDataFrame([("g", d, 1) for d in durs], ["g", "dur", "ev"])
+    out = SV.kaplan_meier(df, "dur", "ev", "g").collect()
+    n = len(durs)
+    for r in out:
+        empirical = sum(1 for d in durs if d > r["dur"]) / n
+        assert r["survival"] == pytest.approx(empirical, abs=1e-9), r["dur"]
