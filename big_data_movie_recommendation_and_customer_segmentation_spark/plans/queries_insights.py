@@ -636,3 +636,93 @@ def segment_acctbal_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         "n_rows", "boot_mean", "ci_lo", "ci_hi",
     )
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank from a brand's parts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "brand_personalized_pagerank",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    sizes AS (SELECT basket, count(*) AS bsize FROM inc GROUP BY 1),
+    bounded AS (
+      SELECT inc.basket, inc.item FROM inc JOIN sizes USING (basket)
+      WHERE bsize <= 8
+    ),
+    pairs AS (
+      SELECT a.item AS ia, b.item AS ib
+      FROM bounded a JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    ed AS (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION ALL
+      SELECT ib AS src, ia AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+    nodes AS (
+      SELECT n.node, coalesce(deg.deg, 0) AS deg,
+             CASE WHEN p.p_partkey IS NOT NULL THEN 1 ELSE 0 END AS seed
+      FROM (SELECT src AS node FROM ed UNION SELECT dst FROM ed) n
+      LEFT JOIN deg ON deg.src = n.node
+      LEFT JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4') p
+        ON p.p_partkey = n.node
+    ),
+    ns AS (SELECT CAST(sum(seed) AS BIGINT) AS k FROM nodes),
+    pr0 AS (SELECT node, deg, seed * 1.0 / ns.k AS r, seed * 1.0 / ns.k AS pr
+            FROM nodes CROSS JOIN ns),
+    it1 AS (SELECT e.dst AS node, sum(p.pr / p.deg) AS m
+            FROM ed e JOIN pr0 p ON p.node = e.src AND p.deg > 0 GROUP BY 1),
+    pr1 AS (SELECT p.node, p.deg, p.r,
+                   floor(((1 - 0.85) * p.r + 0.85 * coalesce(it1.m, 0))
+                         * 1e12 + 0.5) / 1e12 AS pr
+            FROM pr0 p LEFT JOIN it1 ON it1.node = p.node),
+    it2 AS (SELECT e.dst AS node, sum(p.pr / p.deg) AS m
+            FROM ed e JOIN pr1 p ON p.node = e.src AND p.deg > 0 GROUP BY 1),
+    pr2 AS (SELECT p.node, p.deg, p.r,
+                   floor(((1 - 0.85) * p.r + 0.85 * coalesce(it2.m, 0))
+                         * 1e12 + 0.5) / 1e12 AS pr
+            FROM pr1 p LEFT JOIN it2 ON it2.node = p.node),
+    it3 AS (SELECT e.dst AS node, sum(p.pr / p.deg) AS m
+            FROM ed e JOIN pr2 p ON p.node = e.src AND p.deg > 0 GROUP BY 1),
+    pr3 AS (SELECT p.node,
+                   floor(((1 - 0.85) * p.r + 0.85 * coalesce(it3.m, 0))
+                         * 1e12 + 0.5) / 1e12 AS pr
+            FROM pr2 p LEFT JOIN it3 ON it3.node = p.node)
+    -- per-iteration 1e-12 quantization + floor-based half-up output:
+    -- seeded teleport terms are exact short decimals that land ON
+    -- rounding boundaries, and the engines' round() semantics differ
+    -- at ties (see graph.personalized_pagerank docstring)
+    SELECT node, floor(pr * 1000000 + 0.5) / 1000000.0 AS pagerank FROM pr3
+    """,
+)
+def brand_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at Brand#4's parts over the
+    co-purchase graph (graph.py ``personalized_pagerank``, d=0.85,
+    3 iterations): rank = proximity to the brand through shared
+    baskets — the graph-walk "related items" recommender (Haveliwala
+    2002 topic-sensitive PageRank; Pixie-style at scale). Same
+    governed edge builder and 2-exchanges-per-iteration plan as
+    ``part_copurchase_pagerank``; the reset weights ride in the rank
+    relation. The oracle emulates HALF_UP rounding — seeded teleport
+    terms are exact rationals that hit the .5 rounding boundary,
+    where the engines' round() semantics differ."""
+    from ..operators import association as AS2
+    from ..operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bounded = AS2.bounded_incidence(li, "l_orderkey", "l_partkey", max_basket_size=8)
+    pairs = AS2.cooccurrence_pairs(bounded, min_pair_count=2)
+    edges = pairs.select(F.col("_a").alias("src"), F.col("_b").alias("dst")).unionByName(
+        pairs.select(F.col("_b").alias("src"), F.col("_a").alias("dst"))
+    )
+    seeds = p.filter(F.col("p_brand") == "Brand#4").select(
+        F.col("p_partkey").alias("node")
+    )
+    return G.personalized_pagerank(edges, seeds, damping=0.85, iterations=3)

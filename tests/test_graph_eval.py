@@ -178,3 +178,37 @@ def test_auc_single_class_is_null(spark):
     out = EV.binary_auc(df, "y", "s").collect()[0]
     assert out["auc"] is None
     assert out["n_pos"] == 2 and out["n_neg"] == 0
+
+
+def test_personalized_pagerank_decays_from_seed(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        graph as G,
+    )
+
+    # star seeded at its center 0 (leaves 1,2,3), with node 4 hanging
+    # off leaf 3 — two hops from the seed
+    und = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    pr = {r["node"]: r["pagerank"] for r in
+          G.personalized_pagerank(edges, seeds, checkpoint=False).collect()}
+    assert len(pr) == 5
+    # mass conserved (no dangling nodes on an undirected graph)
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-4)
+    # symmetric leaves tie exactly; the 2-hop node ranks below the
+    # 1-hop leaves (proximity to the seed, not global centrality)
+    assert pr[1] == pr[2]
+    assert pr[4] < pr[1]
+    assert pr[4] < pr[3]
+
+
+def test_personalized_pagerank_empty_seed_set_returns_empty(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        graph as G,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    seeds = spark.createDataFrame([(99,)], ["node"])  # not in the graph
+    assert G.personalized_pagerank(edges, seeds, checkpoint=False).count() == 0

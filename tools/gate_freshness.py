@@ -114,7 +114,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                          "segment_conversion_ztest"),
     "rank_fusion": ("hybrid_doc_retrieval_rrf",),
     "pca": ("embedding_covariance",),
-    "graph_centrality": ("part_copurchase_pagerank",),
+    "graph_centrality": ("part_copurchase_pagerank",
+                         "brand_personalized_pagerank"),
     "auc": ("purchase_value_auc",),
     "ewma": ("daily_revenue_ewma",),
     "skew_report": ("event_user_skew_report",),
