@@ -186,3 +186,108 @@ def personalized_pagerank(
         if checkpoint:
             pr = pr.localCheckpoint(eager=False)
     return pr.select("node", quant(F.col("pr"), round_to).alias("pagerank"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components by min-label propagation to FIXPOINT:
+    every node's component id is the smallest node id reachable from
+    it. The general-graph form of the dedup closure
+    (``dedup.dedup_representatives`` resolves duplicate clusters with
+    the same propagation, bounded rounds); here convergence is
+    checked per round because component diameters are unbounded in
+    general graphs.
+
+    Cost: one hash join + keyed min per round, rounds ≈ component
+    diameter under simple propagation; each round's labels are
+    localCheckpoint-ed (lineage truncation — iterative plans
+    otherwise compound until planning itself blows up). At extreme
+    diameters the large-star/small-star algorithm (Kiveris et al.
+    2014) halves rounds to O(log n) — same per-round plan shape, so
+    the swap is local. ``max_rounds`` is a runaway guard; hitting it
+    raises rather than returning wrong labels.
+
+    Output: ``(node, component)`` for every endpoint of any edge.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("lbl"))
+        .withColumnRenamed("a", "node")
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            e.join(labels.select(F.col("node").alias("b"), F.col("lbl").alias("nlbl")), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("nlbl").alias("nlbl"))
+        )
+        nxt = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least("lbl", "nlbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            return labels.select("node", F.col("lbl").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts on an undirected
+    graph — the local clustering signal (spam rings, tight
+    communities) next to PageRank's global centrality.
+
+    The compact-forward algorithm shape: edges canonicalize to
+    a < b once, wedges enumerate as (a<b) ⋈ (b<c), and each wedge
+    checks its closing edge (a<c) with a semi-join — every triangle
+    is found exactly once as a < b < c, so no /6 correction and no
+    duplicate wedge work. Cost: one self-join on the wedge pivot +
+    one closing-edge join; skew on high-degree pivots is bounded by
+    the same basket/frequency governors that bound the edge builder.
+
+    Output: ``(node, n_triangles)`` for nodes in ≥1 triangle.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    wedges = canon.join(
+        canon.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedges.join(
+        canon.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

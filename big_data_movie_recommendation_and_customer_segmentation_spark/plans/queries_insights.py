@@ -726,3 +726,96 @@ def brand_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("node")
     )
     return G.personalized_pagerank(edges, seeds, damping=0.85, iterations=3)
+
+
+# --------------------------------------------------------------------------
+# Graph components + triangles on the co-purchase graph
+# --------------------------------------------------------------------------
+
+# Governed co-purchase edge CTEs shared by the two graph queries below
+# (same construction as the PageRank oracles).
+_COPURCHASE_EDGE_CTES = """
+    inc AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    sizes AS (SELECT basket, count(*) AS bsize FROM inc GROUP BY 1),
+    bounded AS (
+      SELECT inc.basket, inc.item FROM inc JOIN sizes USING (basket)
+      WHERE bsize <= 8
+    ),
+    pairs AS (
+      SELECT a.item AS ia, b.item AS ib
+      FROM bounded a JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+"""
+
+
+@query(
+    "part_copurchase_components",
+    oracle=f"""
+    WITH RECURSIVE {_COPURCHASE_EDGE_CTES},
+    ed AS (
+      SELECT ia AS src, ib AS dst FROM pairs
+      UNION ALL
+      SELECT ib AS src, ia AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM ed
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN ed e ON e.src = r.node
+    )
+    SELECT node, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY 1
+    """,
+)
+def part_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the governed co-purchase graph
+    (graph.py ``connected_components``, min-label propagation to
+    fixpoint) — which parts form one co-purchase market. The oracle
+    is an INDEPENDENT recursive-CTE transitive closure, not a replay
+    of the propagation."""
+    from ..operators import association as AS2
+    from ..operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bounded = AS2.bounded_incidence(li, "l_orderkey", "l_partkey", max_basket_size=8)
+    pairs = AS2.cooccurrence_pairs(bounded, min_pair_count=2)
+    edges = pairs.select(F.col("_a").alias("src"), F.col("_b").alias("dst"))
+    return G.connected_components(edges)
+
+
+@query(
+    "part_copurchase_triangles",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGE_CTES},
+    canon AS (SELECT ia AS a, ib AS b FROM pairs),
+    tri AS (
+      SELECT w.a, w.b, w.c
+      FROM (SELECT e1.a, e1.b, e2.b AS c
+            FROM canon e1 JOIN canon e2 ON e2.a = e1.b) w
+      WHERE EXISTS (SELECT 1 FROM canon e3
+                    WHERE e3.a = w.a AND e3.b = w.c)
+    ),
+    nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, count(*) AS n_triangles FROM nodes GROUP BY 1
+    """,
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph
+    (graph.py ``triangle_counts``, compact-forward a<b<c wedge
+    enumeration + closing-edge semi-join) — the local clustering
+    signal next to PageRank's global centrality, on the same
+    governed edge relation."""
+    from ..operators import association as AS2
+    from ..operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bounded = AS2.bounded_incidence(li, "l_orderkey", "l_partkey", max_basket_size=8)
+    pairs = AS2.cooccurrence_pairs(bounded, min_pair_count=2)
+    edges = pairs.select(F.col("_a").alias("src"), F.col("_b").alias("dst"))
+    return G.triangle_counts(edges)

@@ -212,3 +212,37 @@ def test_personalized_pagerank_empty_seed_set_returns_empty(spark):
     edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
     seeds = spark.createDataFrame([(99,)], ["node"])  # not in the graph
     assert G.personalized_pagerank(edges, seeds, checkpoint=False).count() == 0
+
+
+def test_connected_components_two_islands_and_chain(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        graph as G,
+    )
+
+    # chain 1-2-3-4 (diameter > 1 round) and island 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    comp = {r["node"]: r["component"] for r in G.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_triangle_counts_hand_graph(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        graph as G,
+    )
+
+    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; pendant 5
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5)], ["src", "dst"])
+    out = {r["node"]: r["n_triangles"] for r in G.triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # 5 is in no triangle
+
+
+def test_triangle_counts_no_triangles_empty(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        graph as G,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    assert G.triangle_counts(edges).count() == 0

@@ -115,7 +115,9 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "rank_fusion": ("hybrid_doc_retrieval_rrf",),
     "pca": ("embedding_covariance",),
     "graph_centrality": ("part_copurchase_pagerank",
-                         "brand_personalized_pagerank"),
+                         "brand_personalized_pagerank",
+                         "part_copurchase_components",
+                         "part_copurchase_triangles"),
     "auc": ("purchase_value_auc",),
     "ewma": ("daily_revenue_ewma",),
     "skew_report": ("event_user_skew_report",),
