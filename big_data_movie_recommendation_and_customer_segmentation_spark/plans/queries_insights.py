@@ -1,8 +1,10 @@
-"""Round-5 analytics batch 3: item-based CF recommendations (the
-Sarwar item-kNN composition of the cosine-neighbor relation),
-Kaplan-Meier repurchase survival per customer segment, Welch pairwise
-t-tests, mutual information / NMI, and the Bloom-prefiltered
-semi-join.
+"""Round-5 analytics batch 3: the recommender/insight layer —
+item-based and user-based CF, intra-list diversity, personalized
+PageRank, connected components and triangle counts on the
+co-purchase graph, Kaplan-Meier repurchase survival, the A/B battery
+(Welch t-tests, two-proportion z-tests, mutual information / NMI),
+Poisson bootstrap CIs, the single-pass correlation matrix, PMI
+bigram collocations, and the Bloom-prefiltered semi-join.
 
 Same registry + oracle conventions as ``queries.py``: identical
 aliases both sides, FP aggregates rounded in both engines, total
