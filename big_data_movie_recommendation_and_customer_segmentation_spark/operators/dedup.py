@@ -609,3 +609,42 @@ def fuzzy_edit_pairs(
         .select("id_a", "id_b", F.levenshtein("_pa", "_pb").alias("edit_distance"))
         .distinct()
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+    materialize_pairs: bool = False,
+    hash_shingles: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    ``containment = |A∩B| / min(|A|, |B|)`` — flags a truncated or
+    extended copy (one doc's shingles nearly a subset of the
+    other's) that symmetric Jaccard structurally misses: a 100-word
+    prefix of a 10k-word doc has containment ~1.0 but Jaccard ~0.01
+    (the suffix-containment concern in Lee et al. 2022 dedup work).
+
+    Same join/governor machinery as ``ngram_jaccard_pairs`` (the
+    threshold in that pipeline filters AFTER the pair aggregate, so
+    asking for all co-shingle pairs costs the same join) — the only
+    change is the post-aggregation score. ``max_shingle_freq``
+    remains the quadratic-blowup governor.
+
+    Output: doc_a < doc_b, n_common, n_a, n_b, containment, jaccard.
+    """
+    out = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=0.0,
+        max_shingle_freq=max_shingle_freq, materialize_pairs=materialize_pairs,
+        hash_shingles=hash_shingles,
+    )
+    containment = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        out.withColumn("containment", F.round(containment, round_to))
+        .filter(containment >= threshold)
+        .withColumn("jaccard", F.round("jaccard", round_to))
+    )

@@ -27,7 +27,8 @@ from ..operators.relational import bloom_semi_join
 from ..sources import load_table
 from .queries import MAX_ITEM_FREQ, _CO_PURCHASE_SQL, _co_purchases, query
 from .queries_analytics import _COSINE_CTES
-from .queries_ext import _NTOKS
+from ..operators import dedup as DD
+from .queries_ext import _NTOKS, _SHINGLE_CAPPED_HASHED, MAX_SHINGLE_FREQ
 
 
 # --------------------------------------------------------------------------
@@ -821,3 +822,34 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = AS2.cooccurrence_pairs(bounded, min_pair_count=2)
     edges = pairs.select(F.col("_a").alias("src"), F.col("_b").alias("dst"))
     return G.triangle_counts(edges)
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment near-dup pairs
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CAPPED_HASHED}
+    SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           round(n_common * 1.0 / least(sa.n, sb.n), 6) AS containment,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / least(sa.n, sb.n) >= 0.6
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment near-dup pairs ≥ 0.6 — catches
+    truncated/extended copies whose Jaccard stays low (dedup.py
+    ``ngram_containment_pairs``); same hashed-shingle governed join
+    as `ngram_duplicate_pairs`, different post-aggregation score."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.ngram_containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6,
+        max_shingle_freq=MAX_SHINGLE_FREQ,
+        materialize_pairs=True, hash_shingles=True,
+    )

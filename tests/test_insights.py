@@ -483,3 +483,30 @@ def test_kaplan_meier_no_censoring_equals_empirical_survival(spark):
     for r in out:
         empirical = sum(1 for d in durs if d > r["dur"]) / n
         assert r["survival"] == pytest.approx(empirical, abs=1e-9), r["dur"]
+
+
+# --------------------------------------------------------------------------
+# Containment near-dup
+# --------------------------------------------------------------------------
+
+
+def test_containment_catches_truncation_jaccard_misses(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        dedup as DD,
+    )
+
+    long = " ".join(f"word{i}" for i in range(100))  # all-distinct shingles
+    prefix = " ".join(long.split()[:10])  # short prefix of the long doc
+    docs = spark.createDataFrame(
+        [(1, long), (2, prefix), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    out = DD.ngram_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["containment"] >= 0.8
+    assert r["jaccard"] < 0.5  # symmetric score would have missed it
+    assert not any(3 in p for p in pairs)

@@ -59,7 +59,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "packing": ("token_shard_assignment",),
     "exact_dedup": ("exact_duplicate_groups", "dedup_exact_survivors",
                     "duplicate_chunks"),
-    "ngram_dedup": ("ngram_duplicate_pairs",),
+    "ngram_dedup": ("ngram_duplicate_pairs", "ngram_containment_pairs"),
     "minhash_dedup": ("minhash_duplicate_pairs",),
     "simhash_dedup": ("simhash_duplicate_pairs",),
     "dedup_closure": ("dedup_representatives",),
