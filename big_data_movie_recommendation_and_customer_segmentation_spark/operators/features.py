@@ -1,0 +1,62 @@
+"""Feature-engineering primitives for model training at corpus scale.
+
+The reference feeds raw ids into ALS and stops; a production training
+pipeline needs leakage-safe categorical encodings. Everything here is
+keyed aggregations + broadcast-back — one data-sized shuffle per
+encoder, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    out_col: str = "te_loo",
+    prior_weight: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category is encoded
+    as the mean target of OTHER rows in the same category,
+    ``(sum_c - y) / (n_c - 1)`` — the leakage-safe form of mean
+    encoding (plain mean encoding leaks each row's own label into
+    its feature; LOO is the standard fix, e.g. CatBoost's ordered
+    variant approximates it).
+
+    ``prior_weight`` m blends toward the global mean
+    (``(sum_c - y + m·mu) / (n_c - 1 + m)``) — the smoothing that
+    keeps rare categories from memorizing single labels. Singleton
+    categories (n_c = 1) yield the prior mean when m > 0 and null
+    when m = 0 — surfaced, not imputed silently.
+
+    Cost: one map-side-combined keyed aggregate (|categories| rows,
+    broadcast back) + one scalar aggregate for the prior. The encode
+    itself is pure column math — no second data shuffle.
+    """
+    # The per-category sum is quantized to 2 decimals: money-typed
+    # targets have an exact 2-dp decimal sum, so rounding realigns
+    # the engines' summation-order ulp drift to identical doubles —
+    # every downstream term is then bit-deterministic cross-engine.
+    stats = df.groupBy(cat_col).agg(
+        F.round(F.sum(F.col(target_col).cast("double")), 2).alias("_sum"),
+        F.count(target_col).alias("_n"),
+    )
+    prior = df.agg(
+        (F.round(F.sum(F.col(target_col).cast("double")), 2)
+         / F.count(target_col)).alias("_mu")
+    )
+    joined = df.join(F.broadcast(stats), cat_col).crossJoin(F.broadcast(prior))
+    denom = F.col("_n") - 1 + F.lit(prior_weight)
+    num = (
+        F.col("_sum")
+        - F.col(target_col).cast("double")
+        + F.lit(prior_weight) * F.col("_mu")
+    )
+    return joined.withColumn(
+        out_col, F.round(F.when(denom > 0, num / denom), round_to)
+    ).drop("_sum", "_n", "_mu")

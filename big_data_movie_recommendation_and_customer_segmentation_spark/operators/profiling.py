@@ -295,3 +295,91 @@ def correlation_matrix(
                 )
             )
     return moments.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+    epsilon: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    sample of one numeric column: ``psi = Σ_bins (p_i - q_i) ·
+    ln(p_i / q_i)`` with equi-width bins fitted on the BASELINE's
+    range — the train/serve drift check run before trusting a model
+    in production (rule of thumb: <0.1 stable, >0.25 shifted).
+
+    Bin edges come from one (min, max) aggregate on the baseline and
+    broadcast to both sides; each side then pays one
+    map-side-combined bin count (out-of-range current values clamp
+    into the edge bins, so mass never silently disappears).
+    ``epsilon`` floors empty-bin proportions — the standard guard
+    that keeps ln() finite while still penalizing mass appearing in
+    a bin the baseline never saw.
+
+    Output: per-bin rows ``(bin, p_baseline, p_current,
+    psi_term)`` plus the total under bin = -1 — one relation so the
+    gate value-checks both the decomposition and the headline
+    number.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = baseline.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+
+    def binned(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn("_w", (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins)))
+            .withColumn(
+                "bin",
+                F.when(
+                    F.col("_w") > 0,
+                    F.least(
+                        F.lit(n_bins - 1),
+                        F.greatest(F.lit(0), F.floor((v - F.col("_lo")) / F.col("_w"))),
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("int"),
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    )
+    b = binned(baseline).withColumnRenamed("_c", "_cb")
+    c = binned(current).withColumnRenamed("_c", "_cc")
+    tb = baseline.agg(F.count(F.lit(1)).alias("_nb"))
+    tc = current.agg(F.count(F.lit(1)).alias("_nc"))
+    grid = (
+        spine.join(b, "bin", "left")
+        .join(c, "bin", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tc))
+        # empty side -> null proportions -> null psi (PSI is undefined
+        # without both samples; surfaced, not divided-by-zero)
+        .withColumn("_p", F.when(F.col("_nb") > 0,
+                                 F.greatest(F.coalesce("_cb", F.lit(0)) / F.col("_nb"),
+                                            F.lit(epsilon))))
+        .withColumn("_q", F.when(F.col("_nc") > 0,
+                                 F.greatest(F.coalesce("_cc", F.lit(0)) / F.col("_nc"),
+                                            F.lit(epsilon))))
+        .withColumn("psi_term", F.round((F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q")), round_to))
+    )
+    per_bin = grid.select(
+        "bin",
+        F.round("_p", round_to).alias("p_baseline"),
+        F.round("_q", round_to).alias("p_current"),
+        "psi_term",
+    )
+    total = grid.agg(
+        F.lit(-1).cast("int").alias("bin"),
+        F.lit(None).cast("double").alias("p_baseline"),
+        F.lit(None).cast("double").alias("p_current"),
+        F.round(F.sum((F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q"))), round_to).alias("psi_term"),
+    )
+    return per_bin.unionByName(total)

@@ -853,3 +853,90 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shingle_freq=MAX_SHINGLE_FREQ,
         materialize_pairs=True, hash_shingles=True,
     )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding + PSI drift
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_priority_target_encoding",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS cat, round(sum(o_totalprice), 2) AS sc,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    p AS (SELECT round(sum(o_totalprice), 2) / count(*) AS mu FROM orders)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round((s.sc - o.o_totalprice + 10 * p.mu) / (s.n - 1 + 10), 6)
+             AS te_loo
+    FROM orders o JOIN s ON s.cat = o.o_orderpriority CROSS JOIN p
+    """,
+)
+def orders_priority_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding of order priority
+    by order value, prior-smoothed with m=10 (features.py
+    ``target_encode_loo``): each row's feature is the mean value of
+    OTHER orders in its priority — one catalog-sized aggregate
+    broadcast back, pure column math per row."""
+    from ..operators import features as FE
+
+    o = load_table(spark, sf_dir, "orders")
+    out = FE.target_encode_loo(
+        o, "o_orderpriority", "o_totalprice", prior_weight=10.0
+    )
+    return out.select("o_orderkey", "o_orderpriority", "te_loo")
+
+
+@query(
+    "order_price_psi",
+    oracle="""
+    WITH base AS (SELECT o_totalprice AS v FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+    cur AS (SELECT o_totalprice AS v FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+    bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+    bb AS (
+      SELECT CAST(least(9, greatest(0,
+               floor((v - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin,
+             count(*) AS cb
+      FROM base CROSS JOIN bounds GROUP BY 1
+    ),
+    cc AS (
+      SELECT CAST(least(9, greatest(0,
+               floor((v - lo) / ((hi - lo) / 10.0)))) AS INT) AS bin,
+             count(*) AS ccnt
+      FROM cur CROSS JOIN bounds GROUP BY 1
+    ),
+    nb AS (SELECT count(*) AS n FROM base),
+    nc AS (SELECT count(*) AS n FROM cur),
+    grid AS (
+      SELECT s.bin,
+             greatest(coalesce(bb.cb, 0) * 1.0 / nb.n, 1e-6) AS p,
+             greatest(coalesce(cc.ccnt, 0) * 1.0 / nc.n, 1e-6) AS q
+      FROM (SELECT unnest(range(0, 10)) AS bin) s
+      LEFT JOIN bb USING (bin) LEFT JOIN cc USING (bin)
+      CROSS JOIN nb CROSS JOIN nc
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           round(p, 6) AS p_baseline, round(q, 6) AS p_current,
+           round((p - q) * ln(p / q), 6) AS psi_term
+    FROM grid
+    UNION ALL
+    SELECT -1, NULL, NULL, round(sum((p - q) * ln(p / q)), 6) FROM grid
+    """,
+)
+def order_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order value, pre-1998 baseline
+    vs 1998+ current (profiling.py ``psi_drift``, 10 equi-width bins
+    fitted on the baseline): the train/serve drift check — per-bin
+    decomposition plus the headline total under bin = -1."""
+    from ..operators import profiling as PF2
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    base = o.filter(F.col("o_orderdate") < cut)
+    cur = o.filter(F.col("o_orderdate") >= cut)
+    return PF2.psi_drift(base, cur, "o_totalprice", n_bins=10)

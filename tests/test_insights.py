@@ -510,3 +510,56 @@ def test_containment_catches_truncation_jaccard_misses(spark):
     assert r["containment"] >= 0.8
     assert r["jaccard"] < 0.5  # symmetric score would have missed it
     assert not any(3 in p for p in pairs)
+
+
+# --------------------------------------------------------------------------
+# Target encoding + PSI drift
+# --------------------------------------------------------------------------
+
+
+def test_target_encode_loo_excludes_own_label(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        features as FE,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 5.0)],
+        ["id", "cat", "y"],
+    )
+    out = {r["id"]: r["te_loo"] for r in
+           FE.target_encode_loo(df, "cat", "y", prior_weight=0.0).collect()}
+    # row 1's encoding = mean of rows 2,3 = 25; own label excluded
+    assert out[1] == pytest.approx(25.0)
+    assert out[2] == pytest.approx(20.0)  # (10+30)/2
+    # singleton category with m=0 -> null, not the leaked own label
+    assert out[4] is None
+
+
+def test_target_encode_loo_prior_shrinks_singletons(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        features as FE,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 10.0), (3, "rare", 100.0)], ["id", "cat", "y"]
+    )
+    out = {r["id"]: r["te_loo"] for r in
+           FE.target_encode_loo(df, "cat", "y", prior_weight=5.0).collect()}
+    mu = 110.0 / 3
+    # singleton: (sum - y + m*mu)/(n - 1 + m) = (0 + 5*mu)/5 = mu
+    assert out[3] == pytest.approx(mu, abs=1e-6)
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        profiling as PF,
+    )
+
+    base = spark.createDataFrame([(float(i % 100),) for i in range(1000)], ["v"])
+    same = PF.psi_drift(base, base, "v", n_bins=10).collect()
+    total = [r for r in same if r["bin"] == -1][0]
+    assert total["psi_term"] == pytest.approx(0.0, abs=1e-9)
+    shifted = spark.createDataFrame([(float(i % 100) + 60,) for i in range(1000)], ["v"])
+    tot2 = [r for r in PF.psi_drift(base, shifted, "v", n_bins=10).collect()
+            if r["bin"] == -1][0]
+    assert tot2["psi_term"] > 0.25  # rule-of-thumb "shifted" threshold

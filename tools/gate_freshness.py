@@ -131,6 +131,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "collocations": ("doc_bigram_collocations",),
     "user_cf": ("customer_user_cf_recommendations",),
     "bootstrap": ("segment_acctbal_bootstrap_ci",),
+    "feature_prep": ("orders_priority_target_encoding",),
+    "drift": ("order_price_psi",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -186,6 +188,8 @@ NEW_IN_ROUND: dict[str, int] = {
     "collocations": 5,
     "user_cf": 5,
     "bootstrap": 5,
+    "feature_prep": 5,
+    "drift": 5,
 }
 
 
