@@ -60,3 +60,55 @@ def target_encode_loo(
     return joined.withColumn(
         out_col, F.round(F.when(denom > 0, num / denom), round_to)
     ).drop("_sum", "_n", "_mu")
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    epsilon: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weight of Evidence per category level and the feature's total
+    Information Value — the credit-scoring-standard categorical
+    screen: ``woe = ln(share_of_positives / share_of_negatives)``
+    per level, ``iv = Σ (p_share - n_share) · woe`` (rule of thumb:
+    IV < 0.02 useless, > 0.3 strong). ``target_col`` is 0/1.
+
+    One map-side-combined shuffle to per-level (positives,
+    negatives); shares divide by the broadcast global totals;
+    epsilon floors zero shares so ln stays finite (a level with no
+    positives carries large-negative WOE, not infinity). Output:
+    per-level rows ``(level, n_pos, n_neg, woe, iv_term)`` plus the
+    total IV under level = null.
+    """
+    y = F.col(target_col).cast("long")
+    lv = df.groupBy(F.col(cat_col).alias("level")).agg(
+        F.sum(y).alias("n_pos"),
+        F.sum(F.lit(1) - y).alias("n_neg"),
+    )
+    tot = lv.agg(
+        F.sum("n_pos").alias("_tp"), F.sum("n_neg").alias("_tn")
+    )
+    g = (
+        lv.crossJoin(F.broadcast(tot))
+        .withColumn("_ps", F.greatest(F.col("n_pos") / F.col("_tp"), F.lit(epsilon)))
+        .withColumn("_ns", F.greatest(F.col("n_neg") / F.col("_tn"), F.lit(epsilon)))
+        .withColumn("_woe", F.log(F.col("_ps") / F.col("_ns")))
+    )
+    per_level = g.select(
+        "level",
+        "n_pos",
+        "n_neg",
+        F.round("_woe", round_to).alias("woe"),
+        F.round((F.col("_ps") - F.col("_ns")) * F.col("_woe"), round_to).alias("iv_term"),
+    )
+    total = g.agg(
+        F.lit(None).cast(df.schema[cat_col].dataType).alias("level"),
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.lit(None).cast("double").alias("woe"),
+        F.round(F.sum((F.col("_ps") - F.col("_ns")) * F.col("_woe")), round_to).alias("iv_term"),
+    )
+    return per_level.unionByName(total)

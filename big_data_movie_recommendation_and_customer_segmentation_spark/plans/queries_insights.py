@@ -940,3 +940,55 @@ def order_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.filter(F.col("o_orderdate") < cut)
     cur = o.filter(F.col("o_orderdate") >= cut)
     return PF2.psi_drift(base, cur, "o_totalprice", n_bins=10)
+
+
+# --------------------------------------------------------------------------
+# Weight of Evidence / Information Value
+# --------------------------------------------------------------------------
+
+
+@query(
+    "segment_urgency_woe_iv",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS level,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    lv AS (
+      SELECT level, CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM j GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+                   CAST(sum(n_neg) AS BIGINT) AS tn FROM lv),
+    g AS (
+      SELECT level, n_pos, n_neg,
+             greatest(n_pos * 1.0 / tp, 1e-6) AS ps,
+             greatest(n_neg * 1.0 / tn, 1e-6) AS ns
+      FROM lv CROSS JOIN tot
+    )
+    SELECT level, n_pos, n_neg,
+           round(ln(ps / ns), 6) AS woe,
+           round((ps - ns) * ln(ps / ns), 6) AS iv_term
+    FROM g
+    UNION ALL
+    SELECT NULL, CAST(sum(n_pos) AS BIGINT), CAST(sum(n_neg) AS BIGINT),
+           NULL, round(sum((ps - ns) * ln(ps / ns)), 6)
+    FROM g
+    """,
+)
+def segment_urgency_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence of customer segment against urgent-order
+    incidence, plus the feature's total Information Value (features.py
+    ``woe_iv``) — the categorical screening step between profiling
+    and model training; one level-sized shuffle, totals broadcast."""
+    from ..operators import features as FE
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, c.c_custkey == o.o_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("urgent"),
+    )
+    return FE.woe_iv(j, "seg", "urgent").withColumnRenamed("seg", "level")

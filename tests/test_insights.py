@@ -563,3 +563,31 @@ def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
     tot2 = [r for r in PF.psi_drift(base, shifted, "v", n_bins=10).collect()
             if r["bin"] == -1][0]
     assert tot2["psi_term"] > 0.25  # rule-of-thumb "shifted" threshold
+
+
+def test_woe_iv_hand_values(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        features as FE,
+    )
+
+    # level a: 3 pos / 1 neg; level b: 1 pos / 3 neg -> tp=4, tn=4
+    rows = [("a", 1)] * 3 + [("a", 0)] + [("b", 1)] + [("b", 0)] * 3
+    out = FE.woe_iv(spark.createDataFrame(rows, ["cat", "y"]), "cat", "y").collect()
+    by = {r["level"]: r for r in out}
+    woe_a = math.log((3 / 4) / (1 / 4))
+    assert by["a"]["woe"] == pytest.approx(woe_a, abs=1e-6)
+    assert by["b"]["woe"] == pytest.approx(-woe_a, abs=1e-6)
+    iv = 2 * (3 / 4 - 1 / 4) * woe_a
+    assert by[None]["iv_term"] == pytest.approx(iv, abs=1e-6)
+    assert by[None]["n_pos"] == 4 and by[None]["n_neg"] == 4
+
+
+def test_woe_iv_uninformative_is_zero(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        features as FE,
+    )
+
+    rows = [(c, y) for c in ("a", "b") for y in (0, 1) for _ in range(5)]
+    out = FE.woe_iv(spark.createDataFrame(rows, ["cat", "y"]), "cat", "y").collect()
+    total = [r for r in out if r["level"] is None][0]
+    assert total["iv_term"] == pytest.approx(0.0, abs=1e-9)

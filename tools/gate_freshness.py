@@ -131,7 +131,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "collocations": ("doc_bigram_collocations",),
     "user_cf": ("customer_user_cf_recommendations",),
     "bootstrap": ("segment_acctbal_bootstrap_ci",),
-    "feature_prep": ("orders_priority_target_encoding",),
+    "feature_prep": ("orders_priority_target_encoding",
+                     "segment_urgency_woe_iv"),
     "drift": ("order_price_psi",),
 }
 
