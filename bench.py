@@ -76,6 +76,11 @@ EXTENDED = [
     # rides the same cosine subtree plus its own join/agg tail — the
     # heaviest insights plan, worth a driver-recorded number
     "customer_item_cf_recommendations",
+    # r5 graph batch (same debut window): the fixpoint
+    # label-propagation loop is the only iterative-until-converged
+    # plan in the registry — its round count is data-dependent, so
+    # regressions deserve a driver-recorded number
+    "part_copurchase_components",
 ]
 
 
