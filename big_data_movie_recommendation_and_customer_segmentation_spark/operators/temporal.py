@@ -292,3 +292,40 @@ def scd2_runs(
     )
     succ = Window.partitionBy(*key_cols).orderBy("run_id")
     return collapsed.withColumn("valid_to", F.lead("valid_from").over(succ))
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    half_life_hours: float = 24.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed event counts per key, evaluated at
+    the corpus max timestamp: ``score = Σ_events 0.5^(Δt / half_life)``
+    — the recency-weighted popularity that replaces "count in the
+    last N hours" with a smooth decay (no cliff at the window edge;
+    the standard freshness signal in trending/ranking systems).
+
+    One scalar max-ts aggregate broadcast back, then one map-side-
+    combined keyed sum — same cost as a plain count at any scale.
+    Decay is a pure column expression; scores at a different
+    reference time T' are the returned scores × 0.5^((T'-T)/hl), so
+    precomputed scores stay usable without a rescan.
+    """
+    tmax = df.agg(F.max(F.col(ts_col)).alias("_tmax"))
+    dt_hours = (
+        F.col("_tmax").cast("double") - F.col(ts_col).cast("double")
+    ) / F.lit(3600.0)
+    return (
+        df.crossJoin(F.broadcast(tmax))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.pow(F.lit(0.5), dt_hours / F.lit(half_life_hours))),
+                round_to,
+            ).alias("decayed_count"),
+        )
+    )

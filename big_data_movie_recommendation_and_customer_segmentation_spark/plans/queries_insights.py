@@ -23,6 +23,7 @@ from ..operators import recommend as RC
 from ..operators import similarity as SIM
 from ..operators import stats as ST
 from ..operators import survival as SV
+from ..operators import temporal as TP2
 from ..operators.relational import bloom_semi_join
 from ..sources import load_table
 from .queries import MAX_ITEM_FREQ, _CO_PURCHASE_SQL, _co_purchases, query
@@ -992,3 +993,30 @@ def segment_urgency_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("urgent"),
     )
     return FE.woe_iv(j, "seg", "urgent").withColumnRenamed("seg", "level")
+
+
+# --------------------------------------------------------------------------
+# Exponentially decayed trending scores
+# --------------------------------------------------------------------------
+
+
+@query(
+    "decayed_event_type_scores",
+    oracle="""
+    WITH mx AS (SELECT epoch_us(max(ts)) / 1000000.0 AS tmax FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(pow(0.5, ((mx.tmax - epoch_us(ts) / 1000000.0) / 3600.0)
+                              / 24.0)), 6) AS decayed_count
+    FROM events CROSS JOIN mx
+    GROUP BY event_type
+    """,
+)
+def decayed_event_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted event-type popularity: exponentially decayed
+    counts with a 24 h half-life evaluated at the corpus max
+    timestamp (temporal.py ``decayed_counts``) — the smooth
+    trending signal that has no window-edge cliff; one scalar agg
+    broadcast + one keyed map-side-combined sum."""
+    e = load_table(spark, sf_dir, "events")
+    return TP2.decayed_counts(e, "event_type", "ts", half_life_hours=24.0)

@@ -236,3 +236,89 @@ def running_zscore_batch(
         F.col(value_col).cast("double").alias(value_col),
         "is_anomaly",
     )
+
+
+def decayed_count_state(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    *,
+    half_life_hours: float = 24.0,
+) -> DataFrame:
+    """Streaming exponentially-decayed counter: per key the state is
+    TWO scalars ``(score, last_ts)`` — on each event the score decays
+    by ``0.5^(Δt/half_life)`` and increments by 1, emitting the
+    running decayed count as of that event. Constant state forever
+    (the decay itself forgets; no watermark, no window buffers) —
+    the streaming form of ``temporal.decayed_counts``' trending
+    signal.
+
+    Batch-first contract: ``decayed_count_batch`` computes the same
+    per-event trajectory with a normalized prefix-sum window, and
+    the stream/batch equivalence test feeds identical events through
+    both. Within a micro-batch rows process in ``ts`` order, so
+    replays are deterministic.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, {ts_col} timestamp, decayed_count double"
+    state_schema = "score double, last_ts double"
+    hl_secs = half_life_hours * 3600.0
+
+    def update(key, pdfs, state: GroupState):
+        score, last = state.get if state.exists else (0.0, None)
+        rows = {key_col: [], ts_col: [], "decayed_count": []}
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(ts_col).iterrows():
+                t = r[ts_col].timestamp()
+                if last is not None:
+                    score = score * (0.5 ** ((t - last) / hl_secs))
+                score += 1.0
+                last = t
+                rows[key_col].append(key[0])
+                rows[ts_col].append(r[ts_col])
+                rows["decayed_count"].append(round(score, 6))
+        state.update((score, last if last is not None else 0.0))
+        yield pd.DataFrame(rows)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def decayed_count_batch(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    *,
+    half_life_hours: float = 24.0,
+) -> DataFrame:
+    """Batch twin of :func:`decayed_count_state`: the running decayed
+    count at event i is ``Σ_{j≤i} 0.5^((ts_i - ts_j)/hl)``, computed
+    as a per-key prefix sum of ``2^((ts_j - ts0)/hl)`` (ts0 = the
+    key's min ts, so exponents stay bounded) deflated by
+    ``2^(-(ts_i - ts0)/hl)``. One keyed window pass. Overflow bound:
+    the span/half-life ratio must stay under ~1000 half-lives per
+    key (2^1000 overflows double) — renormalize in segments beyond
+    that; the equivalence test pins the identity on month-scale data.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hl_secs = half_life_hours * 3600.0
+    t = F.col(ts_col).cast("double")
+    w_all = Window.partitionBy(key_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = F.min(t).over(w_all)
+    up = F.pow(F.lit(2.0), (t - base) / F.lit(hl_secs))
+    return df.withColumn(
+        "decayed_count",
+        F.round(
+            F.sum(up).over(w) * F.pow(F.lit(2.0), -(t - base) / F.lit(hl_secs)),
+            6,
+        ),
+    ).select(key_col, ts_col, "decayed_count")

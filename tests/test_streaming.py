@@ -396,3 +396,56 @@ def test_running_zscore_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM zscore_sink").collect()
     }
     assert got == expected
+
+
+def test_decayed_count_stream_matches_batch(spark, tmp_path):
+    """Stream/batch equivalence for the exponentially decayed
+    counter: the two-scalar stateful path must emit the same
+    per-event trajectory as the normalized prefix-sum batch twin
+    (compared at 1e-4 — the paths are algebraically identical but
+    take different FP routes)."""
+    import pandas as pd
+    import pytest
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming.stateful import (
+        decayed_count_batch,
+        decayed_count_state,
+    )
+
+    rows = []
+    for k in ("click", "view"):
+        for i in range(10):
+            rows.append((k, f"2024-01-{1 + i * 2:02d} 06:30:00"))
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts"])
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    pdf.to_json(src / "a.json", orient="records", lines=True)
+
+    schema = "event_type string, ts timestamp"
+    batch_df = spark.read.schema(schema).json(str(src))
+    expected = {
+        (r["event_type"], str(r["ts"])): r["decayed_count"]
+        for r in decayed_count_batch(batch_df, "event_type", "ts",
+                                     half_life_hours=24.0).collect()
+    }
+    # sanity: strictly more than 1 (carry-over) but less than i+1
+    last = expected[("click", "2024-01-19 06:30:00")]
+    assert 1.0 < last < 10.0
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = decayed_count_state(stream, "event_type", "ts", half_life_hours=24.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decay_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], str(r["ts"])): r["decayed_count"]
+        for r in spark.sql("SELECT * FROM decay_sink").collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v, abs=1e-4), k

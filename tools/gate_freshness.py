@@ -77,7 +77,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "interval_join": ("events_session_interval_join",),
     "rolling_window": ("rolling_order_spend",),
     "json_props": ("props_json_stats",),
-    "streaming_tumbling": ("tumbling_hourly_events", "trending_event_types"),
+    "streaming_tumbling": ("tumbling_hourly_events", "trending_event_types",
+                           "decayed_event_type_scores"),
     "streaming_sliding": ("sliding_window_events",),
     "streaming_session": ("session_windows_per_user",),
     "streaming_join": ("purchase_click_attribution",
