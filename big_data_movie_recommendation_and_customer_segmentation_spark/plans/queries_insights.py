@@ -1020,3 +1020,83 @@ def decayed_event_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast + one keyed map-side-combined sum."""
     e = load_table(spark, sf_dir, "events")
     return TP2.decayed_counts(e, "event_type", "ts", half_life_hours=24.0)
+
+
+# --------------------------------------------------------------------------
+# Customer-360 profile (composition)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_360_profile",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_spend,
+             min(o_orderdate) AS first_order,
+             max(o_orderdate) AS last_order
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    e AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1
+    )
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           coalesce(o.n_orders, 0) AS n_orders,
+           coalesce(o.total_spend, 0.0) AS total_spend,
+           CAST(CASE WHEN o.o_custkey IS NOT NULL
+                THEN date_diff('day', CAST(o.last_order AS DATE),
+                               CAST(mx.dmax AS DATE)) END AS INT)
+             AS recency_days,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(e.converted, 0) AS converted
+    FROM customer c
+    LEFT JOIN o ON o.o_custkey = c.c_custkey
+    LEFT JOIN e ON e.user_id = c.c_custkey
+    CROSS JOIN mx
+    """,
+)
+def customer_360_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 360 profile: order-side RFM raw signals
+    (frequency, monetary, recency vs corpus max date) joined with
+    event-side engagement and purchase conversion — the composition
+    a CRM activation job exports, built from the same aggregates the
+    RFM/conversion operators use. Two fact-side keyed aggregations
+    and two left joins onto the customer dim; customers with no
+    orders/events surface with zeros/null recency, not dropped."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    orders_agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    dmax = o.agg(F.max("o_orderdate").alias("dmax"))
+    events_agg = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+    )
+    return (
+        c.select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+        .join(orders_agg, F.col("custkey") == F.col("o_custkey"), "left")
+        .join(events_agg, F.col("custkey") == F.col("user_id"), "left")
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            "custkey",
+            "segment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            F.when(
+                F.col("o_custkey").isNotNull(),
+                F.datediff(F.col("dmax"), F.col("last_order")),
+            ).cast("int").alias("recency_days"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("converted", F.lit(0)).alias("converted"),
+        )
+    )

@@ -93,7 +93,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     # -- registered r5 (pipeline batch) --
     "association": ("part_association_rules",),
     "rfm_pareto": ("customer_rfm_segments", "customer_revenue_pareto",
-                   "customer_value_migration"),
+                   "customer_value_migration", "customer_360_profile"),
     "bm25": ("bm25_doc_ranking",),
     "gapfill": ("daily_orders_gapfill", "daily_revenue_momentum"),
     "snapshot_cdc": ("snapshot_diff_orders", "snapshot_merge_orders"),
