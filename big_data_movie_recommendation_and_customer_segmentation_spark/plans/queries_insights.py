@@ -1100,3 +1100,79 @@ def customer_360_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("converted", F.lit(0)).alias("converted"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "purchase_click_attribution_ushape",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.user_id, p.purchase_id, p.purchase_ts, p.purchase_value,
+             c.click_id, c.click_ts
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.click_ts <= p.purchase_ts
+       AND c.click_ts > p.purchase_ts - INTERVAL 1 HOUR
+    ),
+    ranked AS (
+      SELECT *,
+             count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY click_ts ASC, click_id ASC) AS rnf,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY click_ts DESC, click_id DESC) AS rnl
+      FROM pairs
+    ),
+    weighted AS (
+      SELECT *, round(CASE WHEN n_touches = 1 THEN 1.0
+                           WHEN n_touches = 2 THEN 0.5
+                           WHEN rnf = 1 THEN 0.4
+                           WHEN rnl = 1 THEN 0.4
+                           ELSE 0.2 / (n_touches - 2) END, 6) AS weight
+      FROM ranked
+    )
+    SELECT user_id, purchase_id, click_id, click_ts, purchase_ts,
+           n_touches, weight,
+           round(purchase_value * weight, 6) AS attributed_value
+    FROM weighted
+    """,
+)
+def purchase_click_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: 40% of
+    purchase credit to the first same-user click in the hour, 40% to
+    the last, 20% split across the middle (streaming/joins.py
+    ``multi_touch_attribution(weighting='position')``) — the
+    discovery-and-closing rule next to the linear split; click_id
+    tiebreaks make first/last deterministic under ts collisions."""
+    from ..streaming.joins import multi_touch_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value"),
+    )
+    out = multi_touch_attribution(
+        clicks, purch, "user_id", "click_ts", "purchase_id", "purchase_ts",
+        value_col="purchase_value", lookback="1 hour",
+        weighting="position", cause_id="click_id",
+    )
+    return out.select(
+        "user_id", "purchase_id", "click_id", "click_ts", "purchase_ts",
+        "n_touches", "weight", "attributed_value",
+    )

@@ -147,33 +147,66 @@ def multi_touch_attribution(
     *,
     value_col: str | None = None,
     lookback: str = "1 hour",
+    weighting: str = "linear",
+    cause_id: str | None = None,
     round_to: int = 6,
 ) -> DataFrame:
-    """Linear multi-touch attribution: every cause in the effect's
-    lookback window shares the credit equally — ``weight = 1 /
-    n_touches`` per (effect, cause) pair, and ``attributed_value =
-    value / n_touches`` when ``value_col`` is given. The
-    many-touch generalization of the last-touch as-of join
-    (temporal.asof_join) and the all-pairs `attribution_join`.
+    """Multi-touch attribution: every cause in the effect's lookback
+    window shares the credit. ``weighting='linear'`` splits equally
+    (``weight = 1/n_touches``); ``weighting='position'`` is the
+    U-shaped rule — 40% first touch, 40% last touch, the remaining
+    20% split across the middle (1 touch → 1.0, 2 touches → 0.5
+    each), crediting discovery and closing over the middle drift.
+    ``attributed_value = value · weight`` when ``value_col`` is
+    given. The many-touch generalization of the last-touch as-of
+    join (temporal.asof_join) and the all-pairs `attribution_join`.
 
     Scale shape: the pair relation comes from the same equi-join +
     range residual as ``attribution_join`` (state bounded by
-    lookback); the credit window partitions by ``effect_id``, whose
+    lookback); the credit windows partition by ``effect_id``, whose
     partitions are exactly the per-effect touch sets — bounded by
-    causes-per-user-per-window, never by stream length.
+    causes-per-user-per-window, never by stream length. Position
+    ranks order by (cause_ts, natural cause order in the pair
+    relation) — pass a unique tiebreaker in ``cause_ts`` collisions
+    via the pair builder if ties are possible.
     """
     from pyspark.sql import Window
 
+    if weighting not in ("linear", "position"):
+        raise ValueError(f"weighting must be 'linear' or 'position', got {weighting!r}")
     pairs = attribution_join(
         causes, effects, user_col, cause_ts, effect_ts, lookback=lookback, how="inner"
     )
     w = Window.partitionBy(effect_id)
-    out = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w)).withColumn(
-        "weight", F.round(F.lit(1.0) / F.col("n_touches"), round_to)
-    )
+    out = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    if weighting == "linear":
+        out = out.withColumn(
+            "weight", F.round(F.lit(1.0) / F.col("n_touches"), round_to)
+        )
+    else:
+        asc = [F.col(cause_ts).asc()] + ([F.col(cause_id).asc()] if cause_id else [])
+        desc = [F.col(cause_ts).desc()] + ([F.col(cause_id).desc()] if cause_id else [])
+        w_asc = Window.partitionBy(effect_id).orderBy(*asc)
+        w_desc = Window.partitionBy(effect_id).orderBy(*desc)
+        rn_first = F.row_number().over(w_asc)
+        rn_last = F.row_number().over(w_desc)
+        n = F.col("n_touches")
+        raw = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when(rn_first == 1, F.lit(0.4))
+            .when(rn_last == 1, F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - 2))
+        )
+        out = (
+            out.withColumn("_rnf", rn_first)
+            .withColumn("_rnl", rn_last)
+            .withColumn("weight", F.round(raw, round_to))
+            .drop("_rnf", "_rnl")
+        )
     if value_col is not None:
         out = out.withColumn(
             "attributed_value",
-            F.round(F.col(value_col) / F.col("n_touches"), round_to),
+            F.round(F.col(value_col) * F.col("weight"), round_to),
         )
     return out

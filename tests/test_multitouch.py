@@ -46,3 +46,40 @@ def test_multitouch_weights_sum_to_one_per_purchase(spark, sf_dir):
     sums = out.groupBy("purchase_id").agg(F.round(F.sum("weight"), 4).alias("s"))
     bad = sums.filter(F.abs(F.col("s") - 1.0) > 1e-3).count()
     assert bad == 0
+
+
+def test_position_weighting_u_shape(spark):
+    """U-shaped weights: 40/40 to first/last, 20 split across the
+    middle; degenerate 1- and 2-touch effects get 1.0 and 0.5."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming.joins import (
+        multi_touch_attribution,
+    )
+
+    clicks = spark.createDataFrame(
+        [(1, i, f"2024-01-01 00:{10 + i:02d}:00") for i in range(4)]
+        + [(2, 10, "2024-01-01 00:10:00")]
+        + [(3, 20, "2024-01-01 00:10:00"), (3, 21, "2024-01-01 00:20:00")],
+        ["user_id", "click_id", "click_ts"],
+    ).withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+    purch = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:30:00", 80.0),
+         (2, 200, "2024-01-01 00:30:00", 10.0),
+         (3, 300, "2024-01-01 00:30:00", 20.0)],
+        ["user_id", "purchase_id", "purchase_ts", "purchase_value"],
+    ).withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp"))
+    out = multi_touch_attribution(
+        clicks, purch, "user_id", "click_ts", "purchase_id", "purchase_ts",
+        value_col="purchase_value", weighting="position", cause_id="click_id",
+    ).collect()
+    by = {(r["purchase_id"], r["click_id"]): r for r in out}
+    # 4 touches: first/last 0.4, middle 0.1 each; values 32/8/8/32
+    assert by[(100, 0)]["weight"] == pytest.approx(0.4)
+    assert by[(100, 3)]["weight"] == pytest.approx(0.4)
+    assert by[(100, 1)]["weight"] == pytest.approx(0.1)
+    assert by[(100, 0)]["attributed_value"] == pytest.approx(32.0)
+    # weights sum to 1 per effect
+    for pid in (100, 200, 300):
+        s = sum(r["weight"] for k, r in by.items() if k[0] == pid)
+        assert s == pytest.approx(1.0)
+    assert by[(200, 10)]["weight"] == pytest.approx(1.0)
+    assert by[(300, 20)]["weight"] == pytest.approx(0.5)

@@ -83,7 +83,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "streaming_session": ("session_windows_per_user",),
     "streaming_join": ("purchase_click_attribution",
                        "purchase_click_attribution_left",
-                       "purchase_click_multitouch"),
+                       "purchase_click_multitouch",
+                       "purchase_click_attribution_ushape"),
     "corpus_shuffle": ("doc_shuffle_shards",),
     "skew_join": ("salted_user_segment_stats",),
     "cohort": ("weekly_cohort_retention",),
