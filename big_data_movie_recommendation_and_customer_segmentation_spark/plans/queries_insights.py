@@ -1176,3 +1176,118 @@ def purchase_click_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataF
         "user_id", "purchase_id", "click_id", "click_ts", "purchase_ts",
         "n_touches", "weight", "attributed_value",
     )
+
+
+# --------------------------------------------------------------------------
+# Time-decay attribution + supplier concentration
+# --------------------------------------------------------------------------
+
+
+@query(
+    "purchase_click_attribution_timedecay",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.user_id, p.purchase_id, p.purchase_ts, p.purchase_value,
+             c.click_id, c.click_ts,
+             pow(0.5, ((epoch_us(p.ts2) - epoch_us(c.click_ts)) / 1000000.0
+                       / 3600.0) / 0.5) AS raw
+      FROM (SELECT *, purchase_ts AS ts2 FROM purch) p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.click_ts <= p.purchase_ts
+       AND c.click_ts > p.purchase_ts - INTERVAL 1 HOUR
+    ),
+    normed AS (
+      SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+             sum(raw) OVER (PARTITION BY purchase_id) AS tot
+      FROM pairs
+    )
+    SELECT user_id, purchase_id, click_id, click_ts, purchase_ts,
+           n_touches,
+           round(raw / tot, 6) AS weight,
+           round(purchase_value * round(raw / tot, 6), 6) AS attributed_value
+    FROM normed
+    """,
+)
+def purchase_click_attribution_timedecay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: touch weight ∝
+    0.5^(Δt/30 min), normalized per purchase — recent clicks earn
+    the most credit (streaming/joins.py
+    ``multi_touch_attribution(weighting='time_decay')``); same
+    lookback-bounded pair relation as the linear and U-shaped
+    rules."""
+    from ..streaming.joins import multi_touch_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value"),
+    )
+    out = multi_touch_attribution(
+        clicks, purch, "user_id", "click_ts", "purchase_id", "purchase_ts",
+        value_col="purchase_value", lookback="1 hour",
+        weighting="time_decay", decay_half_life_hours=0.5,
+    )
+    return out.select(
+        "user_id", "purchase_id", "click_id", "click_ts", "purchase_ts",
+        "n_touches", "weight", "attributed_value",
+    )
+
+
+@query(
+    "part_supplier_hhi",
+    oracle="""
+    WITH q AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT partkey, count(*) AS n_suppliers,
+             CAST(sum(qty * qty) AS BIGINT) AS sum_sq,
+             CAST(sum(qty) AS BIGINT) AS total_qty
+      FROM q GROUP BY 1
+    )
+    SELECT partkey, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           floor((sum_sq * 1.0 / (total_qty * total_qty)) * 1000000
+                 + 0.5) / 1000000.0 AS hhi
+    FROM t
+    """,
+)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part: the Herfindahl-Hirschman
+    index of supplier quantity shares (1.0 = single-sourced, 1/n =
+    evenly split across n) — the procurement-risk screen over the
+    supplier dimension. Quantities are integral, so the HHI is the
+    exact ratio Σqty² / total² computed in integer arithmetic with
+    ONE final division — identical doubles in both engines — and
+    floor-based half-up rounding (share ratios are rationals that
+    land exactly on decimal rounding boundaries, where engine
+    round() tie semantics differ; same fix as personalized
+    PageRank). Two keyed aggregations, no broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    t = q.groupBy("partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("qty") * F.col("qty")).alias("sum_sq"),
+        F.sum("qty").alias("total_qty"),
+    )
+    hhi = (F.col("sum_sq") / (F.col("total_qty") * F.col("total_qty"))) 
+    return t.select(
+        "partkey",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        (F.floor(hhi * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)).alias("hhi"),
+    )

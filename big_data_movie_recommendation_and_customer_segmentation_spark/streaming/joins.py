@@ -149,6 +149,7 @@ def multi_touch_attribution(
     lookback: str = "1 hour",
     weighting: str = "linear",
     cause_id: str | None = None,
+    decay_half_life_hours: float = 0.5,
     round_to: int = 6,
 ) -> DataFrame:
     """Multi-touch attribution: every cause in the effect's lookback
@@ -156,7 +157,10 @@ def multi_touch_attribution(
     (``weight = 1/n_touches``); ``weighting='position'`` is the
     U-shaped rule — 40% first touch, 40% last touch, the remaining
     20% split across the middle (1 touch → 1.0, 2 touches → 0.5
-    each), crediting discovery and closing over the middle drift.
+    each), crediting discovery and closing over the middle drift;
+    ``weighting='time_decay'`` gives each touch weight ∝
+    ``0.5^(Δt/decay_half_life_hours)`` normalized per effect — the
+    recency-biased rule.
     ``attributed_value = value · weight`` when ``value_col`` is
     given. The many-touch generalization of the last-touch as-of
     join (temporal.asof_join) and the all-pairs `attribution_join`.
@@ -172,8 +176,10 @@ def multi_touch_attribution(
     """
     from pyspark.sql import Window
 
-    if weighting not in ("linear", "position"):
-        raise ValueError(f"weighting must be 'linear' or 'position', got {weighting!r}")
+    if weighting not in ("linear", "position", "time_decay"):
+        raise ValueError(
+            f"weighting must be 'linear', 'position' or 'time_decay', got {weighting!r}"
+        )
     pairs = attribution_join(
         causes, effects, user_col, cause_ts, effect_ts, lookback=lookback, how="inner"
     )
@@ -182,6 +188,19 @@ def multi_touch_attribution(
     if weighting == "linear":
         out = out.withColumn(
             "weight", F.round(F.lit(1.0) / F.col("n_touches"), round_to)
+        )
+    elif weighting == "time_decay":
+        # weight ∝ 0.5^(Δt / half_life), normalized per effect: the
+        # most recent touch before the effect earns the most credit.
+        w_eff = Window.partitionBy(effect_id)
+        dt_hours = (
+            F.col(effect_ts).cast("double") - F.col(cause_ts).cast("double")
+        ) / F.lit(3600.0)
+        raw_td = F.pow(F.lit(0.5), dt_hours / F.lit(decay_half_life_hours))
+        out = (
+            out.withColumn("_raw", raw_td)
+            .withColumn("weight", F.round(F.col("_raw") / F.sum("_raw").over(w_eff), round_to))
+            .drop("_raw")
         )
     else:
         asc = [F.col(cause_ts).asc()] + ([F.col(cause_id).asc()] if cause_id else [])

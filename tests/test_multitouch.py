@@ -83,3 +83,29 @@ def test_position_weighting_u_shape(spark):
         assert s == pytest.approx(1.0)
     assert by[(200, 10)]["weight"] == pytest.approx(1.0)
     assert by[(300, 20)]["weight"] == pytest.approx(0.5)
+
+
+def test_time_decay_weighting_prefers_recent_touches(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming.joins import (
+        multi_touch_attribution,
+    )
+
+    clicks = spark.createDataFrame(
+        [(1, i, f"2024-01-01 00:{5 * i:02d}:00") for i in range(1, 6)],
+        ["user_id", "click_id", "click_ts"],
+    ).withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+    purch = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:30:00", 50.0)],
+        ["user_id", "purchase_id", "purchase_ts", "purchase_value"],
+    ).withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp"))
+    out = multi_touch_attribution(
+        clicks, purch, "user_id", "click_ts", "purchase_id", "purchase_ts",
+        value_col="purchase_value", weighting="time_decay",
+        decay_half_life_hours=0.5,
+    ).collect()
+    by_click = {r["click_id"]: r["weight"] for r in out}
+    ws = [by_click[i] for i in sorted(by_click)]
+    assert all(a < b for a, b in zip(ws, ws[1:]))  # strictly more recent > older
+    assert sum(ws) == pytest.approx(1.0, abs=1e-4)
+    # successive 5-min gaps at a 30-min half-life: ratio 2^(1/6)
+    assert ws[1] / ws[0] == pytest.approx(2 ** (5 / 30), rel=1e-3)

@@ -27,7 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # mapping stays total over the registry.
 FAMILIES: dict[str, tuple[str, ...]] = {
     "scan_agg": ("pricing_summary", "part_popularity_biased", "order_part_stats",
-                 "customer_order_counts", "event_type_stats", "region_nation_acctbal"),
+                 "customer_order_counts", "event_type_stats", "region_nation_acctbal",
+                 "part_supplier_hhi"),
     "distinct": ("distinct_segments",),
     "collect_aggs": ("order_part_sets", "popularity_recommendations",
                      "popularity_recommendations_compat"),
@@ -84,7 +85,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "streaming_join": ("purchase_click_attribution",
                        "purchase_click_attribution_left",
                        "purchase_click_multitouch",
-                       "purchase_click_attribution_ushape"),
+                       "purchase_click_attribution_ushape",
+                       "purchase_click_attribution_timedecay"),
     "corpus_shuffle": ("doc_shuffle_shards",),
     "skew_join": ("salted_user_segment_stats",),
     "cohort": ("weekly_cohort_retention",),
