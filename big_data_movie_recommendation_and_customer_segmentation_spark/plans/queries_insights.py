@@ -1291,3 +1291,105 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_suppliers").cast("long").alias("n_suppliers"),
         (F.floor(hhi * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)).alias("hhi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Price elasticity (log-log OLS) + Benford first-digit screen
+# --------------------------------------------------------------------------
+
+
+@query(
+    "brand_price_elasticity",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand AS brand,
+             ln(l.l_extendedprice / l.l_quantity) AS x,
+             ln(l.l_quantity) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    m AS (
+      SELECT brand, count(*) * 1.0 AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM j GROUP BY 1
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_points,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+             AS slope,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                 THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 END, 6) AS intercept,
+           round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                 THEN pow(n * sxy - sx * sy, 2)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+             AS r2
+    FROM m
+    """,
+)
+def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: the log-log OLS slope of
+    ln(quantity) on ln(unit price) — elasticity < -1 means demand
+    drops faster than price rises (stats.py ``group_linear_trend``
+    over transformed columns; the closed-form six-moment aggregate,
+    one shuffle). The engine's moment formula is replayed by the
+    oracle term for term."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+            F.log("l_quantity").alias("y"),
+        )
+    )
+    return ST.group_linear_trend(j, ["brand"], "x", "y")
+
+
+@query(
+    "order_value_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+             AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT s.digit, coalesce(c.n, 0) AS n,
+           round(coalesce(c.n, 0) * 1.0 / t.total, 6) AS observed,
+           round(log10(1.0 + 1.0 / s.digit), 6) AS benford,
+           round(coalesce(c.n, 0) * 1.0 / t.total
+                 - log10(1.0 + 1.0 / s.digit), 6) AS deviation
+    FROM (SELECT unnest(range(1, 10)) AS digit) s
+    LEFT JOIN c USING (digit) CROSS JOIN t
+    """,
+)
+def order_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on order values: observed
+    first-digit shares vs the log10(1 + 1/d) law — the classic
+    synthetic-data / fraud smell test (synthetic TPC-H prices are
+    uniform-ish and deviate, which is exactly what the check should
+    surface). One digit-extraction aggregate + a 9-row spine."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        spine.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(F.coalesce("n", F.lit(0)) / F.col("total"), 6).alias("observed"),
+            F.round(benford, 6).alias("benford"),
+            F.round(F.coalesce("n", F.lit(0)) / F.col("total") - benford, 6).alias("deviation"),
+        )
+    )

@@ -103,7 +103,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "fuzzy_dedup": ("fuzzy_duplicate_pairs", "fuzzy_dedup_representatives"),
     "weighted_sampling": ("doc_weighted_sample",),
     "robust_stats": ("priority_revenue_trend", "event_value_outliers",
-                     "event_value_histogram"),
+                     "event_value_histogram", "brand_price_elasticity"),
     "profiling": ("orders_profile", "orders_quality_report",
                   "orders_profile_incremental",
                   "lineitem_correlation_matrix"),
@@ -137,7 +137,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "bootstrap": ("segment_acctbal_bootstrap_ci",),
     "feature_prep": ("orders_priority_target_encoding",
                      "segment_urgency_woe_iv"),
-    "drift": ("order_price_psi",),
+    "drift": ("order_price_psi", "order_value_benford"),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
