@@ -106,3 +106,35 @@ def kaplan_meier(
         )
         .drop("_lnf", "_zero")
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per group:
+    ``H(t) = Σ_{t_i ≤ t} d_i / n_i`` over the same life table as
+    ``kaplan_meier`` — the estimator of choice when hazard RATES
+    (and their comparisons between groups) matter more than survival
+    probabilities; exp(−H) is also the standard small-sample-stable
+    alternative to the KM product (Fleming-Harrington).
+
+    Identical plan shape: one life-table shuffle, one per-group
+    prefix window over the |groups| × |durations| table. The hazard
+    is a plain prefix SUM — no ln/exp, so no zero-factor guard is
+    needed and the oracle replay is a single windowed aggregate.
+    """
+    lt = life_table(df, duration_col, event_col, group_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(duration_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return lt.withColumn(
+        "cumulative_hazard",
+        F.round(F.sum(F.col("n_events") / F.col("n_at_risk")).over(w), round_to),
+    )

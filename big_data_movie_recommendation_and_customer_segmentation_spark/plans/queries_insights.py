@@ -108,6 +108,37 @@ def customer_item_cf_recommendations(spark: SparkSession, sf_dir: str) -> DataFr
 # --------------------------------------------------------------------------
 
 
+def _repurchase_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, duration_days, event) rows for the repurchase
+    time-to-event queries: duration = days from a customer's first
+    to second order, censored at the corpus max order date."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    firsts = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("d2"),
+        )
+    )
+    dmax = o.agg(F.max("o_orderdate").alias("dmax"))
+    return (
+        firsts.join(c.select(F.col("c_custkey").alias("o_custkey"),
+                             F.col("c_mktsegment").alias("segment")), "o_custkey")
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            "segment",
+            F.datediff(F.coalesce("d2", "dmax"), F.col("d1"))
+            .cast("int").alias("duration_days"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+
+
 @query(
     "customer_repurchase_survival",
     oracle="""
@@ -171,31 +202,7 @@ def customer_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers (survival.py ``kaplan_meier``). The life table is one
     map-side-combined shuffle; the product-limit curve is windows
     over the |segments| x |days| table."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    firsts = (
-        o.select("o_custkey", "o_orderdate", "o_orderkey")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
-        .groupBy("o_custkey")
-        .agg(
-            F.min(F.when(F.col("rn") == 1, F.col("o_orderdate"))).alias("d1"),
-            F.min(F.when(F.col("rn") == 2, F.col("o_orderdate"))).alias("d2"),
-        )
-    )
-    dmax = o.agg(F.max("o_orderdate").alias("dmax"))
-    subj = (
-        firsts.join(c.select(F.col("c_custkey").alias("o_custkey"),
-                             F.col("c_mktsegment").alias("segment")), "o_custkey")
-        .crossJoin(F.broadcast(dmax))
-        .select(
-            "segment",
-            F.datediff(F.coalesce("d2", "dmax"), F.col("d1"))
-            .cast("int").alias("duration_days"),
-            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("event"),
-        )
-    )
+    subj = _repurchase_subjects(spark, sf_dir)
     out = SV.kaplan_meier(subj, "duration_days", "event", "segment")
     return out.select(
         "segment", "duration_days", "n_events", "n_censored",
@@ -1392,4 +1399,71 @@ def order_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(benford, 6).alias("benford"),
             F.round(F.coalesce("n", F.lit(0)) / F.col("total") - benford, 6).alias("deviation"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_repurchase_hazard",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    sel AS (
+      SELECT o_custkey,
+             min(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+             min(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+      FROM o2 WHERE rn <= 2 GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    subj AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_diff('day', CAST(s.d1 AS DATE),
+                  CAST(coalesce(s.d2, mx.dmax) AS DATE)) AS INT) AS duration_days,
+             CASE WHEN s.d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+      FROM sel s JOIN customer c ON c.c_custkey = s.o_custkey
+      CROSS JOIN mx
+    ),
+    lt AS (
+      SELECT segment, duration_days,
+             CAST(sum(event) AS BIGINT) AS n_events,
+             CAST(sum(1 - event) AS BIGINT) AS n_censored
+      FROM subj GROUP BY 1, 2
+    ),
+    risk AS (
+      SELECT *,
+             CAST(sum(n_events + n_censored)
+                    OVER (PARTITION BY segment)
+                  - coalesce(sum(n_events + n_censored)
+                      OVER (PARTITION BY segment ORDER BY duration_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS n_at_risk
+      FROM lt
+    )
+    SELECT segment, duration_days, n_events, n_censored, n_at_risk,
+           round(sum(n_events * 1.0 / n_at_risk)
+                 OVER (PARTITION BY segment ORDER BY duration_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS cumulative_hazard
+    FROM risk
+    """,
+)
+def customer_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative repurchase hazard per segment over the
+    same first-to-second-order durations as
+    ``customer_repurchase_survival`` (survival.py ``nelson_aalen``)
+    — hazard-rate view of the same life table, one prefix-sum
+    window, no ln/exp."""
+    subj = _repurchase_subjects(spark, sf_dir)
+    out = SV.nelson_aalen(subj, "duration_days", "event", "segment")
+    return out.select(
+        "segment", "duration_days", "n_events", "n_censored",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"), "cumulative_hazard",
     )

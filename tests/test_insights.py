@@ -591,3 +591,24 @@ def test_woe_iv_uninformative_is_zero(spark):
     out = FE.woe_iv(spark.createDataFrame(rows, ["cat", "y"]), "cat", "y").collect()
     total = [r for r in out if r["level"] is None][0]
     assert total["iv_term"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_nelson_aalen_hand_example_and_exp_bound(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        survival as SV2,
+    )
+
+    rows = [(1, 1), (2, 1), (2, 1), (3, 0), (4, 1)]
+    df = spark.createDataFrame([("g", d, e) for d, e in rows], ["g", "dur", "ev"])
+    na = {r["dur"]: r["cumulative_hazard"]
+          for r in SV2.nelson_aalen(df, "dur", "ev", "g").collect()}
+    # H(1)=1/5; H(2)=1/5+2/4=0.7; H(3)=0.7 (censored); H(4)=0.7+1/1=1.7
+    assert na[1] == pytest.approx(0.2)
+    assert na[2] == pytest.approx(0.7)
+    assert na[3] == pytest.approx(0.7)
+    assert na[4] == pytest.approx(1.7)
+    # Fleming-Harrington bound: exp(-H) >= KM survival everywhere
+    km = {r["dur"]: r["survival"]
+          for r in SV2.kaplan_meier(df, "dur", "ev", "g").collect()}
+    for d in na:
+        assert math.exp(-na[d]) >= km[d] - 1e-9

@@ -130,7 +130,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                          "customer_item_cf_recommendations"),
     "seasonality": ("weekday_revenue_seasonality", "daily_revenue_anomalies"),
     # -- registered r5 (insights batch 3) --
-    "survival": ("customer_repurchase_survival",),
+    "survival": ("customer_repurchase_survival",
+                 "customer_repurchase_hazard"),
     "bloom_join": ("bloom_filtered_order_revenue",),
     "collocations": ("doc_bigram_collocations",),
     "user_cf": ("customer_user_cf_recommendations",),
