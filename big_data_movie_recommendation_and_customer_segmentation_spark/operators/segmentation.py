@@ -203,3 +203,58 @@ def quantile_bucket(
         F.lit(1),
     )
     return df.withColumn(out_col, ladder)
+
+
+def gini_coefficient(
+    orders: DataFrame,
+    customer_col: str,
+    amount_col: str,
+    *,
+    num_buckets: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gini coefficient of per-customer revenue concentration — the
+    single-number inequality companion to the 80/20 Pareto curve
+    (0 = everyone equal, →1 = one customer is the business).
+
+    Uses the identity ``G = (2·Σ_r C_r − (n+1)·T) / (n·T)`` where
+    ``C_r`` is the cumulative revenue after the r-th largest customer
+    and ``T`` the total — i.e. one aggregate over the SAME bucketed
+    exact-integer prefix sum the Pareto query runs (no
+    SinglePartition exchange, packing.py). Everything stays int64
+    until one final division, then floor-based half-up rounding —
+    the cum/total ratios are exact rationals that land on decimal
+    rounding boundaries where engine round() tie semantics differ.
+
+    Output: one row ``(n_customers, total_revenue, gini)``.
+    """
+    from .packing import bucketed_running_sum
+
+    rev = (
+        orders.groupBy(F.col(customer_col).alias("customer_id"))
+        .agg(F.round(F.sum(amount_col), 2).alias("revenue"))
+        .withColumn("revenue_cents", F.round(F.col("revenue") * 100).cast("long"))
+        .withColumn("_neg_rev", (-F.col("revenue_cents")).cast("double"))
+    )
+    run = bucketed_running_sum(
+        rev,
+        order_col="_neg_rev",
+        weight_col="revenue_cents",
+        out_col="_cum_cents",
+        num_buckets=num_buckets,
+        tiebreak_cols=["customer_id"],
+    )
+    agg = run.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("revenue_cents").alias("_t"),
+        F.sum("_cum_cents").alias("_s"),
+    )
+    gini = (
+        (F.lit(2) * F.col("_s") - (F.col("_n") + 1) * F.col("_t")).cast("double")
+        / (F.col("_n") * F.col("_t")).cast("double")
+    )
+    return agg.select(
+        F.col("_n").alias("n_customers"),
+        F.round(F.col("_t") / 100.0, 2).alias("total_revenue"),
+        (F.floor(gini * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)).alias("gini"),
+    )

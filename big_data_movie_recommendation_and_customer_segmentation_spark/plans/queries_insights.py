@@ -1467,3 +1467,114 @@ def customer_repurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment", "duration_days", "n_events", "n_censored",
         F.col("n_at_risk").cast("long").alias("n_at_risk"), "cumulative_hazard",
     )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration + corpus keyness
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS customer_id,
+             CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    ),
+    run AS (
+      SELECT customer_id, revenue_cents,
+             sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, customer_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+      FROM rev
+    ),
+    agg AS (
+      SELECT count(*) AS n, CAST(sum(revenue_cents) AS BIGINT) AS t,
+             CAST(sum(cum) AS BIGINT) AS s
+      FROM run
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(t / 100.0, 2) AS total_revenue,
+           floor(((2 * s - (n + 1) * t) * 1.0 / (n * t)) * 1000000 + 0.5)
+             / 1000000.0 AS gini
+    FROM agg
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality number next to the 80/20 Pareto curve (segmentation.py
+    ``gini_coefficient``): one aggregate over the exact-integer
+    bucketed prefix sum; int64 until the single final division,
+    floor-based half-up rounding."""
+    from ..operators import segmentation as SG
+
+    o = load_table(spark, sf_dir, "orders")
+    return SG.gini_coefficient(o, "o_custkey", "o_totalprice")
+
+
+@query(
+    "source_term_keyness",
+    oracle=f"""
+    WITH t AS (SELECT source, unnest({_NTOKS}) AS term FROM documents),
+    fa AS (SELECT term, count(*) AS a FROM t WHERE source = 'src0' GROUP BY 1),
+    fb AS (SELECT term, count(*) AS b FROM t WHERE source <> 'src0' GROUP BY 1),
+    ta AS (SELECT count(*) AS na FROM t WHERE source = 'src0'),
+    tb AS (SELECT count(*) AS nb FROM t WHERE source <> 'src0'),
+    terms AS (SELECT term FROM fa UNION SELECT term FROM fb),
+    g AS (
+      SELECT terms.term,
+             coalesce(fa.a, 0) AS a, coalesce(fb.b, 0) AS b, ta.na, tb.nb
+      FROM terms LEFT JOIN fa USING (term) LEFT JOIN fb USING (term)
+      CROSS JOIN ta CROSS JOIN tb
+    ),
+    scored AS (
+      SELECT term, a, b,
+             round(ln((a + 0.5) / (na - a + 0.5))
+                   - ln((b + 0.5) / (nb - b + 0.5)), 6) AS log_odds
+      FROM g
+    )
+    SELECT term, a AS n_focus, b AS n_reference, log_odds FROM scored
+    ORDER BY log_odds DESC, term ASC LIMIT 30
+    """,
+)
+def source_term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyness: the 30 terms most characteristic of source
+    src0 vs the rest of the corpus by Haldane-corrected log-odds
+    (the +0.5 smoothing keeps unseen-in-reference terms finite —
+    Monroe et al. 2008 'Fightin' Words' without the prior-variance
+    scaling). Two vocabulary-sized counting shuffles + broadcast
+    totals + TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions import textops as TX
+
+    toks = d.select("source", F.explode(TX.tokens(TX.normalized_text(F.col("text")))).alias("term"))
+    focus = toks.filter(F.col("source") == "src0")
+    ref = toks.filter(F.col("source") != "src0")
+    fa = focus.groupBy("term").agg(F.count(F.lit(1)).alias("a"))
+    fb = ref.groupBy("term").agg(F.count(F.lit(1)).alias("b"))
+    ta = focus.agg(F.count(F.lit(1)).alias("na"))
+    tb = ref.agg(F.count(F.lit(1)).alias("nb"))
+    terms = fa.select("term").unionByName(fb.select("term")).distinct()
+    g = (
+        terms.join(fa, "term", "left")
+        .join(fb, "term", "left")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .withColumn("a", F.coalesce("a", F.lit(0)))
+        .withColumn("b", F.coalesce("b", F.lit(0)))
+    )
+    scored = g.withColumn(
+        "log_odds",
+        F.round(
+            F.log((F.col("a") + 0.5) / (F.col("na") - F.col("a") + 0.5))
+            - F.log((F.col("b") + 0.5) / (F.col("nb") - F.col("b") + 0.5)),
+            6,
+        ),
+    )
+    return (
+        scored.select("term", F.col("a").alias("n_focus"),
+                      F.col("b").alias("n_reference"), "log_odds")
+        .orderBy(F.col("log_odds").desc(), F.col("term").asc())
+        .limit(30)
+    )

@@ -612,3 +612,47 @@ def test_nelson_aalen_hand_example_and_exp_bound(spark):
           for r in SV2.kaplan_meier(df, "dur", "ev", "g").collect()}
     for d in na:
         assert math.exp(-na[d]) >= km[d] - 1e-9
+
+
+def test_gini_extremes(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        segmentation as SG,
+    )
+
+    # perfectly equal: G = 0
+    eq = spark.createDataFrame([(i, 10.0) for i in range(10)], ["cust", "amt"])
+    r = SG.gini_coefficient(eq, "cust", "amt").first()
+    assert r["gini"] == pytest.approx(0.0, abs=1e-9)
+    assert r["n_customers"] == 10
+    # one customer has everything: G = (n-1)/n
+    uneq = spark.createDataFrame(
+        [(0, 1000.0)] + [(i, 0.0) for i in range(1, 10)], ["cust", "amt"]
+    )
+    r2 = SG.gini_coefficient(uneq, "cust", "amt").first()
+    assert r2["gini"] == pytest.approx(0.9, abs=1e-9)
+
+
+def test_keyness_flags_planted_focus_term(spark):
+    docs = spark.createDataFrame(
+        [(1, "zzzunique common words here", "focus"),
+         (2, "zzzunique again with common words", "focus"),
+         (3, "common words everywhere indeed", "ref"),
+         (4, "more common words here", "ref")],
+        ["doc_id", "text", "source"],
+    )
+    from big_data_movie_recommendation_and_customer_segmentation_spark.functions import (
+        textops as TX,
+    )
+
+    toks = docs.select("source", F.explode(TX.tokens(TX.normalized_text(F.col("text")))).alias("term"))
+    focus = toks.filter(F.col("source") == "focus")
+    ref = toks.filter(F.col("source") != "focus")
+    fa = focus.groupBy("term").count().withColumnRenamed("count", "a")
+    na = focus.count(); nb = ref.count()
+    fb = ref.groupBy("term").count().withColumnRenamed("count", "b")
+    g = (fa.join(fb, "term", "outer").fillna(0))
+    import math as m
+    rows = {r["term"]: (r["a"], r["b"]) for r in g.collect()}
+    a, b = rows["zzzunique"]
+    lo = m.log((a + 0.5) / (na - a + 0.5)) - m.log((b + 0.5) / (nb - b + 0.5))
+    assert lo > 1.0  # planted focus-only term scores strongly positive

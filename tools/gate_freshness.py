@@ -96,7 +96,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     # -- registered r5 (pipeline batch) --
     "association": ("part_association_rules",),
     "rfm_pareto": ("customer_rfm_segments", "customer_revenue_pareto",
-                   "customer_value_migration", "customer_360_profile"),
+                   "customer_value_migration", "customer_360_profile",
+                   "customer_revenue_gini"),
     "bm25": ("bm25_doc_ranking",),
     "gapfill": ("daily_orders_gapfill", "daily_revenue_momentum"),
     "snapshot_cdc": ("snapshot_diff_orders", "snapshot_merge_orders"),
@@ -133,7 +134,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "survival": ("customer_repurchase_survival",
                  "customer_repurchase_hazard"),
     "bloom_join": ("bloom_filtered_order_revenue",),
-    "collocations": ("doc_bigram_collocations",),
+    "collocations": ("doc_bigram_collocations", "source_term_keyness"),
     "user_cf": ("customer_user_cf_recommendations",),
     "bootstrap": ("segment_acctbal_bootstrap_ci",),
     "feature_prep": ("orders_priority_target_encoding",
