@@ -383,3 +383,51 @@ def psi_drift(
         F.round(F.sum((F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q"))), round_to).alias("psi_term"),
     )
     return per_bin.unionByName(total)
+
+
+def embedding_quality_report(
+    df: DataFrame,
+    vec_col: str,
+    expected_dim: int,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row quality screen for an embedding column — the checks an
+    ANN index build should run BEFORE quantizing 10^9 vectors: wrong
+    dimensionality, nulls, exact-zero vectors (unnormalizable), and
+    non-finite elements, plus the L2-norm distribution (a collapsed
+    or exploding norm histogram is the classic symptom of a bad
+    encoder export).
+
+    All counts and moments come from ONE pass: the norm is a
+    JVM-side higher-order ``aggregate`` over the array (no UDF), and
+    the distribution uses exact percentiles (swap to
+    ``approx_percentile`` at extreme scale, same shape).
+    """
+    v = F.col(vec_col)
+    norm_sq = F.aggregate(
+        F.coalesce(v, F.array()),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    has_nonfinite = F.exists(
+        F.coalesce(v, F.array()),
+        lambda x: F.isnan(x.cast("double")) | (F.abs(x.cast("double")) > F.lit(1e308)),
+    )
+    base = df.select(
+        v.isNull().cast("long").alias("_null"),
+        (v.isNotNull() & (F.size(v) != expected_dim)).cast("long").alias("_wrong_dim"),
+        F.when(v.isNotNull(), F.sqrt(norm_sq)).alias("_norm"),
+        F.when(v.isNotNull() & (norm_sq == 0), 1).otherwise(0).cast("long").alias("_zero"),
+        F.when(v.isNotNull() & has_nonfinite, 1).otherwise(0).cast("long").alias("_nonfinite"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_null").alias("n_null"),
+        F.sum("_wrong_dim").alias("n_wrong_dim"),
+        F.sum("_zero").alias("n_zero_vectors"),
+        F.sum("_nonfinite").alias("n_nonfinite"),
+        F.round(F.avg("_norm"), round_to).alias("norm_mean"),
+        F.round(F.expr("percentile(_norm, 0.5)"), round_to).alias("norm_p50"),
+        F.round(F.expr("percentile(_norm, 0.95)"), round_to).alias("norm_p95"),
+    )

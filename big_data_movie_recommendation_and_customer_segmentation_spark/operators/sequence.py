@@ -88,3 +88,47 @@ def event_kgrams(
         .agg(F.count(F.lit(1)).alias("n_paths"))
         .filter(F.col("n_paths") >= min_count)
     )
+
+
+def sequence_cross_entropy(
+    events: DataFrame,
+    *,
+    user_col: str,
+    type_col: str,
+    order_cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-user predictability of the event stream: the mean
+    ``-log2 P(next | current)`` of the user's transitions under the
+    CORPUS-wide first-order Markov model — low cross-entropy users
+    follow the crowd's patterns, high ones are erratic (bot screens,
+    exploration scoring). The sequence-level counterpart of the
+    unigram log-prob quality score in corpus.py.
+
+    Plan: one user-hash window builds each user's transition pairs
+    (the only data-sized shuffle — shared shape with
+    ``transition_matrix``); the |types|² model relation broadcasts
+    back onto the pairs; one keyed mean per user. Users with no
+    transitions (single-event streams) drop out — surfaced by the
+    count difference, not imputed.
+
+    Output: ``(user, n_transitions, cross_entropy_bits)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pairs = (
+        events.select(user_col, type_col, *order_cols)
+        .withColumn("_next", F.lead(type_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(user_col, F.col(type_col).alias("from_type"),
+                F.col("_next").alias("to_type"))
+    )
+    model = transition_matrix(
+        events, user_col=user_col, type_col=type_col, order_cols=order_cols
+    ).select("from_type", "to_type", "prob")
+    scored = pairs.join(F.broadcast(model), ["from_type", "to_type"])
+    return scored.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(
+            F.avg(-F.log(F.col("prob")) / F.log(F.lit(2.0))), round_to
+        ).alias("cross_entropy_bits"),
+    )

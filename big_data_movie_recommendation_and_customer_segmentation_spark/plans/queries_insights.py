@@ -22,6 +22,7 @@ from ..operators import profiling as PF
 from ..operators import recommend as RC
 from ..operators import similarity as SIM
 from ..operators import stats as ST
+from ..operators import sequence as SEQ2
 from ..operators import survival as SV
 from ..operators import temporal as TP2
 from ..operators.relational import bloom_semi_join
@@ -1578,3 +1579,84 @@ def source_term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("log_odds").desc(), F.col("term").asc())
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence predictability + embedding quality screen
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_sequence_predictability",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    p2 AS (SELECT * FROM pairs WHERE to_type IS NOT NULL),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n FROM p2 GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT from_type, to_type,
+             round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+               AS prob
+      FROM c
+    )
+    SELECT p2.user_id, count(*) AS n_transitions,
+           round(avg(-ln(m.prob) / ln(2.0)), 6) AS cross_entropy_bits
+    FROM p2 JOIN model m USING (from_type, to_type)
+    GROUP BY 1
+    """,
+)
+def user_sequence_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cross-entropy of the event stream under the corpus
+    Markov model (sequence.py ``sequence_cross_entropy``) — low =
+    follows the crowd's transition patterns, high = erratic; the
+    sequence-level sibling of the unigram quality score. One
+    user-hash window + a broadcast |types|² model join."""
+    e = load_table(spark, sf_dir, "events")
+    return SEQ2.sequence_cross_entropy(
+        e, user_col="user_id", type_col="event_type",
+        order_cols=["ts", "event_id"],
+    )
+
+
+@query(
+    "embedding_quality_report",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(sum(CASE WHEN embedding IS NOT NULL
+                         AND len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_wrong_dim,
+           CAST(sum(CASE WHEN embedding IS NOT NULL AND nrm = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+           CAST(sum(CASE WHEN embedding IS NOT NULL AND (isnan(nrm)
+                         OR isinf(nrm)) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           round(avg(nrm), 6) AS norm_mean,
+           round(quantile_cont(nrm, 0.5), 6) AS norm_p50,
+           round(quantile_cont(nrm, 0.95), 6) AS norm_p95
+    FROM n
+    """,
+)
+def embedding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-index quality screen for the embeddings table: dimension /
+    null / zero-vector / non-finite counts plus the L2-norm
+    distribution in one pass (profiling.py
+    ``embedding_quality_report``, JVM higher-order aggregate — no
+    UDF)."""
+    from ..operators import profiling as PF3
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return PF3.embedding_quality_report(e, "embedding", 64)

@@ -656,3 +656,39 @@ def test_keyness_flags_planted_focus_term(spark):
     a, b = rows["zzzunique"]
     lo = m.log((a + 0.5) / (na - a + 0.5)) - m.log((b + 0.5) / (nb - b + 0.5))
     assert lo > 1.0  # planted focus-only term scores strongly positive
+
+
+def test_sequence_cross_entropy_deterministic_stream_is_zero(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        sequence as SEQ,
+    )
+
+    # one user, strictly alternating a->b->a->b: P(b|a)=P(a|b)=1
+    rows = [(1, i, "a" if i % 2 == 0 else "b") for i in range(8)]
+    df = spark.createDataFrame(rows, ["user_id", "pos", "event_type"])
+    r = SEQ.sequence_cross_entropy(
+        df, user_col="user_id", type_col="event_type", order_cols=["pos"]
+    ).first()
+    assert r["cross_entropy_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert r["n_transitions"] == 7
+
+
+def test_embedding_quality_report_flags_planted_defects(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        profiling as PF,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5
+        (2, [0.0, 0.0]),          # zero vector
+        (3, [1.0, 2.0, 3.0]),     # wrong dim
+        (4, None),                # null
+        (5, [float("nan"), 1.0]), # non-finite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = PF.embedding_quality_report(df, "embedding", 2).first()
+    assert r["n_rows"] == 5
+    assert r["n_null"] == 1
+    assert r["n_wrong_dim"] == 1
+    assert r["n_zero_vectors"] == 1
+    assert r["n_nonfinite"] == 1

@@ -107,12 +107,14 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                      "event_value_histogram", "brand_price_elasticity"),
     "profiling": ("orders_profile", "orders_quality_report",
                   "orders_profile_incremental",
-                  "lineitem_correlation_matrix"),
+                  "lineitem_correlation_matrix",
+                  "embedding_quality_report"),
     "ann_rerank": ("ivfadc_rerank_knn",),
     "cv_splits": ("events_kfold_summary",),
     "skyline": ("part_skyline",),
     "streaming_stateful": ("event_running_zscore",),
-    "sequence_mining": ("event_transition_matrix", "frequent_event_paths"),
+    "sequence_mining": ("event_transition_matrix", "frequent_event_paths",
+                        "user_sequence_predictability"),
     "scd2": ("customer_order_status_scd2",),
     "hypothesis_tests": ("segment_priority_chisq", "event_value_winsorized",
                          "priority_spend_ttest", "segment_priority_mutual_info",
