@@ -84,6 +84,7 @@ def association_rules(
     *,
     min_pair_count: int = 2,
     max_basket_size: int = 100,
+    wilson_z: float | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """Mine pairwise association rules from a (basket, item) relation.
@@ -95,6 +96,12 @@ def association_rules(
     * ``support``      — pair_count / N baskets
     * ``confidence``   — pair_count / count(antecedent)
     * ``lift``         — support / (supp(antecedent)·supp(consequent))
+
+    ``wilson_z`` (e.g. 1.96 for 95%) appends ``conf_lo``/``conf_hi``
+    — the Wilson score interval on the confidence, with n =
+    antecedent basket count. Point confidence ranks a rule seen in 2
+    of 2 baskets above one seen in 90 of 100; the Wilson lower bound
+    inverts that, which is why production rule miners sort by it.
 
     All ratios are rounded to ``round_to`` for stable cross-engine
     comparison. Deterministic: pure aggregation, no RNG.
@@ -144,8 +151,31 @@ def association_rules(
             F.round(
                 (F.col("pair_count") * n) / (F.col("_na") * F.col("_nb")), round_to
             ).alias("lift"),
+            *(
+                _wilson_bounds(
+                    F.col("pair_count"), F.col("_na"), wilson_z, round_to
+                )
+                if wilson_z is not None
+                else []
+            ),
         )
     )
+
+
+def _wilson_bounds(k, n, z: float, round_to: int):
+    """Wilson score interval columns for k successes of n — the
+    closed form both the engine and the SQL oracle expand verbatim."""
+    p = k / n
+    z2 = z * z
+    denom = 1 + F.lit(z2) / n
+    center = (p + F.lit(z2) / (2 * n)) / denom
+    half = (
+        F.lit(z) * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4 * n * n)) / denom
+    )
+    return [
+        F.round(center - half, round_to).alias("conf_lo"),
+        F.round(center + half, round_to).alias("conf_hi"),
+    ]
 
 
 def item_cosine_neighbors(

@@ -1660,3 +1660,66 @@ def embedding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return PF3.embedding_quality_report(e, "embedding", 64)
+
+
+# --------------------------------------------------------------------------
+# Association rules with Wilson confidence intervals
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_rules_wilson_ci",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    sizes AS (SELECT basket, count(*) AS bsize FROM inc GROUP BY 1),
+    bounded AS (
+      SELECT inc.basket, inc.item FROM inc JOIN sizes USING (basket)
+      WHERE bsize <= 8
+    ),
+    ic AS (SELECT item, count(*) AS icount FROM bounded GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS ia, b.item AS ib, count(*) AS pair_count
+      FROM bounded a JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    directed AS (
+      SELECT ia AS antecedent, ib AS consequent, pair_count FROM pairs
+      UNION ALL
+      SELECT ib AS antecedent, ia AS consequent, pair_count FROM pairs
+    ),
+    w AS (
+      SELECT d.antecedent, d.consequent, d.pair_count,
+             d.pair_count * 1.0 / ca.icount AS p,
+             ca.icount * 1.0 AS n
+      FROM directed d JOIN ic ca ON ca.item = d.antecedent
+    )
+    SELECT antecedent, consequent, pair_count,
+           round(p, 6) AS confidence,
+           round(((p + (1.96 * 1.96) / (2 * n))
+                  - 1.96 * sqrt(p * (1 - p) / n + (1.96 * 1.96) / (4 * n * n)))
+                 / (1 + (1.96 * 1.96) / n), 6) AS conf_lo,
+           round(((p + (1.96 * 1.96) / (2 * n))
+                  + 1.96 * sqrt(p * (1 - p) / n + (1.96 * 1.96) / (4 * n * n)))
+                 / (1 + (1.96 * 1.96) / n), 6) AS conf_hi
+    FROM w
+    """,
+)
+def part_rules_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules with 95% Wilson score intervals on the
+    confidence (association.py ``association_rules(wilson_z=1.96)``)
+    — the uncertainty-aware rule ranking: a 2-of-2 rule's lower
+    bound sits far below a 90-of-100 rule's, inverting the naive
+    point-confidence order."""
+    from ..operators import association as AS4
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = AS4.association_rules(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey",
+        min_pair_count=2, max_basket_size=8, wilson_z=1.96,
+    )
+    return out.select(
+        "antecedent", "consequent", "pair_count", "confidence",
+        "conf_lo", "conf_hi",
+    )

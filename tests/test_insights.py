@@ -692,3 +692,19 @@ def test_embedding_quality_report_flags_planted_defects(spark):
     assert r["n_wrong_dim"] == 1
     assert r["n_zero_vectors"] == 1
     assert r["n_nonfinite"] == 1
+
+
+def test_wilson_lower_bound_inverts_small_sample_confidence(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.association import (
+        _wilson_bounds,
+    )
+
+    df = spark.createDataFrame([(2, 2), (90, 100)], ["k", "n"])
+    out = df.select(
+        "k", "n", *_wilson_bounds(F.col("k"), F.col("n"), 1.96, 6)
+    ).collect()
+    by = {r["k"]: r for r in out}
+    # point confidence: 1.0 vs 0.9 — but the 2-of-2 lower bound
+    # collapses (~0.34) while 90-of-100 stays high (~0.82)
+    assert by[2]["conf_lo"] < 0.45 < 0.8 < by[90]["conf_lo"]
+    assert by[2]["conf_hi"] <= 1.0 and by[90]["conf_hi"] < 1.0

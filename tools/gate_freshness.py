@@ -94,7 +94,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "multimodal": ("media_image_features", "media_audio_frames",
                    "video_frame_samples"),
     # -- registered r5 (pipeline batch) --
-    "association": ("part_association_rules",),
+    "association": ("part_association_rules", "part_rules_wilson_ci"),
     "rfm_pareto": ("customer_rfm_segments", "customer_revenue_pareto",
                    "customer_value_migration", "customer_360_profile",
                    "customer_revenue_gini"),
