@@ -1723,3 +1723,115 @@ def part_rules_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "antecedent", "consequent", "pair_count", "confidence",
         "conf_lo", "conf_hi",
     )
+
+
+# --------------------------------------------------------------------------
+# Growth accounting + Zipf fit
+# --------------------------------------------------------------------------
+
+
+@query(
+    "monthly_new_vs_returning_revenue",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, min(o_orderdate) AS first_order FROM orders GROUP BY 1
+    ),
+    tagged AS (
+      SELECT date_trunc('month', o.o_orderdate) AS month,
+             CASE WHEN date_trunc('month', o.o_orderdate)
+                       = date_trunc('month', f.first_order)
+                  THEN 1 ELSE 0 END AS is_new,
+             o.o_totalprice AS rev
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT month,
+           CAST(sum(is_new) AS BIGINT) AS n_new_orders,
+           CAST(sum(1 - is_new) AS BIGINT) AS n_returning_orders,
+           round(sum(CASE WHEN is_new = 1 THEN rev ELSE 0 END), 2)
+             AS new_revenue,
+           round(sum(CASE WHEN is_new = 0 THEN rev ELSE 0 END), 2)
+             AS returning_revenue
+    FROM tagged GROUP BY 1
+    """,
+)
+def monthly_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each month's revenue split into first-month
+    (acquisition) vs returning (retention) customers — an order is
+    "new" when it lands in its customer's first order month. One
+    per-customer min-date aggregate joined back (custkey-keyed, the
+    same co-partitioned shuffle both sides), then one month-keyed
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_order"))
+    tagged = o.join(firsts, "o_custkey").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        (
+            F.date_trunc("month", "o_orderdate")
+            == F.date_trunc("month", "first_order")
+        ).cast("int").alias("is_new"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    return tagged.groupBy("month").agg(
+        F.sum("is_new").alias("n_new_orders"),
+        F.sum(F.lit(1) - F.col("is_new")).alias("n_returning_orders"),
+        F.round(F.sum(F.when(F.col("is_new") == 1, F.col("rev")).otherwise(0.0)), 2)
+        .alias("new_revenue"),
+        F.round(F.sum(F.when(F.col("is_new") == 0, F.col("rev")).otherwise(0.0)), 2)
+        .alias("returning_revenue"),
+    )
+
+
+@query(
+    "term_zipf_fit",
+    oracle=f"""
+    WITH t AS (SELECT unnest({_NTOKS}) AS term FROM documents),
+    c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+    top AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term ASC) AS rnk
+      FROM c ORDER BY freq DESC, term ASC LIMIT 500
+    ),
+    xy AS (SELECT ln(rnk * 1.0) AS x, ln(freq * 1.0) AS y FROM top),
+    m AS (
+      SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def term_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution: OLS
+    of ln(freq) on ln(rank) over the top 500 terms — natural text
+    slopes near -1; a flat or kinked fit flags boilerplate or
+    tokenizer damage. Token counting is the only data-sized shuffle;
+    the ranked top-500 comes from TakeOrderedAndProject and the fit
+    is the closed-form six-moment aggregate on 500 rows."""
+    from ..functions import textops as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens(TX.normalized_text(F.col("text")))).alias("term"))
+    c = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    top = (
+        c.orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(500)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+            ),
+        )
+    )
+    xy = top.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return ST.group_linear_trend(
+        xy.withColumn("_g", F.lit(1)), ["_g"], "x", "y"
+    ).drop("_g")

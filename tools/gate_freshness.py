@@ -89,7 +89,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                        "purchase_click_attribution_timedecay"),
     "corpus_shuffle": ("doc_shuffle_shards",),
     "skew_join": ("salted_user_segment_stats",),
-    "cohort": ("weekly_cohort_retention",),
+    "cohort": ("weekly_cohort_retention",
+               "monthly_new_vs_returning_revenue"),
     "funnel": ("signup_click_purchase_funnel",),
     "multimodal": ("media_image_features", "media_audio_frames",
                    "video_frame_samples"),
@@ -136,7 +137,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "survival": ("customer_repurchase_survival",
                  "customer_repurchase_hazard"),
     "bloom_join": ("bloom_filtered_order_revenue",),
-    "collocations": ("doc_bigram_collocations", "source_term_keyness"),
+    "collocations": ("doc_bigram_collocations", "source_term_keyness",
+                     "term_zipf_fit"),
     "user_cf": ("customer_user_cf_recommendations",),
     "bootstrap": ("segment_acctbal_bootstrap_ci",),
     "feature_prep": ("orders_priority_target_encoding",
