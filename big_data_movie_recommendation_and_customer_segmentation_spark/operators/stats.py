@@ -567,9 +567,12 @@ def poisson_bootstrap_mean_ci(
     state — the only bootstrap that distributes cleanly.
 
     RNG-free: the weight for (row, replicate) is a ladder lookup on
-    ``u = md5(seed‖replicate‖id)/2^32`` against the Poisson(1) CDF
-    (capped at 5), so the whole procedure — and therefore the CI — is
-    bit-replayable by the SQL oracle.
+    ``u = md5(seed‖':'‖replicate‖':'‖id)/2^32`` against the
+    Poisson(1) CDF (capped at 5), so the whole procedure — and
+    therefore the CI — is bit-replayable by the SQL oracle. The ':'
+    delimiters matter (ADVICE r5): without them (replicate=1,
+    id='23') and (replicate=12, id='3') hash identically, correlating
+    rows across replicates and weakening replicate independence.
 
     Cost: the explode emits n_replicates rows per input row, but
     map-side combine collapses the shuffle to |groups| × n_replicates
@@ -584,7 +587,8 @@ def poisson_bootstrap_mean_ci(
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat(
+                    F.concat_ws(
+                        ":",
                         F.lit(seed),
                         F.col("_b").cast("string"),
                         F.col(id_col).cast("string"),

@@ -24,73 +24,66 @@ from . import queries_insights  # noqa: F401  (registers r5 analytics batch 3)
 # representative) + 21 rows for families that were never gated or
 # fell out of the r02 gate (VERDICT r2 asks #1/#4).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r05 rotation (VERDICT r4 ask #1): the 10 r4-registered
-    # queries take their first driver rows; the 3 r5-registered
-    # queries gate immediately (no one-round lag this time); the 22
-    # oracle-backed rows rotated out in r04 (r03-vouched) rotate back
-    # in before their evidence ages past 2 rounds. 15 anchors keep the
-    # perf-watched queries and one representative per long-standing
-    # family. Everything r04-gated and not re-listed here is age-1 and
-    # scheduled for the r06 rotation (COVERAGE.md "gate budget"). The
-    # 4 no-oracle variants stay ungated as before (deterministic
-    # siblings are in the window).
-    # -- first driver rows: registered r4 --
+    # -- r06 rotation (VERDICT r5 asks #1/#2 + COVERAGE.md "gate
+    # budget" r06 plan): the 4 repaired PQ/IVFADC rows re-gate FIRST
+    # (r05 gate-interface failures: list-cell canonicalization +
+    # HUGEINT→float64 dtype drift, both fixed and now locally
+    # predicted by the hardened tests/oracle_compare.py); then the 20
+    # age-2-at-r06 r04 families re-gate; then the 22 never-gated r5
+    # families take their first driver rows; 4 anchors close the
+    # window. Everything r05-gated and not re-listed is age-1 and
+    # scheduled for the r07 rotation.
+    # -- repaired PQ/IVFADC family: must re-gate green (VERDICT #1) --
     "pq_codes",
     "pq_adc_knn",
     "ivfadc_knn",
-    "semantic_dedup_survivors",
-    "purchase_click_attribution",
-    "doc_shuffle_shards",
-    "salted_user_segment_stats",
-    "trending_event_types",
-    "weekly_cohort_retention",
-    "signup_click_purchase_funnel",
-    # -- first driver rows: registered r5 --
-    "ivfadc_residual_knn",              # paper-fidelity IVFADC (ADVICE r4)
-    "purchase_next_click_asof",         # asof direction='forward'
-    "purchase_click_attribution_left",  # attribution how='left'
-    # -- first driver rows: r5 pipeline additions (one per new
-    # family; age-1 siblings snapshot_merge_orders,
-    # event_value_outliers, orders_quality_report are local-vouched
-    # and scheduled r06) --
-    "part_association_rules",    # market-basket support/conf/lift
-    "customer_rfm_segments",     # RFM quintile ladders
-    "customer_revenue_pareto",   # bucketed prefix-sum 80/20
-    "bm25_doc_ranking",          # Okapi BM25 retrieval
-    "daily_orders_gapfill",      # date-spine resample + ffill
-    "snapshot_diff_orders",      # CDC full-outer diff
-    "fuzzy_duplicate_pairs",     # levenshtein banded dedup
-    "doc_weighted_sample",       # Efraimidis-Spirakis A-ES
-    "priority_revenue_trend",    # closed-form grouped OLS
-    "orders_profile",            # single-pass numeric profiling
-    "ivfadc_rerank_knn",         # two-stage ANN (exact re-rank)
-    # -- rotated back in: r03-vouched, out during r04 --
-    "customer_order_counts",
-    "distinct_segments",
-    "order_part_sets",
-    "popularity_recommendations",
-    "segment_revenue",
-    "customers_with_open_orders",
-    "customers_orders_events_fullouter",
-    "top_parts_by_price",
-    "recent_orders_per_customer",
-    "chronological_split_counts",
-    "corr_qty_price_by_flag",
-    "part_popularity_biased",
-    "revenue_rollup_region_nation",
-    "sql_surface_top_customers",
-    "segment_price_quantiles",
-    "order_year_status_pivot",
-    "random_pair_baseline_trials",
-    "event_type_stats",
-    "doc_quality_scores",
-    "dedup_exact_survivors",
-    "minhash_pairs_lsh",
-    "kmv_distinct_customers",
-    # -- kept anchors (the rest of the r04 anchor set is age-1 and
-    # cedes its slots to the r5 pipeline queries above; every ceded
-    # family re-gates in the r06 rotation before its r04 evidence
-    # ages past 2 — see COVERAGE.md "gate budget") --
+    "ivfadc_residual_knn",
+    # -- tier 1: must re-gate (driver row is r04, age-2 at r06) --
+    "ranking_metrics_summary",
+    "ngram_duplicate_pairs",
+    "minhash_duplicate_pairs",
+    "simhash_duplicate_pairs",
+    "dedup_representatives",
+    "ngram_decontaminated_docs",
+    "training_corpus_manifest",
+    "knn_bruteforce",
+    "ann_hyperplane_neighbors",
+    "ivf_knn_deterministic",
+    "embedding_near_duplicates_deterministic",
+    "events_session_interval_join",
+    "rolling_order_spend",
+    "props_json_stats",
+    "sliding_window_events",
+    "session_windows_per_user",
+    "media_image_features",
+    "kmeans_embedding_segments_det",
+    "tfidf_top_terms",             # corpus_ops: sibling rotation
+    "token_shard_assignment",
+    # -- tier 2: never-gated families, first driver rows (VERDICT
+    # r5 ask #2 names all 22) --
+    "event_transition_matrix",           # sequence_mining
+    "customer_order_status_scd2",        # scd2
+    "segment_priority_chisq",            # hypothesis_tests
+    "hybrid_doc_retrieval_rrf",          # rank_fusion
+    "embedding_covariance",              # pca
+    "part_copurchase_pagerank",          # graph_centrality
+    "purchase_value_auc",                # auc
+    "daily_revenue_ewma",                # ewma
+    "event_user_skew_report",            # skew_report
+    "purchase_value_lift",               # lift_gains
+    "part_cosine_neighbors",             # item_item_cosine
+    "weekday_revenue_seasonality",       # seasonality
+    "customer_repurchase_survival",      # survival
+    "bloom_filtered_order_revenue",      # bloom_join
+    "doc_bigram_collocations",           # collocations
+    "customer_user_cf_recommendations",  # user_cf
+    "segment_acctbal_bootstrap_ci",      # bootstrap
+    "orders_priority_target_encoding",   # feature_prep
+    "order_price_psi",                   # drift
+    "events_kfold_summary",              # cv_splits
+    "part_skyline",                      # skyline
+    "event_running_zscore",              # streaming_stateful
+    # -- kept anchors (flagship + perf-watched + rows-only ALS) --
     "pricing_summary",             # flagship scan/agg
     "candidates_unseen",           # C3+C4, perf-watched
     "top_similar_customer_pairs",  # C6/F4, perf-watched

@@ -2136,12 +2136,16 @@ def _pq_codes_oracle(
     joins = "".join(
         f"\n    JOIN s{j}_asg a{j} ON a{j}.vid = a0.vid" for j in range(1, m)
     )
-    codes = ", ".join(f"CAST(a{j}.cluster AS INT)" for j in range(m))
+    # Comma-joined string, NOT a list column: the driver's pandas
+    # canonicalizer cannot sort list cells (r05 gate error
+    # "unhashable type: 'list'") — same serialization contract as
+    # order_part_sets (queries.py).
+    codes = " || ',' || ".join(f"CAST(a{j}.cluster AS INT)" for j in range(m))
     return (
         "WITH "
         + ",".join(chains)
         + f"""
-    SELECT a0.vid AS vec_id, [{codes}] AS codes
+    SELECT a0.vid AS vec_id, {codes} AS codes
     FROM s0_asg a0{joins}
     """
     )
@@ -2154,10 +2158,16 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 32× compression). All 8 subspace codebooks are deterministic
     quantized-Lloyd fits, so the oracle replays the ENTIRE encoding —
     the compression layer of a billion-scale ANN index is
-    value-checked, not just smoke-tested."""
+    value-checked, not just smoke-tested. The code array is emitted
+    as a comma-joined string because the driver's pandas
+    canonicalizer cannot sort list cells (r05 gate lesson; same
+    contract as order_part_sets)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = VO.pq_encode(e, dim=64, m=8, k=16, iters=2)
-    return out.select("vec_id", F.col("codes").cast("array<int>").alias("codes"))
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda x: x.cast("string")), ",").alias("codes"),
+    )
 
 
 def _pq_adc_oracle(
@@ -2192,7 +2202,7 @@ def _pq_adc_oracle(
         + ",".join(tails)
         + f""",
     tot AS (
-      SELECT probe_id, vid, sum(dist) AS adc_dist
+      SELECT probe_id, vid, CAST(sum(dist) AS BIGINT) AS adc_dist
       FROM ({unions}) GROUP BY probe_id, vid
     )
     SELECT probe_id, vid AS vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (
@@ -2434,7 +2444,7 @@ def _ivfadc_oracle(
       WHERE a.vec_id <> pc.probe_id
     ),
     tot AS (
-      SELECT probe_id, vid, sum(dist) AS adc_dist
+      SELECT probe_id, vid, CAST(sum(dist) AS BIGINT) AS adc_dist
       FROM ({unions}) GROUP BY probe_id, vid
     )
     SELECT probe_id, vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (
@@ -2569,7 +2579,7 @@ def _ivfadc_residual_oracle(
       WHERE a.vec_id <> pc.probe_id
     ),
     tot AS (
-      SELECT probe_id, vid, sum(dist) AS adc_dist
+      SELECT probe_id, vid, CAST(sum(dist) AS BIGINT) AS adc_dist
       FROM ({unions}) GROUP BY probe_id, vid
     )
     SELECT probe_id, vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (

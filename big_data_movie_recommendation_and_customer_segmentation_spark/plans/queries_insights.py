@@ -603,9 +603,11 @@ def recommendation_diversity_ild(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer c, unnest(range(1, 21)) AS b(b)
     ),
     uw AS (
+      -- ':' delimiters mirror the engine's concat_ws (ADVICE r5:
+      -- undelimited concat collides (b=1,id='23') with (b=12,id='3'))
       SELECT segment, x, b,
-             ('0x' || substr(md5('boot' || CAST(b AS VARCHAR)
-                                 || CAST(id AS VARCHAR)), 1, 8))::BIGINT
+             ('0x' || substr(md5('boot' || ':' || CAST(b AS VARCHAR)
+                                 || ':' || CAST(id AS VARCHAR)), 1, 8))::BIGINT
                / 4294967296.0 AS u
       FROM rep
     ),
@@ -1136,12 +1138,16 @@ def customer_360_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND c.click_ts > p.purchase_ts - INTERVAL 1 HOUR
     ),
     ranked AS (
+      -- rnl derived from the SAME ascending ordering (n - rnf + 1),
+      -- mirroring the engine's tie-safe single-window formulation
       SELECT *,
              count(*) OVER (PARTITION BY purchase_id) AS n_touches,
              row_number() OVER (PARTITION BY purchase_id
                                 ORDER BY click_ts ASC, click_id ASC) AS rnf,
-             row_number() OVER (PARTITION BY purchase_id
-                                ORDER BY click_ts DESC, click_id DESC) AS rnl
+             count(*) OVER (PARTITION BY purchase_id)
+               - row_number() OVER (PARTITION BY purchase_id
+                                    ORDER BY click_ts ASC, click_id ASC)
+               + 1 AS rnl
       FROM pairs
     ),
     weighted AS (

@@ -616,15 +616,17 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_quality_report",
     oracle="""
     WITH s AS (
+      -- CASTs: DuckDB's sum() widens to HUGEINT → pandas float64,
+      -- which hash-fails against Spark's int64 (r05 lesson)
       SELECT count(*) AS n,
-             sum(CASE WHEN (o_totalprice > 0) IS NULL OR NOT (o_totalprice > 0)
-                      THEN 1 ELSE 0 END) AS v_price,
-             sum(CASE WHEN (o_orderstatus IN ('O','F','P')) IS NULL
+             CAST(sum(CASE WHEN (o_totalprice > 0) IS NULL OR NOT (o_totalprice > 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+             CAST(sum(CASE WHEN (o_orderstatus IN ('O','F','P')) IS NULL
                        OR NOT (o_orderstatus IN ('O','F','P'))
-                      THEN 1 ELSE 0 END) AS v_status,
-             sum(CASE WHEN (o_orderdate IS NOT NULL) IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+             CAST(sum(CASE WHEN (o_orderdate IS NOT NULL) IS NULL
                        OR NOT (o_orderdate IS NOT NULL)
-                      THEN 1 ELSE 0 END) AS v_date,
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
              count(DISTINCT o_orderkey) AS d_key
       FROM orders
     )
@@ -979,7 +981,10 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     ),
     merged AS (
-      SELECT sum(n) AS n, sum(cnt) AS cnt, min(mn) AS mn, max(mx) AS mx,
+      -- CAST: DuckDB sums BIGINT into HUGEINT, which lands in pandas
+      -- as float64 and hash-fails against Spark's int64 (r05 lesson)
+      SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS cnt,
+             min(mn) AS mn, max(mx) AS mx,
              sum(sx) AS sx, sum(sxx) AS sxx
       FROM partial
     )

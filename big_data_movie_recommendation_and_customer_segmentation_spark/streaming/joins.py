@@ -170,9 +170,12 @@ def multi_touch_attribution(
     lookback); the credit windows partition by ``effect_id``, whose
     partitions are exactly the per-effect touch sets — bounded by
     causes-per-user-per-window, never by stream length. Position
-    ranks order by (cause_ts, natural cause order in the pair
-    relation) — pass a unique tiebreaker in ``cause_ts`` collisions
-    via the pair builder if ties are possible.
+    ranks both derive from ONE ascending (cause_ts[, cause_id])
+    ordering (last rank = n - first rank + 1), so the first and last
+    0.4 shares always land on distinct touches when n >= 2 even
+    under tied ``cause_ts`` with no ``cause_id``; weights sum to 1.0
+    per effect regardless of ties. A ``cause_id`` still makes WHICH
+    tied touch earns each share deterministic.
     """
     from pyspark.sql import Window
 
@@ -203,13 +206,19 @@ def multi_touch_attribution(
             .drop("_raw")
         )
     else:
+        # Single ascending window; the last-touch rank is derived as
+        # n_touches - rn_first + 1 rather than a second descending
+        # row_number(). With two independent orderings, tied cause_ts
+        # (and no cause_id) can rank the SAME row 1 in both, silently
+        # dropping the 0.4 last-touch share (3 equal-ts touches paid
+        # [0.4, 0.2, 0.2] — 20% of value lost). Deriving both ranks
+        # from one ordering guarantees first != last whenever n >= 2,
+        # ties or not, and saves a window exchange.
         asc = [F.col(cause_ts).asc()] + ([F.col(cause_id).asc()] if cause_id else [])
-        desc = [F.col(cause_ts).desc()] + ([F.col(cause_id).desc()] if cause_id else [])
         w_asc = Window.partitionBy(effect_id).orderBy(*asc)
-        w_desc = Window.partitionBy(effect_id).orderBy(*desc)
         rn_first = F.row_number().over(w_asc)
-        rn_last = F.row_number().over(w_desc)
         n = F.col("n_touches")
+        rn_last = n - rn_first + 1
         raw = (
             F.when(n == 1, F.lit(1.0))
             .when(n == 2, F.lit(0.5))
@@ -217,12 +226,7 @@ def multi_touch_attribution(
             .when(rn_last == 1, F.lit(0.4))
             .otherwise(F.lit(0.2) / (n - 2))
         )
-        out = (
-            out.withColumn("_rnf", rn_first)
-            .withColumn("_rnl", rn_last)
-            .withColumn("weight", F.round(raw, round_to))
-            .drop("_rnf", "_rnl")
-        )
+        out = out.withColumn("weight", F.round(raw, round_to))
     if value_col is not None:
         out = out.withColumn(
             "attributed_value",

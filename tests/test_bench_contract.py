@@ -103,34 +103,37 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r05 rotation (VERDICT r4 ask #1): the 10 r4-registered queries
-    # and the 3 r5-registered ones must take first driver rows, and
-    # the 22 rows rotated out in r04 must rotate back before their
-    # r03 evidence ages past the 2-round budget
+    # r06 rotation (VERDICT r5 asks #1/#2): the 4 repaired PQ/IVFADC
+    # rows re-gate FIRST; every never-gated r5 family takes its first
+    # driver row; the age-2-at-r06 r04 families re-gate before their
+    # evidence falls out of the 2-round budget
     for must in (
-        # r4-registered, first driver rows
+        # repaired PQ/IVFADC family — must re-gate green
         "pq_codes",
         "pq_adc_knn",
         "ivfadc_knn",
-        "semantic_dedup_survivors",
-        "purchase_click_attribution",
-        "doc_shuffle_shards",
-        "salted_user_segment_stats",
-        "trending_event_types",
-        "weekly_cohort_retention",
-        "signup_click_purchase_funnel",
-        # r5-registered, gated immediately
         "ivfadc_residual_knn",
-        "purchase_next_click_asof",
-        "purchase_click_attribution_left",
-        # r03-vouched rotate-backs (sample of the 22)
-        "customer_order_counts",
-        "doc_quality_scores",
-        "dedup_exact_survivors",
-        "minhash_pairs_lsh",
-        "kmv_distinct_customers",
+        # age-2-at-r06 re-gates (sample of the 20)
+        "ranking_metrics_summary",
+        "minhash_duplicate_pairs",
+        "knn_bruteforce",
+        "media_image_features",
+        "token_shard_assignment",
+        # never-gated r5 families, first driver rows (sample of 22)
+        "event_transition_matrix",
+        "embedding_covariance",
+        "part_copurchase_pagerank",
+        "purchase_value_auc",
+        "customer_user_cf_recommendations",
+        "events_kfold_summary",
+        "part_skyline",
+        "event_running_zscore",
     ):
         assert must in GATE_PRIORITY, must
+    # the PQ re-gates must occupy the head of the window
+    assert list(GATE_PRIORITY[:4]) == [
+        "pq_codes", "pq_adc_knn", "ivfadc_knn", "ivfadc_residual_knn",
+    ]
     # the rows-only ml-lib k-means variant must have ceded its slot
     # to the value-checked deterministic sibling (VERDICT r3 ask #3)
     assert "kmeans_customer_segments" not in GATE_PRIORITY

@@ -109,3 +109,26 @@ def test_time_decay_weighting_prefers_recent_touches(spark):
     assert sum(ws) == pytest.approx(1.0, abs=1e-4)
     # successive 5-min gaps at a 30-min half-life: ratio 2^(1/6)
     assert ws[1] / ws[0] == pytest.approx(2 ** (5 / 30), rel=1e-3)
+
+
+def test_position_weighting_tie_safe_without_cause_id(spark):
+    """ADVICE r5 (medium): three touches with IDENTICAL cause_ts and
+    NO cause_id must still pay the full credit — [0.4, 0.4, 0.2] in
+    some order, sum exactly 1.0. The old two-window formulation let
+    the same row rank first in both orderings, silently dropping the
+    last-touch 0.4 (weights summed to 0.8)."""
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")] * 3,
+        "user_id long, click_ts string",
+    ).withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+    buys = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:45:00", 10.0)],
+        "user_id long, purchase_id long, purchase_ts string, purchase_value double",
+    ).withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp"))
+    out = SJ.multi_touch_attribution(
+        clicks, buys, "user_id", "click_ts", "purchase_id", "purchase_ts",
+        value_col="purchase_value", lookback="1 hour", weighting="position",
+    ).collect()
+    weights = sorted(r["weight"] for r in out)
+    assert weights == [pytest.approx(0.2), pytest.approx(0.4), pytest.approx(0.4)]
+    assert sum(r["attributed_value"] for r in out) == pytest.approx(10.0, abs=1e-6)
