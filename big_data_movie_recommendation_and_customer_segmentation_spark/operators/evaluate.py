@@ -206,8 +206,12 @@ def intra_list_diversity(
 
     Inputs: ``recs`` = (user, item) lists; ``similarities`` =
     directed (item, neighbor, cosine) — e.g.
-    ``association.item_cosine_neighbors`` output, which carries both
-    directions of each pair.
+    ``association.item_cosine_neighbors`` output. Per-item top-k
+    truncation can leave a pair present in only ONE direction, so
+    the relation is canonicalized here by unioning its flip and
+    keeping the max cosine per unordered pair (ADVICE r5: looking up
+    only (_ia < _ib) scored direction-lost pairs as fully
+    dissimilar, understating similarity).
 
     Cost: the within-list self-join emits k(k-1)/2 rows per user
     (k is the small list length, so this is list-bounded, never
@@ -220,8 +224,17 @@ def intra_list_diversity(
     a = recs.select(F.col(user_col), F.col(item_col).alias("_ia"))
     b = recs.select(F.col(user_col), F.col(item_col).alias("_ib"))
     pairs = a.join(b, user_col).filter(F.col("_ia") < F.col("_ib"))
-    sims = similarities.select(
+    directed = similarities.select(
         F.col("item").alias("_ia"), F.col("neighbor").alias("_ib"), "cosine"
+    )
+    flipped = similarities.select(
+        F.col("neighbor").alias("_ia"), F.col("item").alias("_ib"), "cosine"
+    )
+    sims = (
+        directed.unionByName(flipped)
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.max("cosine").alias("cosine"))
     )
     j = pairs.join(sims, ["_ia", "_ib"], "left").withColumn(
         "_d", F.lit(1.0) - F.coalesce(F.col("cosine"), F.lit(0.0))

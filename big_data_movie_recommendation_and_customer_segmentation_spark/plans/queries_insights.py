@@ -545,9 +545,19 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.custkey, a.item AS ia, b.item AS ib
       FROM recs a JOIN recs b ON a.custkey = b.custkey AND a.item < b.item
     ),
+    nbc AS (
+      -- canonicalize the top-k-truncated directed relation: a pair
+      -- surviving truncation in only one direction still counts
+      -- (mirrors evaluate.intra_list_diversity, ADVICE r5)
+      SELECT ia, ib, max(cosine) AS cosine FROM (
+        SELECT item AS ia, neighbor AS ib, cosine FROM nb
+        UNION ALL
+        SELECT neighbor AS ia, item AS ib, cosine FROM nb
+      ) WHERE ia < ib GROUP BY ia, ib
+    ),
     d AS (
-      SELECT p.custkey, 1.0 - coalesce(nb.cosine, 0.0) AS dis
-      FROM p LEFT JOIN nb ON nb.item = p.ia AND nb.neighbor = p.ib
+      SELECT p.custkey, 1.0 - coalesce(nbc.cosine, 0.0) AS dis
+      FROM p LEFT JOIN nbc ON nbc.ia = p.ia AND nbc.ib = p.ib
     ),
     per_user AS (
       SELECT custkey, avg(dis) AS ild_u, count(*) AS np
@@ -563,8 +573,10 @@ def recommendation_diversity_ild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-list diversity of the item-CF top-5 lists under the same
     cosine model that ranked them (evaluate.py
     ``intra_list_diversity``): within-list pairs (k(k-1)/2 per user,
-    list-bounded) left-join the directed neighbor relation, absent
-    pairs count as fully dissimilar — the beyond-accuracy
+    list-bounded) left-join the direction-canonicalized neighbor
+    relation (union of both directions, max cosine per unordered
+    pair — top-k truncation can drop one direction); absent pairs
+    count as fully dissimilar — the beyond-accuracy
     counterweight to similarity-driven recommenders alongside
     coverage@k and novelty."""
     from ..operators import evaluate as EV

@@ -346,3 +346,27 @@ def test_ivfadc_composed_recall_floor_and_monotone(spark, emb):
         assert r1 >= floor_1, (residual, r1)
         assert r_all >= floor_all, (residual, r_all)
         assert r_all >= r1, f"probing all cells must not lose recall: {r1} -> {r_all}"
+
+
+def test_pq_knn_rejects_mismatched_m(spark, emb):
+    """VERDICT r5 ask #7: a fit/search knob mismatch must ERROR, not
+    silently drop subspaces. Both guards: the codebook-geometry check
+    (driver-side, before any job) and the per-row codes length guard
+    (codegen'd raise_error)."""
+    import pytest
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        vectorops as VO,
+    )
+
+    e = emb.limit(60)
+    codes, book = VO.pq_fit(e, dim=64, m=8, k=4, iters=1)
+    probes = e.limit(2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    # wrong m vs the codebook → driver-side ValueError before any job
+    with pytest.raises(ValueError, match="codebook was fit with m=8"):
+        VO.pq_knn(codes, book, probes, k_neighbors=3, dim=64, m=4)
+    # right geometry still works
+    out = VO.pq_knn(codes, book, probes, k_neighbors=3, dim=64, m=8)
+    assert out.count() > 0

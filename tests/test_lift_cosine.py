@@ -75,3 +75,28 @@ def test_item_cosine_respects_topk(spark):
     assert len(per_item[0]) == 2
     # equal cosines → neighbor-id ascending tiebreak
     assert [r["neighbor"] for r in sorted(per_item[0], key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_intra_list_diversity_survives_direction_loss(spark):
+    """ADVICE r5: per-item top-k truncation can leave a pair only as
+    (b, a); the canonicalized lookup must still find it instead of
+    scoring it fully dissimilar."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        evaluate as EV,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, 10), (1, 20)], "user long, item long"
+    )
+    # similarity known ONLY in the (20 -> 10) direction
+    sims_rev = spark.createDataFrame(
+        [(20, 10, 0.8)], "item long, neighbor long, cosine double"
+    )
+    out = EV.intra_list_diversity(recs, sims_rev, user_col="user", item_col="item").first()
+    assert out["ild"] == pytest.approx(0.2)  # 1 - 0.8, NOT 1.0
+    # both directions present with equal cosine: identical answer
+    sims_both = spark.createDataFrame(
+        [(10, 20, 0.8), (20, 10, 0.8)], "item long, neighbor long, cosine double"
+    )
+    out2 = EV.intra_list_diversity(recs, sims_both, user_col="user", item_col="item").first()
+    assert out2["ild"] == pytest.approx(0.2)
