@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
 from big_data_movie_recommendation_and_customer_segmentation_spark.plans import QUERY_REGISTRY
 
-SUSPECTS = ["candidates_unseen", "ngram_duplicate_pairs"]
+# r06 probe targets (VERDICT r5 ask #4): the two shingle-bound dedup
+# queries that slipped r04→r05 (ngram 2.81→3.06 wm, minhash
+# 2.66→2.81 wm) on untouched code — noise-signature, settle it.
+SUSPECTS = ["ngram_duplicate_pairs", "minhash_duplicate_pairs"]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
