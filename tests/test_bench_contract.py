@@ -168,3 +168,32 @@ def test_family_map_covers_the_whole_registry():
     ghosts = set(QUERY_TO_FAMILY) - names
     assert not unmapped, f"queries missing a family: {sorted(unmapped)}"
     assert not ghosts, f"family map names not in registry: {sorted(ghosts)}"
+
+
+def test_gated_queries_emit_only_flat_schemas(spark):
+    """The driver's pandas canonicalizer cannot sort list cells — a
+    gated query emitting array/map/struct columns crashes its
+    correctness row outright (r05: pq_codes, 'unhashable type:
+    list'). Serialize complex values (array_join — see
+    order_part_sets / pq_codes) before returning. Plan-construction
+    only: no jobs beyond bounded probes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.plans import (
+        GATE_PRIORITY,
+        QUERY_REGISTRY,
+    )
+
+    offenders = {}
+    for name in GATE_PRIORITY:
+        df = QUERY_REGISTRY[name](spark, "/root/testdata/sf0.001")
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, (
+        f"gated queries with driver-uncanonicalizable columns: {offenders}"
+    )
