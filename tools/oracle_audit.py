@@ -37,7 +37,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
     from big_data_movie_recommendation_and_customer_segmentation_spark.sources import TABLES
-    from tests.oracle_compare import canonicalize
+    from tests.oracle_compare import _dtype_class, canonicalize
 
     spark = get_spark(app_name=f"oracle-audit-{tag}")
     con = duckdb.connect()
@@ -54,11 +54,21 @@ def main() -> int:
         try:
             sp = queries[name](spark, sf_dir).toPandas()
             du = con.execute(oracles[name]).fetchdf()
+            # dtype-class drift (int64 vs float64) hash-fails at the
+            # driver even when values match (r05) — audit it too
+            dtype_ok = all(
+                _dtype_class(sp[c].dtype) == _dtype_class(du[c].dtype)
+                or "object" in (_dtype_class(sp[c].dtype), _dtype_class(du[c].dtype))
+                for c in sp.columns
+                if c in du.columns
+            )
             a, b = canonicalize(sp), canonicalize(du)
             row["spark_rows"], row["oracle_rows"] = len(sp), len(du)
             row["rows_match"] = len(sp) == len(du)
+            row["dtype_match"] = bool(dtype_ok)
             row["values_match"] = bool(
-                row["rows_match"] and list(a.columns) == list(b.columns) and a.equals(b)
+                row["rows_match"] and dtype_ok
+                and list(a.columns) == list(b.columns) and a.equals(b)
             )
             row["err"] = None
         except Exception as e:  # noqa: BLE001 — audit must keep going
