@@ -360,7 +360,13 @@ def ewma_lagsum(
     recursive EWMA is not window-expressible; the truncation error
     is (1−α)^W ≈ 5.8% of the tail mass at α=0.3, W=8). Numerator and
     denominator are built in identical left-to-right term order as
-    the oracle so the FP result matches bit-for-bit before rounding.
+    the oracle so the FP quotient matches bit-for-bit; the final
+    rounding is floor-based half-up (``floor(x·10^k + 0.5)/10^k`` in
+    plain double ops) rather than ``round()`` — Spark rounds HALF_UP
+    on the exact decimal expansion while DuckDB rounds in binary, and
+    a quotient within an ulp of a 6-dp boundary flips between them
+    (3 of 12025 rows at sf0.1 under the 17-digit canonicalizer; the
+    same toolkit-class fix as PageRank/HHI/Gini).
     """
     from pyspark.sql import Window
 
@@ -372,7 +378,10 @@ def ewma_lagsum(
         weight = (1.0 - alpha) ** i
         num = num + F.when(lag_v.isNotNull(), F.lit(weight) * lag_v).otherwise(F.lit(0.0))
         den = den + F.when(lag_v.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
-    return df.withColumn(out_col, F.round(num / den, round_to))
+    scale = float(10 ** round_to)
+    return df.withColumn(
+        out_col, F.floor((num / den) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    )
 
 
 def welch_ttest_pairs(

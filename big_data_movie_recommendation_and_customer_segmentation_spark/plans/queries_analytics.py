@@ -500,16 +500,28 @@ def purchase_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ewma_sql(alpha: float, window: int, value: str) -> tuple[str, str]:
     """Numerator/denominator SQL mirroring ewma_lagsum's exact term
     order (left-to-right over i), so the FP result matches
-    bit-for-bit before rounding."""
+    bit-for-bit before rounding.
+
+    Every weight literal is CAST AS DOUBLE: DuckDB otherwise parses
+    ``0.48999999999999994`` as a wide DECIMAL, computes the whole
+    denominator in exact decimal arithmetic, and its DOUBLE/DECIMAL
+    division lands one ulp away from Spark's double/double — which
+    flipped 3 of 12025 six-dp results at sf0.1 (found by the r06
+    17-digit canonicalizer; invisible under the old %.9g)."""
     num_terms, den_terms = [], []
     for i in range(window):
         lag = value if i == 0 else f"lag({value}, {i}) OVER w"
-        weight = (1.0 - alpha) ** i
+        w = f"CAST({(1.0 - alpha) ** i!r} AS DOUBLE)"
         num_terms.append(
-            f"CASE WHEN {lag} IS NOT NULL THEN {weight!r} * {lag} ELSE 0.0 END"
+            f"CASE WHEN {lag} IS NOT NULL THEN {w} * {lag} ELSE CAST(0.0 AS DOUBLE) END"
         )
-        den_terms.append(f"CASE WHEN {lag} IS NOT NULL THEN {weight!r} ELSE 0.0 END")
-    return "(0.0 + " + " + ".join(num_terms) + ")", "(0.0 + " + " + ".join(den_terms) + ")"
+        den_terms.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE CAST(0.0 AS DOUBLE) END"
+        )
+    return (
+        "(CAST(0.0 AS DOUBLE) + " + " + ".join(num_terms) + ")",
+        "(CAST(0.0 AS DOUBLE) + " + " + ".join(den_terms) + ")",
+    )
 
 
 _EWMA_NUM, _EWMA_DEN = _ewma_sql(0.3, 8, "day_revenue")
@@ -524,7 +536,10 @@ _EWMA_NUM, _EWMA_DEN = _ewma_sql(0.3, 8, "day_revenue")
       FROM orders GROUP BY 1, 2
     )
     SELECT o_orderpriority, day, day_revenue,
-           round({_EWMA_NUM} / {_EWMA_DEN}, 6) AS ewma
+           -- floor-based half-up in plain double ops, mirroring
+           -- ewma_lagsum: round() disagrees between engines when the
+           -- quotient sits within an ulp of a 6-dp boundary
+           floor(({_EWMA_NUM} / {_EWMA_DEN}) * 1000000 + 0.5) / 1000000.0 AS ewma
     FROM daily
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
     """,

@@ -19,7 +19,7 @@ import duckdb
 import __spark_entry__ as entrymod
 from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
 from big_data_movie_recommendation_and_customer_segmentation_spark.sources import TABLES
-from tests.oracle_compare import canonicalize
+from tests.oracle_compare import _dtype_class, canonicalize
 
 
 def main() -> None:
@@ -42,10 +42,19 @@ def main() -> None:
             if name in oracles:
                 oddf = con.execute(oracles[name]).fetchdf()
                 row["oracle_rows"] = int(len(oddf))
+                # dtype-class drift (int64 vs float64) hash-fails at
+                # the driver even when values match (r05 lesson)
+                dtype_ok = all(
+                    _dtype_class(spdf[c].dtype) == _dtype_class(oddf[c].dtype)
+                    or "object" in (_dtype_class(spdf[c].dtype), _dtype_class(oddf[c].dtype))
+                    for c in spdf.columns
+                    if c in oddf.columns
+                )
                 a, b = canonicalize(spdf), canonicalize(oddf)
                 row["rows_match"] = len(spdf) == len(oddf)
                 row["schema_match"] = list(a.columns) == list(b.columns)
-                row["values_match"] = bool(a.equals(b))
+                row["dtype_match"] = bool(dtype_ok)
+                row["values_match"] = bool(dtype_ok and a.equals(b))
             else:
                 row["oracle"] = "rows_only"
             row["err"] = None
