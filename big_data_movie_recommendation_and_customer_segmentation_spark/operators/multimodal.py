@@ -11,18 +11,29 @@ typed metadata struct alongside:
 Decode / resize / frame-sample run as Arrow-batched ``mapInPandas``
 operators: per-partition, zero shuffle, memory bounded by the Arrow
 batch size (``spark.sql.execution.arrow.maxRecordsPerBatch`` — for
-multi-MB payloads set it to O(10-100) rows at 100 TB). The actual
-codec calls are STUBBED — the image/audio libraries are not in this
-container — behind ``_decode_image_bytes``: deterministic fake
-pixels when ``fake=True`` (tests), ``NotImplementedError``
-otherwise. The Spark-side contract (schemas, batch iteration,
-partitioning) is real and tested.
+multi-MB payloads set it to O(10-100) rows at 100 TB).
+
+Codec status (r06): REAL decoders exist for the formats that need no
+external library — WAV/PCM audio (stdlib ``wave`` + numpy) and
+uncompressed 24-bit BMP images (pure numpy header parse) — selected
+by payload magic bytes when ``fake=False``. Compressed formats
+(JPEG/PNG/MP3/MP4) still raise ``NotImplementedError``: their codecs
+(libjpeg/libpng/ffmpeg) are not in this container; the dispatch
+point is ``_decode_image_bytes`` / ``_decode_wav`` so a PIL/pyav
+import-try drops in without touching the Spark plumbing. With
+``fake=True`` (tests/benchmarks over synthetic payloads) features
+are a deterministic function of the bytes. The Spark-side contract
+(schemas, batch iteration, partitioning) is identical in all modes.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,11 +76,65 @@ def synthetic_media_table(df: DataFrame, id_col: str, seed_col: str) -> DataFram
     return df.select(F.col(id_col), media.alias("media"))
 
 
+def _decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER) with
+    pure numpy — no codec library involved. Returns (H×W×3 uint8
+    RGB, width, height). Raises ValueError on unsupported variants
+    (compressed, paletted) so the caller can surface a clean error.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (compression={compression}, bpp={bpp})")
+    flip = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    need = data_offset + row_stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
+    rows = np.frombuffer(payload, np.uint8, row_stride * height, data_offset)
+    px = rows.reshape(height, row_stride)[:, : width * bytes_pp]
+    px = px.reshape(height, width, bytes_pp)
+    if flip:
+        px = px[::-1]
+    # BMP stores BGR(A) — reorder to RGB, drop alpha
+    return px[:, :, 2::-1], width, height
+
+
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
+    """8-dim feature vector per image. Real path: BMP decoded with
+    numpy, features = per-channel mean/std + luma mean + aspect +
+    fill constants — cheap, deterministic, codec-free. JPEG/PNG
+    raise: libjpeg/libpng are not in this container (declared
+    boundary; PIL import-try drops in here). fake=True keeps the
+    synthetic-payload contract for tests/benchmarks."""
     if not fake:
+        if payload[:2] == b"BM":
+            img, width, height = _decode_bmp(payload)
+            pix = img.astype(np.float64) / 255.0
+            luma = pix @ np.array([0.299, 0.587, 0.114])
+            return [
+                float(pix[:, :, 0].mean()),
+                float(pix[:, :, 1].mean()),
+                float(pix[:, :, 2].mean()),
+                float(pix.std()),
+                float(luma.mean()),
+                float(luma.std()),
+                float(width) / max(1.0, float(height)),
+                1.0,
+            ]
         raise NotImplementedError(
-            "real image decode requires PIL/libjpeg, not present in this "
-            "environment; pass fake=True for the deterministic stub"
+            "real decode of non-BMP images requires PIL/libjpeg, not "
+            "present in this environment; BMP decodes natively, or pass "
+            "fake=True for the deterministic stub"
         )
     # deterministic 8-dim "features" from payload bytes
     acc = [0.0] * 8
@@ -122,6 +187,26 @@ def extract_image_features(
     return flat.mapInPandas(batches, out_schema)
 
 
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode WAV/PCM with stdlib ``wave`` + numpy — no codec
+    library. Returns (mono float64 samples in [-1, 1], sample_rate).
+    8/16/32-bit integer PCM; multi-channel is mean-downmixed."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sampwidth == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+    elif sampwidth == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sampwidth == 4:
+        x = np.frombuffer(raw, np.int32).astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
 def extract_audio_features(
     df: DataFrame,
     id_col: str = "media_id",
@@ -131,11 +216,18 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio leg of the multimodal triad: per-frame energy features
     via the same Arrow-batched ``mapInPandas`` contract as images —
-    one output row per ``frame_ms`` window of each clip. Decode is
-    stubbed (no audio codec here): with ``fake=True`` the per-frame
-    "rms" is a deterministic function of (payload bytes, frame
-    index), so schemas/row-amplification/batch shapes are real and
-    reproducible. Output: id, frame_idx, rms float.
+    one output row per ``frame_ms`` window of each clip.
+
+    Real path (``fake=False``): WAV/PCM payloads (RIFF magic) decode
+    with stdlib ``wave`` + numpy — per-frame ``rms`` is the true
+    root-mean-square of the mono-downmixed samples, frame count =
+    ceil(n_samples / samples_per_frame) from the ACTUAL audio, not
+    the metadata column. Compressed audio (MP3/AAC/OGG) raises:
+    those codecs are not in this container (declared boundary).
+    With ``fake=True`` the per-frame "rms" is a deterministic
+    function of (payload bytes, frame index), so schemas /
+    row-amplification / batch shapes stay real and reproducible over
+    synthetic payloads. Output: id, frame_idx, rms float.
     """
     out_schema = T.StructType(
         [
@@ -152,10 +244,21 @@ def extract_audio_features(
                 pdf[id_col], pdf["payload"], pdf["duration_ms"]
             ):
                 if not fake:
-                    raise NotImplementedError(
-                        "real audio decode requires an audio codec, not "
-                        "present in this environment; pass fake=True"
-                    )
+                    if payload is None or payload[:4] != b"RIFF":
+                        raise NotImplementedError(
+                            "real decode of non-WAV audio requires a codec "
+                            "not present in this environment; WAV/PCM "
+                            "decodes natively, or pass fake=True"
+                        )
+                    x, rate = _decode_wav(bytes(payload))
+                    spf = max(1, int(rate * frame_ms / 1000))
+                    n_frames = max(1, -(-len(x) // spf))
+                    for i in range(n_frames):
+                        seg = x[i * spf : (i + 1) * spf]
+                        ids.append(mid)
+                        frames.append(i)
+                        rms.append(float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0)
+                    continue
                 n_frames = max(1, int((dur or 0) // frame_ms))
                 base = float(sum(payload[:64])) if payload is not None else 0.0
                 for i in range(n_frames):

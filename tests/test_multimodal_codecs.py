@@ -1,0 +1,171 @@
+"""Real (codec-free) multimodal decoders: WAV/PCM via stdlib wave +
+numpy, uncompressed BMP via a numpy header parse. The payloads are
+synthesized bit-exactly in the test, so the decoded features have
+closed-form expected values — no media library on either side.
+
+Reference parity note: the reference repo has no media path at all;
+this is the beyond-parity multimodal leg with the decode boundary
+narrowed to genuinely-unavailable codecs (JPEG/PNG/MP3 still raise).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+    multimodal as MM,
+)
+
+
+def make_wav(samples: np.ndarray, rate: int = 8000, n_ch: int = 1) -> bytes:
+    """16-bit PCM WAV from float samples in [-1, 1]."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((samples * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def make_bmp(pixels_rgb: np.ndarray) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP from an H×W×3 uint8 array."""
+    h, w, _ = pixels_rgb.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in pixels_rgb[::-1]:  # bottom-up
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (stride - len(line))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + body)
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def test_decode_wav_roundtrip_mono():
+    rate = 8000
+    t = np.arange(rate // 2) / rate  # 0.5 s
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    x, r = MM._decode_wav(make_wav(sine, rate))
+    assert r == rate and len(x) == len(sine)
+    assert np.abs(x - sine).max() < 1e-3  # 16-bit quantization
+
+
+def test_decode_wav_downmixes_stereo():
+    rate = 8000
+    left = np.full(100, 0.5)
+    right = np.full(100, -0.5)
+    inter = np.empty(200)
+    inter[0::2], inter[1::2] = left, right
+    x, r = MM._decode_wav(make_wav(inter, rate, n_ch=2))
+    assert len(x) == 100
+    assert np.abs(x).max() < 1e-3  # L/R cancel after downmix
+
+
+def test_extract_audio_features_real_wav_rms(spark):
+    """Per-frame RMS of a known constant-amplitude clip: RMS of a
+    full-scale-0.5 sine is 0.5/√2 ≈ 0.3536 in every complete frame."""
+    rate, secs = 8000, 3
+    t = np.arange(rate * secs) / rate
+    payload = make_wav(0.5 * np.sin(2 * np.pi * 440 * t), rate)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), int(secs * 1000), rate)],
+        "media_id long, payload binary, duration_ms long, sample_rate int",
+    ).select(
+        "media_id",
+        MM.pack_media(
+            F.col("payload"), F.lit("audio/wav"),
+            duration_ms=F.col("duration_ms"), sample_rate=F.col("sample_rate"),
+        ).alias("media"),
+    )
+    out = MM.extract_audio_features(df, fake=False, frame_ms=1000).collect()
+    assert len(out) == secs  # frame count from the ACTUAL samples
+    assert sorted(r["frame_idx"] for r in out) == list(range(secs))
+    for r in out:
+        assert r["rms"] == pytest.approx(0.5 / np.sqrt(2), abs=1e-3)
+
+
+def test_extract_audio_features_non_wav_raises(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x03fake-mp3"), 1000, 44100)],
+        "media_id long, payload binary, duration_ms long, sample_rate int",
+    ).select(
+        "media_id",
+        MM.pack_media(
+            F.col("payload"), F.lit("audio/mpeg"),
+            duration_ms=F.col("duration_ms"), sample_rate=F.col("sample_rate"),
+        ).alias("media"),
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        MM.extract_audio_features(df, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+# ---------------------------------------------------------------- BMP
+
+
+def test_decode_bmp_known_pixels():
+    px = np.zeros((2, 3, 3), np.uint8)
+    px[0, 0] = (255, 0, 0)   # red, top-left
+    px[1, 2] = (0, 0, 255)   # blue, bottom-right
+    img, w, h = MM._decode_bmp(make_bmp(px))
+    assert (w, h) == (3, 2)
+    assert img.shape == (2, 3, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0)
+    assert tuple(img[1, 2]) == (0, 0, 255)
+    assert img.sum() == 510  # nothing else lit
+
+
+def test_extract_image_features_real_bmp(spark):
+    """Feature contract on a solid gray 4×2 BMP: channel means are
+    100/255, std 0, luma mean = 100/255, aspect = 2.0."""
+    px = np.full((2, 4, 3), 100, np.uint8)
+    payload = make_bmp(px)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload), 4, 2)],
+        "media_id long, payload binary, width int, height int",
+    ).select(
+        "media_id",
+        MM.pack_media(
+            F.col("payload"), F.lit("image/bmp"),
+            width=F.col("width"), height=F.col("height"),
+        ).alias("media"),
+    )
+    row = MM.extract_image_features(df, fake=False).collect()[0]
+    f = row["features"]
+    for ch in range(3):
+        assert f[ch] == pytest.approx(100 / 255, abs=1e-6)
+    assert f[3] == pytest.approx(0.0, abs=1e-6)   # std of a solid fill
+    assert f[4] == pytest.approx(100 / 255, abs=1e-6)
+    assert f[6] == pytest.approx(2.0)
+
+
+def test_decode_bmp_rejects_compressed_and_truncated():
+    px = np.zeros((2, 2, 3), np.uint8)
+    good = bytearray(make_bmp(px))
+    with pytest.raises(ValueError, match="truncated"):
+        MM._decode_bmp(bytes(good[:-4]))
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 30, 1)  # compression = RLE8
+    with pytest.raises(ValueError, match="unsupported"):
+        MM._decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="not a BMP"):
+        MM._decode_bmp(b"\x89PNG\r\n\x1a\n")
+
+
+def test_image_features_non_bmp_still_raises():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        MM._decode_image_bytes(b"\xff\xd8\xff\xe0fakejpeg", fake=False)
