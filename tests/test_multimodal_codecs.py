@@ -169,3 +169,42 @@ def test_decode_bmp_rejects_compressed_and_truncated():
 def test_image_features_non_bmp_still_raises():
     with pytest.raises(NotImplementedError, match="PIL"):
         MM._decode_image_bytes(b"\xff\xd8\xff\xe0fakejpeg", fake=False)
+
+
+# ------------------------------------------------------- properties
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    """encode→decode is lossless up to 16-bit quantization for any
+    sample vector: encode truncates at scale 32767, decode divides
+    by 32768, so |error| ≤ 1/32768 (truncation) + |s|/32768 (scale
+    ratio) < 2/32768."""
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-0.999, 0.999, n)
+    x, r = MM._decode_wav(make_wav(samples, rate))
+    assert r == rate and len(x) == n
+    assert np.abs(x - samples).max() <= 2.0 / 32768 + 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=17),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, seed):
+    """encode→decode returns the exact pixel array for any size,
+    including widths whose rows need 4-byte padding."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    img, ww, hh = MM._decode_bmp(make_bmp(px))
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(img, px)
