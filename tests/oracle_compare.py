@@ -30,6 +30,22 @@ def _dtype_class(dtype) -> str:
     return "object"
 
 
+def _column_class(col: pd.Series) -> str:
+    """_dtype_class, refined for object columns: a column of
+    decimal.Decimal cells (DuckDB DECIMAL output — e.g. a weight
+    literal chain the optimizer kept exact) is its own class, because
+    the driver's hasher will not equate Decimal('5') with int64 5 any
+    more than it equated float64 with int64 (r05)."""
+    import decimal
+
+    cls = _dtype_class(col.dtype)
+    if cls == "object":
+        sample = next((v for v in col if v is not None), None)
+        if isinstance(sample, decimal.Decimal):
+            return "decimal"
+    return cls
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, normalize cell values, sort rows."""
     df = df[sorted(df.columns)].copy()
@@ -62,8 +78,8 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     # drift (DuckDB HUGEINT → float64) hash-failed 3 queries at the
     # r05 driver even though values matched — the local compare must
     # fail the same way so it predicts the driver gate.
-    sa = {c: _dtype_class(spark_pdf[c].dtype) for c in sorted(spark_pdf.columns)}
-    ob = {c: _dtype_class(oracle_pdf[c].dtype) for c in sorted(oracle_pdf.columns)}
+    sa = {c: _column_class(spark_pdf[c]) for c in sorted(spark_pdf.columns)}
+    ob = {c: _column_class(oracle_pdf[c]) for c in sorted(oracle_pdf.columns)}
     for c in sa:
         if c in ob and "object" not in (sa[c], ob[c]):
             assert sa[c] == ob[c], (

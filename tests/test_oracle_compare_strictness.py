@@ -59,3 +59,16 @@ def test_canonicalize_sorts_and_normalizes():
     out = canonicalize(df)
     assert list(out.columns) == ["a", "b"]
     assert out["b"].tolist() == ["2", "∅"]
+
+
+def test_decimal_vs_int_dtype_mismatch_fails():
+    """DuckDB DECIMAL output arrives as object-dtype Decimal cells;
+    the driver hasher will not equate Decimal('5') with int64 5, so
+    neither may the local compare (the object-dtype escape hatch must
+    not swallow it)."""
+    from decimal import Decimal
+
+    spark_pdf = pd.DataFrame({"v": pd.array([5, 7], dtype="int64")})
+    oracle_pdf = pd.DataFrame({"v": [Decimal("5"), Decimal("7")]})
+    with pytest.raises(AssertionError, match="dtype-class mismatch"):
+        assert_frames_match(spark_pdf, oracle_pdf, "decimal_trap")

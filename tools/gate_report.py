@@ -19,7 +19,7 @@ import duckdb
 import __spark_entry__ as entrymod
 from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
 from big_data_movie_recommendation_and_customer_segmentation_spark.sources import TABLES
-from tests.oracle_compare import _dtype_class, canonicalize
+from tests.oracle_compare import _column_class, canonicalize
 
 
 def main() -> None:
@@ -45,8 +45,8 @@ def main() -> None:
                 # dtype-class drift (int64 vs float64) hash-fails at
                 # the driver even when values match (r05 lesson)
                 dtype_ok = all(
-                    _dtype_class(spdf[c].dtype) == _dtype_class(oddf[c].dtype)
-                    or "object" in (_dtype_class(spdf[c].dtype), _dtype_class(oddf[c].dtype))
+                    _column_class(spdf[c]) == _column_class(oddf[c])
+                    or "object" in (_column_class(spdf[c]), _column_class(oddf[c]))
                     for c in spdf.columns
                     if c in oddf.columns
                 )

@@ -37,7 +37,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
     from big_data_movie_recommendation_and_customer_segmentation_spark.sources import TABLES
-    from tests.oracle_compare import _dtype_class, canonicalize
+    from tests.oracle_compare import _column_class, canonicalize
 
     spark = get_spark(app_name=f"oracle-audit-{tag}")
     con = duckdb.connect()
@@ -57,8 +57,8 @@ def main() -> int:
             # dtype-class drift (int64 vs float64) hash-fails at the
             # driver even when values match (r05) — audit it too
             dtype_ok = all(
-                _dtype_class(sp[c].dtype) == _dtype_class(du[c].dtype)
-                or "object" in (_dtype_class(sp[c].dtype), _dtype_class(du[c].dtype))
+                _column_class(sp[c]) == _column_class(du[c])
+                or "object" in (_column_class(sp[c]), _column_class(du[c]))
                 for c in sp.columns
                 if c in du.columns
             )
