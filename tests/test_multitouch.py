@@ -132,3 +132,16 @@ def test_position_weighting_tie_safe_without_cause_id(spark):
     weights = sorted(r["weight"] for r in out)
     assert weights == [pytest.approx(0.2), pytest.approx(0.4), pytest.approx(0.4)]
     assert sum(r["attributed_value"] for r in out) == pytest.approx(10.0, abs=1e-6)
+
+
+def test_position_weighting_plan_has_single_window_ordering(spark, sf_dir):
+    """The tie-safe formulation derives BOTH position ranks from one
+    ascending window (rn_last = n - rn + 1); a reintroduced
+    descending row_number would add a third Sort to the physical
+    plan. Pin the shape: ≤2 Sorts (join-side + the one window sort)."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.plans import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["purchase_click_attribution_ushape"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_sorts = plan.count("Sort ")
+    assert n_sorts <= 2, f"expected <=2 Sort nodes, got {n_sorts}:\n{plan[:2000]}"
