@@ -76,6 +76,25 @@ def synthetic_media_table(df: DataFrame, id_col: str, seed_col: str) -> DataFram
     return df.select(F.col(id_col), media.alias("media"))
 
 
+def _dib_to_rgb(
+    data: bytes, width: int, height: int, bpp: int, offset: int = 0, flip: bool = True
+) -> np.ndarray:
+    """Raw DIB pixel block (BGR(A) rows padded to 4 bytes, bottom-up
+    when ``flip``) → H×W×3 uint8 RGB. Shared by the BMP decoder and
+    uncompressed-AVI frame decode — same on-disk row layout."""
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    need = offset + row_stride * height
+    if len(data) < need:
+        raise ValueError(f"truncated DIB: {len(data)} < {need} bytes")
+    rows = np.frombuffer(data, np.uint8, row_stride * height, offset)
+    px = rows.reshape(height, row_stride)[:, : width * bytes_pp]
+    px = px.reshape(height, width, bytes_pp)
+    if flip:
+        px = px[::-1]
+    return px[:, :, 2::-1]  # BGR(A) -> RGB, drop alpha
+
+
 def _decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER) with
     pure numpy — no codec library involved. Returns (H×W×3 uint8
@@ -95,18 +114,11 @@ def _decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError(f"unsupported BMP (compression={compression}, bpp={bpp})")
     flip = height > 0  # positive height = bottom-up row order
     height = abs(height)
-    bytes_pp = bpp // 8
-    row_stride = (width * bytes_pp + 3) & ~3  # rows pad to 4 bytes
-    need = data_offset + row_stride * height
-    if len(payload) < need:
-        raise ValueError(f"truncated BMP: {len(payload)} < {need} bytes")
-    rows = np.frombuffer(payload, np.uint8, row_stride * height, data_offset)
-    px = rows.reshape(height, row_stride)[:, : width * bytes_pp]
-    px = px.reshape(height, width, bytes_pp)
-    if flip:
-        px = px[::-1]
-    # BMP stores BGR(A) — reorder to RGB, drop alpha
-    return px[:, :, 2::-1], width, height
+    try:
+        img = _dib_to_rgb(payload, width, height, bpp, data_offset, flip)
+    except ValueError as e:
+        raise ValueError(f"truncated BMP: {e}") from None
+    return img, width, height
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
@@ -272,6 +284,103 @@ def extract_audio_features(
         F.col(f"{media_col}.payload").alias("payload"),
         F.col(f"{media_col}.duration_ms").alias("duration_ms"),
     )
+    return flat.mapInPandas(batches, out_schema)
+
+
+def _parse_avi(payload: bytes) -> tuple[list[bytes], int, int, float]:
+    """Parse an AVI (RIFF) container with a plain chunk walk — no
+    codec library. Returns (frame chunks in stream order, width,
+    height, fps). Only the container is format-agnostic; the caller
+    decides whether the frame bytes are decodable (uncompressed DIB
+    '00db' frames are; compressed '00dc' payloads need ffmpeg)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = 0
+    us_per_frame = 0
+    frames: list[bytes] = []
+    compressed = False
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, us_per_frame, compressed
+        pos = start
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body_start, body_end = pos + 8, pos + 8 + size
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_end)  # skip list type fourcc
+            elif fourcc == b"avih":
+                us_per_frame = struct.unpack_from("<I", payload, body_start)[0]
+                width, height = struct.unpack_from("<II", payload, body_start + 32)
+            elif fourcc[2:4] == b"db":  # uncompressed DIB frame
+                frames.append(payload[body_start:body_end])
+            elif fourcc[2:4] == b"dc":  # compressed frame
+                compressed = True
+            pos = body_end + (size & 1)  # chunks pad to even size
+
+    walk(12, len(payload))
+    if compressed and not frames:
+        raise NotImplementedError(
+            "AVI contains only compressed ('..dc') frames — decoding them "
+            "requires ffmpeg/pyav, not present in this environment; "
+            "uncompressed ('..db') AVI decodes natively"
+        )
+    fps = 1e6 / us_per_frame if us_per_frame else 0.0
+    return frames, width, height, fps
+
+
+def extract_video_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+    every_n: int = 1,
+) -> DataFrame:
+    """REAL video frame extraction for uncompressed AVI payloads:
+    RIFF chunk walk (``_parse_avi``) + the same DIB row decode the
+    BMP path uses, every ``every_n``-th frame emitted with its mean
+    RGB and luma — the sampled-frame feature row a vision pipeline
+    trains on. Same Arrow-batched ``mapInPandas`` contract as the
+    image/audio legs: per-batch decode, zero shuffle, memory bounded
+    by batch size × payload. Compressed AVI/MP4 raise (ffmpeg not in
+    this container — declared boundary, same dispatch-point design
+    as images/audio). Output: id, frame_idx, frame_ms, mean_r/g/b,
+    luma float.
+
+    Metadata-only offset sampling (no payload read at all) stays
+    available as ``sample_video_frames``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("mean_r", T.FloatType()),
+            T.StructField("mean_g", T.FloatType()),
+            T.StructField("mean_b", T.FloatType()),
+            T.StructField("luma", T.FloatType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                frames, w, h, fps = _parse_avi(bytes(payload))
+                for i in range(0, len(frames), every_n):
+                    img = _dib_to_rgb(frames[i], w, h, 24)
+                    m = img.reshape(-1, 3).mean(axis=0) / 255.0
+                    rows[id_col].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ms"].append(int(i * 1000 / fps) if fps else 0)
+                    rows["mean_r"].append(float(m[0]))
+                    rows["mean_g"].append(float(m[1]))
+                    rows["mean_b"].append(float(m[2]))
+                    rows["luma"].append(float(m @ np.array([0.299, 0.587, 0.114])))
+            yield pd.DataFrame(rows)
+
+    flat = df.select(F.col(id_col), F.col(f"{media_col}.payload").alias("payload"))
     return flat.mapInPandas(batches, out_schema)
 
 

@@ -1,5 +1,6 @@
 """Real (codec-free) multimodal decoders: WAV/PCM via stdlib wave +
-numpy, uncompressed BMP via a numpy header parse. The payloads are
+numpy, uncompressed BMP via a numpy header parse, uncompressed AVI
+via a RIFF chunk walk over the same DIB frame layout. The payloads are
 synthesized bit-exactly in the test, so the decoded features have
 closed-form expected values — no media library on either side.
 
@@ -208,3 +209,74 @@ def test_bmp_roundtrip_property(w, h, seed):
     img, ww, hh = MM._decode_bmp(make_bmp(px))
     assert (ww, hh) == (w, h)
     assert np.array_equal(img, px)
+
+
+# ---------------------------------------------------------------- AVI
+
+
+def make_avi(frames_rgb: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal uncompressed AVI: RIFF('AVI ') { LIST(hdrl){avih},
+    LIST(movi){00db...} } with bottom-up padded BGR frames — the
+    same DIB layout as BMP bodies."""
+    h, w, _ = frames_rgb[0].shape
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def dib(frame: np.ndarray) -> bytes:
+        stride = (w * 3 + 3) & ~3
+        body = bytearray()
+        for row in frame[::-1]:
+            line = row[:, ::-1].tobytes()
+            body += line + b"\x00" * (stride - len(line))
+        return bytes(body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0, len(frames_rgb), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", dib(f)) for f in frames_rgb))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def test_parse_avi_geometry_and_frames():
+    f0 = np.full((2, 3, 3), 10, np.uint8)
+    f1 = np.full((2, 3, 3), 200, np.uint8)
+    frames, w, h, fps = MM._parse_avi(make_avi([f0, f1], fps=20))
+    assert (w, h) == (3, 2) and fps == pytest.approx(20.0)
+    assert len(frames) == 2
+    assert np.array_equal(MM._dib_to_rgb(frames[0], w, h, 24), f0)
+    assert np.array_equal(MM._dib_to_rgb(frames[1], w, h, 24), f1)
+
+
+def test_parse_avi_rejects_non_avi_and_compressed_only():
+    with pytest.raises(ValueError, match="not an AVI"):
+        MM._parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    # container with one compressed frame only
+    comp = make_avi([np.zeros((1, 1, 3), np.uint8)])
+    comp = comp.replace(b"00db", b"00dc")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MM._parse_avi(comp)
+
+
+def test_extract_video_frames_real_avi(spark):
+    """Mean-RGB per sampled frame of a 4-frame gradient clip at
+    10 fps: frame i is a solid fill of 50·i, so mean channels are
+    50·i/255, frame_ms = 100·i."""
+    frames = [np.full((2, 2, 3), 50 * i, np.uint8) for i in range(4)]
+    payload = make_avi(frames, fps=10)
+    df = spark.createDataFrame(
+        [(3, bytearray(payload))], "media_id long, payload binary"
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("video/x-msvideo")).alias("media"),
+    )
+    out = {r["frame_idx"]: r for r in MM.extract_video_frames(df).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    for i, r in out.items():
+        for ch in ("mean_r", "mean_g", "mean_b", "luma"):
+            assert r[ch] == pytest.approx(50 * i / 255, abs=1e-6)
+        assert r["frame_ms"] == 100 * i
+    # every_n sampling
+    sampled = MM.extract_video_frames(df, every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2]
