@@ -13,13 +13,15 @@ operators: per-partition, zero shuffle, memory bounded by the Arrow
 batch size (``spark.sql.execution.arrow.maxRecordsPerBatch`` — for
 multi-MB payloads set it to O(10-100) rows at 100 TB).
 
-Codec status (r06): REAL decoders exist for the formats that need no
-external library — WAV/PCM audio (stdlib ``wave`` + numpy) and
-uncompressed 24-bit BMP images (pure numpy header parse) — selected
-by payload magic bytes when ``fake=False``. Compressed formats
-(JPEG/PNG/MP3/MP4) still raise ``NotImplementedError``: their codecs
-(libjpeg/libpng/ffmpeg) are not in this container; the dispatch
-point is ``_decode_image_bytes`` / ``_decode_wav`` so a PIL/pyav
+Codec status (r07): REAL decoders exist for the formats that need no
+external library — WAV/PCM audio (stdlib ``wave`` + numpy),
+uncompressed 24/32-bit BMP images (pure numpy header parse),
+uncompressed AVI frames (RIFF chunk walk over the same DIB layout),
+and 8-bit PNG (stdlib ``zlib`` inflate + numpy scanline unfilter) —
+selected by payload magic bytes when ``fake=False``. Formats whose
+codecs are genuinely absent from this container (JPEG/MP3/AAC/MP4)
+still raise ``NotImplementedError``; the dispatch point is
+``_decode_image_bytes`` / ``_decode_wav`` so a PIL/pyav
 import-try drops in without touching the Spark plumbing. With
 ``fake=True`` (tests/benchmarks over synthetic payloads) features
 are a deterministic function of the bytes. The Spark-side contract
@@ -108,6 +110,10 @@ def _decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
     if header_size < 40:
         raise ValueError(f"unsupported BMP header size {header_size}")
     width, height = struct.unpack_from("<ii", payload, 18)
+    if width <= 0 or height == 0:
+        # negative biWidth would flow into a negative np.frombuffer
+        # count — fail at the contract boundary, not inside numpy
+        raise ValueError(f"unsupported BMP dimensions {width}x{height}")
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
     if compression != 0 or bpp not in (24, 32):
@@ -121,16 +127,122 @@ def _decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
     return img, width, height
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth): gray, RGB, gray+A, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (RFC 2083 §6): each scanline is
+    one filter-type byte + ``stride`` filtered bytes. None/Up rows
+    vectorize; Sub/Average/Paeth need the left-neighbor recurrence, so
+    they run a per-byte loop — acceptable because rows are short and
+    the whole decode already sits inside an Arrow-batched worker."""
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(height):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("truncated PNG scanline data")
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    v = line[x] + a
+                elif ft == 3:
+                    v = line[x] + ((a + int(prev[x])) >> 1)
+                else:
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode an 8-bit non-interlaced PNG (gray / RGB / gray+alpha /
+    RGBA) with stdlib ``zlib`` + numpy only — no libpng. Returns
+    (H×W×3 uint8 RGB, width, height); gray broadcasts to RGB, alpha
+    drops (matching ``_dib_to_rgb``'s 32bpp handling). Paletted,
+    16-bit, and interlaced variants raise ValueError — they are PNG
+    features, not missing codecs, so the error is a clean contract
+    boundary rather than NotImplementedError."""
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"unsupported PNG dimensions {width}x{height}")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (bit_depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace})"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG pixel data size mismatch: {len(raw)} != {(stride + 1) * height}"
+        )
+    px = _png_unfilter(raw, height, stride, channels).reshape(height, width, channels)
+    if color_type in (0, 4):  # gray(+alpha) → broadcast to RGB
+        return np.repeat(px[:, :, :1], 3, axis=2), width, height
+    return px[:, :, :3], width, height  # drop alpha if present
+
+
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
     """8-dim feature vector per image. Real path: BMP decoded with
-    numpy, features = per-channel mean/std + luma mean + aspect +
-    fill constants — cheap, deterministic, codec-free. JPEG/PNG
-    raise: libjpeg/libpng are not in this container (declared
-    boundary; PIL import-try drops in here). fake=True keeps the
-    synthetic-payload contract for tests/benchmarks."""
+    numpy, PNG with stdlib zlib + numpy; features = per-channel
+    mean/std + luma mean + aspect + fill constants — cheap,
+    deterministic, codec-free. JPEG raises: libjpeg is not in this
+    container (declared boundary; PIL import-try drops in here).
+    fake=True keeps the synthetic-payload contract for
+    tests/benchmarks."""
     if not fake:
-        if payload[:2] == b"BM":
-            img, width, height = _decode_bmp(payload)
+        if payload[:2] == b"BM" or payload[:8] == _PNG_SIG:
+            if payload[:2] == b"BM":
+                img, width, height = _decode_bmp(payload)
+            else:
+                img, width, height = _decode_png(payload)
             pix = img.astype(np.float64) / 255.0
             luma = pix @ np.array([0.299, 0.587, 0.114])
             return [
@@ -144,9 +256,10 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
                 1.0,
             ]
         raise NotImplementedError(
-            "real decode of non-BMP images requires PIL/libjpeg, not "
-            "present in this environment; BMP decodes natively, or pass "
-            "fake=True for the deterministic stub"
+            "real decode of JPEG/other compressed images requires "
+            "PIL/libjpeg, not present in this environment; BMP and 8-bit "
+            "PNG decode natively, or pass fake=True for the deterministic "
+            "stub"
         )
     # deterministic 8-dim "features" from payload bytes
     acc = [0.0] * 8
@@ -256,7 +369,14 @@ def extract_audio_features(
                 pdf[id_col], pdf["payload"], pdf["duration_ms"]
             ):
                 if not fake:
-                    if payload is None or payload[:4] != b"RIFF":
+                    # RIFF magic alone admits AVI/WEBP too — require the
+                    # 'WAVE' form type so non-WAV RIFF payloads hit this
+                    # clean boundary, not a raw wave.Error mid-task
+                    if (
+                        payload is None
+                        or payload[:4] != b"RIFF"
+                        or bytes(payload[8:12]) != b"WAVE"
+                    ):
                         raise NotImplementedError(
                             "real decode of non-WAV audio requires a codec "
                             "not present in this environment; WAV/PCM "
@@ -287,21 +407,28 @@ def extract_audio_features(
     return flat.mapInPandas(batches, out_schema)
 
 
-def _parse_avi(payload: bytes) -> tuple[list[bytes], int, int, float]:
+def _parse_avi(payload: bytes) -> tuple[list[bytes], int, int, float, int]:
     """Parse an AVI (RIFF) container with a plain chunk walk — no
     codec library. Returns (frame chunks in stream order, width,
-    height, fps). Only the container is format-agnostic; the caller
-    decides whether the frame bytes are decodable (uncompressed DIB
-    '00db' frames are; compressed '00dc' payloads need ffmpeg)."""
+    height, fps, bits_per_pixel). ``bits_per_pixel`` comes from the
+    video stream's 'strf' BITMAPINFOHEADER (biBitCount) and defaults
+    to 24 when no 'strf' is present (minimal containers); values the
+    DIB decoder can't handle raise here rather than letting a 32bpp
+    frame silently decode as garbage 24bpp RGB. Only the container
+    walk is format-agnostic; the caller decides whether the frame
+    bytes are decodable (uncompressed DIB '00db' frames are;
+    compressed '00dc' payloads need ffmpeg)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     width = height = 0
     us_per_frame = 0
+    bpp = 0
     frames: list[bytes] = []
     compressed = False
+    in_video_stream = False
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height, us_per_frame, compressed
+        nonlocal width, height, us_per_frame, bpp, compressed, in_video_stream
         pos = start
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
@@ -314,6 +441,13 @@ def _parse_avi(payload: bytes) -> tuple[list[bytes], int, int, float]:
             elif fourcc == b"avih":
                 us_per_frame = struct.unpack_from("<I", payload, body_start)[0]
                 width, height = struct.unpack_from("<II", payload, body_start + 32)
+            elif fourcc == b"strh" and size >= 4:
+                # stream header: remember whether the strf that follows
+                # belongs to the video ('vids') or another stream type
+                in_video_stream = payload[body_start : body_start + 4] == b"vids"
+            elif fourcc == b"strf" and in_video_stream and size >= 16:
+                # BITMAPINFOHEADER: biBitCount at offset 14
+                bpp = struct.unpack_from("<H", payload, body_start + 14)[0]
             elif fourcc[2:4] == b"db":  # uncompressed DIB frame
                 frames.append(payload[body_start:body_end])
             elif fourcc[2:4] == b"dc":  # compressed frame
@@ -327,8 +461,11 @@ def _parse_avi(payload: bytes) -> tuple[list[bytes], int, int, float]:
             "requires ffmpeg/pyav, not present in this environment; "
             "uncompressed ('..db') AVI decodes natively"
         )
+    bpp = bpp or 24  # minimal containers without strl/strf: assume 24bpp
+    if frames and bpp not in (24, 32):
+        raise ValueError(f"unsupported AVI DIB bit depth {bpp} (need 24 or 32)")
     fps = 1e6 / us_per_frame if us_per_frame else 0.0
-    return frames, width, height, fps
+    return frames, width, height, fps, bpp
 
 
 def extract_video_frames(
@@ -367,9 +504,9 @@ def extract_video_frames(
         for pdf in it:
             rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                frames, w, h, fps = _parse_avi(bytes(payload))
+                frames, w, h, fps, bpp = _parse_avi(bytes(payload))
                 for i in range(0, len(frames), every_n):
-                    img = _dib_to_rgb(frames[i], w, h, 24)
+                    img = _dib_to_rgb(frames[i], w, h, bpp)
                     m = img.reshape(-1, 3).mean(axis=0) / 255.0
                     rows[id_col].append(mid)
                     rows["frame_idx"].append(i)
