@@ -54,13 +54,22 @@ def test_bench_final_line_fits_driver_tail_capture():
     # worst-case: every headline query at a 4-digit-second timing
     fat = {n: 9999.999 for n in bench.HEADLINE}
     fat_ext = {n: 9999.999 for n in bench.EXTENDED}
-    lines = bench.format_output(fat, fat, fat, sf=0.1, extended=fat_ext)
+    lines = bench.format_output(
+        fat, fat, fat, sf=0.1, extended=fat_ext, oneshot_median=fat, oneshot_sessions=3
+    )
     final = lines[-1]
     assert len(final) < 1500, len(final)
     parsed = json.loads(final)
     assert parsed["metric"] == "headline_queries_total_wall"
-    for key in ("value", "unit", "warm_median_total", "sf", "extended_queries_wall"):
+    for key in (
+        "value", "unit", "warm_median_total", "sf", "extended_queries_wall",
+        "one_shot_this_session", "one_shot_sessions",
+    ):
         assert key in parsed, key
+    # r07 methodology (VERDICT r6 ask #2): the parsed value is the
+    # median-of-reps one-shot total, not this session's single sample
+    assert parsed["value"] == round(sum(fat.values()), 3)
+    assert parsed["one_shot_sessions"] == 3
     # and the detail lines individually stay under the tail capture
     for ln in lines:
         assert len(ln) < 2000, len(ln)
