@@ -361,12 +361,18 @@ def ewma_lagsum(
     is (1−α)^W ≈ 5.8% of the tail mass at α=0.3, W=8). Numerator and
     denominator are built in identical left-to-right term order as
     the oracle so the FP quotient matches bit-for-bit; the final
-    rounding is floor-based half-up (``floor(x·10^k + 0.5)/10^k`` in
-    plain double ops) rather than ``round()`` — Spark rounds HALF_UP
-    on the exact decimal expansion while DuckDB rounds in binary, and
-    a quotient within an ulp of a 6-dp boundary flips between them
-    (3 of 12025 rows at sf0.1 under the 17-digit canonicalizer; the
-    same toolkit-class fix as PageRank/HHI/Gini).
+    rounding is sign-aware floor-based half-up
+    (``sign(x)·floor(|x|·10^k + 0.5)/10^k`` in plain double ops)
+    rather than ``round()`` — Spark rounds HALF_UP on the exact
+    decimal expansion while DuckDB rounds in binary, and a quotient
+    within an ulp of a 6-dp boundary flips between them (3 of 12025
+    rows at sf0.1 under the 17-digit canonicalizer; the same
+    toolkit-class fix as PageRank/HHI/Gini). The ``sign``/``abs``
+    factoring keeps HALF_UP's away-from-zero behavior for negative
+    series (plain ``floor(x·10^k + 0.5)`` is half-toward-+inf, which
+    silently rounded -0.1234565 to -0.123456 — r06 advisor finding);
+    both engines evaluate the identical expression, so cross-engine
+    equality is unaffected.
     """
     from pyspark.sql import Window
 
@@ -379,8 +385,10 @@ def ewma_lagsum(
         num = num + F.when(lag_v.isNotNull(), F.lit(weight) * lag_v).otherwise(F.lit(0.0))
         den = den + F.when(lag_v.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
     scale = float(10 ** round_to)
+    q = num / den
     return df.withColumn(
-        out_col, F.floor((num / den) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+        out_col,
+        F.signum(q) * F.floor(F.abs(q) * F.lit(scale) + F.lit(0.5)) / F.lit(scale),
     )
 
 

@@ -536,10 +536,13 @@ _EWMA_NUM, _EWMA_DEN = _ewma_sql(0.3, 8, "day_revenue")
       FROM orders GROUP BY 1, 2
     )
     SELECT o_orderpriority, day, day_revenue,
-           -- floor-based half-up in plain double ops, mirroring
-           -- ewma_lagsum: round() disagrees between engines when the
-           -- quotient sits within an ulp of a 6-dp boundary
-           floor(({_EWMA_NUM} / {_EWMA_DEN}) * 1000000 + 0.5) / 1000000.0 AS ewma
+           -- sign-aware floor-based half-up in plain double ops,
+           -- mirroring ewma_lagsum: round() disagrees between engines
+           -- when the quotient sits within an ulp of a 6-dp boundary;
+           -- sign/abs keeps HALF_UP away-from-zero for negatives
+           sign(({_EWMA_NUM} / {_EWMA_DEN}))
+             * floor(abs(({_EWMA_NUM} / {_EWMA_DEN})) * 1000000 + 0.5)
+             / 1000000.0 AS ewma
     FROM daily
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
     """,

@@ -142,6 +142,23 @@ def test_ewma_matches_manual_weights(spark):
         assert r["ewma"] == pytest.approx(want, abs=1e-6)
 
 
+def test_ewma_negative_series_rounds_half_away_from_zero(spark):
+    """The 6-dp rounding must be HALF_UP (away from zero) for negative
+    values too: a single-row series passes its value through the
+    weights untouched, so -0.1234565 must round to -0.123457, not the
+    -0.123456 that plain floor(x·10^6 + 0.5) gives (r06 advisor
+    finding — sign-aware floor fix)."""
+    df = spark.createDataFrame(
+        [("g", d, v) for d, v in _days([1])], "g string, day timestamp, v double"
+    ).withColumn("v", F.lit(-0.1234565))
+    out = ST.ewma_lagsum(df, ["g"], ["day"], "v", alpha=0.3, window=4).collect()
+    assert out[0]["ewma"] == pytest.approx(-0.123457, abs=1e-9)
+    # positive mirror is unchanged
+    df2 = df.withColumn("v", F.lit(0.1234565))
+    out2 = ST.ewma_lagsum(df2, ["g"], ["day"], "v", alpha=0.3, window=4).collect()
+    assert out2[0]["ewma"] == pytest.approx(0.123457, abs=1e-9)
+
+
 # ------------------------------------------------------------------ skew
 
 
