@@ -24,70 +24,71 @@ from . import queries_insights  # noqa: F401  (registers r5 analytics batch 3)
 # representative) + 21 rows for families that were never gated or
 # fell out of the r02 gate (VERDICT r2 asks #1/#4).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r06 rotation (VERDICT r5 asks #1/#2 + COVERAGE.md "gate
-    # budget" r06 plan): the 4 repaired PQ/IVFADC rows re-gate FIRST
-    # (r05 gate-interface failures: list-cell canonicalization +
-    # HUGEINT→float64 dtype drift, both fixed and now locally
-    # predicted by the hardened tests/oracle_compare.py); then the 20
-    # age-2-at-r06 r04 families re-gate; then the 22 never-gated r5
-    # families take their first driver rows; 4 anchors close the
-    # window. Everything r05-gated and not re-listed is age-1 and
-    # scheduled for the r07 rotation.
-    # -- repaired PQ/IVFADC family: must re-gate green (VERDICT #1) --
-    "pq_codes",
-    "pq_adc_knn",
-    "ivfadc_knn",
-    "ivfadc_residual_knn",
-    # -- tier 1: must re-gate (driver row is r04, age-2 at r06) --
-    "ranking_metrics_summary",
-    "ngram_duplicate_pairs",
-    "minhash_duplicate_pairs",
-    "simhash_duplicate_pairs",
-    "dedup_representatives",
-    "ngram_decontaminated_docs",
-    "training_corpus_manifest",
-    "knn_bruteforce",
-    "ann_hyperplane_neighbors",
-    "ivf_knn_deterministic",
-    "embedding_near_duplicates_deterministic",
-    "events_session_interval_join",
-    "rolling_order_spend",
-    "props_json_stats",
-    "sliding_window_events",
-    "session_windows_per_user",
-    "media_image_features",
-    "kmeans_embedding_segments_det",
-    "tfidf_top_terms",             # corpus_ops: sibling rotation
-    "token_shard_assignment",
-    # -- tier 2: never-gated families, first driver rows (VERDICT
-    # r5 ask #2 names all 22) --
-    "event_transition_matrix",           # sequence_mining
-    "customer_order_status_scd2",        # scd2
-    "segment_priority_chisq",            # hypothesis_tests
-    "hybrid_doc_retrieval_rrf",          # rank_fusion
-    "embedding_covariance",              # pca
-    "part_copurchase_pagerank",          # graph_centrality
-    "purchase_value_auc",                # auc
-    "daily_revenue_ewma",                # ewma
-    "event_user_skew_report",            # skew_report
-    "purchase_value_lift",               # lift_gains
-    "part_cosine_neighbors",             # item_item_cosine
-    "weekday_revenue_seasonality",       # seasonality
-    "customer_repurchase_survival",      # survival
-    "bloom_filtered_order_revenue",      # bloom_join
-    "doc_bigram_collocations",           # collocations
-    "customer_user_cf_recommendations",  # user_cf
-    "segment_acctbal_bootstrap_ci",      # bootstrap
-    "orders_priority_target_encoding",   # feature_prep
-    "order_price_psi",                   # drift
-    "events_kfold_summary",              # cv_splits
-    "part_skyline",                      # skyline
+    # -- r07 rotation (VERDICT r6 ask #1): the 32 families whose
+    # driver evidence is age-1 (last gated r05) re-gate before they
+    # hit the 2-round freshness edge; the NEW als_scoring_topk takes
+    # the als family's slot with the family's first value-level
+    # oracle (ask #4 — als_recommendations stays registered +
+    # locally tested, but the gate slot goes to the hash-checkable
+    # scoring half, so the window is now 50/50 value-checked); the
+    # behavior-changed daily_revenue_ewma (sign-aware rounding)
+    # re-gates; 16 age-0 anchors (flagship, perf-watched, and the
+    # families adjacent to this round's vectorops/multimodal edits)
+    # close the window. Everything r06-gated and not re-listed is
+    # age-1 and scheduled for the r08 rotation.
+    # -- tier 1: age-1 families, one representative each (32) --
+    "ivfadc_rerank_knn",                 # ann_rerank
+    "purchase_next_click_asof",          # asof_join
+    "part_association_rules",            # association
+    "bm25_doc_ranking",                  # bm25
+    "chronological_split_counts",        # chrono_split
+    "weekly_cohort_retention",           # cohort
+    "order_part_sets",                   # collect_aggs
+    "doc_shuffle_shards",                # corpus_shuffle
+    "corr_qty_price_by_flag",            # correlation
+    "distinct_segments",                 # distinct
+    "dedup_exact_survivors",             # exact_dedup
+    "signup_click_purchase_funnel",      # funnel
+    "fuzzy_duplicate_pairs",             # fuzzy_dedup
+    "daily_orders_gapfill",              # gapfill
+    "revenue_rollup_region_nation",      # grouping_sets
+    "segment_revenue",                   # joins
+    "order_year_status_pivot",           # pivot
+    "orders_profile",                    # profiling
+    "segment_price_quantiles",           # quantiles
+    "customer_rfm_segments",             # rfm_pareto
+    "priority_revenue_trend",            # robust_stats
+    "random_pair_baseline_trials",       # sampling
+    "semantic_dedup_survivors",          # semantic_dedup
+    "kmv_distinct_customers",            # sketches
+    "salted_user_segment_stats",         # skew_join
+    "snapshot_diff_orders",              # snapshot_cdc
+    "sql_surface_top_customers",         # sql_surface
+    "purchase_click_attribution",        # streaming_join
+    "trending_event_types",              # streaming_tumbling
+    "doc_quality_scores",                # text_stats
+    "top_parts_by_price",                # topk
+    "doc_weighted_sample",               # weighted_sampling
+    # -- this round's changed/new code re-gates (2) --
+    "als_scoring_topk",                  # als: first value-level oracle
+    "daily_revenue_ewma",                # ewma: sign-aware rounding fix
+    # -- age-0 anchors: flagship + perf-watched + edit-adjacent (16) --
+    "pricing_summary",                   # flagship scan/agg
+    "candidates_unseen",                 # C3+C4, perf-watched
+    "top_similar_customer_pairs",        # C6/F4, perf-watched
+    "ngram_duplicate_pairs",             # ngram_dedup, perf-watched
+    "minhash_duplicate_pairs",           # minhash_dedup, perf-watched
+    "knn_bruteforce",                    # knn
+    "ann_hyperplane_neighbors",          # ann
+    "ivf_knn_deterministic",             # ivf (vectorops edits nearby)
+    "pq_adc_knn",                        # pq (vectorops edits nearby)
+    "part_copurchase_pagerank",          # graph_centrality, perf-watched
+    "events_session_interval_join",      # interval_join
+    "sliding_window_events",             # streaming_sliding
+    "session_windows_per_user",          # streaming_session
     "event_running_zscore",              # streaming_stateful
-    # -- kept anchors (flagship + perf-watched + rows-only ALS) --
-    "pricing_summary",             # flagship scan/agg
-    "candidates_unseen",           # C3+C4, perf-watched
-    "top_similar_customer_pairs",  # C6/F4, perf-watched
-    "als_recommendations",         # K4-K6 (rows-only by nature)
+    "training_corpus_manifest",          # corpus_pipeline
+    "media_image_features",              # multimodal (codec edits)
 )
 
 

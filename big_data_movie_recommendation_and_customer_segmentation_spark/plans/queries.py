@@ -1094,6 +1094,136 @@ def als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recs.select("user", "rank", "item", F.round("score", 4).alias("score"))
 
 
+def _als_factor_base() -> str:
+    """Warehouse dir for materialized ALS factor tables (gitignored
+    spark-warehouse). One subdir per sf tag so runs at different
+    scales never clobber each other."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, "spark-warehouse", "als_factors")
+
+
+_ALS_RANK = 8
+
+# The oracle replays scoring over the SAME factor parquet the query
+# materialized (DuckDB read_parquet on the warehouse glob). The static
+# SQL cannot know which sf the driver ran, so every factor row carries
+# an ``n_ratings`` discriminator — the count of the ratings-shaped
+# relation, recomputable by DuckDB from orders×lineitem — and the
+# oracle filters the glob to the rows whose discriminator matches the
+# registered views' scale. Dot product, ranking, and rounding are the
+# identical textual expression in both engines (fixed left-to-right
+# term order over 8 double columns → bit-equal doubles → identical
+# ranking; sign-aware floor half-up rounding, the toolkit-class fix).
+_ALS_DOT = " + ".join(f"u.f{i} * i.f{i}" for i in range(_ALS_RANK))
+_ALS_SCORING_ORACLE = f"""
+    WITH nr AS (
+      SELECT count(*) AS n FROM (
+        SELECT o.o_custkey, l.l_partkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2) t
+    ),
+    uf AS (
+      SELECT * FROM read_parquet('{{base}}/*/user/*.parquet')
+      WHERE n_ratings = (SELECT n FROM nr)
+    ),
+    itf AS (
+      SELECT * FROM read_parquet('{{base}}/*/item/*.parquet')
+      WHERE n_ratings = (SELECT n FROM nr)
+    ),
+    users AS (SELECT * FROM uf ORDER BY "user" LIMIT 50),
+    scored AS (
+      SELECT u."user" AS "user", i.item AS item, ({_ALS_DOT}) AS s
+      FROM users u CROSS JOIN itf i
+    ),
+    ranked AS (
+      SELECT "user", item, s,
+             row_number() OVER (PARTITION BY "user"
+                                ORDER BY s DESC, item ASC) AS rank
+      FROM scored
+    )
+    SELECT "user", rank, item,
+           sign(s) * floor(abs(s) * 1000000 + 0.5) / 1000000.0 AS score
+    FROM ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "als_scoring_topk",
+    oracle=_ALS_SCORING_ORACLE.format(base=_als_factor_base()),
+)
+def als_scoring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-gateable scoring half of ALS (VERDICT r6 ask #4): the
+    model FIT is inherently iterative (rows-only forever), but
+    scoring — user-factor × item-factor dot product + per-user top-k,
+    where a relational bug would actually hide — is plain algebra
+    over two small deterministic tables. So: fit the seeded model,
+    MATERIALIZE its factor matrices as 8 double columns (float32 →
+    double is exact) + an ``n_ratings`` scale discriminator, then
+    compute top-5-per-50-users from the WRITTEN parquet; the DuckDB
+    oracle replays the identical join/dot/rank/round over the same
+    files. 100 TB note: full recommend-for-all stays on the blocked
+    ``recommend_for_users`` path (als.py); this bounded cross join
+    (50 users × |items|, broadcast user side) exists to put the
+    scoring algebra under the value gate."""
+    import os
+
+    from ..operators.als import ALSConfig, fit_als
+
+    ratings = _ratings_shaped(spark, sf_dir).cache()
+    n_ratings = ratings.count()
+    cfg = ALSConfig(rank=_ALS_RANK, reg_param=0.1, max_iter=5, seed=42)
+    model = fit_als(ratings, "userId", "movieId", "rating", cfg)
+    ratings.unpersist()
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    base = os.path.join(_als_factor_base(), tag)
+    uf = model.userFactors.select(
+        F.col("id").alias("user"),
+        *[F.col("features")[i].cast("double").alias(f"f{i}") for i in range(_ALS_RANK)],
+        F.lit(n_ratings).alias("n_ratings"),
+    )
+    itf = model.itemFactors.select(
+        F.col("id").alias("item"),
+        *[F.col("features")[i].cast("double").alias(f"f{i}") for i in range(_ALS_RANK)],
+        F.lit(n_ratings).alias("n_ratings"),
+    )
+    # factor matrices are small (|users|+|items| rows × rank): one
+    # file each keeps the oracle glob + re-read cheap
+    uf.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "user"))
+    itf.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "item"))
+
+    # score FROM THE WRITTEN FILES so the Spark result and the oracle
+    # read byte-identical factor values
+    u = spark.read.parquet(os.path.join(base, "user"))
+    i = spark.read.parquet(os.path.join(base, "item")).alias("i")
+    users = u.orderBy("user").limit(50).alias("u")
+    dot = None
+    for k in range(_ALS_RANK):
+        term = F.col(f"u.f{k}") * F.col(f"i.f{k}")
+        dot = term if dot is None else dot + term
+    # broadcast the bounded 50-user side; the item table stays
+    # distributed (at 100 TB it is the large relation)
+    scored = i.crossJoin(F.broadcast(users)).select(
+        F.col("u.user").alias("user"), F.col("i.item").alias("item"), dot.alias("s")
+    )
+    w = Window.partitionBy("user").orderBy(F.col("s").desc(), F.col("item").asc())
+    s = F.col("s")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "user",
+            "rank",
+            "item",
+            (F.signum(s) * F.floor(F.abs(s) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "score"
+            ),
+        )
+    )
+
+
 @query(
     "ranking_metrics_summary",
     oracle="""

@@ -112,53 +112,54 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r06 rotation (VERDICT r5 asks #1/#2): the 4 repaired PQ/IVFADC
-    # rows re-gate FIRST; every never-gated r5 family takes its first
-    # driver row; the age-2-at-r06 r04 families re-gate before their
-    # evidence falls out of the 2-round budget
+    # r07 rotation (VERDICT r6 ask #1): every age-1 family (last
+    # gated r05) re-gates before its evidence hits the 2-round
+    # freshness edge; the new ALS scoring oracle and the
+    # behavior-changed ewma re-gate too
     for must in (
-        # repaired PQ/IVFADC family — must re-gate green
-        "pq_codes",
-        "pq_adc_knn",
-        "ivfadc_knn",
-        "ivfadc_residual_knn",
-        # age-2-at-r06 re-gates (sample of the 20)
-        "ranking_metrics_summary",
-        "minhash_duplicate_pairs",
-        "knn_bruteforce",
+        # age-1 families re-gating (sample of the 32)
+        "ivfadc_rerank_knn",
+        "purchase_next_click_asof",
+        "bm25_doc_ranking",
+        "weekly_cohort_retention",
+        "doc_shuffle_shards",
+        "dedup_exact_survivors",
+        "daily_orders_gapfill",
+        "orders_profile",
+        "customer_rfm_segments",
+        "priority_revenue_trend",
+        "semantic_dedup_survivors",
+        "salted_user_segment_stats",
+        "sql_surface_top_customers",
+        "doc_weighted_sample",
+        # this round's changed/new code
+        "als_scoring_topk",
+        "daily_revenue_ewma",
+        # edit-adjacent anchors
         "media_image_features",
-        "token_shard_assignment",
-        # never-gated r5 families, first driver rows (sample of 22)
-        "event_transition_matrix",
-        "embedding_covariance",
-        "part_copurchase_pagerank",
-        "purchase_value_auc",
-        "customer_user_cf_recommendations",
-        "events_kfold_summary",
-        "part_skyline",
-        "event_running_zscore",
+        "pq_adc_knn",
+        "ivf_knn_deterministic",
     ):
         assert must in GATE_PRIORITY, must
-    # the PQ re-gates must occupy the head of the window
-    assert list(GATE_PRIORITY[:4]) == [
-        "pq_codes", "pq_adc_knn", "ivfadc_knn", "ivfadc_residual_knn",
-    ]
     # the rows-only ml-lib k-means variant must have ceded its slot
     # to the value-checked deterministic sibling (VERDICT r3 ask #3)
     assert "kmeans_customer_segments" not in GATE_PRIORITY
 
 
 def test_gate_rows_only_entries_are_the_declared_one():
-    """Everything in the gate window must be value-checked except the
-    single inherently iterative query (ALS — seeded, non-convex). A
-    new gate entry registered without an oracle is a silent downgrade
-    of the correctness gate — catch it here."""
+    """Since r07 the gate window is 100% value-checked: the ALS slot
+    moved from the rows-only fit query (als_recommendations — still
+    registered and locally run) to als_scoring_topk, whose DuckDB
+    oracle replays dot-product scoring over the factor parquet the
+    seeded fit materializes. A new gate entry registered without an
+    oracle is a silent downgrade of the correctness gate — catch it
+    here."""
     import __spark_entry__ as E
     from big_data_movie_recommendation_and_customer_segmentation_spark.plans import GATE_PRIORITY
 
     o = E.oracle_sql()
     rows_only = {n for n in GATE_PRIORITY if n not in o}
-    assert rows_only == {"als_recommendations"}, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_family_map_covers_the_whole_registry():

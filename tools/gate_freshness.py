@@ -47,7 +47,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "sketches": ("kmv_distinct_customers", "approx_distinct_customers",
                  "event_type_cms_estimates"),
     "sampling": ("random_pair_baseline_trials",),
-    "als": ("als_recommendations",),
+    "als": ("als_recommendations", "als_scoring_topk"),
     "ranking_metrics": ("ranking_metrics_summary",
                         "recommendation_coverage_novelty",
                         "recommendation_diversity_ild"),
