@@ -1325,6 +1325,15 @@ def ivfadc_index_search(
     ).select(probe_id_col, "cell")
     wanted = [r.cell for r in probe_cells.select("cell").distinct().collect()]
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(wanted))
+    # logically-deleted ids (delete_from_ivfadc_index) stop ranking
+    # immediately; physical removal is compact_ivfadc_index's job.
+    # The tombstone table is bounded by deletes since last compaction,
+    # so the anti-join broadcasts.
+    tomb = _index_tombstones(spark, path)
+    if tomb is not None:
+        codes = codes.join(
+            F.broadcast(tomb.withColumnRenamed("tomb_id", id_col)), id_col, "left_anti"
+        )
 
     if meta.encode_residuals:
         pr = (
@@ -1715,3 +1724,113 @@ def upsert_ivfadc_index(
         merged.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # a re-inserted id must become searchable again: clear any
+    # tombstone covering the upserted ids (tombstone table is small —
+    # bounded by deletes since the last compaction)
+    tomb = _index_tombstones(spark, path)
+    if tomb is not None:
+        kept = tomb.join(
+            new_rows.select(F.col(id_col).alias("tomb_id")), "tomb_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        if kept.count() > 0:
+            kept.write.mode("overwrite").parquet(f"{path}/tombstones")
+        else:
+            _hadoop_delete(spark, f"{path}/tombstones")
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _index_tombstones(spark, path: str):
+    """The index's tombstone table (one ``tomb_id`` column) or None.
+    Goes through the Hadoop FileSystem API so existence checks work on
+    whatever store the index lives on (local/HDFS/S3A)."""
+    fs, hpath = _hadoop_fs(spark, f"{path}/tombstones")
+    if fs.exists(hpath):
+        return spark.read.parquet(f"{path}/tombstones")
+    return None
+
+
+def delete_from_ivfadc_index(
+    delete_ids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+) -> None:
+    """Logically delete vectors from a stored IVFADC index
+    (``build_ivfadc_index``) by APPENDING their ids to a tombstone
+    table — O(batch) I/O, no cell rewrite, the churn-friendly half of
+    the delete lifecycle (a 100 TB corpus deletes continuously;
+    rewriting cell partitions per delete batch would turn every
+    delete into a compaction). ``ivfadc_index_search`` anti-joins the
+    tombstones, so deleted ids stop ranking immediately; the physical
+    rewrite is deferred to ``compact_ivfadc_index``, whose cadence
+    bounds the tombstone table's size (and therefore the anti-join's
+    broadcast cost). Deleting an id that is not in the index is a
+    harmless no-op tombstone; a later upsert of a tombstoned id
+    clears its tombstone (see ``upsert_ivfadc_index``)."""
+    (
+        delete_ids.select(F.col(id_col).alias("tomb_id"))
+        .distinct()
+        .write.mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+
+
+def compact_ivfadc_index(path: str, spark=None) -> int:
+    """Physically apply tombstones (``delete_from_ivfadc_index``) and
+    reclaim space: rewrite ONLY the cell partitions that actually
+    contain tombstoned ids (dynamic partition overwrite — the same
+    partition-pruned discipline as the upsert; untouched cells keep
+    their files byte-for-byte), then drop the tombstone table. A cell
+    whose every row is deleted needs special handling: dynamic
+    overwrite only replaces partitions PRESENT in the written data,
+    so emptied cells are removed explicitly via the FileSystem API —
+    without this they would silently keep their stale files.
+
+    Returns the number of rows physically removed. The affected-cell
+    list collect is bounded by n_cells; the rewritten relation is the
+    affected cells' rows (pinned with an eager localCheckpoint before
+    the overwrite, as in the upsert)."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    tomb = _index_tombstones(spark, path)
+    if tomb is None:
+        return 0
+    codes = spark.read.parquet(f"{path}/codes")
+    doomed = codes.join(
+        tomb.withColumnRenamed("tomb_id", "vec_id"), "vec_id", "left_semi"
+    )
+    affected = [r.cell for r in doomed.select("cell").distinct().collect()]
+    removed = doomed.count()
+    if affected:
+        keep = (
+            codes.filter(F.col("cell").isin(affected))
+            .join(tomb.withColumnRenamed("tomb_id", "vec_id"), "vec_id", "left_anti")
+            .select("vec_id", "codes", "cell")
+            .localCheckpoint(eager=True)  # break read-from-overwrite-target
+        )
+        surviving = {r.cell for r in keep.select("cell").distinct().collect()}
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for cell in set(affected) - surviving:
+            _hadoop_delete(spark, f"{path}/codes/cell={cell}")
+    _hadoop_delete(spark, f"{path}/tombstones")
+    return removed

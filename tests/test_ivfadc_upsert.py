@@ -106,3 +106,164 @@ def test_search_after_upsert_matches_numpy_adc_replay(spark, emb, tmp_path):
     assert {(r["vec_id"], r["adc_dist"]) for r in got} == want
     # upserted ids are reachable by search
     assert any(r["vec_id"] >= 250 for r in got)
+
+
+# ------------------------------------------------- delete + compaction
+
+
+def _codes_map(spark, path):
+    return {
+        r["vec_id"]: (list(r["codes"]), r["cell"])
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+
+
+def test_delete_tombstones_then_compact_rewrites_only_affected_cells(
+    spark, emb, tmp_path
+):
+    """Full lifecycle (VERDICT r6 ask #6): upsert → delete → search
+    excludes immediately (tombstone) → compact physically removes the
+    rows from ONLY the affected cells → tombstones are gone and
+    search is unchanged."""
+    import os
+
+    path = str(tmp_path / "idx_del")
+    VO.build_ivfadc_index(
+        emb.filter(F.col("vec_id") < 250), path, n_cells=8, dim=64, m=8,
+        pq_k=16, iters=2,
+    )
+    VO.upsert_ivfadc_index(emb.filter(F.col("vec_id") >= 250), path)
+    before = _codes_map(spark, path)
+
+    probes = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    base_hits = VO.ivfadc_index_search(
+        spark, path, probes, k_neighbors=10, n_probe_cells=8
+    ).collect()
+    victims = [r["vec_id"] for r in base_hits[:3]]
+
+    VO.delete_from_ivfadc_index(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"), path
+    )
+    # search excludes tombstoned ids immediately, before any rewrite
+    after_del = VO.ivfadc_index_search(
+        spark, path, probes, k_neighbors=10, n_probe_cells=8
+    ).collect()
+    got_ids = {r["vec_id"] for r in after_del}
+    assert not (got_ids & set(victims))
+    # survivors keep their distances (same model, same codes)
+    base_dist = {r["vec_id"]: r["adc_dist"] for r in base_hits}
+    for r in after_del:
+        if r["vec_id"] in base_dist:
+            assert r["adc_dist"] == base_dist[r["vec_id"]]
+
+    # file-level isolation: snapshot per-cell mtimes before compaction
+    affected_cells = {before[v][1] for v in victims}
+    def cell_mtimes():
+        out = {}
+        for d in os.listdir(f"{path}/codes"):
+            if d.startswith("cell="):
+                cdir = os.path.join(f"{path}/codes", d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(cdir, f))
+                    for f in os.listdir(cdir) if f.endswith(".parquet")
+                }
+        return out
+    pre = cell_mtimes()
+
+    removed = VO.compact_ivfadc_index(path, spark=spark)
+    assert removed == len(victims)
+    after = _codes_map(spark, path)
+    assert set(after) == set(before) - set(victims)
+    for vid in after:
+        assert after[vid] == before[vid]
+    # tombstone table is gone
+    assert VO._index_tombstones(spark, path) is None
+    # untouched cells kept their files byte-for-byte (same mtimes)
+    post = cell_mtimes()
+    for d, files in pre.items():
+        cell = int(d.split("=")[1])
+        if cell not in affected_cells:
+            assert post[d] == files, f"untouched {d} was rewritten"
+    # search after compaction identical to tombstone-filtered search
+    after_compact = VO.ivfadc_index_search(
+        spark, path, probes, k_neighbors=10, n_probe_cells=8
+    ).collect()
+    assert {(r["vec_id"], r["adc_dist"]) for r in after_compact} == {
+        (r["vec_id"], r["adc_dist"]) for r in after_del
+    }
+
+
+def test_delete_then_reupsert_makes_id_searchable_again(spark, emb, tmp_path):
+    path = str(tmp_path / "idx_revive")
+    VO.build_ivfadc_index(
+        emb.filter(F.col("vec_id") < 200), path, n_cells=4, dim=64, m=8,
+        pq_k=16, iters=2,
+    )
+    probes = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    hit0 = VO.ivfadc_index_search(spark, path, probes, k_neighbors=5,
+                                  n_probe_cells=4).collect()
+    victim = hit0[0]["vec_id"]
+    VO.delete_from_ivfadc_index(
+        spark.createDataFrame([(victim,)], "vec_id long"), path
+    )
+    assert victim not in {
+        r["vec_id"] for r in VO.ivfadc_index_search(
+            spark, path, probes, k_neighbors=5, n_probe_cells=4).collect()
+    }
+    VO.upsert_ivfadc_index(emb.filter(F.col("vec_id") == victim), path)
+    # tombstone cleared by the upsert; id ranks again with its old dist
+    revived = {
+        r["vec_id"]: r["adc_dist"] for r in VO.ivfadc_index_search(
+            spark, path, probes, k_neighbors=5, n_probe_cells=4).collect()
+    }
+    assert revived.get(victim) == hit0[0]["adc_dist"]
+    assert VO._index_tombstones(spark, path) is None
+
+
+def test_compact_removes_fully_emptied_cell_partition(spark, emb, tmp_path):
+    """Dynamic partition overwrite only replaces partitions present in
+    the written data — an emptied cell must be removed explicitly or
+    its stale files survive compaction."""
+    import os
+
+    path = str(tmp_path / "idx_empty")
+    VO.build_ivfadc_index(
+        emb.filter(F.col("vec_id") < 150), path, n_cells=4, dim=64, m=8,
+        pq_k=16, iters=2,
+    )
+    codes = _codes_map(spark, path)
+    cells = {}
+    for vid, (_, cell) in codes.items():
+        cells.setdefault(cell, []).append(vid)
+    target_cell, victim_ids = min(cells.items(), key=lambda kv: len(kv[1]))
+    VO.delete_from_ivfadc_index(
+        spark.createDataFrame([(v,) for v in victim_ids], "vec_id long"), path
+    )
+    removed = VO.compact_ivfadc_index(path, spark=spark)
+    assert removed == len(victim_ids)
+    assert not os.path.exists(f"{path}/codes/cell={target_cell}")
+    after = _codes_map(spark, path)
+    assert set(after) == set(codes) - set(victim_ids)
+    # a probe that routes into the emptied cell still searches fine
+    probes = emb.filter(F.col("vec_id") == 11).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    got = VO.ivfadc_index_search(spark, path, probes, k_neighbors=5,
+                                 n_probe_cells=4).collect()
+    assert len(got) == 5
+    assert not ({r["vec_id"] for r in got} & set(victim_ids))
+
+
+def test_compact_without_tombstones_is_a_noop(spark, emb, tmp_path):
+    path = str(tmp_path / "idx_noop")
+    VO.build_ivfadc_index(
+        emb.filter(F.col("vec_id") < 100), path, n_cells=4, dim=64, m=8,
+        pq_k=16, iters=2,
+    )
+    before = _codes_map(spark, path)
+    assert VO.compact_ivfadc_index(path, spark=spark) == 0
+    assert _codes_map(spark, path) == before
