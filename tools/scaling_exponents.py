@@ -1,0 +1,106 @@
+"""Measured scaling exponents for the most expensive queries
+(VERDICT r6 ask #7): run each at sf0.001 / sf0.01 / sf0.1 (100× data
+span) in ONE session, take the median of 3 warm runs per point, and
+fit the log-log slope. A slope near 2 on a pair-join query is the
+100×-scale-up red flag; a slope near 0 means the sf0.1 cost is stage
+latency, not data.
+
+    python tools/scaling_exponents.py            # prints the table
+
+Methodology notes:
+- WARM medians, not one-shots: codegen compile is constant in SF and
+  would flatten every slope at the small end.
+- The 3-point fit AND the 0.01→0.1 two-point slope are both
+  reported: at sf0.001 most of these plans bottom out at per-stage
+  scheduling latency (~0.2-0.4 s), so the tail slope is the
+  informative one for extrapolation; the 3-point fit shows how much
+  latency floor is in the curve.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
+from big_data_movie_recommendation_and_customer_segmentation_spark.plans import QUERY_REGISTRY
+
+# the warm-median top of BENCH_DETAIL_r06 + the pair-join dedup
+# family the verdict names as the quadratic candidates
+QUERIES = [
+    "top_similar_customer_pairs",
+    "ngram_duplicate_pairs",
+    "minhash_duplicate_pairs",
+    "fuzzy_duplicate_pairs",
+    "semantic_dedup_survivors",
+    "part_copurchase_components",
+    "pq_adc_knn",
+]
+SFS = [0.001, 0.01, 0.1]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bdmrcs-scaling")
+    import gc
+
+    def clean() -> None:
+        gc.collect()
+        spark._jvm.System.gc()
+
+    # warm the JVM + python worker pool once
+    materialize(QUERY_REGISTRY["pricing_summary"](spark, "/root/testdata/sf0.01"))
+    spark.range(32).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    results: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        per_sf: dict[str, float] = {}
+        for sf in SFS:
+            sf_dir = f"/root/testdata/sf{sf}"
+            materialize(QUERY_REGISTRY[name](spark, sf_dir))  # warmup at this SF
+            runs = []
+            for _ in range(3):
+                clean()
+                t0 = time.perf_counter()
+                materialize(QUERY_REGISTRY[name](spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            per_sf[str(sf)] = round(sorted(runs)[1], 3)
+        results[name] = per_sf
+        print(f"# {name}: {per_sf}", file=sys.stderr)
+
+    print(json.dumps(make_report(results), indent=1))
+    spark.stop()
+
+
+def make_report(results: dict[str, dict[str, float]]) -> dict:
+    report = {}
+    for name, per_sf in results.items():
+        xs = [math.log10(float(s)) for s in per_sf]
+        ys = [math.log10(v) for v in per_sf.values()]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        slope3 = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        t01, t10 = per_sf["0.01"], per_sf["0.1"]
+        tail = math.log10(t10 / t01)  # per decade of data
+        report[name] = {
+            "warm_median_sec": per_sf,
+            "slope_3pt": round(slope3, 3),
+            "slope_tail_0.01_to_0.1": round(tail, 3),
+        }
+    return report
+
+
+if __name__ == "__main__":
+    main()
