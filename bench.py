@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -272,13 +273,22 @@ def _spawn_child_oneshots(sf_dir: str, n_children: int) -> list[dict[str, float]
     results = []
     env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
     for i in range(n_children):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired as exc:
+            # a hung child JVM degrades to fewer reps, same as rc!=0
+            print(
+                f"# one-shot child {i} timed out after {exc.timeout}s; "
+                "continuing with remaining reps",
+                file=sys.stderr,
+            )
+            continue
         line = next(
             (ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{")),
             None,
@@ -319,8 +329,11 @@ def main() -> None:
     timings = one_shot_pass(spark, sf_dir, names)
     oneshot_runs = child_runs + [timings]
     oneshot_reps = {n: [r[n] for r in oneshot_runs if n in r] for n in names}
+    # statistics.median, not sorted(v)[len(v)//2]: with an even rep
+    # count (a child failed/timed out) the latter is the UPPER middle
+    # sample, biasing the cross-round series upward (ADVICE r7).
     oneshot_median = {
-        n: sorted(v)[len(v) // 2] for n, v in oneshot_reps.items() if v
+        n: round(statistics.median(v), 3) for n, v in oneshot_reps.items() if v
     }
 
     warm: dict[str, float] = {}

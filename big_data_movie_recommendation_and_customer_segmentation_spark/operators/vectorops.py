@@ -1788,7 +1788,7 @@ def delete_from_ivfadc_index(
     )
 
 
-def compact_ivfadc_index(path: str, spark=None) -> int:
+def compact_ivfadc_index(path: str, spark=None, *, id_col: str | None = None) -> int:
     """Physically apply tombstones (``delete_from_ivfadc_index``) and
     reclaim space: rewrite ONLY the cell partitions that actually
     contain tombstoned ids (dynamic partition overwrite — the same
@@ -1802,7 +1802,17 @@ def compact_ivfadc_index(path: str, spark=None) -> int:
     Returns the number of rows physically removed. The affected-cell
     list collect is bounded by n_cells; the rewritten relation is the
     affected cells' rows (pinned with an eager localCheckpoint before
-    the overwrite, as in the upsert)."""
+    the overwrite, as in the upsert).
+
+    ``id_col`` defaults to whatever id column the stored codes table
+    carries (the one column that is neither ``codes`` nor ``cell``) —
+    an index built with a custom ``id_col`` compacts without the
+    caller restating it (ADVICE r7: the previous hardcoded ``vec_id``
+    made such indexes tombstone-able but never compactable). If the
+    compaction would empty EVERY cell, a schema-bearing empty
+    partition is kept so ``{path}/codes`` stays readable — a bare
+    directory with no parquet files would make the next
+    search/upsert fail with an inference error (ADVICE r7)."""
     if spark is None:
         from pyspark.sql import SparkSession
 
@@ -1811,16 +1821,18 @@ def compact_ivfadc_index(path: str, spark=None) -> int:
     if tomb is None:
         return 0
     codes = spark.read.parquet(f"{path}/codes")
-    doomed = codes.join(
-        tomb.withColumnRenamed("tomb_id", "vec_id"), "vec_id", "left_semi"
-    )
+    if id_col is None:
+        id_col = next(c for c in codes.columns if c not in ("codes", "cell"))
+    tomb_as_id = tomb.withColumnRenamed("tomb_id", id_col)
+    doomed = codes.join(tomb_as_id, id_col, "left_semi")
     affected = [r.cell for r in doomed.select("cell").distinct().collect()]
+    all_cells = {r.cell for r in codes.select("cell").distinct().collect()}
     removed = doomed.count()
     if affected:
         keep = (
             codes.filter(F.col("cell").isin(affected))
-            .join(tomb.withColumnRenamed("tomb_id", "vec_id"), "vec_id", "left_anti")
-            .select("vec_id", "codes", "cell")
+            .join(tomb_as_id, id_col, "left_anti")
+            .select(id_col, "codes", "cell")
             .localCheckpoint(eager=True)  # break read-from-overwrite-target
         )
         surviving = {r.cell for r in keep.select("cell").distinct().collect()}
@@ -1832,5 +1844,11 @@ def compact_ivfadc_index(path: str, spark=None) -> int:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         for cell in set(affected) - surviving:
             _hadoop_delete(spark, f"{path}/codes/cell={cell}")
+        if not surviving and set(affected) == all_cells:
+            # fully emptied: write one empty schema-bearing partition
+            # (cell=0) so partition discovery still finds the schema
+            keep.limit(0).drop("cell").write.mode("overwrite").parquet(
+                f"{path}/codes/cell=0"
+            )
     _hadoop_delete(spark, f"{path}/tombstones")
     return removed

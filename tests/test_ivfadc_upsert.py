@@ -258,6 +258,72 @@ def test_compact_removes_fully_emptied_cell_partition(spark, emb, tmp_path):
     assert not ({r["vec_id"] for r in got} & set(victim_ids))
 
 
+def test_compact_infers_custom_id_col_from_codes_schema(spark, emb, tmp_path):
+    """ADVICE r7: compaction hardcoded ``vec_id``, so an index built
+    with a custom id_col could be tombstoned and searched but never
+    physically compacted. The id column is now inferred from the
+    stored codes schema (the one column that is neither ``codes`` nor
+    ``cell``)."""
+    path = str(tmp_path / "idx_custom_id")
+    docs = emb.filter(F.col("vec_id") < 150).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    VO.build_ivfadc_index(docs, path, n_cells=4, dim=64, m=8, pq_k=16,
+                          iters=2, id_col="doc_id")
+    before = {
+        r["doc_id"]: (list(r["codes"]), r["cell"])
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    victims = sorted(before)[:5]
+    VO.delete_from_ivfadc_index(
+        spark.createDataFrame([(v,) for v in victims], "doc_id long"),
+        path, id_col="doc_id",
+    )
+    removed = VO.compact_ivfadc_index(path, spark=spark)  # id_col inferred
+    assert removed == len(victims)
+    after = {
+        r["doc_id"]: (list(r["codes"]), r["cell"])
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    assert set(after) == set(before) - set(victims)
+    assert VO._index_tombstones(spark, path) is None
+
+
+def test_compact_that_empties_every_cell_keeps_index_readable(
+    spark, emb, tmp_path
+):
+    """ADVICE r7: deleting every row then compacting used to leave
+    ``{path}/codes`` with no parquet files, so the next search/upsert
+    failed with a schema-inference error. A schema-bearing empty
+    partition is kept instead: search returns empty, upsert rebuilds."""
+    path = str(tmp_path / "idx_all_gone")
+    subset = emb.filter(F.col("vec_id") < 80)
+    VO.build_ivfadc_index(subset, path, n_cells=4, dim=64, m=8, pq_k=16,
+                          iters=2)
+    all_ids = [r["vec_id"] for r in subset.select("vec_id").collect()]
+    VO.delete_from_ivfadc_index(
+        spark.createDataFrame([(v,) for v in all_ids], "vec_id long"), path
+    )
+    removed = VO.compact_ivfadc_index(path, spark=spark)
+    assert removed == len(all_ids)
+    # codes table still readable, just empty
+    assert spark.read.parquet(f"{path}/codes").count() == 0
+    probes = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    assert VO.ivfadc_index_search(
+        spark, path, probes, k_neighbors=5, n_probe_cells=4
+    ).count() == 0
+    # the emptied index accepts new vectors again
+    revive = emb.filter(F.col("vec_id") < 20)
+    VO.upsert_ivfadc_index(revive, path)
+    got = VO.ivfadc_index_search(
+        spark, path, probes, k_neighbors=5, n_probe_cells=4
+    ).collect()
+    assert 0 < len(got) <= 5
+    assert all(r["vec_id"] < 20 for r in got)
+
+
 def test_compact_without_tombstones_is_a_noop(spark, emb, tmp_path):
     path = str(tmp_path / "idx_noop")
     VO.build_ivfadc_index(
