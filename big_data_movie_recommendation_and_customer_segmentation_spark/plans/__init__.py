@@ -24,71 +24,69 @@ from . import queries_insights  # noqa: F401  (registers r5 analytics batch 3)
 # representative) + 21 rows for families that were never gated or
 # fell out of the r02 gate (VERDICT r2 asks #1/#4).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r07 rotation (VERDICT r6 ask #1): the 32 families whose
-    # driver evidence is age-1 (last gated r05) re-gate before they
-    # hit the 2-round freshness edge; the NEW als_scoring_topk takes
-    # the als family's slot with the family's first value-level
-    # oracle (ask #4 — als_recommendations stays registered +
-    # locally tested, but the gate slot goes to the hash-checkable
-    # scoring half, so the window is now 50/50 value-checked); the
-    # behavior-changed daily_revenue_ewma (sign-aware rounding)
-    # re-gates; 16 age-0 anchors (flagship, perf-watched, and the
-    # families adjacent to this round's vectorops/multimodal edits)
-    # close the window. Everything r06-gated and not re-listed is
-    # age-1 and scheduled for the r08 rotation.
-    # -- tier 1: age-1 families, one representative each (32) --
-    "ivfadc_rerank_knn",                 # ann_rerank
-    "purchase_next_click_asof",          # asof_join
-    "part_association_rules",            # association
-    "bm25_doc_ranking",                  # bm25
-    "chronological_split_counts",        # chrono_split
-    "weekly_cohort_retention",           # cohort
-    "order_part_sets",                   # collect_aggs
-    "doc_shuffle_shards",                # corpus_shuffle
-    "corr_qty_price_by_flag",            # correlation
-    "distinct_segments",                 # distinct
-    "dedup_exact_survivors",             # exact_dedup
-    "signup_click_purchase_funnel",      # funnel
-    "fuzzy_duplicate_pairs",             # fuzzy_dedup
-    "daily_orders_gapfill",              # gapfill
-    "revenue_rollup_region_nation",      # grouping_sets
-    "segment_revenue",                   # joins
-    "order_year_status_pivot",           # pivot
-    "orders_profile",                    # profiling
-    "segment_price_quantiles",           # quantiles
-    "customer_rfm_segments",             # rfm_pareto
-    "priority_revenue_trend",            # robust_stats
-    "random_pair_baseline_trials",       # sampling
-    "semantic_dedup_survivors",          # semantic_dedup
-    "kmv_distinct_customers",            # sketches
-    "salted_user_segment_stats",         # skew_join
-    "snapshot_diff_orders",              # snapshot_cdc
-    "sql_surface_top_customers",         # sql_surface
-    "purchase_click_attribution",        # streaming_join
-    "trending_event_types",              # streaming_tumbling
-    "doc_quality_scores",                # text_stats
-    "top_parts_by_price",                # topk
-    "doc_weighted_sample",               # weighted_sampling
-    # -- this round's changed/new code re-gates (2) --
-    "als_scoring_topk",                  # als: first value-level oracle
-    "daily_revenue_ewma",                # ewma: sign-aware rounding fix
-    # -- age-0 anchors: flagship + perf-watched + edit-adjacent (16) --
+    # -- r08 rotation (VERDICT r7 ask #1): the 29 families whose
+    # driver evidence is age-1 (last gated r06) re-gate before they
+    # hit the 2-round freshness edge; 21 age-0 anchor slots close the
+    # window: flagship, the perf-watched pair joins (this round's
+    # drift A/B subjects), the vectorops families adjacent to the
+    # compaction fixes (ADVICE r7), multimodal (JPEG decoder work),
+    # the streaming family block, and als_scoring_topk (the serving
+    # path is now pinned to it by tests/test_als_serving.py, so its
+    # green row transitively covers recommendForUserSubset).
+    # Everything r07-gated and not re-listed is age-1 and scheduled
+    # for the r09 rotation.
+    # -- tier 1: age-1 families, one representative each (29) --
+    "purchase_value_auc",                # auc
+    "bloom_filtered_order_revenue",      # bloom_join
+    "segment_acctbal_bootstrap_ci",      # bootstrap
+    "doc_bigram_collocations",           # collocations
+    "tfidf_top_terms",                   # corpus_ops
+    "events_kfold_summary",              # cv_splits
+    "ngram_decontaminated_docs",         # decontamination
+    "dedup_representatives",             # dedup_closure
+    "order_price_psi",                   # drift
+    "embedding_near_duplicates_deterministic",  # embedding_dedup
+    "orders_priority_target_encoding",   # feature_prep
+    "segment_priority_chisq",            # hypothesis_tests
+    "part_cosine_neighbors",             # item_item_cosine
+    "props_json_stats",                  # json_props
+    "kmeans_embedding_segments_det",     # kmeans
+    "purchase_value_lift",               # lift_gains
+    "token_shard_assignment",            # packing
+    "embedding_covariance",              # pca
+    "hybrid_doc_retrieval_rrf",          # rank_fusion
+    "ranking_metrics_summary",           # ranking_metrics
+    "rolling_order_spend",               # rolling_window
+    "customer_order_status_scd2",        # scd2
+    "weekday_revenue_seasonality",       # seasonality
+    "event_transition_matrix",           # sequence_mining
+    "simhash_duplicate_pairs",           # simhash_dedup
+    "event_user_skew_report",            # skew_report
+    "part_skyline",                      # skyline
+    "customer_repurchase_survival",      # survival
+    "customer_user_cf_recommendations",  # user_cf
+    # -- age-0 anchors: flagship + perf-watched + edit-adjacent (21) --
     "pricing_summary",                   # flagship scan/agg
+    "top_similar_customer_pairs",        # set_similarity, drift-A/B subject
+    "minhash_duplicate_pairs",           # minhash_dedup, drift-A/B subject
+    "ngram_duplicate_pairs",             # ngram_dedup, drift-A/B subject
     "candidates_unseen",                 # C3+C4, perf-watched
-    "top_similar_customer_pairs",        # C6/F4, perf-watched
-    "ngram_duplicate_pairs",             # ngram_dedup, perf-watched
-    "minhash_duplicate_pairs",           # minhash_dedup, perf-watched
-    "knn_bruteforce",                    # knn
-    "ann_hyperplane_neighbors",          # ann
+    "part_copurchase_pagerank",          # graph_centrality, perf-watched
+    "als_scoring_topk",                  # als (+ serving parity pin)
+    "ivfadc_rerank_knn",                 # ann_rerank (compaction edits)
     "ivf_knn_deterministic",             # ivf (vectorops edits nearby)
     "pq_adc_knn",                        # pq (vectorops edits nearby)
-    "part_copurchase_pagerank",          # graph_centrality, perf-watched
+    "knn_bruteforce",                    # knn
+    "ann_hyperplane_neighbors",          # ann
+    "media_image_features",              # multimodal (JPEG decoder)
     "events_session_interval_join",      # interval_join
+    "purchase_click_attribution",        # streaming_join
+    "trending_event_types",              # streaming_tumbling
     "sliding_window_events",             # streaming_sliding
     "session_windows_per_user",          # streaming_session
     "event_running_zscore",              # streaming_stateful
     "training_corpus_manifest",          # corpus_pipeline
-    "media_image_features",              # multimodal (codec edits)
+    "dedup_exact_survivors",             # exact_dedup
 )
 
 

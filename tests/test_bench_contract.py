@@ -112,30 +112,31 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r07 rotation (VERDICT r6 ask #1): every age-1 family (last
-    # gated r05) re-gates before its evidence hits the 2-round
-    # freshness edge; the new ALS scoring oracle and the
-    # behavior-changed ewma re-gate too
+    # r08 rotation (VERDICT r7 ask #1): every age-1 family (last
+    # gated r06) re-gates before its evidence hits the 2-round
+    # freshness edge; anchors keep the perf-watched and
+    # edit-adjacent families age-0
     for must in (
-        # age-1 families re-gating (sample of the 32)
-        "ivfadc_rerank_knn",
-        "purchase_next_click_asof",
-        "bm25_doc_ranking",
-        "weekly_cohort_retention",
-        "doc_shuffle_shards",
-        "dedup_exact_survivors",
-        "daily_orders_gapfill",
-        "orders_profile",
-        "customer_rfm_segments",
-        "priority_revenue_trend",
-        "semantic_dedup_survivors",
-        "salted_user_segment_stats",
-        "sql_surface_top_customers",
-        "doc_weighted_sample",
-        # this round's changed/new code
+        # age-1 families re-gating (sample of the 29)
+        "purchase_value_auc",
+        "bloom_filtered_order_revenue",
+        "segment_acctbal_bootstrap_ci",
+        "tfidf_top_terms",
+        "ngram_decontaminated_docs",
+        "dedup_representatives",
+        "embedding_near_duplicates_deterministic",
+        "part_cosine_neighbors",
+        "kmeans_embedding_segments_det",
+        "token_shard_assignment",
+        "embedding_covariance",
+        "ranking_metrics_summary",
+        "customer_order_status_scd2",
+        "simhash_duplicate_pairs",
+        "customer_user_cf_recommendations",
+        # serving-parity-pinned ALS scoring oracle stays gated
         "als_scoring_topk",
-        "daily_revenue_ewma",
-        # edit-adjacent anchors
+        # edit-adjacent anchors (vectorops compaction, JPEG decoder)
+        "ivfadc_rerank_knn",
         "media_image_features",
         "pq_adc_knn",
         "ivf_knn_deterministic",
