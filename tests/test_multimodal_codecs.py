@@ -168,8 +168,13 @@ def test_decode_bmp_rejects_compressed_and_truncated():
         MM._decode_bmp(b"\x89PNG\r\n\x1a\n")
 
 
-def test_image_features_non_bmp_still_raises():
-    with pytest.raises(NotImplementedError, match="PIL"):
+def test_image_features_unknown_format_still_raises():
+    # GIF has no native decoder: clean NotImplementedError boundary
+    with pytest.raises(NotImplementedError, match="external codec"):
+        MM._decode_image_bytes(b"GIF89a" + b"\x00" * 32, fake=False)
+    # JPEG now dispatches to the real decoder; garbage after the SOI
+    # magic is a ValueError (malformed file), not a missing codec
+    with pytest.raises(ValueError):
         MM._decode_image_bytes(b"\xff\xd8\xff\xe0fakejpeg", fake=False)
 
 
@@ -537,3 +542,350 @@ def test_decode_bmp_rejects_negative_width():
     struct.pack_into("<i", bad, 18, -2)  # biWidth = -2
     with pytest.raises(ValueError, match="dimensions"):
         MM._decode_bmp(bytes(bad))
+
+
+# ---------------------------------------------------------------- JPEG
+# Independent baseline-JFIF test encoder (VERDICT r7 ask #3): forward
+# DCT, quantization, zigzag, canonical Huffman coding and byte
+# stuffing are all re-derived here — the decoder under test shares no
+# code with it, so encode→decode is a true roundtrip check.
+
+
+def _zigzag_order() -> np.ndarray:
+    """Raster index per zigzag position, derived from the antidiagonal
+    traversal definition (independent of the decoder's table)."""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(8) if 0 <= s - y < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        order.extend(y * 8 + x for y, x in diag)
+    return np.array(order, dtype=np.int64)
+
+
+_JZZ = _zigzag_order()
+
+STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+
+
+class _JBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush_ones(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def _jcat(v: int) -> int:
+    """DC/AC magnitude category: bit length of |v|."""
+    return int(abs(v)).bit_length()
+
+
+def _jbits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _jfdct(block: np.ndarray) -> np.ndarray:
+    k = np.arange(8, dtype=np.float64)
+    c = 0.5 * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c @ block @ c.T
+
+
+def _jblock_events(zzq: np.ndarray, pred: int) -> tuple[list, int]:
+    """(symbol, (bits, nbits)) event list for one quantized zigzag
+    block: DC diff + AC run-length with ZRL/EOB."""
+    events = []
+    dc = int(zzq[0])
+    diff = dc - pred
+    s = _jcat(diff)
+    events.append(("dc", s, (_jbits(diff, s), s)))
+    run = 0
+    last_nz = max([k for k in range(1, 64) if zzq[k]] or [0])
+    for k in range(1, 64):
+        v = int(zzq[k])
+        if k > last_nz:
+            events.append(("ac", 0x00, (0, 0)))  # EOB
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            events.append(("ac", 0xF0, (0, 0)))  # ZRL
+            run -= 16
+        s = _jcat(v)
+        events.append(("ac", (run << 4) | s, (_jbits(v, s), s)))
+        run = 0
+    return events, dc
+
+
+def _jfixed_table(symbols: set) -> tuple[list[int], list[int], dict]:
+    """Canonical single-length Huffman table over the used symbols
+    (all-ones codeword reserved, as T.81 requires)."""
+    syms = sorted(symbols)
+    length = 1
+    while (1 << length) - 1 < len(syms):
+        length += 1
+    counts = [0] * 16
+    counts[length - 1] = len(syms)
+    codes = {sym: (length, i) for i, sym in enumerate(syms)}
+    return counts, syms, codes
+
+
+def make_jpeg(
+    rgb: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+    gray: bool = False,
+) -> bytes:
+    """Encode a baseline sequential JFIF: 4:4:4 by default, 4:2:0/2:2
+    via ``subsample`` (Y sampling factors; chroma is box-averaged),
+    optional restart intervals. ``quant`` is a raster-order 64-vector
+    applied to all components (default: all ones → near-lossless)."""
+    h, w = rgb.shape[:2]
+    q_raster = np.ones(64) if quant is None else np.asarray(quant, np.float64)
+    q_zz = q_raster[_JZZ]
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    sh, sv = subsample
+    comps: list[tuple[int, int, int, np.ndarray]] = []  # (cid, h, v, plane)
+
+    def pad_to(plane: np.ndarray, hh: int, ww: int) -> np.ndarray:
+        ph, pw = plane.shape
+        return np.pad(plane, ((0, hh - ph), (0, ww - pw)), mode="edge")
+
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+    mcux, mcuy = -(-w // mcu_w), -(-h // mcu_h)
+    if gray:
+        comps.append((1, 1, 1, pad_to(y, mcuy * 8, mcux * 8)))
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        comps = [(1, 1, 1, pad_to(y, mcuy * 8, mcux * 8))]
+    else:
+        comps.append((1, sh, sv, pad_to(y, mcuy * mcu_h, mcux * mcu_w)))
+        for cid, plane in ((2, cb), (3, cr)):
+            if (sh, sv) != (1, 1):  # box-average downsample
+                ph = pad_to(plane, mcuy * mcu_h, mcux * mcu_w)
+                plane = ph.reshape(ph.shape[0] // sv, sv,
+                                   ph.shape[1] // sh, sh).mean(axis=(1, 3))
+            else:
+                plane = pad_to(plane, mcuy * 8, mcux * 8)
+            comps.append((cid, 1, 1, plane))
+
+    # pass 1: quantized blocks in MCU interleave order + symbol sets
+    all_events = []
+    preds = {cid: 0 for cid, *_ in comps}
+    n_mcus = mcux * mcuy
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            preds = {cid: 0 for cid in preds}
+            all_events.append(("rst", (m // restart_interval - 1) % 8))
+        my, mx = divmod(m, mcux)
+        for cid, ch, cv, plane in comps:
+            for by in range(cv):
+                for bx in range(ch):
+                    y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                    blk = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+                    coef = _jfdct(blk).reshape(64)[_JZZ]
+                    zzq = np.round(coef / q_zz).astype(np.int64)
+                    events, preds[cid] = _jblock_events(zzq, preds[cid])
+                    all_events.append(("blk", events))
+    dc_syms = {s for kind, ev in all_events if kind == "blk"
+               for t, s, _ in ev if t == "dc"}
+    ac_syms = {s for kind, ev in all_events if kind == "blk"
+               for t, s, _ in ev if t == "ac"}
+    dc_counts, dc_list, dc_codes = _jfixed_table(dc_syms)
+    ac_counts, ac_list, ac_codes = _jfixed_table(ac_syms)
+
+    # pass 2: emit entropy-coded data
+    bw = _JBitWriter()
+    body = bytearray()
+    for kind, payload in all_events:
+        if kind == "rst":
+            bw.flush_ones()
+            body += bw.out
+            bw = _JBitWriter()
+            body += bytes([0xFF, 0xD0 + payload])
+            continue
+        for t, sym, (bits, nbits) in payload:
+            codes = dc_codes if t == "dc" else ac_codes
+            length, code = codes[sym]
+            bw.write(code, length)
+            if nbits:
+                bw.write(bits, nbits)
+    bw.flush_ones()
+    body += bw.out
+
+    def seg(marker: int, payload_b: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload_b) + 2) + payload_b
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(q_zz.astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid, ch, cv, _ in comps:
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_list))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_list))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_near_lossless_with_unit_quant():
+    """All-ones quant tables: the only loss is DCT-coefficient
+    rounding (±0.5 per coefficient, orthonormal basis → bounded pixel
+    error), so decode must track the source within a few levels."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    img, w, h = MM._decode_jpeg(make_jpeg(px))
+    assert (w, h) == (24, 16)
+    assert img.shape == (16, 24, 3)
+    diff = img.astype(np.int64) - px.astype(np.int64)
+    assert np.abs(diff).max() <= 8
+    assert np.abs(diff).mean() <= 2.0
+
+
+def test_decode_jpeg_grayscale_broadcasts():
+    rng = np.random.default_rng(11)
+    gval = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    px = np.repeat(gval[:, :, None], 3, axis=2)
+    img, w, h = MM._decode_jpeg(make_jpeg(px, gray=True))
+    assert (w, h) == (8, 8)
+    assert np.array_equal(img[:, :, 0], img[:, :, 1])
+    assert np.array_equal(img[:, :, 1], img[:, :, 2])
+    assert np.abs(img[:, :, 0].astype(np.int64) - gval.astype(np.int64)).max() <= 4
+
+
+def test_decode_jpeg_420_subsampling_constant_chroma():
+    """4:2:0: constant-chroma image is unharmed by the box-average →
+    nearest upsample roundtrip, so only DCT rounding remains."""
+    rng = np.random.default_rng(13)
+    lum = rng.integers(40, 216, (24, 32), dtype=np.uint8)
+    # constant reddish tint on a varying luma ramp
+    px = np.stack([
+        np.clip(lum + 30, 0, 255),
+        lum,
+        np.clip(lum - 20, 0, 255),
+    ], axis=2).astype(np.uint8)
+    img, w, h = MM._decode_jpeg(make_jpeg(px, subsample=(2, 2)))
+    assert (w, h) == (32, 24)
+    diff = img.astype(np.int64) - px.astype(np.int64)
+    assert np.abs(diff).max() <= 12  # chroma edges + DCT rounding
+    assert np.abs(diff).mean() <= 3.0
+
+
+def test_decode_jpeg_restart_intervals_match_unrestarted():
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, (16, 48, 3), dtype=np.uint8)  # 12 MCUs
+    base, _, _ = MM._decode_jpeg(make_jpeg(px))
+    rst, _, _ = MM._decode_jpeg(make_jpeg(px, restart_interval=2))
+    assert np.array_equal(base, rst)
+
+
+def test_decode_jpeg_rejects_non_baseline_variants():
+    px = np.zeros((8, 8, 3), np.uint8)
+    good = make_jpeg(px)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        MM._decode_jpeg(b"\x89PNGnope")
+    prog = bytearray(good)
+    idx = prog.find(bytes([0xFF, 0xC0]))
+    prog[idx + 1] = 0xC2  # rewrite SOF0 → SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        MM._decode_jpeg(bytes(prog))
+    arith = bytearray(good)
+    arith[idx + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        MM._decode_jpeg(bytes(arith))
+    deep = bytearray(good)
+    deep[idx + 4] = 12  # SOF precision byte
+    with pytest.raises(ValueError, match="precision"):
+        MM._decode_jpeg(bytes(deep))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        MM._decode_jpeg(good[: idx + 9])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    std_quant=st.booleans(),
+)
+def test_jpeg_roundtrip_property(w, h, seed, std_quant):
+    """Any size (incl. non-multiple-of-8 → MCU padding + crop), unit
+    or standard-luma quant: decode returns the right geometry and a
+    bounded-error reconstruction (PSNR floor for the lossy table)."""
+    rng = np.random.default_rng(seed)
+    # smooth-ish content: random low-res field upsampled, so the
+    # standard quant table's high-frequency coarseness stays bounded
+    base = rng.integers(0, 256, ((h + 3) // 4, (w + 3) // 4, 3))
+    px = np.repeat(np.repeat(base, 4, axis=0), 4, axis=1)[:h, :w].astype(np.uint8)
+    quant = STD_LUMA_Q if std_quant else None
+    img, ww, hh = MM._decode_jpeg(make_jpeg(px, quant=quant))
+    assert (ww, hh) == (w, h)
+    assert img.shape == (h, w, 3)
+    err = img.astype(np.float64) - px.astype(np.float64)
+    mse = float((err ** 2).mean())
+    if std_quant:
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+        assert psnr >= 25.0, psnr
+    else:
+        assert np.abs(err).max() <= 8
+
+
+def test_extract_image_features_real_jpeg(spark):
+    """End-to-end mapInPandas over a real baseline JPEG payload:
+    solid 120-gray 8×4 RGB → channel means ≈120/255, aspect 2.0."""
+    px = np.full((4, 8, 3), 120, np.uint8)
+    payload = make_jpeg(px)
+    df = spark.createDataFrame(
+        [(12, bytearray(payload), 8, 4)],
+        "media_id long, payload binary, width int, height int",
+    ).select(
+        "media_id",
+        MM.pack_media(
+            F.col("payload"), F.lit("image/jpeg"),
+            width=F.col("width"), height=F.col("height"),
+        ).alias("media"),
+    )
+    row = MM.extract_image_features(df, fake=False).collect()[0]
+    f = row["features"]
+    for ch in range(3):
+        assert f[ch] == pytest.approx(120 / 255, abs=2 / 255)
+    assert f[3] == pytest.approx(0.0, abs=0.02)
+    assert f[6] == pytest.approx(2.0)
