@@ -43,6 +43,26 @@ QUERIES = [
 ]
 SFS = [0.001, 0.01, 0.1]
 
+# VERDICT r7 ask #5: extend the span to sf1 (10× the bench SF — the
+# first point where local[32] actually saturates) for the three pair
+# joins + the flagship scan. sf1 lives under the repo (bench-only,
+# gitignored; recipe = tools/gen_benchdata.py, see TESTDATA.md).
+SF1_QUERIES = {
+    "top_similar_customer_pairs",
+    "ngram_duplicate_pairs",
+    "minhash_duplicate_pairs",
+    "pricing_summary",
+}
+SF1_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1"
+)
+
+
+def _sf_dir(sf: float) -> str:
+    if sf >= 1:
+        return SF1_DIR
+    return f"/root/testdata/sf{sf}"
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -62,11 +82,13 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    queries = list(QUERIES) + [q for q in sorted(SF1_QUERIES) if q not in QUERIES]
     results: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in queries:
+        sfs = SFS + [1] if name in SF1_QUERIES and os.path.isdir(SF1_DIR) else SFS
         per_sf: dict[str, float] = {}
-        for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+        for sf in sfs:
+            sf_dir = _sf_dir(sf)
             materialize(QUERY_REGISTRY[name](spark, sf_dir))  # warmup at this SF
             runs = []
             for _ in range(3):
@@ -99,6 +121,10 @@ def make_report(results: dict[str, dict[str, float]]) -> dict:
             "slope_3pt": round(slope3, 3),
             "slope_tail_0.01_to_0.1": round(tail, 3),
         }
+        if "1" in per_sf:  # saturated-scale decade (sf0.1 → sf1)
+            report[name]["slope_tail_0.1_to_1"] = round(
+                math.log10(per_sf["1"] / t10), 3
+            )
     return report
 
 
