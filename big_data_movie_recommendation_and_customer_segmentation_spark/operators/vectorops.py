@@ -1788,6 +1788,19 @@ def delete_from_ivfadc_index(
     )
 
 
+def compaction_keep_plan(codes, tomb, id_col: str, affected: list):
+    """The surviving-rows relation an IVFADC compaction rewrites:
+    partition-pruned scan of the affected cells, anti-join against
+    the (small, broadcastable) tombstone table. Factored out of
+    ``compact_ivfadc_index`` so tools/gen_plans.py renders exactly
+    the production plan shape."""
+    return (
+        codes.filter(F.col("cell").isin(affected))
+        .join(tomb.withColumnRenamed("tomb_id", id_col), id_col, "left_anti")
+        .select(id_col, "codes", "cell")
+    )
+
+
 def compact_ivfadc_index(path: str, spark=None, *, id_col: str | None = None) -> int:
     """Physically apply tombstones (``delete_from_ivfadc_index``) and
     reclaim space: rewrite ONLY the cell partitions that actually
@@ -1829,11 +1842,8 @@ def compact_ivfadc_index(path: str, spark=None, *, id_col: str | None = None) ->
     all_cells = {r.cell for r in codes.select("cell").distinct().collect()}
     removed = doomed.count()
     if affected:
-        keep = (
-            codes.filter(F.col("cell").isin(affected))
-            .join(tomb_as_id, id_col, "left_anti")
-            .select(id_col, "codes", "cell")
-            .localCheckpoint(eager=True)  # break read-from-overwrite-target
+        keep = compaction_keep_plan(codes, tomb, id_col, affected).localCheckpoint(
+            eager=True  # break read-from-overwrite-target
         )
         surviving = {r.cell for r in keep.select("cell").distinct().collect()}
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

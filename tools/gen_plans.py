@@ -44,6 +44,7 @@ NOTES = {
     "bloom_filtered_order_revenue": "Bloom semi-join: one broadcast-hash LEFT SEMI join per hash function fused into the scan stage, then the exact verify — zero probe-side exchanges before the agg.",
     "customer_item_cf_recommendations": "Item-kNN CF: governed cosine-neighbor subtree (checkpoint boundary), item-keyed history join, anti-join seen, WindowGroupLimit top-n.",
     "customer_repurchase_survival": "Kaplan-Meier: first/second-order window, one life-table agg, per-segment prefix windows on the tiny table.",
+    "als_scoring_topk": "ALS serving algebra (r08): bounded 50-user side BROADCAST against the distributed item-factor relation, 8-term dot product in codegen, WindowGroupLimit top-5; recommendForUserSubset pinned row-for-row to this plan by tests/test_als_serving.py.",
 }
 
 
@@ -67,6 +68,54 @@ def main() -> None:
         df = queries[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(mode)
         lines += [f"## {name}", "", note, "", "```", plan.strip()[:6000], "```", ""]
+
+    # IVFADC compaction rewrite (r08): not a queries() entry — an
+    # index-lifecycle op — so render its keep-relation from a scratch
+    # index built the production way.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        vectorops as VO,
+    )
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources import (
+        load_table,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        emb = load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        path = os.path.join(tmp, "idx")
+        VO.build_ivfadc_index(emb, path, n_cells=8, dim=64, m=8, pq_k=16, iters=2)
+        VO.delete_from_ivfadc_index(
+            emb.select("vec_id").limit(5), path
+        )
+        codes = spark.read.parquet(f"{path}/codes")
+        tomb = VO._index_tombstones(spark, path)
+        doomed = codes.join(
+            tomb.withColumnRenamed("tomb_id", "vec_id"), "vec_id", "left_semi"
+        )
+        affected = [r.cell for r in doomed.select("cell").distinct().collect()]
+        keep = VO.compaction_keep_plan(codes, tomb, "vec_id", affected)
+        plan = keep._jdf.queryExecution().explainString(mode)
+        lines += [
+            "## ivfadc_compaction_keep (index lifecycle, r08)",
+            "",
+            "Compaction rewrite relation: partition-PRUNED scan of only the "
+            "affected `cell=` partitions (PartitionFilters carries the isin), "
+            "BroadcastHashJoin LeftAnti against the small tombstone table — "
+            "untouched cells are never read, the rewrite I/O is "
+            "O(affected cells), and the result overwrites via dynamic "
+            "partition overwrite (emptied cells removed, fully-emptied index "
+            "kept readable via a schema-bearing empty partition).",
+            "",
+            "```",
+            plan.strip()[:6000],
+            "```",
+            "",
+        ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
 
