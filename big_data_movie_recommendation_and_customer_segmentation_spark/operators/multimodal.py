@@ -14,16 +14,20 @@ batch size (``spark.sql.execution.arrow.maxRecordsPerBatch`` — for
 multi-MB payloads set it to O(10-100) rows at 100 TB).
 
 Codec status (r08): REAL decoders exist for the formats that need no
-external library — WAV/PCM audio (stdlib ``wave`` + numpy),
+external library — WAV audio (stdlib ``wave`` + numpy for 8/16/32
+bit PCM; manual RIFF fallback for G.711 µ-law/A-law),
 uncompressed 24/32-bit BMP images (pure numpy header parse),
-uncompressed AVI frames (RIFF chunk walk over the same DIB layout),
-8-bit PNG (stdlib ``zlib`` inflate + numpy scanline unfilter), and
-baseline sequential 8-bit JPEG (file-supplied Huffman tables + numpy
-matmul IDCT; progressive/arithmetic variants raise ValueError as a
-format boundary) — selected by payload magic bytes when
-``fake=False``. Formats whose codecs are genuinely absent from this
-container (MP3/AAC/MP4) still raise ``NotImplementedError``; the
-dispatch point is
+AVI frames (RIFF chunk walk; uncompressed DIB frames AND
+Motion-JPEG '..dc' frames via the JPEG decoder),
+PNG (stdlib ``zlib`` inflate + numpy scanline unfilter; 8/16-bit
+gray/RGB/GA/RGBA plus 1/2/4/8-bit paletted and sub-byte gray;
+interlaced raises ValueError), and baseline sequential 8-bit JPEG
+(file-supplied Huffman tables + numpy matmul IDCT;
+progressive/arithmetic variants raise ValueError as a format
+boundary) — selected by payload magic bytes when ``fake=False``.
+Formats whose codecs are genuinely absent from this container
+(MP3/AAC/MP4, non-MJPEG compressed video) still raise
+``NotImplementedError``; the dispatch point is
 ``_decode_image_bytes`` / ``_decode_wav`` so a PIL/pyav
 import-try drops in without touching the Spark plumbing. With
 ``fake=True`` (tests/benchmarks over synthetic payloads) features
@@ -178,13 +182,17 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode an 8-bit non-interlaced PNG (gray / RGB / gray+alpha /
-    RGBA) with stdlib ``zlib`` + numpy only — no libpng. Returns
+    """Decode a non-interlaced PNG (gray / RGB / gray+alpha / RGBA /
+    paletted) with stdlib ``zlib`` + numpy only — no libpng. Returns
     (H×W×3 uint8 RGB, width, height); gray broadcasts to RGB, alpha
-    drops (matching ``_dib_to_rgb``'s 32bpp handling). Paletted,
-    16-bit, and interlaced variants raise ValueError — they are PNG
-    features, not missing codecs, so the error is a clean contract
-    boundary rather than NotImplementedError."""
+    drops (matching ``_dib_to_rgb``'s 32bpp handling). Supported
+    depths (r08 widened from 8-bit-only): 8/16-bit for color types
+    0/2/4/6 (16-bit keeps the high byte — the standard 16→8
+    reduction) and 1/2/4/8-bit for grayscale and paletted (PLTE
+    lookup; sub-byte samples unpacked with numpy, grayscale rescaled
+    to full range). Interlaced (Adam7) PNGs raise ValueError — a
+    format feature, not a missing codec, so the error is a clean
+    contract boundary rather than NotImplementedError."""
     import zlib
 
     if len(payload) < 33 or payload[:8] != _PNG_SIG:
@@ -192,6 +200,7 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     pos = 8
     width = height = bit_depth = color_type = interlace = None
     idat = bytearray()
+    palette = None
     while pos + 8 <= len(payload):
         length = struct.unpack_from(">I", payload, pos)[0]
         ctype = payload[pos + 4 : pos + 8]
@@ -202,6 +211,10 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -211,13 +224,27 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError("PNG missing IHDR")
     if width <= 0 or height <= 0:
         raise ValueError(f"unsupported PNG dimensions {width}x{height}")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    valid_depths = {
+        0: (1, 2, 4, 8, 16),  # grayscale
+        2: (8, 16),  # RGB
+        3: (1, 2, 4, 8),  # paletted
+        4: (8, 16),  # gray+alpha
+        6: (8, 16),  # RGBA
+    }
+    if (
+        color_type not in valid_depths
+        or bit_depth not in valid_depths[color_type]
+        or interlace != 0
+    ):
         raise ValueError(
             f"unsupported PNG variant (bit_depth={bit_depth}, "
             f"color_type={color_type}, interlace={interlace})"
         )
-    channels = _PNG_CHANNELS[color_type]
-    stride = width * channels
+    if color_type == 3 and palette is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
+    channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    stride = (width * channels * bit_depth + 7) // 8
+    bpp = max(1, channels * bit_depth // 8)  # filter step in bytes
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
@@ -226,7 +253,25 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError(
             f"PNG pixel data size mismatch: {len(raw)} != {(stride + 1) * height}"
         )
-    px = _png_unfilter(raw, height, stride, channels).reshape(height, width, channels)
+    rows = _png_unfilter(raw, height, stride, bpp)
+    if bit_depth == 16:
+        # big-endian sample pairs: the high byte IS the 16→8 reduction
+        px = rows[:, 0::2].reshape(height, width, channels)
+    elif bit_depth == 8:
+        px = rows.reshape(height, width, channels)
+    else:
+        # sub-byte samples, MSB-first within each byte (PNG spec 7.2)
+        bits = np.unpackbits(rows, axis=1)[:, : width * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        vals = (bits.reshape(height, width, bit_depth) * weights).sum(axis=2)
+        px = vals.reshape(height, width, 1).astype(np.uint8)
+    if color_type == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[idx], width, height
+    if bit_depth < 8:  # grayscale sub-byte → rescale to full 8-bit range
+        px = (px.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
     if color_type in (0, 4):  # gray(+alpha) → broadcast to RGB
         return np.repeat(px[:, :, :1], 3, axis=2), width, height
     return px[:, :, :3], width, height  # drop alpha if present
@@ -644,13 +689,75 @@ def extract_image_features(
     return flat.mapInPandas(batches, out_schema)
 
 
+def _g711_mulaw_table() -> np.ndarray:
+    """All 256 µ-law codewords → 16-bit linear (ITU-T G.711, the
+    CCITT reference expansion): complement, bias the mantissa,
+    shift by the segment, unbias."""
+    u = ~np.arange(256, dtype=np.int64) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """All 256 A-law codewords → 16-bit linear (G.711): XOR 0x55,
+    segment-dependent mantissa placement; sign bit SET means
+    positive in A-law."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t)
+
+
+def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
+    """Fallback for non-PCM WAV that stdlib ``wave`` rejects: manual
+    RIFF parse + G.711 µ-law (format 7) / A-law (format 6) expansion
+    via a 256-entry numpy table — the telephony codecs are
+    closed-form, no library needed. Other compressed formats (ADPCM,
+    MP3-in-WAV) raise ValueError naming the tag."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_ch, rate, _byte_rate, _block_align, bits = fmt
+    if tag == 7:
+        table = _g711_mulaw_table()
+    elif tag == 6:
+        table = _g711_alaw_table()
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    if bits != 8:
+        raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+    x = table[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode WAV/PCM with stdlib ``wave`` + numpy — no codec
-    library. Returns (mono float64 samples in [-1, 1], sample_rate).
-    8/16/32-bit integer PCM; multi-channel is mean-downmixed."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
-        raw = w.readframes(w.getnframes())
+    """Decode WAV with stdlib ``wave`` + numpy — no codec library.
+    Returns (mono float64 samples in [-1, 1], sample_rate). 8/16/32
+    bit integer PCM; G.711 µ-law/A-law via the manual fallback
+    (r08); multi-channel is mean-downmixed."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        return _decode_wav_g711(payload)
     if sampwidth == 2:
         x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
     elif sampwidth == 1:  # unsigned 8-bit
@@ -739,28 +846,34 @@ def extract_audio_features(
     return flat.mapInPandas(batches, out_schema)
 
 
-def _parse_avi(payload: bytes) -> tuple[list[bytes], int, int, float, int]:
+def _parse_avi(payload: bytes) -> tuple[list[bytes], int, int, float, int, str]:
     """Parse an AVI (RIFF) container with a plain chunk walk — no
     codec library. Returns (frame chunks in stream order, width,
-    height, fps, bits_per_pixel). ``bits_per_pixel`` comes from the
-    video stream's 'strf' BITMAPINFOHEADER (biBitCount) and defaults
-    to 24 when no 'strf' is present (minimal containers); values the
-    DIB decoder can't handle raise here rather than letting a 32bpp
-    frame silently decode as garbage 24bpp RGB. Only the container
-    walk is format-agnostic; the caller decides whether the frame
-    bytes are decodable (uncompressed DIB '00db' frames are;
-    compressed '00dc' payloads need ffmpeg)."""
+    height, fps, bits_per_pixel, codec) where codec is ``'dib'``
+    (uncompressed '..db' frames, decoded by ``_dib_to_rgb``) or
+    ``'mjpg'`` (Motion-JPEG '..dc' frames — each one a standalone
+    baseline JPEG, decoded by ``_decode_jpeg`` since r08).
+    ``bits_per_pixel`` comes from the video stream's 'strf'
+    BITMAPINFOHEADER (biBitCount) and defaults to 24 when no 'strf'
+    is present (minimal containers); DIB depths the decoder can't
+    handle raise here rather than letting a 32bpp frame silently
+    decode as garbage 24bpp RGB. MJPEG frames that omit their DHT
+    segments (the 'AVI1' open-DML shortcut assuming the T.81 Annex K
+    default tables) raise ValueError from the JPEG decoder — a
+    declared format boundary. Other compressed codecs still raise
+    NotImplementedError (ffmpeg genuinely absent)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     width = height = 0
     us_per_frame = 0
     bpp = 0
     frames: list[bytes] = []
-    compressed = False
+    dc_frames: list[bytes] = []
     in_video_stream = False
+    compression = 0  # strf biCompression (0 = BI_RGB)
 
     def walk(start: int, end: int) -> None:
-        nonlocal width, height, us_per_frame, bpp, compressed, in_video_stream
+        nonlocal width, height, us_per_frame, bpp, in_video_stream, compression
         pos = start
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
@@ -777,27 +890,36 @@ def _parse_avi(payload: bytes) -> tuple[list[bytes], int, int, float, int]:
                 # stream header: remember whether the strf that follows
                 # belongs to the video ('vids') or another stream type
                 in_video_stream = payload[body_start : body_start + 4] == b"vids"
-            elif fourcc == b"strf" and in_video_stream and size >= 16:
-                # BITMAPINFOHEADER: biBitCount at offset 14
+            elif fourcc == b"strf" and in_video_stream and size >= 20:
+                # BITMAPINFOHEADER: biBitCount at 14, biCompression at 16
                 bpp = struct.unpack_from("<H", payload, body_start + 14)[0]
+                compression = struct.unpack_from("<I", payload, body_start + 16)[0]
             elif fourcc[2:4] == b"db":  # uncompressed DIB frame
                 frames.append(payload[body_start:body_end])
             elif fourcc[2:4] == b"dc":  # compressed frame
-                compressed = True
+                dc_frames.append(payload[body_start:body_end])
             pos = body_end + (size & 1)  # chunks pad to even size
 
     walk(12, len(payload))
-    if compressed and not frames:
-        raise NotImplementedError(
-            "AVI contains only compressed ('..dc') frames — decoding them "
-            "requires ffmpeg/pyav, not present in this environment; "
-            "uncompressed ('..db') AVI decodes natively"
-        )
+    mjpg = compression in (
+        struct.unpack("<I", b"MJPG")[0],
+        struct.unpack("<I", b"mjpg")[0],
+    ) or (dc_frames and not frames and dc_frames[0][:2] == b"\xff\xd8")
+    if dc_frames and not frames:
+        if not mjpg:
+            raise NotImplementedError(
+                "AVI contains compressed ('..dc') frames in a codec other "
+                "than Motion-JPEG — decoding them requires ffmpeg/pyav, not "
+                "present in this environment; uncompressed ('..db') and "
+                "MJPG AVI decode natively"
+            )
+        fps = 1e6 / us_per_frame if us_per_frame else 0.0
+        return dc_frames, width, height, fps, bpp or 24, "mjpg"
     bpp = bpp or 24  # minimal containers without strl/strf: assume 24bpp
     if frames and bpp not in (24, 32):
         raise ValueError(f"unsupported AVI DIB bit depth {bpp} (need 24 or 32)")
     fps = 1e6 / us_per_frame if us_per_frame else 0.0
-    return frames, width, height, fps, bpp
+    return frames, width, height, fps, bpp, "dib"
 
 
 def extract_video_frames(
@@ -836,9 +958,12 @@ def extract_video_frames(
         for pdf in it:
             rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                frames, w, h, fps, bpp = _parse_avi(bytes(payload))
+                frames, w, h, fps, bpp, codec = _parse_avi(bytes(payload))
                 for i in range(0, len(frames), every_n):
-                    img = _dib_to_rgb(frames[i], w, h, bpp)
+                    if codec == "mjpg":
+                        img, _fw, _fh = _decode_jpeg(frames[i])
+                    else:
+                        img = _dib_to_rgb(frames[i], w, h, bpp)
                     m = img.reshape(-1, 3).mean(axis=0) / 255.0
                     rows[id_col].append(mid)
                     rows["frame_idx"].append(i)

@@ -248,7 +248,7 @@ def make_avi(frames_rgb: list[np.ndarray], fps: int = 10) -> bytes:
 def test_parse_avi_geometry_and_frames():
     f0 = np.full((2, 3, 3), 10, np.uint8)
     f1 = np.full((2, 3, 3), 200, np.uint8)
-    frames, w, h, fps, bpp = MM._parse_avi(make_avi([f0, f1], fps=20))
+    frames, w, h, fps, bpp, codec = MM._parse_avi(make_avi([f0, f1], fps=20))
     assert (w, h) == (3, 2) and fps == pytest.approx(20.0)
     assert bpp == 24  # no strf in the minimal container → default
     assert len(frames) == 2
@@ -305,7 +305,7 @@ def test_parse_avi_reads_strf_bit_depth_32bpp():
     it — decoding those larger frames as 24bpp would pass the size
     check and emit garbage (the r06 advisor finding)."""
     f0 = np.full((2, 3, 3), 77, np.uint8)
-    frames, w, h, fps, bpp = MM._parse_avi(make_avi_with_strf([f0], bpp=32))
+    frames, w, h, fps, bpp, codec = MM._parse_avi(make_avi_with_strf([f0], bpp=32))
     assert bpp == 32
     assert np.array_equal(MM._dib_to_rgb(frames[0], w, h, bpp), f0)
 
@@ -343,7 +343,7 @@ def test_parse_avi_ignores_audio_stream_strf():
     new_hdrl = chunk(b"LIST", b"hdrl" + avih_chunk + audio_strl + video_strl)
     movi_chunk = avi[avi.index(b"movi") - 8 :]
     new_avi = chunk(b"RIFF", b"AVI " + new_hdrl + movi_chunk)
-    frames, w, h, fps, bpp = MM._parse_avi(new_avi)
+    frames, w, h, fps, bpp, codec = MM._parse_avi(new_avi)
     assert bpp == 24
     assert np.array_equal(MM._dib_to_rgb(frames[0], w, h, bpp), f0)
 
@@ -382,15 +382,46 @@ def _paeth(a: int, b: int, c: int) -> int:
     return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
 
 
-def make_png(pixels: np.ndarray, color_type: int, filters: list[int] | None = None) -> bytes:
-    """Encode an 8-bit non-interlaced PNG with explicit per-row filter
-    types (default: cycle through 0..4) — forward filtering implemented
-    here independently so decode is a true roundtrip check."""
+def make_png(
+    pixels: np.ndarray,
+    color_type: int,
+    filters: list[int] | None = None,
+    bit_depth: int = 8,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Encode a non-interlaced PNG with explicit per-row filter types
+    (default: cycle through 0..4) — forward filtering, sub-byte
+    packing, 16-bit expansion, and PLTE emission all implemented here
+    independently so decode is a true roundtrip check.
+
+    ``pixels``: (h, w, channels) uint8 samples for depths ≤ 8 (for
+    color type 3 and sub-byte gray these are indices/levels in
+    [0, 2^depth)); for bit_depth=16 each 8-bit sample v is written as
+    the 16-bit value (v<<8)|v so the decoder's high-byte reduction
+    roundtrips exactly."""
     h, w, channels = pixels.shape
-    assert channels == {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    expect_ch = 1 if color_type == 3 else {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    assert channels == expect_ch
     filters = filters or [(y % 5) for y in range(h)]
-    stride = w * channels
-    flat = pixels.reshape(h, stride).astype(np.int32)
+
+    if bit_depth == 16:
+        v = pixels.astype(np.uint16)
+        v16 = (v << 8) | v  # hi == lo == original 8-bit sample
+        flat = np.zeros((h, w * channels * 2), np.int32)
+        flat[:, 0::2] = (v16 >> 8).reshape(h, -1)
+        flat[:, 1::2] = (v16 & 0xFF).reshape(h, -1)
+        bpp = channels * 2
+    elif bit_depth == 8:
+        flat = pixels.reshape(h, w * channels).astype(np.int32)
+        bpp = channels
+    else:  # sub-byte: MSB-first bit packing, rows padded to a byte
+        assert channels == 1
+        bits = (
+            (pixels.reshape(h, w, 1) >> np.arange(bit_depth - 1, -1, -1)) & 1
+        ).reshape(h, w * bit_depth)
+        flat = np.packbits(bits.astype(np.uint8), axis=1).astype(np.int32)
+        bpp = 1
+    stride = flat.shape[1]
     raw = bytearray()
     prev = np.zeros(stride, np.int32)
     for y in range(h):
@@ -398,9 +429,9 @@ def make_png(pixels: np.ndarray, color_type: int, filters: list[int] | None = No
         raw.append(ft)
         cur = flat[y]
         for x in range(stride):
-            a = int(cur[x - channels]) if x >= channels else 0
+            a = int(cur[x - bpp]) if x >= bpp else 0
             b = int(prev[x])
-            c = int(prev[x - channels]) if x >= channels else 0
+            c = int(prev[x - bpp]) if x >= bpp else 0
             if ft == 0:
                 v = cur[x]
             elif ft == 1:
@@ -422,13 +453,11 @@ def make_png(pixels: np.ndarray, color_type: int, filters: list[int] | None = No
             + struct.pack(">I", zlib.crc32(ctype + body))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
 def test_decode_png_rgb_all_filter_types():
@@ -460,12 +489,12 @@ def test_decode_png_rejects_unsupported_variants():
     with pytest.raises(ValueError, match="not a PNG"):
         MM._decode_png(b"BMnotapng")
     bad_depth = bytearray(good)
-    bad_depth[24] = 16  # IHDR bit depth byte
+    bad_depth[24] = 3  # no color type allows depth 3
     with pytest.raises(ValueError, match="unsupported PNG variant"):
         MM._decode_png(bytes(bad_depth))
     bad_ct = bytearray(good)
-    bad_ct[25] = 3  # paletted
-    with pytest.raises(ValueError, match="unsupported PNG variant"):
+    bad_ct[25] = 3  # paletted is supported now (r08) — but needs PLTE
+    with pytest.raises(ValueError, match="missing PLTE"):
         MM._decode_png(bytes(bad_ct))
     with pytest.raises(ValueError, match="truncated|corrupt|mismatch"):
         MM._decode_png(bytes(good[:-20]))
@@ -889,3 +918,259 @@ def test_extract_image_features_real_jpeg(spark):
         assert f[ch] == pytest.approx(120 / 255, abs=2 / 255)
     assert f[3] == pytest.approx(0.0, abs=0.02)
     assert f[6] == pytest.approx(2.0)
+
+
+# ----------------------------------------- PNG variants widened in r08
+
+
+def test_decode_png_paletted_plte_lookup():
+    rng = np.random.default_rng(3)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 7, 1), dtype=np.uint8)
+    img, w, h = MM._decode_png(make_png(idx, 3, palette=palette))
+    assert (w, h) == (7, 6)
+    assert np.array_equal(img, palette[idx[:, :, 0]])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_decode_png_subbyte_palette(depth):
+    rng = np.random.default_rng(depth)
+    n = 1 << depth
+    palette = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (5, 11, 1), dtype=np.uint8)  # 11 → row padding
+    img, w, h = MM._decode_png(make_png(idx, 3, bit_depth=depth, palette=palette))
+    assert (w, h) == (11, 5)
+    assert np.array_equal(img, palette[idx[:, :, 0]])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_decode_png_subbyte_grayscale_rescales(depth):
+    rng = np.random.default_rng(depth + 10)
+    n = 1 << depth
+    lvl = rng.integers(0, n, (4, 9, 1), dtype=np.uint8)
+    img, w, h = MM._decode_png(make_png(lvl, 0, bit_depth=depth))
+    assert (w, h) == (9, 4)
+    expect = (lvl[:, :, 0].astype(np.uint16) * 255 // (n - 1)).astype(np.uint8)
+    for ch in range(3):
+        assert np.array_equal(img[:, :, ch], expect)
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 4, 6])
+def test_decode_png_16bit_high_byte(color_type):
+    rng = np.random.default_rng(color_type + 20)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    px = rng.integers(0, 256, (6, 5, channels), dtype=np.uint8)
+    img, w, h = MM._decode_png(make_png(px, color_type, bit_depth=16))
+    assert (w, h) == (5, 6)
+    rgb = px[:, :, :3] if color_type in (2, 6) else np.repeat(px[:, :, :1], 3, axis=2)
+    assert np.array_equal(img, rgb)
+
+
+def test_decode_png_paletted_missing_plte_raises():
+    idx = np.zeros((2, 2, 1), np.uint8)
+    good = bytearray(make_png(idx, 3, palette=np.zeros((1, 3), np.uint8)))
+    # excise the PLTE chunk (12-byte overhead + 3-byte body)
+    start = bytes(good).find(b"PLTE") - 4
+    bad = bytes(good[:start]) + bytes(good[start + 12 + 3 :])
+    with pytest.raises(ValueError, match="missing PLTE"):
+        MM._decode_png(bad)
+
+
+def test_decode_png_palette_index_out_of_range_raises():
+    palette = np.zeros((2, 3), np.uint8)
+    idx = np.full((2, 2, 1), 7, np.uint8)
+    with pytest.raises(ValueError, match="palette index"):
+        MM._decode_png(make_png(idx, 3, palette=palette))
+
+
+def test_decode_png_still_rejects_interlace_and_bad_depth():
+    px = np.zeros((2, 2, 3), np.uint8)
+    good = bytearray(make_png(px, 2))
+    bad_il = bytearray(good)
+    bad_il[28] = 1  # IHDR interlace byte
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        MM._decode_png(bytes(bad_il))
+    bad_depth = bytearray(good)
+    bad_depth[24] = 4  # 4-bit RGB is not a legal combination
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        MM._decode_png(bytes(bad_depth))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=13),
+    h=st.integers(min_value=1, max_value=9),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_palette_roundtrip_property(w, h, depth, seed):
+    rng = np.random.default_rng(seed)
+    n = 1 << depth
+    palette = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, (h, w, 1), dtype=np.uint8)
+    img, ww, hh = MM._decode_png(
+        make_png(idx, 3, bit_depth=depth, palette=palette)
+    )
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(img, palette[idx[:, :, 0]])
+
+
+# ---------------------------------------------- Motion-JPEG AVI (r08)
+
+
+def make_mjpeg_avi(frames_rgb: list[np.ndarray], fps: int = 10) -> bytes:
+    """AVI wrapping baseline-JPEG '00dc' frames with an MJPG strf —
+    the Motion-JPEG layout; each frame is produced by the independent
+    test encoder (make_jpeg)."""
+    h, w, _ = frames_rgb[0].shape
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    avih = struct.pack("<I", int(1e6 / fps)) + b"\x00" * 28 + struct.pack("<II", w, h) + b"\x00" * 16
+    strh = b"vids" + b"MJPG" + b"\x00" * 48
+    # BITMAPINFOHEADER with biCompression = 'MJPG'
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", 0, 0, 0, 0, 0)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(
+        b"LIST",
+        b"movi" + b"".join(chunk(b"00dc", make_jpeg(f)) for f in frames_rgb),
+    )
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def test_parse_avi_mjpeg_returns_decodable_jpeg_frames():
+    rng = np.random.default_rng(31)
+    f0 = rng.integers(0, 256, (8, 16, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (8, 16, 3), dtype=np.uint8)
+    frames, w, h, fps, bpp, codec = MM._parse_avi(make_mjpeg_avi([f0, f1], fps=25))
+    assert codec == "mjpg"
+    assert (w, h) == (16, 8) and fps == pytest.approx(25.0)
+    assert len(frames) == 2
+    for frame, src in zip(frames, (f0, f1)):
+        img, fw, fh = MM._decode_jpeg(frame)
+        assert (fw, fh) == (16, 8)
+        assert np.abs(img.astype(np.int64) - src.astype(np.int64)).max() <= 8
+
+
+def test_extract_video_frames_mjpeg_avi(spark):
+    """End-to-end: MJPEG AVI through the mapInPandas video leg —
+    per-frame means must track the sources within JPEG rounding."""
+    vals = [40, 200]
+    frames_rgb = [np.full((8, 8, 3), v, np.uint8) for v in vals]
+    payload = make_mjpeg_avi(frames_rgb, fps=10)
+    df = spark.createDataFrame(
+        [(21, bytearray(payload), 200)],
+        "media_id long, payload binary, duration_ms long",
+    ).select(
+        "media_id",
+        MM.pack_media(
+            F.col("payload"), F.lit("video/x-msvideo"),
+            duration_ms=F.col("duration_ms"),
+        ).alias("media"),
+    )
+    rows = sorted(
+        MM.extract_video_frames(df, every_n=1).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    assert rows[0]["frame_ms"] == 0 and rows[1]["frame_ms"] == 100
+    for r, v in zip(rows, vals):
+        for ch in ("mean_r", "mean_g", "mean_b"):
+            assert r[ch] == pytest.approx(v / 255.0, abs=2 / 255)
+
+
+def test_parse_avi_non_mjpeg_compressed_still_raises():
+    # dc frames that are neither MJPG-tagged nor JPEG magic
+    comp = make_avi([np.zeros((1, 1, 3), np.uint8)])
+    comp = comp.replace(b"00db", b"00dc")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MM._parse_avi(comp)
+
+
+# ------------------------------------------- G.711 µ-law/A-law (r08)
+
+
+def make_g711_wav(codes: bytes, tag: int, rate: int = 8000, n_ch: int = 1) -> bytes:
+    """Manual RIFF/WAVE container with fmt tag 6 (A-law) or 7 (µ-law),
+    8-bit codewords — stdlib wave refuses to write these, which is
+    exactly why the decoder needs its manual fallback."""
+    fmt = struct.pack("<HHIIHH", tag, n_ch, rate, rate * n_ch, n_ch, 8)
+    data = codes + (b"\x00" if len(codes) & 1 else b"")
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _mulaw_expected(code: int) -> int:
+    """Independent µ-law expansion: complement, then the closed form
+    4·((2·mant+33)·2^exp − 33) with the sign from the complemented
+    byte — algebraically distinct from the decoder's bias/shift."""
+    c = (~code) & 0xFF
+    exp, mant = (c >> 4) & 7, c & 0x0F
+    mag = 4 * ((2 * mant + 33) * (1 << exp) - 33)
+    return -mag if c & 0x80 else mag
+
+
+def _alaw_expected(code: int) -> int:
+    """Independent A-law expansion: XOR 0x55, closed form
+    (2·mant+1+(32 if exp else 0))·2^(3+max(exp−1,0)); sign bit SET is
+    positive in A-law."""
+    c = code ^ 0x55
+    exp, mant = (c >> 4) & 7, c & 0x0F
+    mag = (2 * mant + 1 + (32 if exp else 0)) * (1 << (3 + max(exp - 1, 0)))
+    return mag if c & 0x80 else -mag
+
+
+@pytest.mark.parametrize(
+    "tag,expected_fn", [(7, _mulaw_expected), (6, _alaw_expected)]
+)
+def test_decode_wav_g711_all_256_codewords(tag, expected_fn):
+    codes = bytes(range(256))
+    x, rate = MM._decode_wav(make_g711_wav(codes, tag, rate=8000))
+    assert rate == 8000 and len(x) == 256
+    expect = np.array([expected_fn(c) for c in range(256)]) / 32768.0
+    assert np.array_equal(x, expect)
+
+
+def test_decode_wav_g711_stereo_downmix():
+    # identical L/R → downmix equals the mono decode
+    codes = bytes(range(0, 64))
+    inter = bytes(b for c in codes for b in (c, c))
+    mono, _ = MM._decode_wav(make_g711_wav(codes, 7))
+    stereo, _ = MM._decode_wav(make_g711_wav(inter, 7, n_ch=2))
+    assert np.array_equal(mono, stereo)
+
+
+def test_decode_wav_rejects_other_compressed_tags():
+    with pytest.raises(Exception) as ei:
+        MM._decode_wav(make_g711_wav(bytes(8), tag=2))  # MS ADPCM
+    assert "format tag" in str(ei.value)
+
+
+def test_extract_audio_features_mulaw_rms(spark):
+    """End-to-end µ-law: a constant-magnitude square wave decodes to
+    a known amplitude, so per-frame RMS is closed-form."""
+    # code 0x80 is the most-positive µ-law codeword... use the table:
+    # pick the code whose expansion is the max magnitude 32124
+    pos, neg = 0x80, 0x00
+    amp = abs(_mulaw_expected(pos)) / 32768.0
+    rate = 8000
+    codes = bytes([pos, neg] * (rate // 2))  # 1 s square wave
+    payload = make_g711_wav(codes, 7, rate)
+    df = spark.createDataFrame(
+        [(5, bytearray(payload), 1000, rate)],
+        "media_id long, payload binary, duration_ms long, sample_rate int",
+    ).select(
+        "media_id",
+        MM.pack_media(
+            F.col("payload"), F.lit("audio/basic"),
+            duration_ms=F.col("duration_ms"), sample_rate=F.col("sample_rate"),
+        ).alias("media"),
+    )
+    out = MM.extract_audio_features(df, fake=False, frame_ms=1000).collect()
+    assert len(out) == 1
+    assert out[0]["rms"] == pytest.approx(amp, abs=1e-9)
