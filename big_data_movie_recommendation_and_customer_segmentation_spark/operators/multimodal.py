@@ -20,8 +20,8 @@ uncompressed 24/32-bit BMP images (pure numpy header parse),
 AVI frames (RIFF chunk walk; uncompressed DIB frames AND
 Motion-JPEG '..dc' frames via the JPEG decoder),
 PNG (stdlib ``zlib`` inflate + numpy scanline unfilter; 8/16-bit
-gray/RGB/GA/RGBA plus 1/2/4/8-bit paletted and sub-byte gray;
-interlaced raises ValueError), and baseline sequential 8-bit JPEG
+gray/RGB/GA/RGBA plus 1/2/4/8-bit paletted and sub-byte gray,
+Adam7 interlacing included), and baseline sequential 8-bit JPEG
 (file-supplied Huffman tables + numpy matmul IDCT;
 progressive/arithmetic variants raise ValueError as a format
 boundary) — selected by payload magic bytes when ``fake=False``.
@@ -135,6 +135,11 @@ def _decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Adam7 interlace passes: (x_offset, y_offset, x_step, y_step)
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 # color type → samples per pixel (8-bit depth): gray, RGB, gray+A, RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
@@ -190,9 +195,9 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     0/2/4/6 (16-bit keeps the high byte — the standard 16→8
     reduction) and 1/2/4/8-bit for grayscale and paletted (PLTE
     lookup; sub-byte samples unpacked with numpy, grayscale rescaled
-    to full range). Interlaced (Adam7) PNGs raise ValueError — a
-    format feature, not a missing codec, so the error is a clean
-    contract boundary rather than NotImplementedError."""
+    to full range), with or without Adam7 interlacing (each of the
+    seven passes unfiltered independently and scattered into place,
+    per spec 8.2)."""
     import zlib
 
     if len(payload) < 33 or payload[:8] != _PNG_SIG:
@@ -234,7 +239,7 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     if (
         color_type not in valid_depths
         or bit_depth not in valid_depths[color_type]
-        or interlace != 0
+        or interlace not in (0, 1)
     ):
         raise ValueError(
             f"unsupported PNG variant (bit_depth={bit_depth}, "
@@ -243,28 +248,48 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     if color_type == 3 and palette is None:
         raise ValueError("paletted PNG missing PLTE chunk")
     channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    stride = (width * channels * bit_depth + 7) // 8
     bpp = max(1, channels * bit_depth // 8)  # filter step in bytes
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"PNG pixel data size mismatch: {len(raw)} != {(stride + 1) * height}"
-        )
-    rows = _png_unfilter(raw, height, stride, bpp)
-    if bit_depth == 16:
-        # big-endian sample pairs: the high byte IS the 16→8 reduction
-        px = rows[:, 0::2].reshape(height, width, channels)
-    elif bit_depth == 8:
-        px = rows.reshape(height, width, channels)
-    else:
+
+    def rows_to_samples(rows: np.ndarray, w: int, h: int) -> np.ndarray:
+        if bit_depth == 16:
+            # big-endian sample pairs: high byte IS the 16→8 reduction
+            return rows[:, 0::2].reshape(h, w, channels)
+        if bit_depth == 8:
+            return rows.reshape(h, w, channels)
         # sub-byte samples, MSB-first within each byte (PNG spec 7.2)
-        bits = np.unpackbits(rows, axis=1)[:, : width * bit_depth]
+        bits = np.unpackbits(rows, axis=1)[:, : w * bit_depth]
         weights = 1 << np.arange(bit_depth - 1, -1, -1)
-        vals = (bits.reshape(height, width, bit_depth) * weights).sum(axis=2)
-        px = vals.reshape(height, width, 1).astype(np.uint8)
+        vals = (bits.reshape(h, w, bit_depth) * weights).sum(axis=2)
+        return vals.reshape(h, w, 1).astype(np.uint8)
+
+    if interlace == 0:
+        stride = (width * channels * bit_depth + 7) // 8
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(
+                f"PNG pixel data size mismatch: {len(raw)} != {(stride + 1) * height}"
+            )
+        px = rows_to_samples(_png_unfilter(raw, height, stride, bpp), width, height)
+    else:  # Adam7: seven independently-filtered sub-images (spec 8.2)
+        px = np.zeros((height, width, channels), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no bytes
+            pstride = (pw * channels * bit_depth + 7) // 8
+            need = (pstride + 1) * ph
+            if pos + need > len(raw):
+                raise ValueError("PNG pixel data size mismatch in Adam7 pass")
+            rows = _png_unfilter(raw[pos : pos + need], ph, pstride, bpp)
+            pos += need
+            px[y0::dy, x0::dx] = rows_to_samples(rows, pw, ph)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data size mismatch after Adam7 passes")
     if color_type == 3:
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(palette):

@@ -382,17 +382,25 @@ def _paeth(a: int, b: int, c: int) -> int:
     return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
 
 
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def make_png(
     pixels: np.ndarray,
     color_type: int,
     filters: list[int] | None = None,
     bit_depth: int = 8,
     palette: np.ndarray | None = None,
+    interlace: int = 0,
 ) -> bytes:
-    """Encode a non-interlaced PNG with explicit per-row filter types
-    (default: cycle through 0..4) — forward filtering, sub-byte
-    packing, 16-bit expansion, and PLTE emission all implemented here
-    independently so decode is a true roundtrip check.
+    """Encode a PNG with explicit per-row filter types (default:
+    cycle through 0..4) — forward filtering, sub-byte packing, 16-bit
+    expansion, PLTE emission, and Adam7 pass splitting all
+    implemented here independently so decode is a true roundtrip
+    check.
 
     ``pixels``: (h, w, channels) uint8 samples for depths ≤ 8 (for
     color type 3 and sub-byte gray these are indices/levels in
@@ -402,48 +410,60 @@ def make_png(
     h, w, channels = pixels.shape
     expect_ch = 1 if color_type == 3 else {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     assert channels == expect_ch
-    filters = filters or [(y % 5) for y in range(h)]
 
-    if bit_depth == 16:
-        v = pixels.astype(np.uint16)
-        v16 = (v << 8) | v  # hi == lo == original 8-bit sample
-        flat = np.zeros((h, w * channels * 2), np.int32)
-        flat[:, 0::2] = (v16 >> 8).reshape(h, -1)
-        flat[:, 1::2] = (v16 & 0xFF).reshape(h, -1)
-        bpp = channels * 2
-    elif bit_depth == 8:
-        flat = pixels.reshape(h, w * channels).astype(np.int32)
-        bpp = channels
-    else:  # sub-byte: MSB-first bit packing, rows padded to a byte
-        assert channels == 1
-        bits = (
-            (pixels.reshape(h, w, 1) >> np.arange(bit_depth - 1, -1, -1)) & 1
-        ).reshape(h, w * bit_depth)
-        flat = np.packbits(bits.astype(np.uint8), axis=1).astype(np.int32)
-        bpp = 1
-    stride = flat.shape[1]
-    raw = bytearray()
-    prev = np.zeros(stride, np.int32)
-    for y in range(h):
-        ft = filters[y]
-        raw.append(ft)
-        cur = flat[y]
-        for x in range(stride):
-            a = int(cur[x - bpp]) if x >= bpp else 0
-            b = int(prev[x])
-            c = int(prev[x - bpp]) if x >= bpp else 0
-            if ft == 0:
-                v = cur[x]
-            elif ft == 1:
-                v = cur[x] - a
-            elif ft == 2:
-                v = cur[x] - b
-            elif ft == 3:
-                v = cur[x] - ((a + b) >> 1)
-            else:
-                v = cur[x] - _paeth(a, b, c)
-            raw.append(int(v) & 0xFF)
-        prev = cur
+    def encode_sub(sub: np.ndarray) -> bytes:
+        sh, sw, _ = sub.shape
+        fts = filters or [(y % 5) for y in range(sh)]
+        if bit_depth == 16:
+            v = sub.astype(np.uint16)
+            v16 = (v << 8) | v  # hi == lo == original 8-bit sample
+            flat = np.zeros((sh, sw * channels * 2), np.int32)
+            flat[:, 0::2] = (v16 >> 8).reshape(sh, -1)
+            flat[:, 1::2] = (v16 & 0xFF).reshape(sh, -1)
+            bpp = channels * 2
+        elif bit_depth == 8:
+            flat = sub.reshape(sh, sw * channels).astype(np.int32)
+            bpp = channels
+        else:  # sub-byte: MSB-first bit packing, rows padded to a byte
+            assert channels == 1
+            bits = (
+                (sub.reshape(sh, sw, 1) >> np.arange(bit_depth - 1, -1, -1)) & 1
+            ).reshape(sh, sw * bit_depth)
+            flat = np.packbits(bits.astype(np.uint8), axis=1).astype(np.int32)
+            bpp = 1
+        stride = flat.shape[1]
+        raw = bytearray()
+        prev = np.zeros(stride, np.int32)
+        for y in range(sh):
+            ft = fts[y % len(fts)]
+            raw.append(ft)
+            cur = flat[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 0:
+                    v = cur[x]
+                elif ft == 1:
+                    v = cur[x] - a
+                elif ft == 2:
+                    v = cur[x] - b
+                elif ft == 3:
+                    v = cur[x] - ((a + b) >> 1)
+                else:
+                    v = cur[x] - _paeth(a, b, c)
+                raw.append(int(v) & 0xFF)
+            prev = cur
+        return bytes(raw)
+
+    if interlace:
+        raw = b"".join(
+            encode_sub(pixels[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if pixels[y0::dy, x0::dx].size
+        )
+    else:
+        raw = encode_sub(pixels)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -453,11 +473,11 @@ def make_png(
             + struct.pack(">I", zlib.crc32(ctype + body))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
-    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
 def test_decode_png_rgb_all_filter_types():
@@ -983,17 +1003,63 @@ def test_decode_png_palette_index_out_of_range_raises():
         MM._decode_png(make_png(idx, 3, palette=palette))
 
 
-def test_decode_png_still_rejects_interlace_and_bad_depth():
+def test_decode_png_still_rejects_bad_interlace_and_bad_depth():
     px = np.zeros((2, 2, 3), np.uint8)
     good = bytearray(make_png(px, 2))
     bad_il = bytearray(good)
-    bad_il[28] = 1  # IHDR interlace byte
+    bad_il[28] = 2  # IHDR interlace byte: only 0 (none) / 1 (Adam7) exist
     with pytest.raises(ValueError, match="unsupported PNG variant"):
         MM._decode_png(bytes(bad_il))
     bad_depth = bytearray(good)
     bad_depth[24] = 4  # 4-bit RGB is not a legal combination
     with pytest.raises(ValueError, match="unsupported PNG variant"):
         MM._decode_png(bytes(bad_depth))
+
+
+def test_decode_png_adam7_interlaced_rgb():
+    rng = np.random.default_rng(41)
+    px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)  # odd dims
+    img, w, h = MM._decode_png(make_png(px, 2, interlace=1))
+    assert (w, h) == (17, 13)
+    assert np.array_equal(img, px)
+
+
+def test_decode_png_adam7_small_images_skip_empty_passes():
+    # 1×1 (only pass 1 non-empty) and 3×2 (several empty passes)
+    for shape in ((1, 1), (2, 3), (5, 4)):
+        rng = np.random.default_rng(sum(shape))
+        px = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        img, w, h = MM._decode_png(make_png(px, 2, interlace=1))
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(img, px)
+
+
+def test_decode_png_adam7_paletted_subbyte():
+    rng = np.random.default_rng(43)
+    palette = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (9, 10, 1), dtype=np.uint8)
+    img, w, h = MM._decode_png(
+        make_png(idx, 3, bit_depth=2, palette=palette, interlace=1)
+    )
+    assert (w, h) == (10, 9)
+    assert np.array_equal(img, palette[idx[:, :, 0]])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    color_type=st.sampled_from([0, 2, 6]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_adam7_roundtrip_property(w, h, color_type, seed):
+    rng = np.random.default_rng(seed)
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    px = rng.integers(0, 256, (h, w, channels), dtype=np.uint8)
+    img, ww, hh = MM._decode_png(make_png(px, color_type, interlace=1))
+    assert (ww, hh) == (w, h)
+    rgb = px[:, :, :3] if color_type in (2, 6) else np.repeat(px[:, :, :1], 3, axis=2)
+    assert np.array_equal(img, rgb)
 
 
 @settings(max_examples=15, deadline=None)
