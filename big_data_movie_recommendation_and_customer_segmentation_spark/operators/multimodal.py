@@ -21,12 +21,13 @@ AVI frames (RIFF chunk walk; uncompressed DIB frames AND
 Motion-JPEG '..dc' frames via the JPEG decoder),
 PNG (stdlib ``zlib`` inflate + numpy scanline unfilter; 8/16-bit
 gray/RGB/GA/RGBA plus 1/2/4/8-bit paletted and sub-byte gray,
-Adam7 interlacing included), and baseline sequential 8-bit JPEG
+Adam7 interlacing included), GIF87a/89a first-frame (LZW +
+palette + 4-pass interlace), and baseline sequential 8-bit JPEG
 (file-supplied Huffman tables + numpy matmul IDCT;
 progressive/arithmetic variants raise ValueError as a format
 boundary) — selected by payload magic bytes when ``fake=False``.
 Formats whose codecs are genuinely absent from this container
-(MP3/AAC/MP4, non-MJPEG compressed video) still raise
+(WebP/MP3/AAC/MP4, non-MJPEG compressed video) still raise
 ``NotImplementedError``; the dispatch point is
 ``_decode_image_bytes`` / ``_decode_wav`` so a PIL/pyav
 import-try drops in without touching the Spark plumbing. With
@@ -300,6 +301,146 @@ def _decode_png(payload: bytes) -> tuple[np.ndarray, int, int]:
     if color_type in (0, 4):  # gray(+alpha) → broadcast to RGB
         return np.repeat(px[:, :, :1], 3, axis=2), width, height
     return px[:, :, :3], width, height  # drop alpha if present
+
+
+# ---------------------------------------------------------------- GIF
+# GIF87a/89a static decode (r08): LSD + color tables are plain
+# struct parsing, pixel data is LZW with variable-width LSB-first
+# codes (plus the 4-pass row interlace) — all public-spec,
+# stdlib+numpy work like the PNG/JPEG closures. Only the FIRST image
+# frame is decoded (the feature extractor wants one raster);
+# animation control extensions are skipped as data.
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expect: int) -> bytearray:
+    """GIF-flavor LZW: codes start at ``min_code``+1 bits, packed
+    LSB-first; CLEAR resets the table, codes cap at 12 bits. Stops
+    once ``expect`` indices are produced (trailing EOI optional in
+    the wild)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("invalid initial GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _decode_gif(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode the first frame of a GIF87a/89a with stdlib struct +
+    numpy LZW — no codec library. Returns (H×W×3 uint8 RGB of the
+    LOGICAL SCREEN, width, height); the frame is composited at its
+    (left, top) onto a background of the GIF's background color (or
+    black without a global table). Interlaced frames are de-woven
+    (4-pass row order). Malformed streams raise ValueError."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if sw <= 0 or sh <= 0:
+        raise ValueError(f"unsupported GIF dimensions {sw}x{sh}")
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + n * 3 > len(payload):
+            raise ValueError("truncated GIF global color table")
+        global_table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    if global_table is not None and bg < len(global_table):
+        canvas[:, :] = global_table[bg]
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF contains no image frame")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = global_table
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            if pos + n * 3 > len(payload):
+                raise ValueError("truncated GIF local color table")
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF before LZW data")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            size = payload[pos]
+            data += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        idx = np.frombuffer(
+            bytes(_gif_lzw_decode(bytes(data), min_code, fw * fh)), np.uint8
+        )
+        if len(idx) < fw * fh:
+            raise ValueError("GIF frame pixel data short")
+        idx = idx[: fw * fh].reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows arrive in 4 passes
+            woven = np.zeros_like(idx)
+            order = [r for step, off in ((8, 0), (8, 4), (4, 2), (2, 1))
+                     for r in range(off, fh, step)]
+            woven[order] = idx
+            idx = woven
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("GIF color index out of range")
+        if top + fh > sh or left + fw > sw:
+            raise ValueError("GIF frame exceeds logical screen")
+        canvas[top : top + fh, left : left + fw] = table[idx]
+        return canvas, sw, sh
+    raise ValueError("truncated GIF: no image frame before end of data")
 
 
 # --------------------------------------------------------------- JPEG
@@ -638,11 +779,14 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
             payload[:2] == b"BM"
             or payload[:8] == _PNG_SIG
             or payload[:2] == b"\xff\xd8"
+            or payload[:6] in (b"GIF87a", b"GIF89a")
         ):
             if payload[:2] == b"BM":
                 img, width, height = _decode_bmp(payload)
             elif payload[:8] == _PNG_SIG:
                 img, width, height = _decode_png(payload)
+            elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                img, width, height = _decode_gif(payload)
             else:
                 img, width, height = _decode_jpeg(payload)
             pix = img.astype(np.float64) / 255.0
