@@ -15,7 +15,8 @@ multi-MB payloads set it to O(10-100) rows at 100 TB).
 
 Codec status (r08): REAL decoders exist for the formats that need no
 external library — WAV audio (stdlib ``wave`` + numpy for 8/16/32
-bit PCM; manual RIFF fallback for G.711 µ-law/A-law),
+bit PCM; manual RIFF fallback for G.711 µ-law/A-law and mono
+IMA/DVI ADPCM),
 uncompressed 24/32-bit BMP images (pure numpy header parse),
 AVI frames (RIFF chunk walk; uncompressed DIB frames AND
 Motion-JPEG '..dc' frames via the JPEG decoder),
@@ -879,12 +880,71 @@ def _g711_alaw_table() -> np.ndarray:
     return np.where(a & 0x80, t, -t)
 
 
+# IMA/DVI ADPCM (the classic 4-bit step-size codec): public tables
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_adpcm_decode_block(block: bytes) -> list[int]:
+    """One mono IMA ADPCM block: 4-byte header (predictor int16 LE,
+    step index, reserved) then 4-bit codes, LOW nibble first. The
+    reconstruction rule (shift-approximated (2·mag+1)·step/8, clamp,
+    index walk) is the IMA/DVI reference algorithm."""
+    if len(block) < 4:
+        raise ValueError("truncated ADPCM block header")
+    pred = struct.unpack_from("<h", block, 0)[0]
+    index = block[2]
+    if index > 88:
+        raise ValueError(f"invalid ADPCM step index {index}")
+    out = [pred]
+    for byte in block[4:]:
+        for nibble in (byte & 0x0F, byte >> 4):
+            step = int(_IMA_STEPS[index])
+            diff = step >> 3
+            if nibble & 4:
+                diff += step
+            if nibble & 2:
+                diff += step >> 1
+            if nibble & 1:
+                diff += step >> 2
+            pred = pred - diff if nibble & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            out.append(pred)
+            index = max(0, min(88, index + int(_IMA_INDEX_ADJ[nibble & 7])))
+    return out
+
+
+def _decode_wav_ima_adpcm(
+    data: bytes, n_ch: int, block_align: int
+) -> np.ndarray:
+    """IMA ADPCM 'data' chunk → float64 samples (mono only: the
+    interleaved-stereo nibble layout is a different wire format and
+    raises rather than decoding garbage)."""
+    if n_ch != 1:
+        raise ValueError("IMA ADPCM decode supports mono only")
+    if block_align < 4:
+        raise ValueError(f"invalid ADPCM block align {block_align}")
+    samples: list[int] = []
+    for off in range(0, len(data), block_align):
+        samples.extend(_ima_adpcm_decode_block(data[off : off + block_align]))
+    return np.array(samples, dtype=np.float64) / 32768.0
+
+
 def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
     """Fallback for non-PCM WAV that stdlib ``wave`` rejects: manual
     RIFF parse + G.711 µ-law (format 7) / A-law (format 6) expansion
-    via a 256-entry numpy table — the telephony codecs are
-    closed-form, no library needed. Other compressed formats (ADPCM,
-    MP3-in-WAV) raise ValueError naming the tag."""
+    via a 256-entry numpy table, or IMA/DVI ADPCM (format 0x11)
+    block decode — closed-form codecs, no library needed. Other
+    compressed formats (MS-ADPCM, MP3-in-WAV) raise ValueError
+    naming the tag."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
@@ -901,7 +961,11 @@ def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    tag, n_ch, rate, _byte_rate, _block_align, bits = fmt
+    tag, n_ch, rate, _byte_rate, block_align, bits = fmt
+    if tag == 0x11:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
+        return _decode_wav_ima_adpcm(data, n_ch, block_align), rate
     if tag == 7:
         table = _g711_mulaw_table()
     elif tag == 6:

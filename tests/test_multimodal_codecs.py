@@ -1440,3 +1440,124 @@ def test_gif_roundtrip_property(w, h, n_colors, interlace, seed):
     img, ww, hh = MM._decode_gif(make_gif(idx, palette, interlace=interlace))
     assert (ww, hh) == (w, h)
     assert np.array_equal(img, palette[idx])
+
+
+# --------------------------------------------- IMA ADPCM WAV (r08)
+
+
+_T_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_T_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_encode(samples16: list[int], block_samples: int = 505):
+    """Independent IMA ADPCM encoder (reference quantization: peel
+    step, step/2, step/4 off |delta|). Returns (blocks, recon) where
+    recon is the encoder-side reconstruction a conforming decoder
+    must reproduce bit-exactly."""
+    blocks, recon = [], []
+    i = 0
+    while i < len(samples16):
+        chunk = samples16[i : i + block_samples]
+        i += block_samples
+        pred, index = int(chunk[0]), 0
+        # seed index with the step closest to the first delta
+        if len(chunk) > 1:
+            d0 = abs(int(chunk[1]) - pred)
+            index = min(range(89), key=lambda j: abs(_T_STEPS[j] - d0))
+        block = bytearray(struct.pack("<hBB", pred, index, 0))
+        recon.append(pred)
+        nibbles = []
+        for s in chunk[1:]:
+            step = _T_STEPS[index]
+            delta = int(s) - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            mag = 0
+            if delta >= step:
+                mag |= 4
+                delta -= step
+            if delta >= step >> 1:
+                mag |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                mag |= 1
+            nib |= mag
+            diff = step >> 3
+            if mag & 4:
+                diff += step
+            if mag & 2:
+                diff += step >> 1
+            if mag & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            recon.append(pred)
+            index = max(0, min(88, index + _T_ADJ[nib & 7]))
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+            # the padding nibble decodes to one extra sample; mirror
+            # the decoder's reconstruction of it
+            step = _T_STEPS[index]
+            pred = max(-32768, min(32767, pred + (step >> 3)))
+            recon.append(pred)
+            index = max(0, min(88, index + _T_ADJ[0]))
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            block.append(lo | (hi << 4))
+        blocks.append(bytes(block))
+    return blocks, recon
+
+
+def make_ima_wav(blocks: list[bytes], rate: int = 8000) -> bytes:
+    block_align = max(len(b) for b in blocks)
+    fmt = struct.pack("<HHIIHH", 0x11, 1, rate, rate // 2, block_align, 4)
+    data = b"".join(blocks)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_ima_adpcm_hand_computed_block():
+    """pred=0 index=0 (step 7), byte 0x87 → low nibble 7 gives
+    diff 0+7+3+1=11 (pred 11, index 0+8=8, step 16); high nibble 8 is
+    sign-only: diff 16>>3=2, pred 9, index 7 — worked by hand."""
+    block = struct.pack("<hBB", 0, 0, 0) + bytes([0x87])
+    assert MM._ima_adpcm_decode_block(block) == [0, 11, 9]
+
+
+def test_ima_adpcm_sine_roundtrip_exact_vs_encoder():
+    rate = 8000
+    t = np.arange(rate) / rate
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int64)
+    blocks, recon = ima_adpcm_encode(list(sig), block_samples=505)
+    x, r = MM._decode_wav(make_ima_wav(blocks, rate))
+    assert r == rate
+    assert len(x) == len(recon)
+    # decoder must reproduce the encoder-side reconstruction EXACTLY
+    assert np.array_equal((x * 32768.0).astype(np.int64), np.array(recon))
+    # and the codec must actually track the source signal
+    err = x[: len(sig)] - sig / 32768.0
+    assert float(np.sqrt((err ** 2).mean())) < 0.02
+
+
+def test_ima_adpcm_rejects_stereo_and_bad_index():
+    blocks, _ = ima_adpcm_encode([0] * 10)
+    wav = bytearray(make_ima_wav(blocks))
+    at = wav.index(b"fmt ") + 8 + 2
+    stereo = wav[:at] + struct.pack("<H", 2) + wav[at + 2 :]
+    with pytest.raises(Exception) as ei:
+        MM._decode_wav(bytes(stereo))
+    assert "mono" in str(ei.value)
+    with pytest.raises(ValueError, match="step index"):
+        MM._ima_adpcm_decode_block(struct.pack("<hBB", 0, 99, 0) + b"\x00")
