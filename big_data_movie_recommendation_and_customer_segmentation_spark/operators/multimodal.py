@@ -766,6 +766,26 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
     return (img + 0.5).astype(np.uint8), width, height
 
 
+def _decode_image(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Magic-byte dispatch to the native image decoders. One place to
+    know which formats decode: BMP, PNG, GIF, baseline JPEG. Unknown
+    formats raise NotImplementedError (codec genuinely absent)."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
+    raise NotImplementedError(
+        "real decode of this image format requires an external codec "
+        "library, not present in this environment; BMP, PNG, GIF, and "
+        "baseline-sequential JPEG decode natively, or pass fake=True "
+        "for the deterministic stub"
+    )
+
+
 def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
     """8-dim feature vector per image. Real path: BMP decoded with
     numpy, PNG with stdlib zlib + numpy, baseline JPEG with stdlib
@@ -776,38 +796,19 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
     missing codec. fake=True keeps the synthetic-payload contract
     for tests/benchmarks."""
     if not fake:
-        if (
-            payload[:2] == b"BM"
-            or payload[:8] == _PNG_SIG
-            or payload[:2] == b"\xff\xd8"
-            or payload[:6] in (b"GIF87a", b"GIF89a")
-        ):
-            if payload[:2] == b"BM":
-                img, width, height = _decode_bmp(payload)
-            elif payload[:8] == _PNG_SIG:
-                img, width, height = _decode_png(payload)
-            elif payload[:6] in (b"GIF87a", b"GIF89a"):
-                img, width, height = _decode_gif(payload)
-            else:
-                img, width, height = _decode_jpeg(payload)
-            pix = img.astype(np.float64) / 255.0
-            luma = pix @ np.array([0.299, 0.587, 0.114])
-            return [
-                float(pix[:, :, 0].mean()),
-                float(pix[:, :, 1].mean()),
-                float(pix[:, :, 2].mean()),
-                float(pix.std()),
-                float(luma.mean()),
-                float(luma.std()),
-                float(width) / max(1.0, float(height)),
-                1.0,
-            ]
-        raise NotImplementedError(
-            "real decode of this image format requires an external codec "
-            "library, not present in this environment; BMP, 8-bit PNG, and "
-            "baseline-sequential JPEG decode natively, or pass fake=True "
-            "for the deterministic stub"
-        )
+        img, width, height = _decode_image(payload)
+        pix = img.astype(np.float64) / 255.0
+        luma = pix @ np.array([0.299, 0.587, 0.114])
+        return [
+            float(pix[:, :, 0].mean()),
+            float(pix[:, :, 1].mean()),
+            float(pix[:, :, 2].mean()),
+            float(pix.std()),
+            float(luma.mean()),
+            float(luma.std()),
+            float(width) / max(1.0, float(height)),
+            1.0,
+        ]
     # deterministic 8-dim "features" from payload bytes
     acc = [0.0] * 8
     for i, b in enumerate(payload):
@@ -855,6 +856,106 @@ def extract_image_features(
         F.col(f"{media_col}.payload").alias("payload"),
         F.col(f"{media_col}.width").alias("width"),
         F.col(f"{media_col}.height").alias("height"),
+    )
+    return flat.mapInPandas(batches, out_schema)
+
+
+def _encode_bmp(img: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB → uncompressed 24-bit bottom-up BMP — the one
+    image format that can be WRITTEN with pure numpy, making it the
+    natural interchange payload for resized outputs (it round-trips
+    through ``_decode_bmp``)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def _resize_rgb(img: np.ndarray, tw: int, th: int, method: str) -> np.ndarray:
+    """Pure-numpy resize: 'nearest' (floor index mapping) or
+    'bilinear' (half-pixel-center sampling with edge clamp — the
+    OpenCV/PIL convention, so constant images stay constant and
+    linear ramps stay linear)."""
+    h, w = img.shape[:2]
+    if method == "nearest":
+        yi = np.minimum((np.arange(th) * h) // th, h - 1)
+        xi = np.minimum((np.arange(tw) * w) // tw, w - 1)
+        return img[yi][:, xi]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    ys = (np.arange(th) + 0.5) * h / th - 0.5
+    xs = (np.arange(tw) + 0.5) * w / tw - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    im = img.astype(np.float64)
+    top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
+    bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    method: str = "bilinear",
+    id_col: str = "media_id",
+    media_col: str = "media",
+    fake: bool = True,
+) -> DataFrame:
+    """The resize leg of the multimodal plumbing (decode →
+    feature-extract → RESIZE → frame-sample): decode each payload
+    with the native dispatch, resample to (width, height) with pure
+    numpy, and re-emit a media struct whose payload is an
+    uncompressed BMP (writable without any codec; round-trips
+    through this module's own decoder) with updated geometry
+    metadata. Runs as the same Arrow-batched ``mapInPandas`` shape
+    as the other legs — per-batch decode, zero shuffle, memory
+    bounded by batch size × payload. With ``fake=True`` the payload
+    passes through untouched and only the metadata is rewritten
+    (plumbing contract for synthetic tables)."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid resize target {width}x{height}")
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField(media_col, MEDIA_SCHEMA)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, medias = [], []
+            for mid, payload, mime in zip(pdf[id_col], pdf["payload"], pdf["mime"]):
+                if fake:
+                    out_payload, out_mime = bytes(payload), mime
+                else:
+                    img, _w, _h = _decode_image(bytes(payload))
+                    out_payload = _encode_bmp(_resize_rgb(img, width, height, method))
+                    out_mime = "image/bmp"
+                ids.append(mid)
+                medias.append(
+                    {
+                        "payload": out_payload,
+                        "mime": out_mime,
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                        "sample_rate": None,
+                    }
+                )
+            yield pd.DataFrame({id_col: ids, media_col: medias})
+
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.payload").alias("payload"),
+        F.col(f"{media_col}.mime").alias("mime"),
     )
     return flat.mapInPandas(batches, out_schema)
 

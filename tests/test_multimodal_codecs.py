@@ -1561,3 +1561,80 @@ def test_ima_adpcm_rejects_stereo_and_bad_index():
     assert "mono" in str(ei.value)
     with pytest.raises(ValueError, match="step index"):
         MM._ima_adpcm_decode_block(struct.pack("<hBB", 0, 99, 0) + b"\x00")
+
+
+# ------------------------------------------------- resize leg (r08)
+
+
+def test_resize_rgb_nearest_exact_downsample():
+    # 4×4 → 2×2 with distinct quadrants: nearest picks the top-left
+    # of each 2×2 block
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2, :2] = 10
+    img[:2, 2:] = 20
+    img[2:, :2] = 30
+    img[2:, 2:] = 40
+    out = MM._resize_rgb(img, 2, 2, "nearest")
+    assert out.shape == (2, 2, 3)
+    assert [out[0, 0, 0], out[0, 1, 0], out[1, 0, 0], out[1, 1, 0]] == [10, 20, 30, 40]
+
+
+def test_resize_rgb_bilinear_preserves_constant_and_ramp():
+    const = np.full((5, 7, 3), 123, np.uint8)
+    assert np.all(MM._resize_rgb(const, 13, 3, "bilinear") == 123)
+    # horizontal ramp 0..255 stays monotone and endpoint-anchored
+    ramp = np.tile(np.linspace(0, 255, 16, dtype=np.uint8)[None, :, None], (4, 1, 3))
+    out = MM._resize_rgb(ramp, 8, 4, "bilinear").astype(int)
+    row = out[0, :, 0]
+    assert all(a <= b for a, b in zip(row, row[1:]))
+    assert row[0] <= 16 and row[-1] >= 239
+
+
+def test_resize_rgb_upsample_nearest_repeats():
+    img = np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)  # 1×2
+    out = MM._resize_rgb(img, 4, 2, "nearest")
+    assert out.shape == (2, 4, 3)
+    assert np.array_equal(out[0, 0], [1, 2, 3]) and np.array_equal(out[0, 3], [4, 5, 6])
+
+
+def test_resize_images_real_roundtrip(spark):
+    """PNG in → resized BMP media struct out; decoding the emitted
+    payload yields the requested geometry and (for a solid image) the
+    identical color."""
+    px = np.full((6, 4, 3), (50, 100, 150), np.uint8)
+    payload = make_png(px, 2)
+    df = spark.createDataFrame(
+        [(41, bytearray(payload), 4, 6)],
+        "media_id long, payload binary, width int, height int",
+    ).select(
+        "media_id",
+        MM.pack_media(
+            F.col("payload"), F.lit("image/png"),
+            width=F.col("width"), height=F.col("height"),
+        ).alias("media"),
+    )
+    row = MM.resize_images(df, 8, 3, method="bilinear", fake=False).collect()[0]
+    m = row["media"]
+    assert (m["width"], m["height"]) == (8, 3)
+    assert m["mime"] == "image/bmp"
+    img, w, h = MM._decode_bmp(bytes(m["payload"]))
+    assert (w, h) == (8, 3)
+    assert np.all(img == np.array([50, 100, 150], np.uint8))
+
+
+def test_resize_images_fake_passthrough_updates_metadata(spark):
+    df = spark.createDataFrame([(3, 99)], "media_id long, seed long")
+    media_df = MM.synthetic_media_table(df, "media_id", "seed")
+    row = MM.resize_images(media_df, 16, 16, fake=True).collect()[0]
+    m = row["media"]
+    assert (m["width"], m["height"]) == (16, 16)
+    orig = media_df.collect()[0]["media"]["payload"]
+    assert bytes(m["payload"]) == bytes(orig)  # payload untouched
+
+
+def test_encode_bmp_roundtrips_through_decoder():
+    rng = np.random.default_rng(61)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    img, w, h = MM._decode_bmp(MM._encode_bmp(px))
+    assert (w, h) == (7, 5)
+    assert np.array_equal(img, px)
