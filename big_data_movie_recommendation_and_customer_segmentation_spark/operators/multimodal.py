@@ -16,7 +16,8 @@ multi-MB payloads set it to O(10-100) rows at 100 TB).
 Codec status (r08): REAL decoders exist for the formats that need no
 external library — WAV audio (stdlib ``wave`` + numpy for 8/16/32
 bit PCM; manual RIFF fallback for G.711 µ-law/A-law and mono
-IMA/DVI ADPCM),
+IMA/DVI ADPCM), native FLAC (Rice + fixed/LPC predictors, all four
+stereo decorrelation modes, header CRC verified),
 uncompressed 24/32-bit BMP images (pure numpy header parse),
 AVI frames (RIFF chunk walk; uncompressed DIB frames AND
 Motion-JPEG '..dc' frames via the JPEG decoder),
@@ -28,7 +29,7 @@ palette + 4-pass interlace), and baseline sequential 8-bit JPEG
 progressive/arithmetic variants raise ValueError as a format
 boundary) — selected by payload magic bytes when ``fake=False``.
 Formats whose codecs are genuinely absent from this container
-(WebP/MP3/AAC/MP4, non-MJPEG compressed video) still raise
+(WebP/MP3/AAC/OGG/MP4, non-MJPEG compressed video) still raise
 ``NotImplementedError``; the dispatch point is
 ``_decode_image_bytes`` / ``_decode_wav`` so a PIL/pyav
 import-try drops in without touching the Spark plumbing. With
@@ -1081,6 +1082,271 @@ def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+# --------------------------------------------------------------- FLAC
+# Native FLAC subset decode (r08): the lossless format is pure
+# bit-twiddling — Rice-coded residuals over fixed/LPC predictors —
+# so, like PNG/JPEG/GIF, it needs numpy and the public spec, not a
+# codec library. Supported: 8/16-bit, mono/stereo (all four channel
+# assignments incl. mid/side), constant/verbatim/fixed(0-4)/LPC
+# subframes, wasted bits, partitioned Rice with escapes, frame-header
+# CRC-8 verified. Unsupported depths/layouts raise ValueError.
+
+
+class _FlacBitReader:
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            v = (v << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_FLAC_DEPTHS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_residuals(br: _FlacBitReader, blocksize: int, order: int) -> list[int]:
+    """Partitioned Rice residual section (RESIDUAL in the spec)."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts or blocksize >> porder <= order and nparts == 1:
+        pass  # size check below catches real inconsistency
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC partition smaller than predictor order")
+        k = br.read(pbits)
+        if k == escape:  # unencoded: raw nbits per residual
+            nbits = br.read(5)
+            for _ in range(n):
+                out.append(br.read_signed(nbits) if nbits else 0)
+        else:
+            for _ in range(n):
+                q = br.unary()
+                v = (q << k) | br.read(k)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(br: _FlacBitReader, blocksize: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("invalid FLAC subframe padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted-bits-per-sample flag
+        wasted = 1 + br.unary()
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        out = [br.read_signed(bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        out = [br.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        out = [br.read_signed(bps) for _ in range(order)]
+        res = _flac_residuals(br, blocksize, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(r + pred)
+    elif stype >= 32:  # LPC order 1-32
+        order = (stype & 31) + 1
+        out = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision escape")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        res = _flac_residuals(br, blocksize, order)
+        for r in res:
+            acc = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(r + (acc >> shift))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a native FLAC stream with numpy + bit ops — no
+    libFLAC. Returns (mono float64 samples in [-1, 1], sample_rate);
+    stereo is mean-downmixed after un-decorrelation, matching the
+    WAV path's contract."""
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    rate = n_ch = bps = None
+    total = 0
+    while pos + 4 <= len(payload):  # metadata blocks
+        hdr = payload[pos]
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            if size < 34:
+                raise ValueError("short FLAC STREAMINFO")
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            n_ch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+        pos += 4 + size
+        if hdr & 0x80:  # last-metadata flag
+            break
+    if rate is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    if bps not in (8, 16):
+        raise ValueError(f"unsupported FLAC bit depth {bps}")
+    if n_ch > 2:
+        raise ValueError(f"unsupported FLAC channel count {n_ch}")
+
+    channels: list[list[int]] = [[] for _ in range(n_ch)]
+    while pos + 5 < len(payload):
+        sync = (payload[pos] << 6) | (payload[pos + 1] >> 2)
+        if sync != 0x3FFE:
+            raise ValueError("FLAC frame sync lost")
+        hdr_start = pos
+        br = _FlacBitReader(payload, pos)
+        br.read(14)  # sync
+        if br.read(1):
+            raise ValueError("reserved FLAC frame bit set")
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        sz_code = br.read(3)
+        if br.read(1):
+            raise ValueError("reserved FLAC frame bit set")
+        first = br.read(8)  # UTF-8 coded frame/sample number
+        extra = 0
+        if first >= 0xC0:
+            b = first
+            while b & 0x40:
+                extra += 1
+                b <<= 1
+            for _ in range(extra):
+                br.read(8)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        frame_bps = bps if sz_code == 0 else _FLAC_DEPTHS.get(sz_code)
+        if frame_bps is None:
+            raise ValueError(f"reserved FLAC sample size code {sz_code}")
+        crc = br.read(8)
+        if _flac_crc8(payload[hdr_start : br.pos - 1]) != crc:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        if ch_code <= 7:
+            if ch_code + 1 != n_ch:
+                raise ValueError("FLAC frame channel count mismatch")
+            subs = [_flac_subframe(br, blocksize, frame_bps) for _ in range(n_ch)]
+        elif ch_code in (8, 9, 10):
+            if n_ch != 2:
+                raise ValueError("FLAC side-channel frame in non-stereo stream")
+            # the difference channel carries one extra bit
+            if ch_code == 8:  # left/side
+                left = _flac_subframe(br, blocksize, frame_bps)
+                side = _flac_subframe(br, blocksize, frame_bps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _flac_subframe(br, blocksize, frame_bps + 1)
+                right = _flac_subframe(br, blocksize, frame_bps)
+                subs = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _flac_subframe(br, blocksize, frame_bps)
+                side = _flac_subframe(br, blocksize, frame_bps + 1)
+                subs = [[], []]
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    subs[0].append((m2 + s) >> 1)
+                    subs[1].append((m2 - s) >> 1)
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        for c in range(n_ch):
+            channels[c].extend(subs[c])
+        br.align()
+        br.read(16)  # frame footer CRC-16 (consumed, not verified)
+        pos = br.pos
+
+    x = np.array(channels, dtype=np.float64) / float(1 << (bps - 1))
+    mono = x.mean(axis=0) if n_ch > 1 else x[0]
+    if total and len(mono) > total:
+        mono = mono[:total]
+    return mono, rate
+
+
+def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Magic-byte dispatch for the audio path: RIFF/WAVE → WAV
+    decoders (PCM, G.711, IMA ADPCM), fLaC → native FLAC. Anything
+    else needs a codec this container doesn't have."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        return _decode_flac(payload)
+    raise NotImplementedError(
+        "real decode of non-WAV/FLAC audio requires a codec not present "
+        "in this environment; WAV (PCM/G.711/ADPCM) and FLAC decode "
+        "natively, or pass fake=True"
+    )
+
+
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode WAV with stdlib ``wave`` + numpy — no codec library.
     Returns (mono float64 samples in [-1, 1], sample_rate). 8/16/32
@@ -1142,20 +1408,15 @@ def extract_audio_features(
                 pdf[id_col], pdf["payload"], pdf["duration_ms"]
             ):
                 if not fake:
-                    # RIFF magic alone admits AVI/WEBP too — require the
-                    # 'WAVE' form type so non-WAV RIFF payloads hit this
-                    # clean boundary, not a raw wave.Error mid-task
-                    if (
-                        payload is None
-                        or payload[:4] != b"RIFF"
-                        or bytes(payload[8:12]) != b"WAVE"
-                    ):
+                    # magic-byte dispatch (RIFF+WAVE or fLaC): non-audio
+                    # RIFF payloads (AVI/WEBP) hit the clean
+                    # NotImplementedError boundary, not a raw wave.Error
+                    if payload is None:
                         raise NotImplementedError(
-                            "real decode of non-WAV audio requires a codec "
-                            "not present in this environment; WAV/PCM "
-                            "decodes natively, or pass fake=True"
+                            "real decode needs a payload; pass fake=True "
+                            "for metadata-only rows"
                         )
-                    x, rate = _decode_wav(bytes(payload))
+                    x, rate = _decode_audio(bytes(payload))
                     spf = max(1, int(rate * frame_ms / 1000))
                     n_frames = max(1, -(-len(x) // spf))
                     for i in range(n_frames):
