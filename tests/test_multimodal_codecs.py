@@ -1873,3 +1873,83 @@ def test_flac_roundtrip_property(n, blocksize, stereo, seed):
     expect = np.mean(np.array(chans, dtype=np.float64), axis=0) / 32768.0
     assert len(x) == n
     assert np.abs(x - expect).max() < 1e-12
+
+
+def _write_lpc_subframe(
+    bw: _FlacBitWriter, x: list[int], bps: int,
+    coefs: list[int], precision: int, shift: int, wasted: int = 0,
+) -> None:
+    """Hand-rolled LPC subframe with CHOSEN quantized coefficients —
+    residuals computed to make the decoder's reconstruction land
+    exactly on x. Exercises the LPC + wasted-bits decode paths the
+    fixed-order encoder never emits."""
+    order = len(coefs)
+    bw.write(0, 1)
+    bw.write(0x20 | (order - 1), 6)
+    if wasted:
+        bw.write(1, 1)
+        bw.write(0, wasted - 1)  # unary: (wasted-1) zeros...
+        bw.write(1, 1)           # ...terminated by a 1
+        x = [v >> wasted for v in x]
+        bps -= wasted
+    else:
+        bw.write(0, 1)
+    for w in x[:order]:
+        bw.write(int(w), bps)
+    bw.write(precision - 1, 4)
+    bw.write(shift, 5)
+    for c in coefs:
+        bw.write(int(c), precision)
+    res = [
+        int(x[i]) - (sum(c * int(x[i - 1 - j]) for j, c in enumerate(coefs)) >> shift)
+        for i in range(order, len(x))
+    ]
+    bw.write(0, 2)  # 4-bit rice
+    bw.write(0, 4)  # partition order 0
+    mean = int(max(1, sum(abs(r) for r in res) // max(1, len(res))))
+    k = min(14, mean.bit_length())
+    bw.write(k, 4)
+    _rice_write(bw, res, k)
+
+
+def _make_flac_lpc(x: list[int], coefs, precision, shift, wasted=0,
+                   rate: int = 8000, bps: int = 16) -> bytes:
+    n = len(x)
+    out = bytearray(b"fLaC")
+    packed = (rate << 44) | (0 << 41) | ((bps - 1) << 36) | n
+    si = struct.pack(">HH", n, n) + b"\x00" * 6 + packed.to_bytes(8, "big") + b"\x00" * 16
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    hdr = _FlacBitWriter()
+    hdr.write(0b11111111111110, 14)
+    hdr.write(0, 2)
+    hdr.write(7, 4)
+    hdr.write(0, 4)
+    hdr.write(0, 4)  # mono
+    hdr.write(4, 3)  # 16-bit
+    hdr.write(0, 1)
+    hdr.align()
+    head = bytes(hdr.out) + _flac_utf8(0) + struct.pack(">H", n - 1)
+    head += bytes([_crc8(head)])
+    bw = _FlacBitWriter()
+    _write_lpc_subframe(bw, x, bps, coefs, precision, shift, wasted)
+    bw.align()
+    bw.write(0, 16)
+    return bytes(out) + head + bytes(bw.out)
+
+
+def test_decode_flac_lpc_subframe_exact():
+    rng = np.random.default_rng(79)
+    base = (4000 * np.sin(2 * np.pi * np.arange(300) / 60)).astype(np.int64)
+    x = [int(v) for v in base + rng.integers(-20, 20, 300)]
+    payload = _make_flac_lpc(x, coefs=[5, -2], precision=4, shift=2)
+    got, rate = MM._decode_flac(payload)
+    assert np.array_equal((got * 32768.0).round().astype(np.int64), np.array(x))
+
+
+def test_decode_flac_lpc_wasted_bits_exact():
+    rng = np.random.default_rng(83)
+    # every sample even → 1 wasted bit
+    x = [int(v) * 2 for v in rng.integers(-8000, 8000, 200)]
+    payload = _make_flac_lpc(x, coefs=[3], precision=3, shift=1, wasted=1)
+    got, rate = MM._decode_flac(payload)
+    assert np.array_equal((got * 32768.0).round().astype(np.int64), np.array(x))
