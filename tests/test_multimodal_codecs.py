@@ -1,13 +1,17 @@
-"""Real (codec-free) multimodal decoders: WAV/PCM via stdlib wave +
-numpy, uncompressed BMP via a numpy header parse, uncompressed AVI
-via a RIFF chunk walk over the same DIB frame layout, and 8-bit PNG
-via stdlib zlib + a numpy scanline unfilter. The payloads are
-synthesized bit-exactly in the test, so the decoded features have
-closed-form expected values — no media library on either side.
+"""Real (codec-free) multimodal decoders and their independent
+test-side encoders: WAV/PCM via stdlib wave + numpy, G.711 and IMA
+ADPCM via closed-form expansion, FLAC via Rice + predictors,
+BMP/PNG (all depths, palette, Adam7)/GIF/baseline-JPEG images, and
+AVI video (uncompressed DIB + Motion-JPEG). Every payload is
+synthesized bit-exactly IN the test by an independent encoder
+implementation (forward DCT, PNG filters, LZW, Rice), so decode is
+a true roundtrip check with closed-form expected values — no media
+library on either side.
 
 Reference parity note: the reference repo has no media path at all;
 this is the beyond-parity multimodal leg with the decode boundary
-narrowed to genuinely-unavailable codecs (JPEG/MP3/MP4 still raise).
+narrowed to genuinely-unavailable codecs (WebP/MP3/AAC/OGG/MP4 and
+non-MJPEG compressed video still raise).
 """
 
 from __future__ import annotations
