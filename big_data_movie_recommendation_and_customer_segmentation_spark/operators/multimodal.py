@@ -15,7 +15,7 @@ multi-MB payloads set it to O(10-100) rows at 100 TB).
 
 Codec status (r08): REAL decoders exist for the formats that need no
 external library — WAV audio (stdlib ``wave`` + numpy for 8/16/32
-bit PCM; manual RIFF fallback for G.711 µ-law/A-law and mono
+bit PCM; manual RIFF fallback for G.711 µ-law/A-law and mono/stereo
 IMA/DVI ADPCM), native FLAC (Rice + fixed/LPC predictors, all four
 stereo decorrelation modes, header CRC verified),
 uncompressed 24/32-bit BMP images (pure numpy header parse),
@@ -995,49 +995,90 @@ _IMA_STEPS = np.array([
 _IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
 
 
-def _ima_adpcm_decode_block(block: bytes) -> list[int]:
-    """One mono IMA ADPCM block: 4-byte header (predictor int16 LE,
-    step index, reserved) then 4-bit codes, LOW nibble first. The
-    reconstruction rule (shift-approximated (2·mag+1)·step/8, clamp,
-    index walk) is the IMA/DVI reference algorithm."""
-    if len(block) < 4:
-        raise ValueError("truncated ADPCM block header")
-    pred = struct.unpack_from("<h", block, 0)[0]
-    index = block[2]
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA/DVI reconstruction step: shift-approximated
+    (2·mag+1)·step/8, clamp to int16, walk the step index."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_ADJ[nibble & 7])))
+    return pred, index
+
+
+def _ima_block_header(block: bytes, off: int) -> tuple[int, int]:
+    pred = struct.unpack_from("<h", block, off)[0]
+    index = block[off + 2]
     if index > 88:
         raise ValueError(f"invalid ADPCM step index {index}")
+    return pred, index
+
+
+def _ima_adpcm_decode_block(block: bytes) -> list[int]:
+    """One mono IMA ADPCM block: 4-byte header (predictor int16 LE,
+    step index, reserved) then 4-bit codes, LOW nibble first."""
+    if len(block) < 4:
+        raise ValueError("truncated ADPCM block header")
+    pred, index = _ima_block_header(block, 0)
     out = [pred]
     for byte in block[4:]:
         for nibble in (byte & 0x0F, byte >> 4):
-            step = int(_IMA_STEPS[index])
-            diff = step >> 3
-            if nibble & 4:
-                diff += step
-            if nibble & 2:
-                diff += step >> 1
-            if nibble & 1:
-                diff += step >> 2
-            pred = pred - diff if nibble & 8 else pred + diff
-            pred = max(-32768, min(32767, pred))
+            pred, index = _ima_step(pred, index, nibble)
             out.append(pred)
-            index = max(0, min(88, index + int(_IMA_INDEX_ADJ[nibble & 7])))
     return out
+
+
+def _ima_adpcm_decode_block_stereo(block: bytes) -> tuple[list[int], list[int]]:
+    """One stereo IMA ADPCM block: two 4-byte channel headers, then
+    the nibble data interleaved in 4-byte-per-channel groups (8
+    samples of ch0, 8 of ch1, ...) — the standard WAV layout."""
+    if len(block) < 8:
+        raise ValueError("truncated stereo ADPCM block header")
+    state = [_ima_block_header(block, 0), _ima_block_header(block, 4)]
+    chans: tuple[list[int], list[int]] = ([state[0][0]], [state[1][0]])
+    data = block[8:]
+    if len(data) % 8:
+        raise ValueError("stereo ADPCM data not in 8-byte channel groups")
+    for g in range(0, len(data), 8):
+        for c in range(2):
+            pred, index = state[c]
+            for byte in data[g + 4 * c : g + 4 * c + 4]:
+                for nibble in (byte & 0x0F, byte >> 4):
+                    pred, index = _ima_step(pred, index, nibble)
+                    chans[c].append(pred)
+            state[c] = (pred, index)
+    return chans
 
 
 def _decode_wav_ima_adpcm(
     data: bytes, n_ch: int, block_align: int
 ) -> np.ndarray:
-    """IMA ADPCM 'data' chunk → float64 samples (mono only: the
-    interleaved-stereo nibble layout is a different wire format and
-    raises rather than decoding garbage)."""
-    if n_ch != 1:
-        raise ValueError("IMA ADPCM decode supports mono only")
-    if block_align < 4:
+    """IMA ADPCM 'data' chunk → float64 samples (mono, or stereo
+    mean-downmixed from the interleaved block layout)."""
+    if n_ch not in (1, 2):
+        raise ValueError(f"IMA ADPCM decode supports 1-2 channels, got {n_ch}")
+    if block_align < 4 * n_ch:
         raise ValueError(f"invalid ADPCM block align {block_align}")
-    samples: list[int] = []
+    if n_ch == 1:
+        samples: list[int] = []
+        for off in range(0, len(data), block_align):
+            samples.extend(_ima_adpcm_decode_block(data[off : off + block_align]))
+        return np.array(samples, dtype=np.float64) / 32768.0
+    left: list[int] = []
+    right: list[int] = []
     for off in range(0, len(data), block_align):
-        samples.extend(_ima_adpcm_decode_block(data[off : off + block_align]))
-    return np.array(samples, dtype=np.float64) / 32768.0
+        l, r = _ima_adpcm_decode_block_stereo(data[off : off + block_align])
+        left.extend(l)
+        right.extend(r)
+    return (
+        np.array(left, dtype=np.float64) + np.array(right, dtype=np.float64)
+    ) / 2.0 / 32768.0
 
 
 def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:

@@ -1555,16 +1555,57 @@ def test_ima_adpcm_sine_roundtrip_exact_vs_encoder():
     assert float(np.sqrt((err ** 2).mean())) < 0.02
 
 
-def test_ima_adpcm_rejects_stereo_and_bad_index():
+def test_ima_adpcm_rejects_bad_index_and_bad_channels():
+    with pytest.raises(ValueError, match="step index"):
+        MM._ima_adpcm_decode_block(struct.pack("<hBB", 0, 99, 0) + b"\x00")
     blocks, _ = ima_adpcm_encode([0] * 10)
     wav = bytearray(make_ima_wav(blocks))
     at = wav.index(b"fmt ") + 8 + 2
-    stereo = wav[:at] + struct.pack("<H", 2) + wav[at + 2 :]
+    three_ch = wav[:at] + struct.pack("<H", 3) + wav[at + 2 :]
     with pytest.raises(Exception) as ei:
-        MM._decode_wav(bytes(stereo))
-    assert "mono" in str(ei.value)
-    with pytest.raises(ValueError, match="step index"):
-        MM._ima_adpcm_decode_block(struct.pack("<hBB", 0, 99, 0) + b"\x00")
+        MM._decode_wav(bytes(three_ch))
+    assert "channels" in str(ei.value)
+
+
+def ima_adpcm_encode_stereo(left: list[int], right: list[int],
+                            block_samples: int = 505):
+    """Independent stereo IMA encoder: each channel encoded with the
+    mono quantizer, nibbles interleaved in 4-byte channel groups."""
+    lb, lrec = ima_adpcm_encode(left, block_samples)
+    rb, rrec = ima_adpcm_encode(right, block_samples)
+    blocks = []
+    for b0, b1 in zip(lb, rb):
+        out = bytearray(b0[:4] + b1[:4])
+        d0, d1 = b0[4:], b1[4:]
+        assert len(d0) == len(d1)
+        # pad each channel's nibble bytes to 4-byte groups; the
+        # decoder emits the padding samples, mirrored in recon below
+        pad = (-len(d0)) % 4
+        d0 += bytes(pad)
+        d1 += bytes(pad)
+        for g in range(0, len(d0), 4):
+            out += d0[g : g + 4] + d1[g : g + 4]
+        blocks.append(bytes(out))
+    return blocks, lrec, rrec
+
+
+def test_ima_adpcm_stereo_interleaved_downmix():
+    rate = 8000
+    # 4 full 505-sample blocks (252 nibble-bytes each, 4-byte
+    # aligned) → no group padding, recon lengths match exactly
+    t = np.arange(2020) / rate
+    left = list((12000 * np.sin(2 * np.pi * 300 * t)).astype(np.int64))
+    right = list((9000 * np.sin(2 * np.pi * 440 * t)).astype(np.int64))
+    # 505 samples/block → 252 nibble-bytes, already 4-byte aligned
+    blocks, lrec, rrec = ima_adpcm_encode_stereo(left, right, 505)
+    wav = bytearray(make_ima_wav(blocks, rate))
+    at = wav.index(b"fmt ") + 8 + 2
+    wav = wav[:at] + struct.pack("<H", 2) + wav[at + 2 :]
+    x, r = MM._decode_wav(bytes(wav))
+    assert r == rate
+    expect = (np.array(lrec, np.float64) + np.array(rrec, np.float64)) / 2 / 32768.0
+    assert len(x) == len(expect)
+    assert np.array_equal(x, expect)
 
 
 # ------------------------------------------------- resize leg (r08)
