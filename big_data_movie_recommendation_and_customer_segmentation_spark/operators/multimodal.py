@@ -17,14 +17,16 @@ Codec status (r08): REAL decoders exist for the formats that need no
 external library — WAV audio (stdlib ``wave`` + numpy for 8/16/32
 bit PCM; manual RIFF fallback for G.711 µ-law/A-law and mono/stereo
 IMA/DVI ADPCM), native FLAC (Rice + fixed/LPC predictors, all four
-stereo decorrelation modes, header CRC verified),
+stereo decorrelation modes, header CRC verified), AIFF big-endian
+PCM + Sun AU (µ-law/linear),
 uncompressed 24/32-bit BMP images (pure numpy header parse),
 AVI frames (RIFF chunk walk; uncompressed DIB frames AND
 Motion-JPEG '..dc' frames via the JPEG decoder),
 PNG (stdlib ``zlib`` inflate + numpy scanline unfilter; 8/16-bit
 gray/RGB/GA/RGBA plus 1/2/4/8-bit paletted and sub-byte gray,
 Adam7 interlacing included), GIF87a/89a first-frame (LZW +
-palette + 4-pass interlace), and baseline sequential 8-bit JPEG
+palette + 4-pass interlace), netpbm P2/P3/P5/P6 rasters, and
+baseline sequential 8-bit JPEG
 (file-supplied Huffman tables + numpy matmul IDCT;
 progressive/arithmetic variants raise ValueError as a format
 boundary) — selected by payload magic bytes when ``fake=False``.
@@ -767,10 +769,69 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
     return (img + 0.5).astype(np.uint8), width, height
 
 
+def _decode_pnm(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode netpbm rasters (P2/P3 ASCII, P5/P6 binary; gray/RGB) —
+    the zero-dependency interchange format ML image datasets often
+    ship in. Maxval > 255 (16-bit binary, big-endian) keeps the high
+    byte, matching the PNG 16→8 reduction."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"2356":
+        raise ValueError("not a PGM/PPM payload")
+    kind = payload[:2].decode()
+    # header tokens: magic, width, height, maxval — whitespace and
+    # '#'-comments between them
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos]
+        if c == ord("#"):
+            while pos < len(payload) and payload[pos] != ord("\n"):
+                pos += 1
+        elif c in b" \t\r\n":
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and payload[pos] not in b" \t\r\n#":
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    if len(tokens) < 3:
+        raise ValueError("truncated PGM/PPM header")
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0 or maxval <= 0 or maxval > 65535:
+        raise ValueError(f"invalid PGM/PPM geometry {width}x{height}/{maxval}")
+    channels = 3 if kind in ("P3", "P6") else 1
+    n = width * height * channels
+    if kind in ("P2", "P3"):  # ASCII samples
+        vals = payload[pos:].split()
+        if len(vals) < n:
+            raise ValueError("truncated PGM/PPM raster")
+        arr = np.array([int(v) for v in vals[:n]], dtype=np.int64)
+    else:  # binary: exactly ONE whitespace byte after maxval
+        pos += 1
+        if maxval > 255:
+            raw = payload[pos : pos + 2 * n]
+            if len(raw) < 2 * n:
+                raise ValueError("truncated PGM/PPM raster")
+            arr = np.frombuffer(raw, ">u2").astype(np.int64)
+        else:
+            raw = payload[pos : pos + n]
+            if len(raw) < n:
+                raise ValueError("truncated PGM/PPM raster")
+            arr = np.frombuffer(raw, np.uint8).astype(np.int64)
+    if int(arr.max(initial=0)) > maxval:
+        raise ValueError("PGM/PPM sample exceeds maxval")
+    if maxval != 255:  # rescale to 8-bit
+        arr = arr * 255 // maxval
+    px = arr.astype(np.uint8).reshape(height, width, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px, width, height
+
+
 def _decode_image(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Magic-byte dispatch to the native image decoders. One place to
-    know which formats decode: BMP, PNG, GIF, baseline JPEG. Unknown
-    formats raise NotImplementedError (codec genuinely absent)."""
+    know which formats decode: BMP, PNG, GIF, baseline JPEG, netpbm.
+    Unknown formats raise NotImplementedError (codec genuinely
+    absent)."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -779,11 +840,13 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, int, int]:
         return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:1] == b"P" and payload[1:2] in b"2356":
+        return _decode_pnm(payload)
     raise NotImplementedError(
         "real decode of this image format requires an external codec "
-        "library, not present in this environment; BMP, PNG, GIF, and "
-        "baseline-sequential JPEG decode natively, or pass fake=True "
-        "for the deterministic stub"
+        "library, not present in this environment; BMP, PNG, GIF, "
+        "netpbm, and baseline-sequential JPEG decode natively, or pass "
+        "fake=True for the deterministic stub"
     )
 
 
@@ -1373,18 +1436,98 @@ def _decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     return mono, rate
 
 
+def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode AIFF (FORM/AIFF, big-endian PCM): COMM carries the
+    geometry plus the sample rate as an 80-bit extended float; SSND
+    carries the raster. 8/16-bit, mean downmix. AIFC (compressed)
+    raises — a codec boundary."""
+    if len(payload) < 12 or payload[:4] != b"FORM":
+        raise ValueError("not an AIFF payload")
+    form = payload[8:12]
+    if form == b"AIFC":
+        raise NotImplementedError(
+            "AIFC compressed audio requires an external codec; plain "
+            "AIFF PCM decodes natively"
+        )
+    if form != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos = 12
+    n_ch = bits = None
+    rate = 0
+    raster = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from(">I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM" and len(body) >= 18:
+            n_ch, _frames, bits = struct.unpack_from(">HIH", body, 0)
+            # 80-bit IEEE extended: 1 sign + 15 exponent + 64 mantissa
+            exp = struct.unpack_from(">H", body, 8)[0] & 0x7FFF
+            mant = int.from_bytes(body[10:18], "big")
+            rate = int(round(mant * 2.0 ** (exp - 16383 - 63))) if mant else 0
+        elif cid == b"SSND" and len(body) >= 8:
+            offset = struct.unpack_from(">I", body, 0)[0]
+            raster = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if n_ch is None or raster is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if bits == 16:
+        x = np.frombuffer(raster[: len(raster) - len(raster) % 2], ">i2").astype(
+            np.float64
+        ) / 32768.0
+    elif bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV)
+        x = np.frombuffer(raster, np.int8).astype(np.float64) / 128.0
+    else:
+        raise ValueError(f"unsupported AIFF sample size {bits}")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def _decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode Sun/NeXT AU ('.snd'): fixed big-endian header, then
+    µ-law (encoding 1 — reuses the G.711 table), 8-bit linear (2), or
+    16-bit big-endian linear (3) samples; mean downmix."""
+    if len(payload) < 24 or payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    offset, _size, enc, rate, n_ch = struct.unpack_from(">IIIII", payload, 4)
+    if offset < 24:
+        raise ValueError("invalid AU data offset")
+    data = payload[offset:]
+    if enc == 1:
+        x = _g711_mulaw_table()[np.frombuffer(data, np.uint8)].astype(
+            np.float64
+        ) / 32768.0
+    elif enc == 2:
+        x = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+    elif enc == 3:
+        x = np.frombuffer(data[: len(data) - len(data) % 2], ">i2").astype(
+            np.float64
+        ) / 32768.0
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
 def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Magic-byte dispatch for the audio path: RIFF/WAVE → WAV
-    decoders (PCM, G.711, IMA ADPCM), fLaC → native FLAC. Anything
-    else needs a codec this container doesn't have."""
+    decoders (PCM, G.711, IMA ADPCM), fLaC → native FLAC, FORM/AIFF
+    → AIFF PCM, '.snd' → Sun AU. Anything else needs a codec this
+    container doesn't have."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     if payload[:4] == b"fLaC":
         return _decode_flac(payload)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(payload)
+    if payload[:4] == b".snd":
+        return _decode_au(payload)
     raise NotImplementedError(
-        "real decode of non-WAV/FLAC audio requires a codec not present "
-        "in this environment; WAV (PCM/G.711/ADPCM) and FLAC decode "
-        "natively, or pass fake=True"
+        "real decode of this audio format requires a codec not present "
+        "in this environment; WAV (PCM/G.711/ADPCM), FLAC, AIFF, and AU "
+        "decode natively, or pass fake=True"
     )
 
 

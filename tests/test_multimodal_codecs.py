@@ -1998,3 +1998,105 @@ def test_decode_flac_lpc_wasted_bits_exact():
     payload = _make_flac_lpc(x, coefs=[3], precision=3, shift=1, wasted=1)
     got, rate = MM._decode_flac(payload)
     assert np.array_equal((got * 32768.0).round().astype(np.int64), np.array(x))
+
+
+# ---------------------------------------- AIFF / AU / netpbm (r08)
+
+
+def make_aiff(samples16: np.ndarray, rate: int = 8000, n_ch: int = 1) -> bytes:
+    """AIFF with big-endian PCM and the 80-bit extended sample rate
+    written from first principles (sign=0, exponent, 64-bit
+    mantissa)."""
+    frames = len(samples16) // n_ch
+    comm = struct.pack(">HIH", n_ch, frames, 16)
+    # 80-bit extended: rate = mant * 2^(exp-16383-63)
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    comm += struct.pack(">H", 16383 + e) + mant.to_bytes(8, "big")
+    ssnd = struct.pack(">II", 0, 0) + samples16.astype(">i2").tobytes()
+    def chunk(cid, body):
+        return cid + struct.pack(">I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+    inner = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(inner)) + inner
+
+
+def test_decode_aiff_roundtrip_and_rate():
+    rng = np.random.default_rng(89)
+    s = rng.integers(-32768, 32768, 500).astype(np.int64)
+    x, rate = MM._decode_audio(make_aiff(s, rate=44100))
+    assert rate == 44100
+    assert np.array_equal((x * 32768.0).round().astype(np.int64), s)
+
+
+def test_decode_aiff_stereo_downmix_and_aifc_boundary():
+    l = np.full(100, 1000, np.int64)
+    r = np.full(100, -1000, np.int64)
+    inter = np.empty(200, np.int64)
+    inter[0::2], inter[1::2] = l, r
+    x, _ = MM._decode_audio(make_aiff(inter, n_ch=2))
+    assert np.abs(x).max() == 0.0  # L/R cancel
+    aifc = bytearray(make_aiff(l))
+    aifc[8:12] = b"AIFC"
+    with pytest.raises(NotImplementedError, match="AIFC"):
+        MM._decode_audio(bytes(aifc))
+
+
+def make_au(data: bytes, enc: int, rate: int = 8000, n_ch: int = 1) -> bytes:
+    return struct.pack(">4sIIIII", b".snd", 24, len(data), enc, rate, n_ch) + data
+
+
+def test_decode_au_mulaw_matches_wav_g711():
+    codes = bytes(range(256))
+    au, _ = MM._decode_audio(make_au(codes, enc=1))
+    wav, _ = MM._decode_wav(make_g711_wav(codes, 7))
+    assert np.array_equal(au, wav)
+
+
+def test_decode_au_pcm16_be_and_unsupported_encoding():
+    s = np.array([-32768, -1, 0, 1, 32767], np.int64)
+    x, rate = MM._decode_audio(make_au(s.astype(">i2").tobytes(), enc=3, rate=16000))
+    assert rate == 16000
+    assert np.array_equal((x * 32768.0).astype(np.int64), s)
+    with pytest.raises(ValueError, match="encoding"):
+        MM._decode_au(make_au(b"\x00" * 8, enc=23))
+
+
+def test_decode_pnm_binary_gray_and_rgb():
+    rng = np.random.default_rng(97)
+    gray = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    p5 = b"P5\n# a comment\n5 4\n255\n" + gray.tobytes()
+    img, w, h = MM._decode_image(p5)
+    assert (w, h) == (5, 4)
+    assert np.array_equal(img, np.repeat(gray[:, :, None], 3, axis=2))
+    rgb = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)
+    p6 = b"P6 2 3 255 " + rgb.tobytes()
+    img, w, h = MM._decode_image(p6)
+    assert (w, h) == (2, 3)
+    assert np.array_equal(img, rgb)
+
+
+def test_decode_pnm_ascii_and_16bit_and_rescale():
+    p2 = b"P2\n3 2\n15\n0 5 10\n15 5 0\n"
+    img, w, h = MM._decode_pnm(p2)
+    assert (w, h) == (3, 2)
+    assert img[0, 0, 0] == 0 and img[1, 0, 0] == 255
+    assert img[0, 1, 0] == 5 * 255 // 15
+    # P3 color ASCII
+    p3 = b"P3 1 1 255 12 34 56 "
+    img, _, _ = MM._decode_pnm(p3)
+    assert tuple(img[0, 0]) == (12, 34, 56)
+    # 16-bit binary keeps the high byte
+    hi = np.array([[0x1234, 0xFFFF]], dtype=">u2")
+    p5 = b"P5 2 1 65535 " + hi.tobytes()
+    img, _, _ = MM._decode_pnm(p5)
+    assert img[0, 0, 0] == (0x1234 * 255) // 65535
+    assert img[0, 1, 0] == 255
+
+
+def test_decode_pnm_rejects_malformed():
+    with pytest.raises(ValueError, match="not a PGM"):
+        MM._decode_pnm(b"P7 arbitrary")
+    with pytest.raises(ValueError, match="truncated"):
+        MM._decode_pnm(b"P5 4 4 255 " + b"\x00" * 3)
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        MM._decode_pnm(b"P2 1 1 10 99 ")
