@@ -25,7 +25,8 @@ Motion-JPEG '..dc' frames via the JPEG decoder),
 PNG (stdlib ``zlib`` inflate + numpy scanline unfilter; 8/16-bit
 gray/RGB/GA/RGBA plus 1/2/4/8-bit paletted and sub-byte gray,
 Adam7 interlacing included), GIF87a/89a first-frame (LZW +
-palette + 4-pass interlace), netpbm P2/P3/P5/P6 rasters, and
+palette + 4-pass interlace), netpbm P2/P3/P5/P6 rasters, baseline
+TIFF (both byte orders, strips, uncompressed + PackBits), and
 baseline sequential 8-bit JPEG
 (file-supplied Huffman tables + numpy matmul IDCT;
 progressive/arithmetic variants raise ValueError as a format
@@ -827,11 +828,121 @@ def _decode_pnm(payload: bytes) -> tuple[np.ndarray, int, int]:
     return px, width, height
 
 
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773): control byte n —
+    0..127 copies n+1 literals, 129..255 repeats the next byte
+    257-n times, 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expect:
+        raise ValueError("truncated PackBits data")
+    return bytes(out[:expect])
+
+
+def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a baseline TIFF (both byte orders): first IFD, strip
+    layout, 8-bit gray or RGB, uncompressed (1) or PackBits (32773).
+    Tiled, LZW/JPEG-compressed, planar, and palette TIFFs raise —
+    format features beyond the baseline profile (LZW-in-TIFF would
+    be implementable like GIF's, but the baseline profile is what
+    scanners/exporters emit uncompressed)."""
+    if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD offset")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        if off + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, off)
+        if typ not in type_size:
+            continue  # rationals etc. — not needed for the baseline set
+        sz = type_size[typ] * count
+        if sz <= 4:
+            src = off + 8
+        else:
+            (src,) = struct.unpack_from(bo + "I", payload, off + 8)
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        if src + sz > len(payload):
+            raise ValueError("truncated TIFF tag data")
+        tags[tag] = list(struct.unpack_from(bo + fmt * count, payload, src))
+
+    def one(tag: int, default=None) -> int:
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"unsupported TIFF dimensions {width}x{height}")
+    compression = one(259, 1)
+    spp = one(277, 1)
+    photometric = one(262, 1)
+    planar = one(284, 1)
+    bits = tags.get(258, [8])
+    if compression not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    if planar != 1:
+        raise ValueError("unsupported TIFF planar configuration")
+    if photometric == 3:
+        raise ValueError("unsupported palette TIFF")
+    if spp not in (1, 3, 4) or any(b != 8 for b in bits[:spp]):
+        raise ValueError(
+            f"unsupported TIFF sample layout (spp={spp}, bits={bits})"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+    rows_per_strip = one(278, height)
+    raster = bytearray()
+    row_bytes = width * spp
+    for i, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = payload[so : so + sc]
+        if len(strip) < sc:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, height - i * rows_per_strip)
+        if compression == 32773:
+            raster += _packbits_decode(strip, n_rows * row_bytes)
+        else:
+            raster += strip[: n_rows * row_bytes]
+    if len(raster) < height * row_bytes:
+        raise ValueError("TIFF raster short")
+    px = np.frombuffer(bytes(raster), np.uint8, height * row_bytes).reshape(
+        height, width, spp
+    )
+    if spp == 1:
+        if photometric == 0:  # WhiteIsZero
+            px = 255 - px
+        return np.repeat(px, 3, axis=2), width, height
+    return px[:, :, :3], width, height  # drop alpha if present
+
+
 def _decode_image(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Magic-byte dispatch to the native image decoders. One place to
-    know which formats decode: BMP, PNG, GIF, baseline JPEG, netpbm.
-    Unknown formats raise NotImplementedError (codec genuinely
-    absent)."""
+    know which formats decode: BMP, PNG, GIF, baseline JPEG, netpbm,
+    baseline TIFF. Unknown formats raise NotImplementedError (codec
+    genuinely absent)."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -842,11 +953,13 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, int, int]:
         return _decode_jpeg(payload)
     if payload[:1] == b"P" and payload[1:2] in b"2356":
         return _decode_pnm(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     raise NotImplementedError(
         "real decode of this image format requires an external codec "
         "library, not present in this environment; BMP, PNG, GIF, "
-        "netpbm, and baseline-sequential JPEG decode natively, or pass "
-        "fake=True for the deterministic stub"
+        "netpbm, baseline TIFF, and baseline-sequential JPEG decode "
+        "natively, or pass fake=True for the deterministic stub"
     )
 
 

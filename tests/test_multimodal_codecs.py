@@ -2100,3 +2100,163 @@ def test_decode_pnm_rejects_malformed():
         MM._decode_pnm(b"P5 4 4 255 " + b"\x00" * 3)
     with pytest.raises(ValueError, match="exceeds maxval"):
         MM._decode_pnm(b"P2 1 1 10 99 ")
+
+
+# --------------------------------------------------------------- TIFF
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Independent PackBits: greedy runs ≥3 become repeats, else
+    literal spans (≤128 each)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        start = i
+        while i < n and (i - start) < 128:
+            nxt = 1
+            while i + nxt < n and row[i + nxt] == row[i] and nxt < 3:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += nxt
+        out += bytes([i - start - 1]) + row[start:i]
+    return bytes(out)
+
+
+def make_tiff(
+    px: np.ndarray,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+) -> bytes:
+    """Baseline TIFF writer: strip layout, gray or RGB, optional
+    PackBits per strip, either byte order."""
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 or px.shape[2] == 1 else px.shape[2]
+    flat = px.reshape(h, w * spp)
+    bo = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = flat[y0 : y0 + rps].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    photometric = photometric if photometric is not None else (1 if spp == 1 else 2)
+    entries = []  # (tag, type, count, values)
+    n_strips = len(strips)
+    # compute layout: header(8) + IFD later; place strip data first
+    data_start = 8
+    offsets = []
+    pos = data_start
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    bits = [8] * spp
+    extra = bytearray()
+    extra_pos = [pos]  # grows as we append out-of-line arrays
+
+    def val_or_offset(typ, values):
+        fmt = {3: "H", 4: "I"}[typ]
+        sz = {3: 2, 4: 4}[typ] * len(values)
+        if sz <= 4:
+            raw = b"".join(struct.pack(bo + fmt, v) for v in values)
+            return raw + b"\x00" * (4 - sz)
+        off = extra_pos[0]
+        for v in values:
+            extra.extend(struct.pack(bo + fmt, v))
+        extra_pos[0] += sz
+        return struct.pack(bo + "I", off)
+
+    tag_list = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, bits),
+        (259, 3, [32773 if packbits else 1]),
+        (262, 3, [photometric]),
+        (273, 4, offsets),
+        (277, 3, [spp]),
+        (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]),
+        (284, 3, [1]),
+    ]
+    ifd_entries = b""
+    for tag, typ, values in tag_list:
+        ifd_entries += struct.pack(bo + "HHI", tag, typ, len(values))
+        ifd_entries += val_or_offset(typ, values)
+    ifd_off = extra_pos[0]
+    header = (b"II*\x00" if not big_endian else b"MM\x00*") + struct.pack(
+        bo + "I", ifd_off
+    )
+    ifd = struct.pack(bo + "H", len(tag_list)) + ifd_entries + struct.pack(bo + "I", 0)
+    return header + b"".join(strips) + bytes(extra) + ifd
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_decode_tiff_rgb_uncompressed(big_endian):
+    rng = np.random.default_rng(101)
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    img, w, h = MM._decode_image(make_tiff(px, big_endian=big_endian))
+    assert (w, h) == (5, 6)
+    assert np.array_equal(img, px)
+
+
+def test_decode_tiff_gray_whitesiszero_and_strips():
+    rng = np.random.default_rng(103)
+    gray = rng.integers(0, 256, (9, 4), dtype=np.uint8)
+    payload = make_tiff(gray, rows_per_strip=2, photometric=0)
+    img, w, h = MM._decode_tiff(payload)
+    assert (w, h) == (4, 9)
+    assert np.array_equal(img[:, :, 0], 255 - gray)
+
+
+def test_decode_tiff_packbits_roundtrip():
+    rng = np.random.default_rng(107)
+    # mix of runs and noise exercises both PackBits paths
+    px = rng.integers(0, 4, (8, 16, 3), dtype=np.uint8) * 80
+    px[2:4] = 7  # solid run rows
+    payload = make_tiff(px, packbits=True, rows_per_strip=3)
+    img, w, h = MM._decode_tiff(payload)
+    assert (w, h) == (16, 8)
+    assert np.array_equal(img, px)
+
+
+def test_decode_tiff_rejects_unsupported():
+    px = np.zeros((2, 2, 3), np.uint8)
+    good = make_tiff(px)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        MM._decode_tiff(b"XX\x00\x00" + b"\x00" * 8)
+    lzw = bytearray(good)
+    # compression tag (259) value: find it in the IFD and set 5 (LZW)
+    at = lzw.find(struct.pack("<HHI", 259, 3, 1))
+    lzw[at + 8] = 5
+    with pytest.raises(ValueError, match="compression"):
+        MM._decode_tiff(bytes(lzw))
+    with pytest.raises(ValueError, match="truncated|short"):
+        MM._decode_tiff(good[: len(good) // 2])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    packbits=st.booleans(),
+    big_endian=st.booleans(),
+    rps=st.integers(min_value=1, max_value=21),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tiff_roundtrip_property(w, h, packbits, big_endian, rps, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    payload = make_tiff(px, big_endian=big_endian, packbits=packbits,
+                        rows_per_strip=min(rps, h))
+    img, ww, hh = MM._decode_tiff(payload)
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(img, px)
