@@ -26,7 +26,8 @@ PNG (stdlib ``zlib`` inflate + numpy scanline unfilter; 8/16-bit
 gray/RGB/GA/RGBA plus 1/2/4/8-bit paletted and sub-byte gray,
 Adam7 interlacing included), GIF87a/89a first-frame (LZW +
 palette + 4-pass interlace), netpbm P2/P3/P5/P6 rasters, baseline
-TIFF (both byte orders, strips, uncompressed + PackBits), and
+TIFF (both byte orders, strips, uncompressed + LZW with the
+horizontal-differencing predictor + PackBits), and
 baseline sequential 8-bit JPEG
 (file-supplied Huffman tables + numpy matmul IDCT;
 progressive/arithmetic variants raise ValueError as a format
@@ -851,13 +852,63 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-flavor LZW (compression 5): 8-bit symbols, clear=256,
+    EOI=257, codes packed MSB-first, and the EARLY code-width change
+    (width grows when the next code to be ADDED would not fit —
+    i.e. at table size 2^width - 1, one sooner than GIF)."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("invalid initial TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+    if len(out) < expect:
+        raise ValueError("truncated TIFF LZW data")
+    return bytes(out[:expect])
+
+
 def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Decode a baseline TIFF (both byte orders): first IFD, strip
-    layout, 8-bit gray or RGB, uncompressed (1) or PackBits (32773).
-    Tiled, LZW/JPEG-compressed, planar, and palette TIFFs raise —
-    format features beyond the baseline profile (LZW-in-TIFF would
-    be implementable like GIF's, but the baseline profile is what
-    scanners/exporters emit uncompressed)."""
+    layout, 8-bit gray or RGB, uncompressed (1), LZW (5, with the
+    early-change width rule and optional horizontal differencing
+    predictor), or PackBits (32773). Tiled, JPEG-compressed, planar,
+    and palette TIFFs raise — format features beyond this baseline
+    profile."""
     if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -899,9 +950,12 @@ def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
     spp = one(277, 1)
     photometric = one(262, 1)
     planar = one(284, 1)
+    predictor = one(317, 1)
     bits = tags.get(258, [8])
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     if planar != 1:
         raise ValueError("unsupported TIFF planar configuration")
     if photometric == 3:
@@ -924,6 +978,8 @@ def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
         n_rows = min(rows_per_strip, height - i * rows_per_strip)
         if compression == 32773:
             raster += _packbits_decode(strip, n_rows * row_bytes)
+        elif compression == 5:
+            raster += _tiff_lzw_decode(strip, n_rows * row_bytes)
         else:
             raster += strip[: n_rows * row_bytes]
     if len(raster) < height * row_bytes:
@@ -931,6 +987,8 @@ def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
     px = np.frombuffer(bytes(raster), np.uint8, height * row_bytes).reshape(
         height, width, spp
     )
+    if predictor == 2:  # horizontal differencing: undo per-row cumsum
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
     if spp == 1:
         if photometric == 0:  # WhiteIsZero
             px = 255 - px

@@ -2233,12 +2233,13 @@ def test_decode_tiff_rejects_unsupported():
     good = make_tiff(px)
     with pytest.raises(ValueError, match="not a TIFF"):
         MM._decode_tiff(b"XX\x00\x00" + b"\x00" * 8)
-    lzw = bytearray(good)
-    # compression tag (259) value: find it in the IFD and set 5 (LZW)
-    at = lzw.find(struct.pack("<HHI", 259, 3, 1))
-    lzw[at + 8] = 5
+    jpg = bytearray(good)
+    # compression tag (259): set 7 (JPEG-in-TIFF) — LZW (5) is
+    # supported since r08, so the boundary moves to codec-bound modes
+    at = jpg.find(struct.pack("<HHI", 259, 3, 1))
+    jpg[at + 8] = 7
     with pytest.raises(ValueError, match="compression"):
-        MM._decode_tiff(bytes(lzw))
+        MM._decode_tiff(bytes(jpg))
     with pytest.raises(ValueError, match="truncated|short"):
         MM._decode_tiff(good[: len(good) // 2])
 
@@ -2259,4 +2260,136 @@ def test_tiff_roundtrip_property(w, h, packbits, big_endian, rps, seed):
                         rows_per_strip=min(rps, h))
     img, ww, hh = MM._decode_tiff(payload)
     assert (ww, hh) == (w, h)
+    assert np.array_equal(img, px)
+
+
+class _TiffLzwWriter:
+    """Independent TIFF-LZW encoder (literal codes, MSB-first, EARLY
+    width change at table size 2^width − 1) for roundtrip tests."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+        self._reset()
+        self._emit(256)  # leading CLEAR, as the spec requires
+
+    def _reset(self) -> None:
+        self.width = 9
+        self.size = 258
+        self.first = True
+
+    def _emit(self, code: int) -> None:
+        self.acc = (self.acc << self.width) | code
+        self.nbits += self.width
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def byte(self, b: int) -> None:
+        self._emit(b)
+        if self.first:
+            self.first = False
+            return
+        self.size += 1
+        if self.size == (1 << self.width) - 1 and self.width < 12:
+            self.width += 1
+        if self.size >= 4093:
+            self._emit(256)
+            self._reset()
+
+    def finish(self) -> bytes:
+        self._emit(257)  # EOI
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(self.out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    w = _TiffLzwWriter()
+    for b in data:
+        w.byte(b)
+    return w.finish()
+
+
+def test_decode_tiff_lzw_roundtrip():
+    rng = np.random.default_rng(109)
+    px = rng.integers(0, 256, (10, 30, 3), dtype=np.uint8)
+    base = make_tiff(px, rows_per_strip=4)
+    # rebuild with LZW strips: reuse make_tiff layout by re-encoding
+    # each strip through the independent writer
+    flat = px.reshape(10, 90)
+    strips = [flat[y:y + 4].tobytes() for y in range(0, 10, 4)]
+    lzw_strips = [_tiff_lzw_encode(s) for s in strips]
+    # easiest: re-run the writer logic with a compression override
+    payload = _make_tiff_with_strips(px.shape, lzw_strips, compression=5)
+    img, w, h = MM._decode_tiff(payload)
+    assert (w, h) == (30, 10)
+    assert np.array_equal(img, px)
+
+
+def _make_tiff_with_strips(shape, strips, compression, rps=4, predictor=1):
+    h, w, spp = shape
+    bo = "<"
+    offsets = []
+    pos = 8
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    extra = bytearray()
+    extra_pos = [pos]
+
+    def val_or_offset(typ, values):
+        fmt = {3: "H", 4: "I"}[typ]
+        sz = {3: 2, 4: 4}[typ] * len(values)
+        if sz <= 4:
+            raw = b"".join(struct.pack(bo + fmt, v) for v in values)
+            return raw + b"\x00" * (4 - sz)
+        off = extra_pos[0]
+        for v in values:
+            extra.extend(struct.pack(bo + fmt, v))
+        extra_pos[0] += sz
+        return struct.pack(bo + "I", off)
+
+    tag_list = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+        (259, 3, [compression]), (262, 3, [2 if spp == 3 else 1]),
+        (273, 4, offsets), (277, 3, [spp]), (278, 4, [rps]),
+        (279, 4, [len(s) for s in strips]), (284, 3, [1]),
+        (317, 3, [predictor]),
+    ]
+    ifd_entries = b""
+    for tag, typ, values in tag_list:
+        ifd_entries += struct.pack(bo + "HHI", tag, typ, len(values))
+        ifd_entries += val_or_offset(typ, values)
+    ifd_off = extra_pos[0]
+    header = b"II*\x00" + struct.pack(bo + "I", ifd_off)
+    ifd = struct.pack(bo + "H", len(tag_list)) + ifd_entries + struct.pack(bo + "I", 0)
+    return header + b"".join(strips) + bytes(extra) + ifd
+
+
+def test_decode_tiff_lzw_with_horizontal_predictor():
+    rng = np.random.default_rng(113)
+    px = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    # horizontal differencing BEFORE compression (mod-256)
+    diff = px.astype(np.int64)
+    diff[:, 1:] = (diff[:, 1:] - diff[:, :-1]) % 256
+    flat = diff.astype(np.uint8).reshape(6, 24)
+    strips = [_tiff_lzw_encode(flat[y:y + 3].tobytes()) for y in range(0, 6, 3)]
+    payload = _make_tiff_with_strips((6, 8, 3), strips, compression=5,
+                                     rps=3, predictor=2)
+    img, w, h = MM._decode_tiff(payload)
+    assert (w, h) == (8, 6)
+    assert np.array_equal(img, px)
+
+
+def test_decode_tiff_lzw_width_growth():
+    """>253 distinct-ish bytes force the 9→10 bit early change; a
+    long buffer crosses the mid-stream CLEAR too."""
+    rng = np.random.default_rng(127)
+    px = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)  # 4800 bytes
+    strips = [_tiff_lzw_encode(px.reshape(40, 120).tobytes())]
+    payload = _make_tiff_with_strips((40, 40, 3), strips, compression=5, rps=40)
+    img, w, h = MM._decode_tiff(payload)
     assert np.array_equal(img, px)
