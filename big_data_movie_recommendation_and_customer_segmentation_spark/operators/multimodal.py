@@ -996,11 +996,55 @@ def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
     return px[:, :, :3], width, height  # drop alpha if present
 
 
+def _decode_ico(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a Windows ICO/CUR: pick the largest directory entry;
+    each image is either an embedded PNG (modern icons — routed to
+    the PNG decoder) or a headerless DIB whose biHeight counts the
+    XOR+AND mask rows (halved here; the AND mask is ignored, matching
+    the BMP path's alpha handling). Paletted DIB entries raise."""
+    if len(payload) < 6:
+        raise ValueError("not an ICO payload")
+    reserved, ico_type, count = struct.unpack_from("<HHH", payload, 0)
+    if reserved != 0 or ico_type not in (1, 2) or count == 0:
+        raise ValueError("not an ICO payload")
+    best = None  # (area, offset, size)
+    for e in range(count):
+        off = 6 + 16 * e
+        if off + 16 > len(payload):
+            raise ValueError("truncated ICO directory")
+        w, h = payload[off], payload[off + 1]
+        w, h = w or 256, h or 256  # 0 means 256
+        size, img_off = struct.unpack_from("<II", payload, off + 8)
+        if best is None or w * h > best[0]:
+            best = (w * h, img_off, size)
+    _, img_off, size = best
+    body = payload[img_off : img_off + size]
+    if len(body) < size:
+        raise ValueError("truncated ICO image data")
+    if body[:8] == _PNG_SIG:
+        return _decode_png(body)
+    if len(body) < 40:
+        raise ValueError("truncated ICO DIB header")
+    header_size = struct.unpack_from("<I", body, 0)[0]
+    if header_size != 40:
+        raise ValueError(f"unsupported ICO DIB header size {header_size}")
+    width, height2 = struct.unpack_from("<ii", body, 4)
+    _planes, bpp = struct.unpack_from("<HH", body, 12)
+    compression = struct.unpack_from("<I", body, 16)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported ICO DIB (compression={compression}, bpp={bpp})")
+    height = abs(height2) // 2  # XOR + AND mask rows
+    if width <= 0 or height <= 0:
+        raise ValueError(f"unsupported ICO dimensions {width}x{height2}")
+    img = _dib_to_rgb(body, width, height, bpp, offset=40, flip=height2 > 0)
+    return img, width, height
+
+
 def _decode_image(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Magic-byte dispatch to the native image decoders. One place to
     know which formats decode: BMP, PNG, GIF, baseline JPEG, netpbm,
-    baseline TIFF. Unknown formats raise NotImplementedError (codec
-    genuinely absent)."""
+    baseline TIFF, ICO. Unknown formats raise NotImplementedError
+    (codec genuinely absent)."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -1013,6 +1057,8 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, int, int]:
         return _decode_pnm(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(payload)
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return _decode_ico(payload)
     raise NotImplementedError(
         "real decode of this image format requires an external codec "
         "library, not present in this environment; BMP, PNG, GIF, "

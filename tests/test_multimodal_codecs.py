@@ -2393,3 +2393,61 @@ def test_decode_tiff_lzw_width_growth():
     payload = _make_tiff_with_strips((40, 40, 3), strips, compression=5, rps=40)
     img, w, h = MM._decode_tiff(payload)
     assert np.array_equal(img, px)
+
+
+# ---------------------------------------------------------------- ICO
+
+
+def make_ico(images: list[tuple[np.ndarray, str]]) -> bytes:
+    """ICO with DIB ('dib') or PNG ('png') entries."""
+    bodies = []
+    for px, kind in images:
+        h, w, _ = px.shape
+        if kind == "png":
+            bodies.append(make_png(px, 2))
+        else:
+            stride = (w * 3 + 3) & ~3
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+            and_stride = ((w + 31) // 32) * 4
+            hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0,
+                len(rows.tobytes()), 0, 0, 0, 0,
+            )
+            bodies.append(hdr + rows.tobytes() + b"\x00" * (and_stride * h))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(images)))
+    data_off = 6 + 16 * len(images)
+    for (px, _), body in zip(images, bodies):
+        h, w, _ = px.shape
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24, len(body), data_off
+        )
+        data_off += len(body)
+    for body in bodies:
+        out += body
+    return bytes(out)
+
+
+def test_decode_ico_dib_entry():
+    rng = np.random.default_rng(131)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    img, w, h = MM._decode_image(make_ico([(px, "dib")]))
+    assert (w, h) == (8, 8)
+    assert np.array_equal(img, px)
+
+
+def test_decode_ico_picks_largest_and_png_entry():
+    rng = np.random.default_rng(137)
+    small = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    img, w, h = MM._decode_ico(make_ico([(small, "dib"), (big, "png")]))
+    assert (w, h) == (16, 16)
+    assert np.array_equal(img, big)
+
+
+def test_decode_ico_rejects_malformed():
+    with pytest.raises(ValueError, match="not an ICO"):
+        MM._decode_ico(b"\x00\x00\x03\x00\x01\x00" + b"\x00" * 20)
+    good = make_ico([(np.zeros((4, 4, 3), np.uint8), "dib")])
+    with pytest.raises(ValueError, match="truncated"):
+        MM._decode_ico(good[:10])
