@@ -28,10 +28,10 @@ Adam7 interlacing included), GIF87a/89a first-frame (LZW +
 palette + 4-pass interlace), netpbm P2/P3/P5/P6 rasters, baseline
 TIFF (both byte orders, strips, uncompressed + LZW with the
 horizontal-differencing predictor + PackBits), and
-baseline sequential 8-bit JPEG
-(file-supplied Huffman tables + numpy matmul IDCT;
-progressive/arithmetic variants raise ValueError as a format
-boundary) — selected by payload magic bytes when ``fake=False``.
+8-bit Huffman JPEG — baseline
+sequential AND progressive (spectral selection + successive
+approximation; file-supplied Huffman tables + numpy matmul IDCT;
+arithmetic/lossless variants raise ValueError as a format boundary) — selected by payload magic bytes when ``fake=False``.
 Formats whose codecs are genuinely absent from this container
 (WebP/MP3/AAC/OGG/MP4, non-MJPEG compressed video) still raise
 ``NotImplementedError``; the dispatch point is
@@ -471,9 +471,10 @@ _JPEG_ZIGZAG = np.array([
     53, 60, 61, 54, 47, 55, 62, 63,
 ], dtype=np.int64)
 
-# markers sharing the SOF payload layout that baseline cannot decode
+# markers sharing the SOF payload layout that Huffman decode cannot
+# cover (progressive — SOF2 — is supported since r08)
 _JPEG_UNSUPPORTED_SOF = {
-    0xC2: "progressive", 0xC3: "lossless", 0xC5: "differential sequential",
+    0xC3: "lossless", 0xC5: "differential sequential",
     0xC6: "differential progressive", 0xC7: "differential lossless",
     0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
     0xCB: "arithmetic lossless", 0xCD: "differential arithmetic sequential",
@@ -559,17 +560,14 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v
 
 
-def _jpeg_decode_block(
-    br: _JpegBitReader,
-    dc_table: dict,
-    ac_table: dict,
-    pred: int,
-    qtable: np.ndarray,
-) -> tuple[np.ndarray, int]:
-    """One 8×8 block: DC diff + run-length AC (T.81 F.2.2), then
-    dequantize, dezigzag, IDCT, level-shift. Returns (pixels, new DC
-    predictor)."""
-    coef = np.zeros(64, dtype=np.float64)
+def _jpeg_seq_block(
+    br: _JpegBitReader, dc_table: dict, ac_table: dict, pred: int
+) -> tuple[list[int], int]:
+    """One sequential 8×8 block: DC diff + run-length AC (T.81
+    F.2.2) into a zigzag-order coefficient list. Returns (coeffs,
+    new DC predictor); dequantize/IDCT happen once all scans are in
+    (shared with the progressive path)."""
+    coef = [0] * 64
     s = _jpeg_huff_decode(br, dc_table)
     if s > 11:
         raise ValueError(f"invalid JPEG DC category {s}")
@@ -589,15 +587,97 @@ def _jpeg_decode_block(
             raise ValueError("JPEG AC coefficient index overflow")
         coef[k] = _jpeg_extend(br.bits(size), size)
         k += 1
-    block = np.zeros(64, dtype=np.float64)
-    block[_JPEG_ZIGZAG] = coef * qtable  # qtable is in zigzag order
-    pix = _JPEG_C.T @ block.reshape(8, 8) @ _JPEG_C + 128.0
-    return pix, pred
+    return coef, pred
 
 
-def _jpeg_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+def _jpeg_ac_first(
+    br: _JpegBitReader, ac_table: dict, coef: list[int],
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """Progressive AC initial scan (Ah=0) for one block (T.81
+    G.1.2.2): run-length coefficients shifted by the point transform,
+    plus EOB-run coding across blocks. Returns the remaining
+    EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_huff_decode(br, ac_table)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += br.bits(run)
+            return eobrun
+        k += run
+        if k > se:
+            raise ValueError("JPEG progressive AC index overflow")
+        coef[k] = _jpeg_extend(br.bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(
+    br: _JpegBitReader, ac_table: dict, coef: list[int],
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """Progressive AC refinement scan (Ah>0) for one block — the IJG
+    correction-bit algorithm (T.81 G.1.2.3): history coefficients
+    absorb one correction bit when visited; zero-history runs place
+    new ±1<<Al coefficients."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(br, ac_table)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    # unlike the first-scan convention, the EOB run
+                    # INCLUDES the current block: its remaining
+                    # coefficients still take correction bits below
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += br.bits(run)
+                    break
+                # ZRL: run of 16 zero-history coefficients, no new value
+            else:
+                if size != 1:
+                    raise ValueError("invalid JPEG AC refinement size")
+                newval = p1 if br.bit() else m1
+            while k <= se:
+                c = coef[k]
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        if newval:
+                            coef[k] = newval
+                        k += 1
+                        break
+                    run -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = coef[k]
+            if c != 0 and br.bit() and (c & p1) == 0:
+                coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_entropy_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     """Split the scan's entropy-coded data at restart markers,
-    removing 0xFF00 byte stuffing. Ends at the first real marker."""
+    removing 0xFF00 byte stuffing. Returns (segments, end_pos) where
+    end_pos sits on the 0xFF of the first real marker after the scan
+    — multi-scan (progressive) streams resume marker parsing there."""
     segments: list[bytearray] = [bytearray()]
     i = pos
     n = len(payload)
@@ -616,16 +696,122 @@ def _jpeg_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
             break  # EOI or another marker ends the scan
         segments[-1].append(b)
         i += 1
-    return [bytes(s) for s in segments]
+    return [bytes(s) for s in segments], min(i, n)
+
+
+def _jpeg_run_scan(
+    segments: list[bytes],
+    scan_comps: list[tuple[int, int, int]],
+    ss: int, se: int, ah: int, al: int, dri: int,
+    huff_dc: dict, huff_ac: dict,
+    coefs: dict, geom: dict, mcux: int, mcuy: int,
+) -> None:
+    """Execute one SOS over the coefficient stores. Four scan kinds
+    (T.81 G.1.2): sequential (Ss=0, Se=63, Ah=Al=0 — possibly the
+    only scan), progressive DC first/refine (Ss=Se=0), progressive
+    AC first/refine (Ss≥1, single component, non-interleaved block
+    order). Restart intervals reset DC predictors and the EOB run."""
+    interleaved = len(scan_comps) > 1
+    if ss == 0 and se == 63 and ah == 0 and al == 0:
+        kind = "seq"
+    elif ss == 0 and se == 0:
+        kind = "dc_first" if ah == 0 else "dc_refine"
+    elif ss >= 1:
+        if interleaved:
+            raise ValueError("JPEG progressive AC scan must be single-component")
+        if ah != 0 and ah != al + 1:
+            raise ValueError("invalid JPEG successive approximation sequence")
+        kind = "ac_first" if ah == 0 else "ac_refine"
+    else:
+        raise ValueError("unsupported JPEG scan parameters")
+
+    if interleaved or kind == "seq":
+        units = mcux * mcuy  # MCU-interleaved (or single-comp sequential MCU grid)
+    else:
+        _h, _v, bw, bh = geom[scan_comps[0][0]]
+        units = bw * bh
+    # single-component "interleaved" scans still walk the component's
+    # true block grid, per spec
+    if len(scan_comps) == 1 and kind in ("seq", "dc_first", "dc_refine"):
+        _h, _v, bw, bh = geom[scan_comps[0][0]]
+        units = bw * bh
+        interleaved = False
+
+    seg_idx = 0
+    br = _JpegBitReader(segments[0])
+    preds = {cid: 0 for cid, _td, _ta in scan_comps}
+    eobrun = 0
+    for m in range(units):
+        if dri and m and m % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart marker")
+            br = _JpegBitReader(segments[seg_idx])
+            preds = {cid: 0 for cid in preds}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(m, mcux)
+            for cid, td, ta in scan_comps:
+                h, v, _bw, _bh = geom[cid]
+                for by in range(v):
+                    for bx in range(h):
+                        blk = coefs[cid][my * v + by][mx * h + bx]
+                        if kind == "seq":
+                            if td not in huff_dc or ta not in huff_ac:
+                                raise ValueError(
+                                    "JPEG references an undeclared DHT table"
+                                )
+                            cf, preds[cid] = _jpeg_seq_block(
+                                br, huff_dc[td], huff_ac[ta], preds[cid]
+                            )
+                            blk[:] = cf
+                        elif kind == "dc_first":
+                            s = _jpeg_huff_decode(br, huff_dc[td])
+                            if s > 11:
+                                raise ValueError(f"invalid JPEG DC category {s}")
+                            preds[cid] += _jpeg_extend(br.bits(s), s) if s else 0
+                            blk[0] = preds[cid] << al
+                        else:  # dc_refine
+                            if br.bit():
+                                blk[0] |= 1 << al
+        else:
+            cid, td, ta = scan_comps[0]
+            _h, _v, bw, bh = geom[cid]
+            by, bx = divmod(m, bw)
+            blk = coefs[cid][by][bx]
+            if kind == "seq":
+                cf, preds[cid] = _jpeg_seq_block(
+                    br, huff_dc[td], huff_ac[ta], preds[cid]
+                )
+                blk[:] = cf
+            elif kind == "dc_first":
+                s = _jpeg_huff_decode(br, huff_dc[td])
+                if s > 11:
+                    raise ValueError(f"invalid JPEG DC category {s}")
+                preds[cid] += _jpeg_extend(br.bits(s), s) if s else 0
+                blk[0] = preds[cid] << al
+            elif kind == "dc_refine":
+                if br.bit():
+                    blk[0] |= 1 << al
+            elif kind == "ac_first":
+                if ta not in huff_ac:
+                    raise ValueError("JPEG references an undeclared DHT table")
+                eobrun = _jpeg_ac_first(br, huff_ac[ta], blk, ss, se, al, eobrun)
+            else:  # ac_refine
+                eobrun = _jpeg_ac_refine(br, huff_ac[ta], blk, ss, se, al, eobrun)
 
 
 def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode a baseline sequential 8-bit JPEG (SOF0/SOF1, Huffman
-    entropy coding, optional restart intervals, 1- or 3-component,
-    integer chroma subsampling ratios) with stdlib ``struct`` + numpy
-    only. Returns (H×W×3 uint8 RGB, width, height); grayscale
-    broadcasts to RGB like the BMP/PNG paths. Non-baseline variants
-    raise ValueError naming the feature."""
+    """Decode an 8-bit Huffman JPEG — baseline sequential (SOF0/1)
+    or progressive (SOF2, spectral selection + successive
+    approximation, r08) — with stdlib ``struct`` + numpy only.
+    Multi-scan architecture: every SOS accumulates into per-component
+    zigzag coefficient stores; dequantize + IDCT run once at the end.
+    Optional restart intervals, 1- or 3-component, integer chroma
+    subsampling. Returns (H×W×3 uint8 RGB, width, height); grayscale
+    broadcasts to RGB like the BMP/PNG paths. Arithmetic-coded,
+    lossless, and hierarchical variants raise ValueError naming the
+    feature."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -633,8 +819,10 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
     huff_ac: dict[int, dict] = {}
     frame = None  # (width, height, comps=(cid, h, v, tq)...)
     dri = 0
-    scan_map = None  # cid → (td, ta)
-    data_pos = None
+    coefs: dict[int, list] = {}  # cid → [blocks_y][blocks_x] zigzag list
+    geom: dict[int, tuple[int, int, int, int]] = {}  # cid → (h, v, bw, bh)
+    max_h = max_v = mcux = mcuy = 0
+    saw_scan = False
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -678,78 +866,85 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
                 table = _jpeg_huff_map(counts, symbols)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {ncomp}")
+            if width <= 0 or height <= 0:
+                raise ValueError(f"unsupported JPEG dimensions {width}x{height}")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (width, height, tuple(comps))
+            max_h = max(c[1] for c in comps)
+            max_v = max(c[2] for c in comps)
+            if max_h < 1 or max_v < 1:
+                raise ValueError("invalid JPEG sampling factors")
+            for _, h, v, _tq in comps:
+                if h < 1 or v < 1 or max_h % h or max_v % v:
+                    raise ValueError("unsupported non-integer JPEG subsampling ratio")
+            mcux = -(-width // (8 * max_h))
+            mcuy = -(-height // (8 * max_v))
+            for cid, h, v, _tq in comps:
+                # interleaved scans cover the padded MCU grid;
+                # non-interleaved scans cover only the true block grid
+                coefs[cid] = [
+                    [[0] * 64 for _ in range(mcux * h)] for _ in range(mcuy * v)
+                ]
+                bw = (-(-width * h // max_h) + 7) // 8
+                bh = (-(-height * v // max_v) + 7) // 8
+                geom[cid] = (h, v, bw, bh)
         elif marker in _JPEG_UNSUPPORTED_SOF:
             raise ValueError(
                 f"unsupported JPEG variant ({_JPEG_UNSUPPORTED_SOF[marker]}); "
-                "only baseline sequential Huffman decodes natively"
+                "only Huffman sequential/progressive decode natively"
             )
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", body, 0)[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, keep parsing
+            if frame is None:
+                raise ValueError("JPEG missing SOF")
             ns = body[0]
-            scan_map = {}
+            scan_comps = []  # (cid, td, ta)
             for c in range(ns):
                 cid, tt = struct.unpack_from(">BB", body, 1 + 2 * c)
-                scan_map[cid] = (tt >> 4, tt & 0x0F)
-            data_pos = pos
-            break  # entropy-coded data follows; single-scan baseline
+                if cid not in coefs:
+                    raise ValueError("JPEG scan references unknown component")
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            ss, se, ahl = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+            ah, al = ahl >> 4, ahl & 0x0F
+            if not (0 <= ss <= se <= 63):
+                raise ValueError("invalid JPEG spectral band")
+            segments, pos = _jpeg_entropy_segments(payload, pos)
+            _jpeg_run_scan(
+                segments, scan_comps, ss, se, ah, al, dri,
+                huff_dc, huff_ac, coefs, geom, mcux, mcuy,
+            )
+            saw_scan = True
         # else: APPn / COM / DNL — skipped
-    if frame is None or scan_map is None or data_pos is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
     width, height, comps = frame
-    if width <= 0 or height <= 0:
-        raise ValueError(f"unsupported JPEG dimensions {width}x{height}")
-    if set(scan_map) != {c[0] for c in comps}:
-        raise ValueError("JPEG scan components do not match frame (multi-scan?)")
 
-    max_h = max(c[1] for c in comps)
-    max_v = max(c[2] for c in comps)
-    if max_h < 1 or max_v < 1:
-        raise ValueError("invalid JPEG sampling factors")
-    for _, h, v, _tq in comps:
-        if h < 1 or v < 1 or max_h % h or max_v % v:
-            raise ValueError("unsupported non-integer JPEG subsampling ratio")
-    mcux = -(-width // (8 * max_h))
-    mcuy = -(-height // (8 * max_v))
-    planes = {
-        cid: np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
-        for cid, h, v, _tq in comps
-    }
-    preds = {cid: 0 for cid, *_ in comps}
-    segments = _jpeg_entropy_segments(payload, data_pos)
-    seg_idx = 0
-    br = _JpegBitReader(segments[0])
-    for m in range(mcux * mcuy):
-        if dri and m and m % dri == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("JPEG missing restart marker")
-            br = _JpegBitReader(segments[seg_idx])
-            preds = {cid: 0 for cid in preds}
-        my, mx = divmod(m, mcux)
-        for cid, h, v, tq in comps:
-            td, ta = scan_map[cid]
-            if td not in huff_dc or ta not in huff_ac or tq not in qt:
-                raise ValueError("JPEG references an undeclared DHT/DQT table")
-            for by in range(v):
-                for bx in range(h):
-                    pix, preds[cid] = _jpeg_decode_block(
-                        br, huff_dc[td], huff_ac[ta], preds[cid], qt[tq]
-                    )
-                    y0 = (my * v + by) * 8
-                    x0 = (mx * h + bx) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+    planes = {}
+    for cid, h, v, tq in comps:
+        if tq not in qt:
+            raise ValueError("JPEG references an undeclared DQT table")
+        plane = np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+        q = qt[tq]
+        rows = coefs[cid]
+        for by in range(len(rows)):
+            for bx in range(len(rows[0])):
+                zz = np.array(rows[by][bx], dtype=np.float64)
+                block = np.zeros(64, dtype=np.float64)
+                block[_JPEG_ZIGZAG] = zz * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _JPEG_C.T @ block.reshape(8, 8) @ _JPEG_C + 128.0
+                )
+        planes[cid] = plane
 
     up = []
     for cid, h, v, _tq in comps:

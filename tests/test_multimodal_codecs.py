@@ -870,16 +870,22 @@ def test_decode_jpeg_restart_intervals_match_unrestarted():
     assert np.array_equal(base, rst)
 
 
-def test_decode_jpeg_rejects_non_baseline_variants():
+def test_decode_jpeg_rejects_non_huffman_variants():
     px = np.zeros((8, 8, 3), np.uint8)
     good = make_jpeg(px)
     with pytest.raises(ValueError, match="not a JPEG"):
         MM._decode_jpeg(b"\x89PNGnope")
+    idx = good.find(bytes([0xFF, 0xC0]))
+    # SOF2 (progressive) is SUPPORTED since r08 — a sequential scan
+    # under an SOF2 marker decodes identically
     prog = bytearray(good)
-    idx = prog.find(bytes([0xFF, 0xC0]))
-    prog[idx + 1] = 0xC2  # rewrite SOF0 → SOF2
-    with pytest.raises(ValueError, match="progressive"):
-        MM._decode_jpeg(bytes(prog))
+    prog[idx + 1] = 0xC2
+    img, _, _ = MM._decode_jpeg(bytes(prog))
+    assert img.shape == (8, 8, 3)
+    lossless = bytearray(good)
+    lossless[idx + 1] = 0xC3
+    with pytest.raises(ValueError, match="lossless"):
+        MM._decode_jpeg(bytes(lossless))
     arith = bytearray(good)
     arith[idx + 1] = 0xC9
     with pytest.raises(ValueError, match="arithmetic"):
@@ -2451,3 +2457,338 @@ def test_decode_ico_rejects_malformed():
     good = make_ico([(np.zeros((4, 4, 3), np.uint8), "dib")])
     with pytest.raises(ValueError, match="truncated"):
         MM._decode_ico(good[:10])
+
+
+# ----------------------------------------- progressive JPEG (r08)
+
+
+class _ProgJpegScanWriter:
+    """Entropy writer for one progressive scan: Huffman symbols via a
+    code map, EOB-run accounting, buffered correction bits — the IJG
+    encoder structure, reimplemented for the roundtrip tests."""
+
+    def __init__(self, codes: dict) -> None:
+        self.codes = codes
+        self.bw = _JBitWriter()
+        self.eobrun = 0
+        self.corr: list[int] = []
+        self.symbols_used: list[int] = []
+
+    def sym(self, s: int) -> None:
+        length, code = self.codes[s]
+        self.bw.write(code, length)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.corr:
+            self.bw.write(b, 1)
+        self.corr = []
+
+
+def _prog_collect_symbols(emit_fn, blocks, *args):
+    """Dry-run an emitter with a symbol-recording fake writer to
+    learn which Huffman symbols the scan needs."""
+    class _Rec:
+        def __init__(self):
+            self.used = set()
+            self.eobrun = 0
+            self.corr = []
+        def sym(self, s):
+            self.used.add(s)
+        def flush_eobrun(self):
+            if self.eobrun > 0:
+                self.used.add((self.eobrun.bit_length() - 1) << 4)
+                self.eobrun = 0
+            self.corr = []
+        class _BW:
+            def write(self, *_a):
+                pass
+        bw = _BW()
+    rec = _Rec()
+    emit_fn(rec, blocks, *args)
+    return rec.used
+
+
+def _emit_dc_first(w, blocks, al):
+    pred = 0
+    for blk in blocks:
+        v = int(blk[0]) >> al  # arithmetic shift (IJG point transform)
+        diff = v - pred
+        pred = v
+        s = _jcat(diff)
+        w.sym(s)
+        if s:
+            w.bw.write(_jbits(diff, s), s)
+
+
+def _emit_dc_refine(w, blocks, al):
+    for blk in blocks:
+        w.bw.write((int(blk[0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(w, blocks, band, al):
+    ss, se = band
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            w.flush_eobrun()
+            while r > 15:
+                w.sym(0xF0)
+                r -= 16
+            s = t.bit_length()
+            w.sym((r << 4) | s)
+            w.bw.write(_jbits(t if v >= 0 else -t, s), s)
+            r = 0
+        if r > 0:  # trailing zeros (possibly the whole band) → EOB run
+            w.eobrun += 1
+            if w.eobrun == 0x7FFF:
+                w.flush_eobrun()
+
+
+def _emit_ac_refine(w, blocks, band, al):
+    ss, se = band
+    for blk in blocks:
+        absv = {}
+        eob = ss - 1
+        for k in range(ss, se + 1):
+            t = abs(int(blk[k])) >> al
+            absv[k] = t
+            if t == 1:
+                eob = k
+        r = 0
+        pend: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                w.flush_eobrun()
+                w.sym(0xF0)
+                r -= 16
+                for b in pend:
+                    w.bw.write(b, 1)
+                pend = []
+            if t > 1:  # history coefficient: correction bit only
+                pend.append(t & 1)
+                continue
+            w.flush_eobrun()
+            w.sym((r << 4) | 1)
+            w.bw.write(1 if int(blk[k]) >= 0 else 0, 1)
+            for b in pend:
+                w.bw.write(b, 1)
+            pend = []
+            r = 0
+        if r > 0 or pend:
+            w.eobrun += 1
+            w.corr.extend(pend)
+            if w.eobrun == 0x7FFF or len(w.corr) > 930:
+                w.flush_eobrun()
+
+
+def make_progressive_jpeg(
+    rgb: np.ndarray,
+    quant: np.ndarray | None = None,
+    bands: tuple = ((1, 5), (6, 63)),
+    successive: bool = False,
+    gray: bool = False,
+) -> bytes:
+    """Progressive JFIF (SOF2), 4:4:4 or grayscale: interleaved DC
+    scan(s) then per-component AC band scans; with ``successive``,
+    every scan family splits into first (Al=1) + refinement (Ah=1,
+    Al=0) passes. Coefficients come from the same forward DCT/quant
+    as make_jpeg, so a baseline encode of the same image decodes to
+    the IDENTICAL pixels — the roundtrip assert."""
+    h, w = rgb.shape[:2]
+    q_raster = np.ones(64) if quant is None else np.asarray(quant, np.float64)
+    q_zz = q_raster[_JZZ]
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+
+    def pad(p):
+        return np.pad(p, ((0, mcuy * 8 - p.shape[0]), (0, mcux * 8 - p.shape[1])),
+                      mode="edge")
+
+    planes = [pad(y)] if gray else [pad(y), pad(cb), pad(cr)]
+    comp_blocks = []
+    for plane in planes:
+        blocks = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+                coef = _jfdct(blk).reshape(64)[_JZZ]
+                blocks.append(np.round(coef / q_zz).astype(np.int64))
+        comp_blocks.append(blocks)
+    ncomp = len(comp_blocks)
+
+    # scan plan: list of (kind, comp_idx or None, band, ah, al)
+    plan = []
+    if successive:
+        plan.append(("dc_first", None, (0, 0), 0, 1))
+        plan.append(("dc_refine", None, (0, 0), 1, 0))
+        for ci in range(ncomp):
+            for band in bands:
+                plan.append(("ac_first", ci, band, 0, 1))
+        for ci in range(ncomp):
+            for band in bands:
+                plan.append(("ac_refine", ci, band, 1, 0))
+    else:
+        plan.append(("dc_first", None, (0, 0), 0, 0))
+        for ci in range(ncomp):
+            for band in bands:
+                plan.append(("ac_first", ci, band, 0, 0))
+
+    emitters = {
+        "dc_first": _emit_dc_first, "dc_refine": _emit_dc_refine,
+        "ac_first": _emit_ac_first, "ac_refine": _emit_ac_refine,
+    }
+
+    def scan_blocks(kind, ci):
+        if ci is not None:
+            return comp_blocks[ci]
+        if ncomp == 1:
+            return comp_blocks[0]
+        # interleaved 4:4:4 MCU order: one block per comp per MCU —
+        # but DC emitters track ONE predictor, so emit per-component
+        # predictors by interleaving manually below
+        return None
+
+    def seg(marker, body_b):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body_b) + 2) + body_b
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(q_zz.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)
+
+    table_id = 0
+    for kind, ci, band, ah, al in plan:
+        # build entropy data (two passes: symbol census → codes)
+        if kind in ("dc_first", "dc_refine") and ci is None and ncomp > 1:
+            # interleaved DC: per-comp predictors, MCU order
+            def emit_dc_interleaved(wtr, _blocks, al_):
+                preds = [0] * ncomp
+                n_mcus = mcux * mcuy
+                for m in range(n_mcus):
+                    for c in range(ncomp):
+                        blk = comp_blocks[c][m]
+                        if kind == "dc_first":
+                            v = int(blk[0]) >> al_
+                            diff = v - preds[c]
+                            preds[c] = v
+                            s = _jcat(diff)
+                            wtr.sym(s)
+                            if s:
+                                wtr.bw.write(_jbits(diff, s), s)
+                        else:
+                            wtr.bw.write((int(blk[0]) >> al_) & 1, 1)
+                wtr.flush_eobrun()
+            emit = emit_dc_interleaved
+            blocks = None
+            args = (al if kind == "dc_first" else al,)
+        else:
+            blocks = scan_blocks(kind, ci if ci is not None else 0)
+            base_emit = emitters[kind]
+            def emit(wtr, blks, *a):
+                base_emit(wtr, blks, *a)
+                wtr.flush_eobrun()
+            args = ((al,) if kind.startswith("dc") else (band, al))
+
+        used = _prog_collect_symbols(emit, blocks, *args) or {0}
+        counts, syms, codes = _jfixed_table(used)
+        wtr = _ProgJpegScanWriter(codes)
+        emit(wtr, blocks, *args)
+        wtr.bw.flush_ones()
+
+        tc = 0 if kind.startswith("dc") else 1
+        out += seg(0xC4, bytes([(tc << 4) | table_id]) + bytes(counts) + bytes(syms))
+        if kind in ("dc_first", "dc_refine") and ci is None:
+            sos = bytes([ncomp])
+            for c in range(ncomp):
+                sos += bytes([c + 1, (table_id << 4) | table_id])
+        else:
+            sos = bytes([1, (ci or 0) + 1, (table_id << 4) | table_id])
+        sos += bytes([band[0], band[1], (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += bytes(wtr.bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_jpeg_matches_baseline_decode():
+    """Spectral-selection progressive (no SA): the scans carry the
+    SAME quantized coefficients as a baseline encode of the image, so
+    both decodes must produce IDENTICAL pixels."""
+    rng = np.random.default_rng(139)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    base_img, _, _ = MM._decode_jpeg(make_jpeg(px))
+    prog_img, w, h = MM._decode_jpeg(make_progressive_jpeg(px))
+    assert (w, h) == (24, 16)
+    assert np.array_equal(prog_img, base_img)
+
+
+def test_progressive_jpeg_successive_approximation_matches_baseline():
+    """Full SA ladder (DC first+refine at Al=1→0, AC first+refine per
+    band): after all refinement scans the coefficients are complete,
+    so the decode must again equal the baseline decode bit-for-bit."""
+    rng = np.random.default_rng(149)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    base_img, _, _ = MM._decode_jpeg(make_jpeg(px))
+    prog = make_progressive_jpeg(px, successive=True)
+    prog_img, w, h = MM._decode_jpeg(prog)
+    assert (w, h) == (16, 16)
+    assert np.array_equal(prog_img, base_img)
+
+
+def test_progressive_jpeg_gray_and_quant():
+    rng = np.random.default_rng(151)
+    gval = rng.integers(0, 256, (12, 9), dtype=np.uint8)
+    px = np.repeat(gval[:, :, None], 3, axis=2)
+    base_img, _, _ = MM._decode_jpeg(make_jpeg(px, gray=True))
+    prog_img, w, h = MM._decode_jpeg(
+        make_progressive_jpeg(px, gray=True, successive=True)
+    )
+    assert (w, h) == (9, 12)
+    assert np.array_equal(prog_img, base_img)
+    # lossy table through the progressive path too
+    px2 = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    b2, _, _ = MM._decode_jpeg(make_jpeg(px2, quant=STD_LUMA_Q))
+    p2, _, _ = MM._decode_jpeg(
+        make_progressive_jpeg(px2, quant=STD_LUMA_Q, successive=True)
+    )
+    assert np.array_equal(p2, b2)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    successive=st.booleans(),
+    three_bands=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_progressive_jpeg_roundtrip_property(w, h, successive, three_bands, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    bands = ((1, 2), (3, 20), (21, 63)) if three_bands else ((1, 5), (6, 63))
+    base_img, _, _ = MM._decode_jpeg(make_jpeg(px))
+    prog_img, ww, hh = MM._decode_jpeg(
+        make_progressive_jpeg(px, bands=bands, successive=successive)
+    )
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(prog_img, base_img)
