@@ -2113,21 +2113,225 @@ def _parse_avi(payload: bytes) -> tuple[list[bytes], int, int, float, int, str]:
     return frames, width, height, fps, bpp, "dib"
 
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate ISO BMFF boxes in data[start:end] as
+    (fourcc, body_start, box_end). Handles 64-bit ``largesize``
+    (size==1) and to-end-of-enclosure boxes (size==0)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("MP4 box overruns its enclosure")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, *path: bytes) -> tuple[int, int]:
+    """Descend a container-box path (e.g. mdia→minf→stbl); returns
+    the body span of the final box or (-1, -1) if absent."""
+    for step in path:
+        found = False
+        for fourcc, b, e in _mp4_boxes(data, start, end):
+            if fourcc == step:
+                start, end, found = b, e, True
+                break
+        if not found:
+            return -1, -1
+    return start, end
+
+
+def _mp4_full_box(data: bytes, body: int) -> tuple[int, int]:
+    """(version, post-version/flags offset) of a FullBox body."""
+    return data[body], body + 4
+
+
+def _mp4_sample_slices(
+    sizes: list[int], stsc: list[tuple[int, int]], chunk_offsets: list[int]
+) -> list[tuple[int, int]]:
+    """Expand stsc run-lengths over the chunk-offset table into
+    absolute (offset, size) per sample — samples are contiguous
+    within a chunk (ISO 14496-12 §8.7.4)."""
+    out: list[tuple[int, int]] = []
+    si, n_chunks = 0, len(chunk_offsets)
+    for idx, (first, spc) in enumerate(stsc):
+        last = stsc[idx + 1][0] - 1 if idx + 1 < len(stsc) else n_chunks
+        for c in range(first, last + 1):
+            if c > n_chunks:
+                break
+            off = chunk_offsets[c - 1]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    return out
+                out.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    return out
+
+
+# QuickTime/BMFF video sample formats that are themselves complete
+# still-image payloads our native decoders already handle.
+_MP4_IMAGE_CODECS = {b"jpeg": "jpeg", b"mjpa": "jpeg", b"png ": "png"}
+
+
+def _mp4_parse_trak(data: bytes, b: int, e: int) -> dict | None:
+    """Parse one trak box into {handler, codec, width/height or
+    channels/sample_rate, timescale, duration, slices}. Returns None
+    for tracks without a sample table."""
+    mdia_b, mdia_e = _mp4_find(data, b, e, b"mdia")
+    if mdia_b < 0:
+        return None
+    track: dict = {"handler": "", "codec": "", "width": 0, "height": 0,
+                   "channels": 0, "sample_rate": 0, "timescale": 0,
+                   "duration": 0, "slices": []}
+    for fourcc, fb, fe in _mp4_boxes(data, mdia_b, mdia_e):
+        if fourcc == b"mdhd":
+            ver, p = _mp4_full_box(data, fb)
+            if ver == 1:
+                track["timescale"] = struct.unpack_from(">I", data, p + 16)[0]
+                track["duration"] = struct.unpack_from(">Q", data, p + 20)[0]
+            else:
+                track["timescale"] = struct.unpack_from(">I", data, p + 8)[0]
+                track["duration"] = struct.unpack_from(">I", data, p + 12)[0]
+        elif fourcc == b"hdlr":
+            _, p = _mp4_full_box(data, fb)
+            track["handler"] = data[p + 4 : p + 8].decode("latin1")
+    stbl_b, stbl_e = _mp4_find(data, mdia_b, mdia_e, b"minf", b"stbl")
+    if stbl_b < 0:
+        return None
+    sizes: list[int] = []
+    stsc: list[tuple[int, int]] = []
+    offsets: list[int] = []
+    for fourcc, fb, fe in _mp4_boxes(data, stbl_b, stbl_e):
+        if fourcc == b"stsd":
+            _, p = _mp4_full_box(data, fb)
+            if struct.unpack_from(">I", data, p)[0] >= 1:
+                entry = p + 4
+                track["codec"] = data[entry + 4 : entry + 8].decode("latin1")
+                body = entry + 8  # past size+format
+                if track["handler"] == "vide":
+                    # VisualSampleEntry: 6 reserved + 2 dri + 16 pre_defined
+                    track["width"] = struct.unpack_from(">H", data, body + 24)[0]
+                    track["height"] = struct.unpack_from(">H", data, body + 26)[0]
+                elif track["handler"] == "soun":
+                    # AudioSampleEntry: 6+2, 8 reserved, ch, bits, 4, rate16.16
+                    track["channels"] = struct.unpack_from(">H", data, body + 16)[0]
+                    track["sample_rate"] = struct.unpack_from(">I", data, body + 24)[0] >> 16
+        elif fourcc == b"stsz":
+            _, p = _mp4_full_box(data, fb)
+            fixed, count = struct.unpack_from(">II", data, p)
+            sizes = [fixed] * count if fixed else list(
+                struct.unpack_from(f">{count}I", data, p + 8)
+            )
+        elif fourcc == b"stsc":
+            _, p = _mp4_full_box(data, fb)
+            count = struct.unpack_from(">I", data, p)[0]
+            stsc = [
+                struct.unpack_from(">II", data, p + 4 + 12 * i)
+                for i in range(count)
+            ]
+        elif fourcc == b"stco":
+            _, p = _mp4_full_box(data, fb)
+            count = struct.unpack_from(">I", data, p)[0]
+            offsets = list(struct.unpack_from(f">{count}I", data, p + 4))
+        elif fourcc == b"co64":
+            _, p = _mp4_full_box(data, fb)
+            count = struct.unpack_from(">I", data, p)[0]
+            offsets = list(struct.unpack_from(f">{count}Q", data, p + 4))
+    track["slices"] = _mp4_sample_slices(sizes, stsc, offsets)
+    return track
+
+
+def _parse_mp4_tracks(payload: bytes) -> list[dict]:
+    """Top-level ISO BMFF walk → per-trak dicts. No codec library:
+    the sample tables (stsd/stsz/stsc/stco/stts) are plain
+    big-endian structs, exactly like the AVI RIFF walk."""
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4/MOV) payload")
+    tracks = []
+    for fourcc, b, e in _mp4_boxes(payload, 0, len(payload)):
+        if fourcc != b"moov":
+            continue
+        for f2, b2, e2 in _mp4_boxes(payload, b, e):
+            if f2 == b"trak":
+                t = _mp4_parse_trak(payload, b2, e2)
+                if t is not None:
+                    tracks.append(t)
+    if not tracks:
+        raise ValueError("MP4 payload has no moov/trak sample tables")
+    return tracks
+
+
+def _parse_mp4_video(
+    payload: bytes,
+) -> tuple[list[bytes], int, int, float, int, str]:
+    """MP4/MOV video leg with the same return contract as
+    ``_parse_avi``. Decodable sample formats are the QuickTime
+    still-image codecs ('jpeg', 'mjpa', 'png ') — each sample is a
+    complete JPEG/PNG payload our native decoders already handle.
+    Inter-frame codecs (avc1/hvc1/vp09/av01/mp4v) raise
+    NotImplementedError: their bitstream decoders genuinely are not
+    in this container; track metadata stays reachable via
+    ``probe_media_metadata``."""
+    vid = next((t for t in _parse_mp4_tracks(payload) if t["handler"] == "vide"), None)
+    if vid is None:
+        raise ValueError("MP4 payload has no video track")
+    codec = _MP4_IMAGE_CODECS.get(vid["codec"].encode("latin1"))
+    if codec is None:
+        raise NotImplementedError(
+            f"MP4 video codec {vid['codec']!r} needs an inter-frame decoder "
+            "(ffmpeg/pyav), not present in this environment; 'jpeg'/'mjpa'/"
+            "'png ' sample tracks decode natively and container metadata is "
+            "available via probe_media_metadata"
+        )
+    n = len(vid["slices"])
+    fps = (
+        n * vid["timescale"] / vid["duration"]
+        if vid["duration"] and vid["timescale"]
+        else 0.0
+    )
+    frames = [payload[o : o + s] for o, s in vid["slices"]]
+    return frames, vid["width"], vid["height"], fps, 24, codec
+
+
+def _parse_video(payload: bytes) -> tuple[list[bytes], int, int, float, int, str]:
+    """Container dispatch for the video leg: RIFF/AVI chunk walk or
+    ISO BMFF (MP4/MOV) box walk, both pure struct parsing."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _parse_avi(payload)
+    if payload[4:8] == b"ftyp":
+        return _parse_mp4_video(payload)
+    raise NotImplementedError(
+        "unrecognized video container (native paths: AVI with DIB/MJPG "
+        "frames, MP4/MOV with jpeg/mjpa/png sample tracks); pass fake=True"
+    )
+
+
 def extract_video_frames(
     df: DataFrame,
     id_col: str = "media_id",
     media_col: str = "media",
     every_n: int = 1,
 ) -> DataFrame:
-    """REAL video frame extraction for uncompressed AVI payloads:
-    RIFF chunk walk (``_parse_avi``) + the same DIB row decode the
-    BMP path uses, every ``every_n``-th frame emitted with its mean
-    RGB and luma — the sampled-frame feature row a vision pipeline
-    trains on. Same Arrow-batched ``mapInPandas`` contract as the
-    image/audio legs: per-batch decode, zero shuffle, memory bounded
-    by batch size × payload. Compressed AVI/MP4 raise (ffmpeg not in
-    this container — declared boundary, same dispatch-point design
-    as images/audio). Output: id, frame_idx, frame_ms, mean_r/g/b,
+    """REAL video frame extraction for AVI (DIB + Motion-JPEG) and
+    MP4/MOV (jpeg/mjpa/png sample tracks) payloads: a RIFF chunk
+    walk or an ISO BMFF box walk (``_parse_video``) + the native
+    DIB/JPEG/PNG frame decoders, every ``every_n``-th frame emitted
+    with its mean RGB and luma — the sampled-frame feature row a
+    vision pipeline trains on. Same Arrow-batched ``mapInPandas``
+    contract as the image/audio legs: per-batch decode, zero
+    shuffle, memory bounded by batch size × payload. Inter-frame
+    codecs (H.264/HEVC/VP9/AV1) raise (ffmpeg not in this container
+    — declared boundary, same dispatch-point design as
+    images/audio). Output: id, frame_idx, frame_ms, mean_r/g/b,
     luma float.
 
     Metadata-only offset sampling (no payload read at all) stays
@@ -2149,10 +2353,12 @@ def extract_video_frames(
         for pdf in it:
             rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                frames, w, h, fps, bpp, codec = _parse_avi(bytes(payload))
+                frames, w, h, fps, bpp, codec = _parse_video(bytes(payload))
                 for i in range(0, len(frames), every_n):
-                    if codec == "mjpg":
+                    if codec in ("mjpg", "jpeg"):
                         img, _fw, _fh = _decode_jpeg(frames[i])
+                    elif codec == "png":
+                        img, _fw, _fh = _decode_png(frames[i])
                     else:
                         img = _dib_to_rgb(frames[i], w, h, bpp)
                     m = img.reshape(-1, 3).mean(axis=0) / 255.0

@@ -2792,3 +2792,199 @@ def test_progressive_jpeg_roundtrip_property(w, h, successive, three_bands, seed
     )
     assert (ww, hh) == (w, h)
     assert np.array_equal(prog_img, base_img)
+
+
+# ---------------------------------------------------------------- MP4/MOV
+
+
+def _b(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + fourcc + body
+
+
+def _fb(fourcc: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _b(fourcc, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+_MP4_UNITY = (
+    struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+)
+
+
+def make_mp4(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    codec: bytes = b"jpeg",
+    timescale: int = 1000,
+    delta: int = 100,
+    samples_per_chunk: int = 2,
+    co64: bool = False,
+    largesize_mdat: bool = False,
+) -> bytes:
+    """Independent minimal ISO BMFF muxer: ftyp + mdat + moov with a
+    single video trak whose sample table (stsd/stts/stsc/stsz/stco or
+    co64) lays the given samples out ``samples_per_chunk`` per chunk.
+    Written from the ISO 14496-12 box layout only, so parsing it back
+    is a genuine roundtrip check, not a shared-code tautology."""
+    ftyp = _b(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp42")
+    mdat_body = b"".join(samples)
+    if largesize_mdat:
+        mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(
+            ">Q", 16 + len(mdat_body)
+        ) + mdat_body
+        data_start = len(ftyp) + 16
+    else:
+        mdat = _b(b"mdat", mdat_body)
+        data_start = len(ftyp) + 8
+    # chunk layout: fixed samples_per_chunk (last chunk may be short)
+    chunk_offsets: list[int] = []
+    off = data_start
+    for i, s in enumerate(samples):
+        if i % samples_per_chunk == 0:
+            chunk_offsets.append(off)
+        off += len(s)
+    n = len(samples)
+    duration = n * delta
+
+    mvhd = _fb(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">ihh", 0x10000, 0x0100, 0)
+        + b"\x00" * 8
+        + _MP4_UNITY
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _fb(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + _MP4_UNITY
+        + struct.pack(">II", width << 16, height << 16),
+        flags=7,
+    )
+    mdhd = _fb(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _fb(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+    entry = _b(
+        codec,
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _fb(b"stsd", struct.pack(">I", 1) + entry)
+    stts = _fb(b"stts", struct.pack(">III", 1, n, delta))
+    n_chunks = len(chunk_offsets)
+    stsc_entries = [(1, samples_per_chunk, 1)]
+    if n % samples_per_chunk and n_chunks > 1:
+        stsc_entries.append((n_chunks, n % samples_per_chunk, 1))
+    stsc = _fb(
+        b"stsc",
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = _fb(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    if co64:
+        stco = _fb(
+            b"co64",
+            struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        stco = _fb(
+            b"stco",
+            struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    stbl = _b(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _fb(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dref = _fb(b"dref", struct.pack(">I", 1) + _fb(b"url ", b"", flags=1))
+    dinf = _b(b"dinf", dref)
+    minf = _b(b"minf", vmhd + dinf + stbl)
+    mdia = _b(b"mdia", mdhd + hdlr + minf)
+    trak = _b(b"trak", tkhd + mdia)
+    moov = _b(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_parse_mp4_jpeg_track_roundtrip():
+    """3 solid-fill JPEG samples (unit quant → near-lossless) in a
+    2-per-chunk layout: parser must reassemble every sample from
+    stsc/stco/stsz and decode to the fills; fps = timescale/delta."""
+    fills = [10, 120, 240]
+    frames = [np.full((8, 8, 3), v, np.uint8) for v in fills]
+    payload = make_mp4(
+        [make_jpeg(f) for f in frames], 8, 8, timescale=3000, delta=100
+    )
+    out, w, h, fps, bpp, codec = MM._parse_mp4_video(payload)
+    assert (w, h, codec, len(out)) == (8, 8, "jpeg", 3)
+    assert fps == pytest.approx(30.0)
+    for raw, want in zip(out, frames):
+        img, fw, fh = MM._decode_jpeg(raw)
+        assert np.abs(img.astype(int) - want.astype(int)).max() <= 2
+
+
+def test_parse_mp4_png_track_and_co64():
+    """'png ' sample track with 64-bit chunk offsets and a largesize
+    mdat — each decoded sample must be bit-exact (PNG is lossless)."""
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (5, 4, 3), np.uint8) for _ in range(3)]
+    payload = make_mp4(
+        [make_png(f, color_type=2) for f in frames],
+        4,
+        5,
+        codec=b"png ",
+        samples_per_chunk=1,
+        co64=True,
+        largesize_mdat=True,
+    )
+    out, w, h, fps, bpp, codec = MM._parse_mp4_video(payload)
+    assert (w, h, codec) == (4, 5, "png")
+    for raw, want in zip(out, frames):
+        img, _, _ = MM._decode_png(raw)
+        assert np.array_equal(img, want)
+
+
+def test_parse_mp4_interframe_codec_raises():
+    payload = make_mp4([b"\x00\x00\x00\x01"], 16, 16, codec=b"avc1")
+    with pytest.raises(NotImplementedError, match="avc1"):
+        MM._parse_mp4_video(payload)
+    with pytest.raises(ValueError, match="BMFF"):
+        MM._parse_mp4_video(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="moov"):
+        MM._parse_mp4_video(_b(b"ftyp", b"isom" + b"\x00" * 4))
+
+
+def test_extract_video_frames_real_mp4(spark):
+    """End-to-end Spark leg over an MP4 payload: per-frame mean RGB
+    of solid fills, frame_ms from the parsed fps."""
+    fills = [0, 60, 180]
+    frames = [np.full((8, 8, 3), v, np.uint8) for v in fills]
+    payload = make_mp4(
+        [make_jpeg(f) for f in frames], 8, 8, timescale=1000, delta=100
+    )
+    df = spark.createDataFrame(
+        [(9, bytearray(payload))], "media_id long, payload binary"
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("video/mp4")).alias("media"),
+    )
+    out = {r["frame_idx"]: r for r in MM.extract_video_frames(df).collect()}
+    assert sorted(out) == [0, 1, 2]
+    for i, r in out.items():
+        assert r["mean_r"] == pytest.approx(fills[i] / 255, abs=2 / 255)
+        assert r["frame_ms"] == 100 * i
