@@ -32,11 +32,19 @@ horizontal-differencing predictor + PackBits), and
 sequential AND progressive (spectral selection + successive
 approximation; file-supplied Huffman tables + numpy matmul IDCT;
 arithmetic/lossless variants raise ValueError as a format boundary) — selected by payload magic bytes when ``fake=False``.
-Formats whose codecs are genuinely absent from this container
-(WebP/MP3/AAC/OGG/MP4, non-MJPEG compressed video) still raise
-``NotImplementedError``; the dispatch point is
-``_decode_image_bytes`` / ``_decode_wav`` so a PIL/pyav
-import-try drops in without touching the Spark plumbing. With
+Video containers parse natively too: AVI (DIB + Motion-JPEG) and
+MP4/MOV (ISO BMFF box walk; jpeg/mjpa/png sample tracks decode,
+inter-frame codecs expose metadata via ``probe_media_metadata``).
+MPEG audio (MP1/MP2/MP3) gets an exact header-level frame walk
+(geometry, duration, VBR) in the same probe. Formats whose
+*bitstream* codecs are genuinely absent from this container
+(WebP/AAC/OGG sample data, MP3 subband synthesis — which needs
+ISO spec constant tables that, unlike PNG/JPEG/FLAC's in-stream
+or derivable entropy coding, cannot be reconstructed here —
+H.264/HEVC/VP9 video) still raise ``NotImplementedError``; the
+dispatch points are ``_decode_image_bytes`` / ``_decode_audio`` /
+``_parse_video`` so a PIL/pyav import-try drops in without
+touching the Spark plumbing. With
 ``fake=True`` (tests/benchmarks over synthetic payloads) features
 are a deterministic function of the bytes. The Spark-side contract
 (schemas, batch iteration, partitioning) is identical in all modes.
@@ -2392,3 +2400,371 @@ def sample_video_frames(
         F.col(id_col),
         F.explode(offsets).alias("frame_ms"),
     )
+
+
+# -------------------------------------------------- metadata probing
+# At 100 TB the first pass over a media lake is never full decode —
+# it is a header-level inventory (what codec, what geometry, what
+# duration, is it decodable here) that drives partitioning, routing
+# and cost estimates for the decode passes that follow. The probes
+# below read only container headers / frame headers, never entropy-
+# coded payloads, so the per-row cost is O(header) not O(media).
+# This is also where MPEG audio (MP3) and inter-frame MP4 video are
+# REAL at the container level even though their bitstream decode
+# stays behind the declared codec boundary: MP3's Layer III decode
+# needs ~2.5k constants of ISO 11172-3 table data (Huffman tables
+# B.7, synthesis window D.1) that — unlike PNG/JPEG/FLAC/GIF, whose
+# entropy coding is carried in-stream or mathematically derivable —
+# cannot be reconstructed from first principles, so shipping a
+# "decoder" here would be unverifiable guesswork. The frame walk
+# (sync, bitrate/samplerate indices, frame sizing, VBR detection)
+# uses only the header-field tables, which are small and exact.
+
+_MPEG_BITRATES = {
+    # (version_group, layer) -> kbps by bitrate index 1..14
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+_MPEG_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mpeg_audio_frame(payload: bytes, pos: int) -> dict | None:
+    """Parse one MPEG-1/2/2.5 audio frame header at ``pos``. Returns
+    {len, samples, rate, kbps, layer, version, channels} or None if
+    the four bytes are not a valid frame header (bad sync, reserved
+    version/layer, free-form or invalid bitrate/samplerate index)."""
+    if pos + 4 > len(payload):
+        return None
+    b0, b1, b2, b3 = payload[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b1 >> 3) & 3
+    layer_bits = (b1 >> 1) & 3
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 1, 2, 3
+    ver_group = 1 if ver_bits == 3 else 2  # MPEG2 and 2.5 share tables
+    br_idx = b2 >> 4
+    sr_idx = (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format or invalid
+    kbps = _MPEG_BITRATES[(ver_group, layer)][br_idx - 1]
+    rate = _MPEG_RATES[ver_bits][sr_idx]
+    pad = (b2 >> 1) & 1
+    if layer == 1:
+        flen = (12 * kbps * 1000 // rate + pad) * 4
+        samples = 384
+    elif layer == 2:
+        flen = 144 * kbps * 1000 // rate + pad
+        samples = 1152
+    else:
+        per = 144 if ver_bits == 3 else 72
+        flen = per * kbps * 1000 // rate + pad
+        samples = 1152 if ver_bits == 3 else 576
+    return {
+        "len": flen,
+        "samples": samples,
+        "rate": rate,
+        "kbps": kbps,
+        "layer": layer,
+        "version": {3: "1", 2: "2", 0: "2.5"}[ver_bits],
+        "channels": 1 if (b3 >> 6) == 3 else 2,
+    }
+
+
+def _probe_mpeg_audio(payload: bytes) -> dict:
+    """Frame-walk an MP1/MP2/MP3 stream: skip ID3v2 (syncsafe size),
+    resync to the first valid header, then require contiguous frames
+    (tolerating a trailing ID3v1 'TAG' block or <4 bytes of slack).
+    Aggregates exact sample-count duration and mean bitrate; a
+    stream whose frames disagree on bitrate is VBR."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        ss = payload[6:10]
+        pos = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    first = None
+    while pos + 4 <= len(payload):
+        first = _mpeg_audio_frame(payload, pos)
+        if first is not None:
+            # guard against a sync-looking byte pair inside junk: the
+            # next frame must also parse (or the stream ends there)
+            nxt = pos + first["len"]
+            if nxt >= len(payload) - 4 or _mpeg_audio_frame(payload, nxt):
+                break
+            first = None
+        pos += 1
+    if first is None:
+        raise ValueError("no MPEG audio frame sync found")
+    n_frames = n_samples = 0
+    kbps_sum = 0
+    kbps_seen: set[int] = set()
+    while pos + 4 <= len(payload):
+        fr = _mpeg_audio_frame(payload, pos)
+        if fr is None:
+            if payload[pos : pos + 3] == b"TAG" or len(payload) - pos < 4:
+                break
+            raise ValueError(f"MPEG audio frame sync lost at byte {pos}")
+        n_frames += 1
+        n_samples += fr["samples"]
+        kbps_sum += fr["kbps"]
+        kbps_seen.add(fr["kbps"])
+        pos += fr["len"]
+    return {
+        "container": "mpeg-audio",
+        "stream": "audio",
+        "codec": f"mp{first['layer']}"
+        + ("" if first["version"] == "1" else f"v{first['version']}"),
+        "sample_rate": first["rate"],
+        "channels": first["channels"],
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_ms": int(n_samples * 1000 / first["rate"]),
+        "bitrate_kbps": round(kbps_sum / n_frames, 3),
+        "vbr": len(kbps_seen) > 1,
+    }
+
+
+def _probe_image_header(payload: bytes) -> dict | None:
+    """Header-only (no raster decode) geometry for the native image
+    formats; JPEG walks markers to the first SOF. Returns None when
+    the payload is not a recognized image."""
+    codec = w = h = None
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        codec = "bmp"
+        w, h = struct.unpack_from("<ii", payload, 18)
+        h = abs(h)
+    elif payload[:8] == _PNG_SIG and len(payload) >= 24:
+        codec = "png"
+        w, h = struct.unpack_from(">II", payload, 16)
+    elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        codec = "gif"
+        w, h = struct.unpack_from("<HH", payload, 6)
+    elif payload[:2] == b"\xff\xd8":
+        codec = "jpeg"
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg = struct.unpack_from(">H", payload, pos + 2)[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                break
+            pos += 2 + seg
+        if w is None:
+            raise ValueError("JPEG has no SOF marker")
+    elif payload[:1] == b"P" and payload[1:2] in b"2356":
+        codec = "pnm"
+        toks = payload[:200].split()
+        w, h = int(toks[1]), int(toks[2])
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        codec = "tiff"
+        endian = "<" if payload[:2] == b"II" else ">"
+        ifd = struct.unpack_from(f"{endian}I", payload, 4)[0]
+        count = struct.unpack_from(f"{endian}H", payload, ifd)[0]
+        for i in range(count):
+            tag, _typ, _n, val = struct.unpack_from(
+                f"{endian}HHII", payload, ifd + 2 + 12 * i
+            )
+            # SHORT values sit in the low 16 bits of the value slot
+            # on little-endian, the HIGH 16 on big-endian
+            if _typ == 3:
+                val = val & 0xFFFF if endian == "<" else val >> 16
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+    elif payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        codec = "ico"
+        n = struct.unpack_from("<H", payload, 4)[0]
+        best = 0
+        for i in range(n):
+            ew = payload[6 + 16 * i] or 256
+            eh = payload[7 + 16 * i] or 256
+            if ew * eh >= best:
+                best, w, h = ew * eh, ew, eh
+    if codec is None:
+        return None
+    return {"container": "image", "stream": "image", "codec": codec,
+            "width": int(w), "height": int(h)}
+
+
+def _probe_media(payload: bytes) -> list[dict]:
+    """Dispatch a payload to its header-level probe. Returns one dict
+    per stream/track (MP4 can carry several); every dict has at least
+    container/stream/codec. Unknown formats raise ValueError."""
+    img = _probe_image_header(payload)
+    if img is not None:
+        return [img]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        frames, w, h, fps, bpp, codec = _parse_avi(payload)
+        return [{
+            "container": "avi", "stream": "video", "codec": codec,
+            "width": w, "height": h, "fps": round(fps, 3),
+            "n_frames": len(frames),
+            "duration_ms": int(len(frames) * 1000 / fps) if fps else 0,
+        }]
+    if payload[4:8] == b"ftyp":
+        out = []
+        for t in _parse_mp4_tracks(payload):
+            dur_ms = (
+                int(t["duration"] * 1000 / t["timescale"]) if t["timescale"] else 0
+            )
+            row = {
+                "container": "mp4", "codec": t["codec"].strip(),
+                "duration_ms": dur_ms,
+            }
+            if t["handler"] == "vide":
+                n = len(t["slices"])
+                row.update(
+                    stream="video", width=t["width"], height=t["height"],
+                    n_frames=n,
+                    fps=round(n * 1000 / dur_ms, 3) if dur_ms else 0.0,
+                )
+            elif t["handler"] == "soun":
+                row.update(
+                    stream="audio", sample_rate=t["sample_rate"],
+                    channels=t["channels"], n_samples=len(t["slices"]),
+                )
+            else:
+                row.update(stream=t["handler"] or "other")
+            out.append(row)
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, fmt, data_len = 12, None, 0
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt " and size >= 16:
+                fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)
+        if fmt is None:
+            raise ValueError("WAV missing fmt chunk")
+        tag, n_ch, rate, _br, block_align, bits = fmt
+        codec = {1: "pcm", 3: "float", 6: "alaw", 7: "mulaw", 0x11: "ima-adpcm",
+                 0x55: "mp3"}.get(tag, f"tag-{tag}")
+        if tag == 0x11 and block_align >= 4 * n_ch:
+            per_block = 1 + 2 * (block_align // n_ch - 4)
+            n_samples = data_len // block_align * per_block
+        elif bits and n_ch:
+            n_samples = data_len * 8 // (bits * n_ch)
+        else:
+            n_samples = 0
+        return [{
+            "container": "wav", "stream": "audio", "codec": codec,
+            "sample_rate": rate, "channels": n_ch, "n_samples": n_samples,
+            "duration_ms": int(n_samples * 1000 / rate) if rate else 0,
+        }]
+    if payload[:4] == b"fLaC" and len(payload) >= 42:
+        packed = int.from_bytes(payload[4 + 4 + 10 : 4 + 4 + 18], "big")
+        rate = packed >> 44
+        n_ch = ((packed >> 41) & 0x7) + 1
+        total = packed & ((1 << 36) - 1)
+        return [{
+            "container": "flac", "stream": "audio", "codec": "flac",
+            "sample_rate": rate, "channels": n_ch, "n_samples": total,
+            "duration_ms": int(total * 1000 / rate) if rate else 0,
+        }]
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = struct.unpack_from(">I", payload, pos + 4)[0]
+            if cid == b"COMM" and size >= 18:
+                n_ch, frames, _bits = struct.unpack_from(">HIH", payload, pos + 8)
+                exp = struct.unpack_from(">H", payload, pos + 16)[0] & 0x7FFF
+                mant = int.from_bytes(payload[pos + 18 : pos + 26], "big")
+                rate = int(round(mant * 2.0 ** (exp - 16383 - 63))) if mant else 0
+                return [{
+                    "container": "aiff", "stream": "audio",
+                    "codec": "pcm" if payload[8:12] == b"AIFF" else "aifc",
+                    "sample_rate": rate, "channels": n_ch, "n_samples": frames,
+                    "duration_ms": int(frames * 1000 / rate) if rate else 0,
+                }]
+            pos += 8 + size + (size & 1)
+        raise ValueError("AIFF missing COMM chunk")
+    if payload[:4] == b".snd" and len(payload) >= 24:
+        offset, size, enc, rate, n_ch = struct.unpack_from(">IIIII", payload, 4)
+        width = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 27: 1}.get(enc, 0)
+        if size == 0xFFFFFFFF:
+            size = max(0, len(payload) - offset)
+        n_samples = size // (width * n_ch) if width and n_ch else 0
+        return [{
+            "container": "au", "stream": "audio",
+            "codec": {1: "mulaw", 2: "pcm8", 3: "pcm16", 27: "alaw"}.get(
+                enc, f"enc-{enc}"
+            ),
+            "sample_rate": rate, "channels": n_ch, "n_samples": n_samples,
+            "duration_ms": int(n_samples * 1000 / rate) if rate else 0,
+        }]
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 4 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return [_probe_mpeg_audio(payload)]
+    raise ValueError("unrecognized media container")
+
+
+_PROBE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("track", T.IntegerType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("stream", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("fps", T.DoubleType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("bitrate_kbps", T.DoubleType()),
+    T.StructField("vbr", T.BooleanType()),
+])
+
+
+def probe_media_metadata(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Header-level media inventory: one output row per stream/track
+    with container, codec, geometry, duration and bitrate — the
+    first pass a 100 TB media lake actually runs (routing/costing
+    for later decode passes), reading headers only, never
+    entropy-coded data. Arrow-batched ``mapInPandas``, zero shuffle,
+    same contract as the decode legs. Formats covered: every native
+    decoder's container (BMP/PNG/GIF/JPEG/PNM/TIFF/ICO, WAV/FLAC/
+    AIFF/AU, AVI, MP4/MOV incl. avc1-style tracks whose *decode* is
+    out of scope) plus MPEG audio (MP1/MP2/MP3) via an exact frame
+    walk with ID3 handling and VBR detection."""
+    out_fields = {f.name for f in _PROBE_SCHEMA.fields}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {name: [] for name in out_fields}
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                for ti, meta in enumerate(_probe_media(bytes(payload))):
+                    rows["media_id"].append(mid)
+                    rows["track"].append(ti)
+                    for f in _PROBE_SCHEMA.fields[2:]:
+                        rows[f.name].append(meta.get(f.name))
+            yield pd.DataFrame(rows)[[f.name for f in _PROBE_SCHEMA.fields]]
+
+    flat = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(f"{media_col}.payload").alias("payload"),
+    )
+    return flat.mapInPandas(batches, _PROBE_SCHEMA)

@@ -2820,6 +2820,7 @@ def make_mp4(
     samples_per_chunk: int = 2,
     co64: bool = False,
     largesize_mdat: bool = False,
+    audio: tuple[int, int, list[bytes]] | None = None,
 ) -> bytes:
     """Independent minimal ISO BMFF muxer: ftyp + mdat + moov with a
     single video trak whose sample table (stsd/stts/stsc/stsz/stco or
@@ -2827,7 +2828,8 @@ def make_mp4(
     Written from the ISO 14496-12 box layout only, so parsing it back
     is a genuine roundtrip check, not a shared-code tautology."""
     ftyp = _b(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp42")
-    mdat_body = b"".join(samples)
+    audio_samples = audio[2] if audio else []
+    mdat_body = b"".join(samples) + b"".join(audio_samples)
     if largesize_mdat:
         mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(
             ">Q", 16 + len(mdat_body)
@@ -2917,7 +2919,58 @@ def make_mp4(
     minf = _b(b"minf", vmhd + dinf + stbl)
     mdia = _b(b"mdia", mdhd + hdlr + minf)
     trak = _b(b"trak", tkhd + mdia)
-    moov = _b(b"moov", mvhd + trak)
+    traks = trak
+    if audio:
+        a_rate, a_ch, _ = audio
+        a_n = len(audio_samples)
+        a_offsets = []
+        for s in audio_samples:
+            a_offsets.append(off)
+            off += len(s)
+        a_mdhd = _fb(
+            b"mdhd",
+            struct.pack(">IIII", 0, 0, a_rate, a_n * 1024)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        a_hdlr = _fb(
+            b"hdlr", struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"\x00"
+        )
+        a_entry = _b(
+            b"mp4a",
+            b"\x00" * 6
+            + struct.pack(">H", 1)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", a_ch, 16, 0, 0)
+            + struct.pack(">I", a_rate << 16),
+        )
+        a_stsd = _fb(b"stsd", struct.pack(">I", 1) + a_entry)
+        a_stts = _fb(b"stts", struct.pack(">III", 1, a_n, 1024))
+        a_stsc = _fb(b"stsc", struct.pack(">IIII", 1, 1, 1, 1))
+        a_stsz = _fb(
+            b"stsz",
+            struct.pack(">II", 0, a_n)
+            + b"".join(struct.pack(">I", len(s)) for s in audio_samples),
+        )
+        a_stco = _fb(
+            b"stco",
+            struct.pack(">I", a_n)
+            + b"".join(struct.pack(">I", o) for o in a_offsets),
+        )
+        a_stbl = _b(b"stbl", a_stsd + a_stts + a_stsc + a_stsz + a_stco)
+        a_smhd = _fb(b"smhd", struct.pack(">HH", 0, 0))
+        a_minf = _b(b"minf", a_smhd + dinf + a_stbl)
+        a_mdia = _b(b"mdia", a_mdhd + a_hdlr + a_minf)
+        a_tkhd = _fb(
+            b"tkhd",
+            struct.pack(">IIIII", 0, 0, 2, 0, duration)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0x0100, 0)
+            + _MP4_UNITY
+            + struct.pack(">II", 0, 0),
+            flags=7,
+        )
+        traks += _b(b"trak", a_tkhd + a_mdia)
+    moov = _b(b"moov", mvhd + traks)
     return ftyp + mdat + moov
 
 
@@ -2988,3 +3041,165 @@ def test_extract_video_frames_real_mp4(spark):
     for i, r in out.items():
         assert r["mean_r"] == pytest.approx(fills[i] / 255, abs=2 / 255)
         assert r["frame_ms"] == 100 * i
+
+
+# -------------------------------------------------- metadata probes
+
+
+_V1L3_KBPS = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_V2L3_KBPS = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+
+def make_mp3(
+    kbps_seq: list[int],
+    rate: int = 44100,
+    mono: bool = False,
+    mpeg2: bool = False,
+    id3v2_bytes: int = 0,
+    id3v1: bool = False,
+) -> bytes:
+    """Build an MPEG Layer III stream frame-by-frame from the header
+    spec (ISO 11172-3 §2.4.1.3) with deterministic junk payloads —
+    independent framing logic, so the probe's walk is a real check."""
+    table = _V2L3_KBPS if mpeg2 else _V1L3_KBPS
+    ver_bits = 2 if mpeg2 else 3
+    sr_tab = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000)}[ver_bits]
+    sr_idx = sr_tab.index(rate)
+    out = bytearray()
+    if id3v2_bytes:
+        body = bytes(id3v2_bytes)
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3v2_bytes >> s) & 0x7F for s in (21, 14, 7, 0)]
+        ) + body
+    per = 72 if mpeg2 else 144
+    for fi, kbps in enumerate(kbps_seq):
+        br_idx = table.index(kbps) + 1
+        pad = fi % 2  # exercise the padding bit
+        flen = per * kbps * 1000 // rate + pad
+        hdr = bytes([
+            0xFF,
+            0xE0 | (ver_bits << 3) | (1 << 1) | 1,  # layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+            0xC0 if mono else 0x00,
+        ])
+        body = bytes((fi * 7 + i) % 251 for i in range(flen - 4))
+        out += hdr + body
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+def test_probe_mp3_cbr():
+    p = make_mp3([128] * 5)
+    (m,) = MM._probe_media(p)
+    assert m["codec"] == "mp3" and m["container"] == "mpeg-audio"
+    assert (m["sample_rate"], m["channels"]) == (44100, 2)
+    assert (m["n_frames"], m["n_samples"]) == (5, 5 * 1152)
+    assert m["duration_ms"] == int(5 * 1152 * 1000 / 44100)
+    assert m["bitrate_kbps"] == 128.0 and m["vbr"] is False
+
+
+def test_probe_mp3_vbr_id3_and_resync():
+    p = make_mp3([128, 192, 64, 128], id3v2_bytes=64, id3v1=True)
+    (m,) = MM._probe_media(p)
+    assert m["vbr"] is True
+    assert m["bitrate_kbps"] == pytest.approx((128 + 192 + 64 + 128) / 4)
+    # junk prefix instead of ID3: walker must resync on a verified header
+    junk = b"\x00\xffapplesauce" + make_mp3([96] * 3, mono=True)
+    (m2,) = [MM._probe_mpeg_audio(junk)]
+    assert (m2["n_frames"], m2["channels"]) == (3, 1)
+    with pytest.raises(ValueError, match="sync"):
+        MM._probe_mpeg_audio(b"\x00" * 100)
+
+
+def test_probe_mp3_mpeg2_granule():
+    p = make_mp3([64] * 4, rate=22050, mpeg2=True)
+    (m,) = MM._probe_media(p)
+    assert m["codec"] == "mp3v2"
+    assert m["n_samples"] == 4 * 576 and m["sample_rate"] == 22050
+
+
+def test_probe_images_header_only():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (7, 5, 3), np.uint8)
+    cases = {
+        "bmp": make_bmp(px),
+        "png": make_png(px, color_type=2),
+        "jpeg": make_jpeg(px),
+        "gif": make_gif(np.zeros((7, 5), np.uint8), np.zeros((1, 3), np.uint8)),
+    }
+    for codec, payload in cases.items():
+        (m,) = MM._probe_media(payload)
+        assert (m["codec"], m["width"], m["height"]) == (codec, 5, 7), codec
+    # progressive JPEG still probes (SOF2) without full decode
+    (m,) = MM._probe_media(bytes(make_progressive_jpeg(px)))
+    assert (m["codec"], m["width"], m["height"]) == ("jpeg", 5, 7)
+
+
+def test_probe_audio_containers():
+    x = (np.sin(np.linspace(0, 20, 800)) * 20000).astype(np.int16)
+    (m,) = MM._probe_media(make_wav(x, rate=8000))
+    assert (m["codec"], m["sample_rate"], m["n_samples"]) == ("pcm", 8000, 800)
+    assert m["duration_ms"] == 100
+    (m,) = MM._probe_media(make_aiff(x, rate=8000))
+    assert (m["codec"], m["container"], m["n_samples"]) == ("pcm", "aiff", 800)
+    (m,) = MM._probe_media(make_au(x.astype(">i2").tobytes(), enc=3, rate=8000))
+    assert (m["codec"], m["n_samples"]) == ("pcm16", 800)
+    flac = make_flac([x.tolist()], rate=8000)
+    (m,) = MM._probe_media(flac)
+    assert (m["codec"], m["sample_rate"], m["n_samples"]) == ("flac", 8000, 800)
+
+
+def test_probe_mp4_multitrack_and_avi():
+    frames = [np.full((8, 8, 3), 90, np.uint8)] * 2
+    p = make_mp4(
+        [make_jpeg(f) for f in frames], 8, 8,
+        audio=(16000, 2, [b"\x01\x02", b"\x03\x04\x05"]),
+    )
+    rows = {m["stream"]: m for m in MM._probe_media(p)}
+    v, a = rows["video"], rows["audio"]
+    assert (v["codec"], v["width"], v["height"], v["n_frames"]) == ("jpeg", 8, 8, 2)
+    assert v["fps"] == pytest.approx(10.0)
+    assert (a["codec"], a["sample_rate"], a["channels"], a["n_samples"]) == (
+        "mp4a", 16000, 2, 2,
+    )
+    # avc1: metadata probes fine even though decode raises
+    h264 = make_mp4([b"\x00\x00\x01e"], 64, 32, codec=b"avc1")
+    (v2,) = MM._probe_media(h264)
+    assert (v2["codec"], v2["width"], v2["height"]) == ("avc1", 64, 32)
+    (mavi,) = MM._probe_media(make_avi(frames, fps=10))
+    assert (mavi["container"], mavi["codec"], mavi["n_frames"]) == ("avi", "dib", 2)
+    with pytest.raises(ValueError, match="unrecognized"):
+        MM._probe_media(b"\x00\x01\x02\x03not-a-container")
+
+
+def test_probe_media_metadata_spark(spark):
+    """End-to-end Spark leg: mixed-format payloads in one batch, one
+    row per stream, schema stable, nulls where a field is n/a."""
+    px = np.full((4, 6, 3), 10, np.uint8)
+    x = (np.zeros(160)).astype(np.int16)
+    payloads = [
+        (1, make_png(px, color_type=2)),
+        (2, make_mp3([128] * 3)),
+        (3, make_wav(x, rate=16000)),
+        (4, make_mp4([make_jpeg(px)], 6, 4, audio=(8000, 1, [b"\x00"]))),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads],
+        "media_id long, payload binary",
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("application/octet-stream")).alias(
+            "media"
+        ),
+    )
+    out = MM.probe_media_metadata(df).collect()
+    by_key = {(r["media_id"], r["track"]): r for r in out}
+    assert len(out) == 5  # png, mp3, wav, mp4-video, mp4-audio
+    assert by_key[(1, 0)]["codec"] == "png" and by_key[(1, 0)]["width"] == 6
+    assert by_key[(1, 0)]["sample_rate"] is None
+    assert by_key[(2, 0)]["n_samples"] == 3 * 1152
+    assert by_key[(2, 0)]["vbr"] is False
+    assert by_key[(3, 0)]["duration_ms"] == 10
+    assert by_key[(4, 0)]["stream"] == "video"
+    assert by_key[(4, 1)]["stream"] == "audio"
