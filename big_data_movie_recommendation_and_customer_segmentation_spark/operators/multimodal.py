@@ -2709,6 +2709,11 @@ def _probe_media(payload: bytes) -> list[dict]:
             "sample_rate": rate, "channels": n_ch, "n_samples": n_samples,
             "duration_ms": int(n_samples * 1000 / rate) if rate else 0,
         }]
+    if payload[:4] == b"OggS":
+        return _probe_ogg(payload)
+    if len(payload) >= 7 and payload[0] == 0xFF and (payload[1] & 0xF6) == 0xF0:
+        # 0xFFF sync with layer bits 00 — ADTS AAC, not MPEG-1/2 audio
+        return [_probe_adts_aac(payload)]
     if payload[:3] == b"ID3" or (
         len(payload) >= 4 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):
@@ -2748,8 +2753,12 @@ def probe_media_metadata(
     same contract as the decode legs. Formats covered: every native
     decoder's container (BMP/PNG/GIF/JPEG/PNM/TIFF/ICO, WAV/FLAC/
     AIFF/AU, AVI, MP4/MOV incl. avc1-style tracks whose *decode* is
-    out of scope) plus MPEG audio (MP1/MP2/MP3) via an exact frame
-    walk with ID3 handling and VBR detection."""
+    out of scope), MPEG audio (MP1/MP2/MP3) via an exact frame walk
+    with ID3 handling and VBR detection, ADTS AAC (the explicit
+    13-bit per-frame length makes the walk exact), and Ogg physical
+    streams (Vorbis/Opus/Theora/FLAC identification headers + exact
+    durations from final granule positions, including Theora's
+    keyframe-shift granule split)."""
     out_fields = {f.name for f in _PROBE_SCHEMA.fields}
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2768,3 +2777,140 @@ def probe_media_metadata(
         F.col(f"{media_col}.payload").alias("payload"),
     )
     return flat.mapInPandas(batches, _PROBE_SCHEMA)
+
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000)
+
+
+def _probe_adts_aac(payload: bytes) -> dict:
+    """Walk an ADTS AAC stream. Every frame header carries its own
+    13-bit frame length, so the walk is exact without touching the
+    AAC payload; 1024 samples per raw data block."""
+    pos = n_frames = n_samples = 0
+    rate = channels = None
+    while pos + 7 <= len(payload):
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xF6) != 0xF0:
+            if len(payload) - pos < 7:
+                break
+            raise ValueError(f"ADTS sync lost at byte {pos}")
+        sr_idx = (payload[pos + 2] >> 2) & 0xF
+        if sr_idx >= len(_ADTS_RATES):
+            raise ValueError(f"reserved ADTS sampling index {sr_idx}")
+        ch = ((payload[pos + 2] & 1) << 2) | (payload[pos + 3] >> 6)
+        flen = ((payload[pos + 3] & 0x03) << 11) | (payload[pos + 4] << 3) | (
+            payload[pos + 5] >> 5
+        )
+        if flen < 7:
+            raise ValueError("invalid ADTS frame length")
+        blocks = (payload[pos + 6] & 0x03) + 1
+        if rate is None:
+            rate, channels = _ADTS_RATES[sr_idx], ch
+        n_frames += 1
+        n_samples += 1024 * blocks
+        pos += flen
+    if rate is None:
+        raise ValueError("no ADTS frame found")
+    return {
+        "container": "adts", "stream": "audio", "codec": "aac",
+        "sample_rate": rate, "channels": channels,
+        "n_frames": n_frames, "n_samples": n_samples,
+        "duration_ms": int(n_samples * 1000 / rate),
+    }
+
+
+def _ogg_pages(payload: bytes):
+    """Yield (serial, granulepos, is_bos, first_packet_prefix) per Ogg
+    page — header-only framing walk (RFC 3533), CRC not rechecked."""
+    pos = 0
+    while pos + 27 <= len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"Ogg capture pattern lost at byte {pos}")
+        header_type = payload[pos + 5]
+        granule = struct.unpack_from("<q", payload, pos + 6)[0]
+        serial = struct.unpack_from("<I", payload, pos + 14)[0]
+        n_segs = payload[pos + 26]
+        segs = payload[pos + 27 : pos + 27 + n_segs]
+        body = pos + 27 + n_segs
+        yield serial, granule, bool(header_type & 0x02), payload[
+            body : body + min(64, sum(segs))
+        ]
+        pos = body + sum(segs)
+
+
+def _probe_ogg(payload: bytes) -> list[dict]:
+    """Ogg logical streams via their BOS identification headers —
+    Vorbis/Opus/Theora/FLAC-in-Ogg carry rate/geometry there in the
+    clear — plus exact durations from each stream's final granule
+    position (PCM sample count for audio, frame index for Theora)."""
+    streams: dict[int, dict] = {}
+    last_granule: dict[int, int] = {}
+    for serial, granule, is_bos, head in _ogg_pages(payload):
+        if granule >= 0:
+            last_granule[serial] = granule
+        if not is_bos:
+            continue
+        if head[:7] == b"\x01vorbis":
+            channels = head[11]
+            rate = struct.unpack_from("<I", head, 12)[0]
+            nominal = struct.unpack_from("<i", head, 20)[0]
+            streams[serial] = {
+                "container": "ogg", "stream": "audio", "codec": "vorbis",
+                "sample_rate": rate, "channels": channels,
+                "bitrate_kbps": round(nominal / 1000, 3) if nominal > 0 else None,
+            }
+        elif head[:8] == b"OpusHead":
+            channels = head[9]
+            preskip = struct.unpack_from("<H", head, 10)[0]
+            streams[serial] = {
+                "container": "ogg", "stream": "audio", "codec": "opus",
+                # Opus always decodes at 48 kHz; granulepos is 48 kHz ticks
+                "sample_rate": 48000, "channels": channels,
+                "_preskip": preskip,
+            }
+        elif head[:7] == b"\x80theora":
+            picw = int.from_bytes(head[14:17], "big")
+            pich = int.from_bytes(head[17:20], "big")
+            frn = struct.unpack_from(">I", head, 22)[0]
+            frd = struct.unpack_from(">I", head, 26)[0]
+            # granulepos = keyframe_number << KFGSHIFT | delta
+            kfg = (struct.unpack_from(">H", head, 40)[0] >> 5) & 0x1F
+            streams[serial] = {
+                "container": "ogg", "stream": "video", "codec": "theora",
+                "width": picw, "height": pich,
+                "fps": round(frn / frd, 3) if frd else 0.0,
+                "_kfgshift": kfg,
+            }
+        elif head[:5] == b"\x7fFLAC":
+            packed = int.from_bytes(head[9 + 4 + 10 : 9 + 4 + 18], "big")
+            streams[serial] = {
+                "container": "ogg", "stream": "audio", "codec": "flac",
+                "sample_rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+            }
+        else:
+            streams[serial] = {
+                "container": "ogg", "stream": "other",
+                "codec": head[:8].decode("latin1", "replace").strip("\x00 "),
+            }
+    if not streams:
+        raise ValueError("Ogg payload has no BOS identification header")
+    out = []
+    for serial, meta in streams.items():
+        g = last_granule.get(serial)
+        if g is not None:
+            if meta.get("codec") == "opus":
+                g = max(0, g - meta["_preskip"])
+            elif meta.get("codec") == "theora":
+                kfg = meta["_kfgshift"]
+                g = (g >> kfg) + (g & ((1 << kfg) - 1))
+            if meta["stream"] == "audio" and meta.get("sample_rate"):
+                meta["n_samples"] = g
+                meta["duration_ms"] = int(g * 1000 / meta["sample_rate"])
+            elif meta["stream"] == "video" and meta.get("fps"):
+                meta["n_frames"] = g
+                meta["duration_ms"] = int(g * 1000 / meta["fps"])
+        meta.pop("_preskip", None)
+        meta.pop("_kfgshift", None)
+        out.append(meta)
+    return out

@@ -3203,3 +3203,124 @@ def test_probe_media_metadata_spark(spark):
     assert by_key[(3, 0)]["duration_ms"] == 10
     assert by_key[(4, 0)]["stream"] == "video"
     assert by_key[(4, 1)]["stream"] == "audio"
+
+
+def make_ogg_page(
+    serial: int,
+    granule: int,
+    packets: list[bytes],
+    bos: bool = False,
+    eos: bool = False,
+    seq: int = 0,
+) -> bytes:
+    """One Ogg page (RFC 3533) with proper lacing; CRC left zero
+    (the probe does framing, not integrity)."""
+    segs = bytearray()
+    body = bytearray()
+    for p in packets:
+        n = len(p)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        body += p
+    hdr = (
+        b"OggS\x00"
+        + bytes([(2 if bos else 0) | (4 if eos else 0)])
+        + struct.pack("<q", granule)
+        + struct.pack("<III", serial, seq, 0)
+        + bytes([len(segs)])
+        + bytes(segs)
+    )
+    return hdr + bytes(body)
+
+
+def make_adts(frame_payload_sizes: list[int], sr_idx: int = 4, ch: int = 2) -> bytes:
+    """ADTS frames with explicit 13-bit frame lengths and junk AAC
+    payloads — framing per ISO 14496-3 §1.A.2, written independently."""
+    out = bytearray()
+    for sz in frame_payload_sizes:
+        flen = 7 + sz
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1  # MPEG-4, layer 00, no CRC
+        h[2] = (1 << 6) | (sr_idx << 2) | ((ch >> 2) & 1)
+        h[3] = ((ch & 3) << 6) | ((flen >> 11) & 3)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 7) << 5) | 0x1F
+        h[6] = 0xFC  # buffer fullness low bits, 1 raw block
+        out += h + bytes(sz % 251 for _ in range(sz))
+    return bytes(out)
+
+
+def test_probe_adts_aac():
+    p = make_adts([100, 230, 17], sr_idx=4, ch=2)  # 44100 Hz
+    (m,) = MM._probe_media(p)
+    assert (m["container"], m["codec"]) == ("adts", "aac")
+    assert (m["sample_rate"], m["channels"]) == (44100, 2)
+    assert (m["n_frames"], m["n_samples"]) == (3, 3 * 1024)
+    assert m["duration_ms"] == int(3 * 1024 * 1000 / 44100)
+    with pytest.raises(ValueError, match="sync lost"):
+        MM._probe_adts_aac(p + b"\x00" * 100)
+
+
+def test_probe_ogg_vorbis_and_opus():
+    vid = (
+        b"\x01vorbis" + struct.pack("<IB", 0, 2) + struct.pack("<I", 44100)
+        + struct.pack("<iii", -1, 112000, -1) + b"\xb8\x01"
+    )
+    pages = (
+        make_ogg_page(7, 0, [vid], bos=True)
+        + make_ogg_page(7, 0, [b"\x03vorbis-comment", b"\x05vorbis-setup"], seq=1)
+        + make_ogg_page(7, 88200, [b"\xaa" * 300], seq=2, eos=True)
+    )
+    (m,) = MM._probe_media(pages)
+    assert (m["codec"], m["sample_rate"], m["channels"]) == ("vorbis", 44100, 2)
+    assert (m["n_samples"], m["duration_ms"]) == (88200, 2000)
+    assert m["bitrate_kbps"] == 112.0
+
+    oid = b"OpusHead\x01" + bytes([1]) + struct.pack("<H", 312) + struct.pack(
+        "<I", 16000
+    ) + b"\x00\x00\x00"
+    pages = make_ogg_page(9, 0, [oid], bos=True) + make_ogg_page(
+        9, 48312, [b"\x01"], seq=1, eos=True
+    )
+    (m,) = MM._probe_media(pages)
+    assert (m["codec"], m["sample_rate"]) == ("opus", 48000)
+    assert m["n_samples"] == 48000 and m["duration_ms"] == 1000
+
+
+def test_probe_ogg_theora_multiplexed():
+    """Theora video + Vorbis audio in one physical stream; Theora
+    granulepos uses the keyframe<<shift|delta split (KFGSHIFT=6)."""
+    tid = bytearray(b"\x80theora")
+    tid += bytes([3, 2, 1])                     # VMAJ/VMIN/VREV
+    tid += struct.pack(">HH", 20, 15)           # FMBW/FMBH
+    tid += (320).to_bytes(3, "big") + (240).to_bytes(3, "big")
+    tid += bytes([0, 0])                        # PICX/PICY
+    tid += struct.pack(">II", 30, 1)            # FRN/FRD = 30 fps
+    tid += (0).to_bytes(3, "big") + (0).to_bytes(3, "big")  # PAR
+    tid += bytes([0]) + (0).to_bytes(3, "big")  # CS + NOMBR
+    tid += struct.pack(">H", (6 << 5))          # QUAL=0, KFGSHIFT=6, PF=0
+    vid = (
+        b"\x01vorbis" + struct.pack("<IB", 0, 1) + struct.pack("<I", 8000)
+        + struct.pack("<iii", 0, 0, 0) + b"\xb8\x01"
+    )
+    # granulepos (2<<6)|5 → frames = keyframe + delta = 2 + 5 = 7
+    pages = (
+        make_ogg_page(1, 0, [bytes(tid)], bos=True)
+        + make_ogg_page(2, 0, [vid], bos=True)
+        + make_ogg_page(1, (2 << 6) | 5, [b"\x00" * 10], seq=1, eos=True)
+        + make_ogg_page(2, 4000, [b"\x01" * 10], seq=1, eos=True)
+    )
+    rows = {m["stream"]: m for m in MM._probe_media(pages)}
+    v = rows["video"]
+    assert (v["codec"], v["width"], v["height"], v["fps"]) == (
+        "theora", 320, 240, 30.0,
+    )
+    assert v["n_frames"] == 7
+    assert v["duration_ms"] == int(7 * 1000 / 30)
+    a = rows["audio"]
+    assert (a["codec"], a["sample_rate"], a["duration_ms"]) == ("vorbis", 8000, 500)
+    with pytest.raises(ValueError, match="capture pattern"):
+        MM._probe_media(b"OggS\x00\x00" + b"\x00" * 30 + b"XXXX" + b"\x00" * 40)
