@@ -36,12 +36,14 @@ Video containers parse natively too: AVI (DIB + Motion-JPEG) and
 MP4/MOV (ISO BMFF box walk; jpeg/mjpa/png sample tracks decode,
 inter-frame codecs expose metadata via ``probe_media_metadata``).
 MPEG audio (MP1/MP2/MP3) gets an exact header-level frame walk
-(geometry, duration, VBR) in the same probe. Formats whose
-*bitstream* codecs are genuinely absent from this container
-(WebP/AAC/OGG sample data, MP3 subband synthesis — which needs
-ISO spec constant tables that, unlike PNG/JPEG/FLAC's in-stream
-or derivable entropy coding, cannot be reconstructed here —
-H.264/HEVC/VP9 video) still raise ``NotImplementedError``; the
+(geometry, duration, VBR) in the same probe, and Ogg/Vorbis
+decodes natively (vorbis.py: the whole entropy-coding state is
+in-stream). Formats whose *bitstream* codecs are genuinely absent
+from this container (WebP, AAC/Opus sample data, MP3 subband
+synthesis — these need normative spec constant tables that,
+unlike PNG/JPEG/FLAC/Vorbis's in-stream or derivable entropy
+coding, cannot be reconstructed here — H.264/HEVC/VP9 video)
+still raise ``NotImplementedError``; the
 dispatch points are ``_decode_image_bytes`` / ``_decode_audio`` /
 ``_parse_video`` so a PIL/pyav import-try drops in without
 touching the Spark plumbing. With
@@ -1944,10 +1946,23 @@ def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         return _decode_aiff(payload)
     if payload[:4] == b".snd":
         return _decode_au(payload)
+    if payload[:4] == b"OggS":
+        from .vorbis import decode_vorbis
+
+        try:
+            return decode_vorbis(payload)
+        except ValueError as e:
+            if "no Vorbis logical stream" in str(e):
+                raise NotImplementedError(
+                    "Ogg stream carries no Vorbis audio (Opus/Speex "
+                    "bitstreams need codec tables absent here); "
+                    "metadata is available via probe_media_metadata"
+                ) from e
+            raise
     raise NotImplementedError(
         "real decode of this audio format requires a codec not present "
-        "in this environment; WAV (PCM/G.711/ADPCM), FLAC, AIFF, and AU "
-        "decode natively, or pass fake=True"
+        "in this environment; WAV (PCM/G.711/ADPCM), FLAC, AIFF, AU, "
+        "and Ogg/Vorbis decode natively, or pass fake=True"
     )
 
 
@@ -1986,12 +2001,16 @@ def extract_audio_features(
     via the same Arrow-batched ``mapInPandas`` contract as images —
     one output row per ``frame_ms`` window of each clip.
 
-    Real path (``fake=False``): WAV/PCM payloads (RIFF magic) decode
-    with stdlib ``wave`` + numpy — per-frame ``rms`` is the true
-    root-mean-square of the mono-downmixed samples, frame count =
-    ceil(n_samples / samples_per_frame) from the ACTUAL audio, not
-    the metadata column. Compressed audio (MP3/AAC/OGG) raises:
-    those codecs are not in this container (declared boundary).
+    Real path (``fake=False``): WAV (PCM/G.711/ADPCM), FLAC, AIFF,
+    AU, and Ogg/Vorbis payloads decode natively — per-frame ``rms``
+    is the true root-mean-square of the mono-downmixed samples,
+    frame count = ceil(n_samples / samples_per_frame) from the
+    ACTUAL audio, not the metadata column. MP3/AAC/Opus raise: their
+    decode needs normative spec constant tables (Layer III Huffman
+    tables, synthesis windows, range-coder PDFs) that — unlike
+    Vorbis/FLAC/PNG/JPEG's in-stream or derivable entropy coding —
+    cannot be reconstructed here (declared boundary; header-exact
+    metadata for them via ``probe_media_metadata``).
     With ``fake=True`` the per-frame "rms" is a deterministic
     function of (payload bytes, frame index), so schemas /
     row-amplification / batch shapes stay real and reproducible over

@@ -207,3 +207,610 @@ def test_window_block_mixed_sizes():
     assert w[-1] < 1e-3
     # slope values match the half-window formula
     assert np.allclose(w[left_start : left_start + left], V._half_window(left))
+
+
+# ------------------------------------------- full-stream integration
+
+
+def pack_f32(v: float) -> int:
+    """Vorbis float pack (inverse of _float32_unpack) for integer
+    test values: mantissa * 2^(exp-788)."""
+    sign = 0x80000000 if v < 0 else 0
+    m = abs(v)
+    assert m == int(m) and m > 0
+    return sign | (788 << 21) | int(m)
+
+
+def ident_packet(channels: int, rate: int, bs0: int, bs1: int) -> bytes:
+    bw = BitWriter()
+    bw.write(0, 32).write(channels, 8).write(rate, 32)
+    bw.write(0, 32).write(0, 32).write(0, 32)
+    bw.write(bs0.bit_length() - 1, 4).write(bs1.bit_length() - 1, 4)
+    bw.write(1, 1)
+    return b"\x01vorbis" + bw.bytes()
+
+
+def write_codebook(bw: BitWriter, lengths, dims, lookup=None):
+    """lookup: None or (minimum, delta, value_bits, mults)."""
+    bw.write(0x564342, 24).write(dims, 16).write(len(lengths), 24)
+    bw.write(0, 1)  # unordered
+    bw.write(0, 1)  # not sparse
+    for l in lengths:
+        bw.write(l - 1, 5)
+    if lookup is None:
+        bw.write(0, 4)
+    else:
+        minimum, delta, value_bits, mults = lookup
+        bw.write(2, 4)  # explicit (type 2) lookup
+        bw.write(pack_f32(minimum), 32).write(pack_f32(delta), 32)
+        bw.write(value_bits - 1, 4).write(0, 1)  # no sequence_p
+        for m in mults:
+            bw.write(m, value_bits)
+
+
+def mono_setup_packet() -> tuple[bytes, np.ndarray]:
+    """1-classification residue type 2 over a 2-dim VQ book; floor1
+    with zero partitions (pure y0->y1 line). Returns (packet,
+    VQ vectors) so tests can compute expected residues."""
+    bw = BitWriter()
+    bw.write(1, 8)  # 2 codebooks
+    # cb0: residue classbook, dims (=classwords) 4, single entry
+    write_codebook(bw, [1], dims=4)
+    # cb1: VQ book dims 2, entries 4, lengths 2 -> codes 00,01,10,11
+    mults = [3, 1, 0, 2, 1, 1, 2, 0]
+    write_codebook(bw, [2, 2, 2, 2], dims=2,
+                   lookup=(-2.0, 1.0, 2, mults))
+    vectors = (np.array(mults, float) * 1.0 - 2.0).reshape(4, 2)
+    bw.write(0, 6).write(0, 16)  # 1 time transform, type 0
+    # 1 floor: type 1, 0 partitions, multiplier 1, rangebits 5
+    bw.write(0, 6).write(1, 16).write(0, 5).write(0, 2).write(5, 4)
+    # 1 residue: type 2, begin 0 end 32 psize 8, 1 class, classbook 0
+    bw.write(0, 6).write(2, 16)
+    bw.write(0, 24).write(32, 24).write(7, 24).write(0, 6).write(0, 8)
+    bw.write(1, 3).write(0, 1)  # cascade: pass 0 only
+    bw.write(1, 8)  # pass-0 book = cb1
+    # 1 mapping: type 0, no submap flag, no coupling, reserved, submap0
+    bw.write(0, 6).write(0, 16).write(0, 1).write(0, 1).write(0, 2)
+    bw.write(0, 8).write(0, 8).write(0, 8)
+    # 1 mode: short block, window/transform 0, mapping 0, framing
+    bw.write(0, 6).write(0, 1).write(0, 16).write(0, 16).write(0, 8)
+    bw.write(1, 1)
+    return b"\x05vorbis" + bw.bytes(), vectors
+
+
+def indep_render_line(x0, y0, x1, y1, upto):
+    """Independent integer line: y_i = y0 + trunc-toward-neg/pos per
+    the closed form floor/ceil of i*dy/adx."""
+    dy, adx = y1 - y0, x1 - x0
+    out = []
+    for x in range(x0, min(x1, upto)):
+        i = x - x0
+        if dy >= 0:
+            out.append(y0 + (i * dy) // adx)
+        else:
+            out.append(y0 - ((i * (-dy)) // adx))
+    return np.array(out, dtype=float)
+
+
+def indep_floor_curve(y0, y1, half):
+    idx = np.clip(indep_render_line(0, y0, 32, y1, half), 0, 255)
+    return 10.0 ** (7.0 * (idx - 255.0) / 256.0)
+
+
+def test_decode_vorbis_mono_end_to_end():
+    """Full stream: Ogg framing -> headers -> 3 audio packets; PCM
+    must equal an independent floor x residue -> IMDCT -> window ->
+    overlap model to float precision."""
+    n = 64
+    setup, vectors = mono_setup_packet()
+    frames = [
+        (120, 140, [0, 1, 2, 3, 3, 2, 1, 0, 0, 0, 1, 1, 2, 2, 3, 3]),
+        (200, 180, [1, 1, 1, 1, 2, 2, 2, 2, 0, 3, 0, 3, 1, 2, 1, 2]),
+        (90, 255, [3, 3, 3, 3, 0, 0, 0, 0, 2, 1, 2, 1, 3, 0, 3, 0]),
+    ]
+
+    def audio_packet(y0, y1, entries):
+        bw = BitWriter()
+        bw.write(0, 1).write(1, 1).write(y0, 8).write(y1, 8)
+        bw.write(0, 1)  # one classword covers all 4 partitions
+        for e in entries:
+            bw.write_huff(e, 2)
+        return bw.bytes()
+
+    packets = [
+        ident_packet(1, 8000, n, n),
+        b"\x03vorbis" + b"\x00" * 8,
+        setup,
+    ] + [audio_packet(*f) for f in frames]
+    ogg = make_page(5, [(packets[0], True)], bos=True) + make_page(
+        5, [(p, True) for p in packets[1:]]
+    )
+
+    got, rate = V.decode_vorbis(ogg)
+    assert rate == 8000
+
+    # independent model
+    w = np.sin(0.5 * np.pi * np.sin(np.pi * (np.arange(n) + 0.5) / n) ** 2)
+    j = np.arange(n)[:, None]
+    k = np.arange(n // 2)[None, :]
+    basis = np.cos(np.pi / (2 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
+    tds = []
+    for y0, y1, entries in frames:
+        floor = indep_floor_curve(y0, y1, n // 2)
+        residue = np.zeros(n // 2)
+        t = 0
+        for e in entries:
+            residue[t : t + 2] += vectors[e]
+            t += 2
+        spec = floor * residue
+        tds.append((basis @ spec) * (4.0 / n) * w)
+    expect = np.concatenate(
+        [tds[i][n // 2 :] + tds[i + 1][: n // 2] for i in range(len(tds) - 1)]
+    )
+    assert got.shape == expect.shape
+    assert np.allclose(got, np.clip(expect, -1, 1), atol=1e-12)
+
+
+def stereo_setup_packet() -> tuple[bytes, np.ndarray]:
+    """Stereo variant: one polar coupling step (mag=ch0, ang=ch1),
+    residue type 2 interleaving both channels (end=64, 8 partitions);
+    same books as the mono stream."""
+    bw = BitWriter()
+    bw.write(1, 8)
+    write_codebook(bw, [1], dims=4)
+    mults = [3, 1, 0, 2, 1, 1, 2, 0]
+    write_codebook(bw, [2, 2, 2, 2], dims=2, lookup=(-2.0, 1.0, 2, mults))
+    vectors = (np.array(mults, float) - 2.0).reshape(4, 2)
+    bw.write(0, 6).write(0, 16)
+    bw.write(0, 6).write(1, 16).write(0, 5).write(0, 2).write(5, 4)
+    bw.write(0, 6).write(2, 16)
+    bw.write(0, 24).write(64, 24).write(7, 24).write(0, 6).write(0, 8)
+    bw.write(1, 3).write(0, 1)
+    bw.write(1, 8)
+    # mapping: coupling flag set, 1 step, mag=0 ang=1 (1 bit each)
+    bw.write(0, 6).write(0, 16).write(0, 1)
+    bw.write(1, 1).write(0, 8).write(0, 1).write(1, 1)
+    bw.write(0, 2)
+    bw.write(0, 8).write(0, 8).write(0, 8)
+    bw.write(0, 6).write(0, 1).write(0, 16).write(0, 16).write(0, 8)
+    bw.write(1, 1)
+    return b"\x05vorbis" + bw.bytes(), vectors
+
+
+def indep_inverse_couple(m, a):
+    """Spec §4.3.5 branch table, transcribed independently."""
+    M = np.empty_like(m)
+    A = np.empty_like(a)
+    for i in range(len(m)):
+        if m[i] > 0:
+            if a[i] > 0:
+                M[i], A[i] = m[i], m[i] - a[i]
+            else:
+                M[i], A[i] = m[i] + a[i], m[i]
+        else:
+            if a[i] > 0:
+                M[i], A[i] = m[i], m[i] + a[i]
+            else:
+                M[i], A[i] = m[i] - a[i], m[i]
+    return M, A
+
+
+def test_decode_vorbis_stereo_coupling():
+    n = 64
+    setup, vectors = stereo_setup_packet()
+    rng = np.random.default_rng(11)
+    frames = []
+    for _ in range(4):
+        floors = (int(rng.integers(60, 250)), int(rng.integers(60, 250)),
+                  int(rng.integers(60, 250)), int(rng.integers(60, 250)))
+        entries = [int(e) for e in rng.integers(0, 4, 32)]
+        frames.append((floors, entries))
+
+    def audio_packet(floors, entries):
+        a0, b0, a1, b1 = floors
+        bw = BitWriter()
+        bw.write(0, 1)
+        bw.write(1, 1).write(a0, 8).write(b0, 8)  # floor ch0
+        bw.write(1, 1).write(a1, 8).write(b1, 8)  # floor ch1
+        it = iter(entries)
+        for _ in range(2):  # 2 classwords x 4 partitions x 4 reads
+            bw.write(0, 1)
+            for _ in range(16):
+                bw.write_huff(next(it), 2)
+        return bw.bytes()
+
+    packets = [
+        ident_packet(2, 16000, n, n),
+        b"\x03vorbis" + b"\x00" * 8,
+        setup,
+    ] + [audio_packet(*f) for f in frames]
+    ogg = make_page(3, [(packets[0], True)], bos=True) + make_page(
+        3, [(p, True) for p in packets[1:]]
+    )
+    got, rate = V.decode_vorbis(ogg)
+    assert rate == 16000
+
+    w = np.sin(0.5 * np.pi * np.sin(np.pi * (np.arange(n) + 0.5) / n) ** 2)
+    j = np.arange(n)[:, None]
+    k = np.arange(n // 2)[None, :]
+    basis = np.cos(np.pi / (2 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
+    tds = []
+    for (a0, b0, a1, b1), entries in frames:
+        vec = np.zeros(n)  # interleaved 2ch x 32 bins
+        t = 0
+        for e in entries:
+            vec[t : t + 2] += vectors[e]
+            t += 2
+        ch0, ch1 = vec[0::2].copy(), vec[1::2].copy()
+        M, A = indep_inverse_couple(ch0, ch1)
+        s0 = M * indep_floor_curve(a0, b0, n // 2)
+        s1 = A * indep_floor_curve(a1, b1, n // 2)
+        td = np.stack([(basis @ s0), (basis @ s1)]) * (4.0 / n) * w
+        tds.append(td.mean(axis=0))  # decoder downmixes to mono
+    expect = np.concatenate(
+        [tds[i][n // 2 :] + tds[i + 1][: n // 2] for i in range(len(tds) - 1)]
+    )
+    assert got.shape == expect.shape
+    assert np.allclose(got, np.clip(expect, -1, 1), atol=1e-12)
+
+
+def two_mode_setup_packet() -> tuple[bytes, np.ndarray]:
+    """Mono, blocksizes 64/256, mode0 short + mode1 long, so packets
+    exercise the lap flags and cross-size window geometry."""
+    bw = BitWriter()
+    bw.write(1, 8)
+    write_codebook(bw, [1], dims=4)
+    mults = [3, 1, 0, 2, 1, 1, 2, 0]
+    write_codebook(bw, [2, 2, 2, 2], dims=2, lookup=(-2.0, 1.0, 2, mults))
+    vectors = (np.array(mults, float) - 2.0).reshape(4, 2)
+    bw.write(0, 6).write(0, 16)
+    bw.write(0, 6).write(1, 16).write(0, 5).write(0, 2).write(5, 4)
+    bw.write(0, 6).write(2, 16)
+    bw.write(0, 24).write(32, 24).write(7, 24).write(0, 6).write(0, 8)
+    bw.write(1, 3).write(0, 1)
+    bw.write(1, 8)
+    bw.write(0, 6).write(0, 16).write(0, 1).write(0, 1).write(0, 2)
+    bw.write(0, 8).write(0, 8).write(0, 8)
+    # TWO modes: short, long
+    bw.write(1, 6)
+    bw.write(0, 1).write(0, 16).write(0, 16).write(0, 8)
+    bw.write(1, 1).write(0, 16).write(0, 16).write(0, 8)
+    bw.write(1, 1)
+    return b"\x05vorbis" + bw.bytes(), vectors
+
+
+def test_decode_vorbis_mixed_blocksizes():
+    """Short, long, short sequence: the long packet carries lap
+    flags; expected PCM built on an independent global timeline
+    (window centers advance by (n_prev + n_cur)/4)."""
+    bs = (64, 256)
+    setup, vectors = two_mode_setup_packet()
+    rng = np.random.default_rng(5)
+    seq = [0, 1, 0, 0]  # short, long, short, short
+
+    def audio_packet(mode, prev_flag, next_flag, y0, y1, entries):
+        bw = BitWriter()
+        bw.write(0, 1).write(mode, 1)
+        if mode == 1:
+            bw.write(prev_flag, 1).write(next_flag, 1)
+        bw.write(1, 1).write(y0, 8).write(y1, 8)
+        it = iter(entries)
+        bw.write(0, 1)
+        for _ in range(16):
+            bw.write_huff(next(it), 2)
+        return bw.bytes()
+
+    frames = []
+    for i, mode in enumerate(seq):
+        prev_flag = 1 if (i > 0 and seq[i - 1] == 1) else 0
+        next_flag = 1 if (i + 1 < len(seq) and seq[i + 1] == 1) else 0
+        y0, y1 = int(rng.integers(100, 250)), int(rng.integers(100, 250))
+        entries = [int(e) for e in rng.integers(0, 4, 16)]
+        frames.append((mode, prev_flag, next_flag, y0, y1, entries))
+
+    packets = [
+        ident_packet(1, 8000, bs[0], bs[1]),
+        b"\x03vorbis" + b"\x00" * 8,
+        setup,
+    ] + [audio_packet(*f) for f in frames]
+    ogg = make_page(4, [(packets[0], True)], bos=True) + make_page(
+        4, [(p, True) for p in packets[1:]]
+    )
+    got, rate = V.decode_vorbis(ogg)
+
+    # independent timeline model
+    def slope(L):
+        x = np.arange(L) + 0.5
+        return np.sin(0.5 * np.pi * np.sin(0.5 * np.pi * x / L) ** 2)
+
+    def window_for(n, left_n, right_n):
+        w = np.zeros(n)
+        L, R = min(n, left_n) // 2, min(n, right_n) // 2
+        ls = n // 4 - L // 2
+        re = n - (n // 4 - R // 2)
+        w[ls : ls + L] = slope(L)
+        w[ls + L : re - R] = 1.0
+        w[re - R : re] = slope(R)[::-1]
+        return w
+
+    sizes = [bs[m] for m, *_ in frames]
+    tds = []
+    for i, (mode, pf, nf, y0, y1, entries) in enumerate(frames):
+        n = bs[mode]
+        half = n // 2
+        floor = np.empty(half)
+        line = indep_floor_curve(y0, y1, min(32, half))
+        floor[: len(line)] = line
+        if half > 32:
+            idx = np.clip(y1, 0, 255)
+            floor[32:] = 10.0 ** (7.0 * (idx - 255.0) / 256.0)
+        residue = np.zeros(half)
+        t = 0
+        for e in entries:
+            if t + 2 <= 32:  # residue configured over first 32 bins
+                residue[t : t + 2] += vectors[e]
+            t += 2
+        spec = floor * residue
+        j = np.arange(n)[:, None]
+        k = np.arange(half)[None, :]
+        basis = np.cos(np.pi / (2 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
+        left_n = bs[pf] if mode == 1 else n
+        right_n = bs[nf] if mode == 1 else n
+        tds.append((basis @ spec) * (4.0 / n) * window_for(n, left_n, right_n))
+    centers = [sizes[0] // 2]
+    for i in range(1, len(sizes)):
+        centers.append(centers[-1] + (sizes[i - 1] + sizes[i]) // 4)
+    pad = max(0, max(sizes[i] // 2 - centers[i] for i in range(len(sizes))))
+    total = pad + centers[-1] + sizes[-1] // 2
+    timeline = np.zeros(total)
+    for i, td in enumerate(tds):
+        s = pad + centers[i] - sizes[i] // 2
+        timeline[s : s + sizes[i]] += td
+    expect = timeline[pad + centers[0] : pad + centers[-1]]
+    assert got.shape == expect.shape
+    assert np.allclose(got, np.clip(expect, -1, 1), atol=1e-12)
+
+
+def test_codebook_lookup_type1_lattice():
+    """Implicit lattice: entries 9 = 3^2, so multiplicand index for
+    dim d is (entry // 3^d) % 3."""
+    bw = BitWriter()
+    bw.write(0x564342, 24).write(2, 16).write(9, 24)
+    bw.write(0, 1).write(0, 1)  # unordered, dense
+    for _ in range(9):
+        bw.write(3, 5)  # all length 4
+    bw.write(1, 4)  # lookup type 1
+    bw.write(pack_f32(-1.0), 32).write(pack_f32(1.0), 32)
+    bw.write(1, 4).write(0, 1)  # value_bits=2, no sequence
+    for m in (0, 1, 2):
+        bw.write(m, 2)
+    cb = V._Codebook(V._Bits(bw.bytes()))
+    assert cb.vectors.shape == (9, 2)
+    for e in range(9):
+        want = [(e % 3) - 1.0, ((e // 3) % 3) - 1.0]
+        assert list(cb.vectors[e]) == want
+
+
+def _mk_vq_book(vectors_mults, dims, lengths, minimum=-2.0, delta=1.0):
+    bw = BitWriter()
+    bw.write(0x564342, 24).write(dims, 16).write(len(lengths), 24)
+    bw.write(0, 1).write(0, 1)
+    for l in lengths:
+        bw.write(l - 1, 5)
+    bw.write(2, 4)
+    bw.write(pack_f32(minimum), 32).write(pack_f32(delta), 32)
+    bw.write(1, 4).write(0, 1)
+    for m in vectors_mults:
+        bw.write(m, 2)
+    return V._Codebook(V._Bits(bw.bytes()))
+
+
+def _mk_scalar_book(lengths, dims=1):
+    bw = BitWriter()
+    bw.write(0x564342, 24).write(dims, 16).write(len(lengths), 24)
+    bw.write(0, 1).write(0, 1)
+    for l in lengths:
+        bw.write(l - 1, 5)
+    bw.write(0, 4)
+    return V._Codebook(V._Bits(bw.bytes()))
+
+
+def _mk_residue(kind, begin, end, psize, books_row):
+    bw = BitWriter()
+    bw.write(begin, 24).write(end, 24).write(psize - 1, 24)
+    bw.write(0, 6)  # 1 classification
+    bw.write(0, 8)  # classbook 0
+    cascade = sum(1 << p for p in range(8) if books_row[p] >= 0)
+    low, high = cascade & 7, cascade >> 3
+    bw.write(low, 3)
+    if high:
+        bw.write(1, 1).write(high, 5)
+    else:
+        bw.write(0, 1)
+    for p in range(8):
+        if books_row[p] >= 0:
+            bw.write(books_row[p], 8)
+    return V._Residue(V._Bits(bw.bytes()), kind)
+
+
+def test_residue_type0_strided():
+    """Format 0: a dim-2 book covers a partition of 8 in 4 reads,
+    laying values out with stride partition_size//dims = 4."""
+    classbook = _mk_scalar_book([1], dims=1)  # 1 partition per word
+    vq = _mk_vq_book([3, 1, 0, 2, 1, 1, 2, 0], 2, [2, 2, 2, 2])
+    res = _mk_residue(0, 0, 8, 8, [1, -1, -1, -1, -1, -1, -1, -1])
+    books = [classbook, vq]
+    bw = BitWriter()
+    bw.write(0, 1)  # classword
+    for e in (0, 1, 2, 3):
+        bw.write_huff(e, 2)
+    out = res.decode(V._Bits(bw.bytes()), books, [False], 16)
+    vecs = (np.array([3, 1, 0, 2, 1, 1, 2, 0], float) - 2).reshape(4, 2)
+    want = np.zeros(8)
+    for s, e in enumerate((0, 1, 2, 3)):
+        want[s] += vecs[e][0]
+        want[s + 4] += vecs[e][1]
+    assert np.allclose(out[0], want)
+
+
+def test_residue_type1_stereo_read_order():
+    """Type 1 keeps channels separate; bit order is classwords for
+    every channel, then partition-by-partition channel-interleaved
+    vector reads."""
+    classbook = _mk_scalar_book([1], dims=2)  # covers 2 partitions
+    vq = _mk_vq_book([3, 1, 0, 2, 1, 1, 2, 0], 2, [2, 2, 2, 2])
+    res = _mk_residue(1, 0, 8, 4, [1, -1, -1, -1, -1, -1, -1, -1])
+    books = [classbook, vq]
+    ch0 = [0, 1, 2, 3]  # 2 partitions x 2 reads
+    ch1 = [3, 2, 1, 0]
+    bw = BitWriter()
+    bw.write(0, 1).write(0, 1)  # classwords ch0, ch1
+    # partition 0: ch0 reads 2 vectors, then ch1; partition 1: same
+    for part in range(2):
+        for e in ch0[part * 2 : part * 2 + 2]:
+            bw.write_huff(e, 2)
+        for e in ch1[part * 2 : part * 2 + 2]:
+            bw.write_huff(e, 2)
+    out = res.decode(V._Bits(bw.bytes()), books, [False, False], 16)
+    vecs = (np.array([3, 1, 0, 2, 1, 1, 2, 0], float) - 2).reshape(4, 2)
+    for c, seq in ((0, ch0), (1, ch1)):
+        want = np.concatenate([vecs[e] for e in seq])
+        assert np.allclose(out[c], want), f"ch{c}"
+
+
+def floor_partition_setup_packet() -> tuple[bytes, np.ndarray]:
+    """Floor1 WITH a partition: one class of dim 2, one subclass bit,
+    masterbook cb2 picks which of {cb3, unused} decodes each post."""
+    bw = BitWriter()
+    bw.write(3, 8)  # 4 codebooks
+    write_codebook(bw, [1], dims=4)  # cb0 residue classbook
+    mults = [3, 1, 0, 2, 1, 1, 2, 0]
+    write_codebook(bw, [2, 2, 2, 2], dims=2, lookup=(-2.0, 1.0, 2, mults))
+    vectors = (np.array(mults, float) - 2.0).reshape(4, 2)
+    write_codebook(bw, [2, 2, 2, 2], dims=1)  # cb2 floor masterbook
+    write_codebook(bw, [3] * 8, dims=1)  # cb3 floor Y book
+    bw.write(0, 6).write(0, 16)
+    # floor: 1 partition, class 0: dim 2, 1 subclass bit,
+    # masterbook 2, subclass books [cb3, unused]
+    bw.write(0, 6).write(1, 16)
+    bw.write(1, 5).write(0, 4)
+    bw.write(1, 3).write(1, 2).write(2, 8)
+    bw.write(3 + 1, 8).write(0, 8)
+    bw.write(0, 2).write(5, 4)  # multiplier 1, rangebits 5
+    bw.write(8, 5).write(20, 5)  # partition X values
+    bw.write(0, 6).write(2, 16)
+    bw.write(0, 24).write(32, 24).write(7, 24).write(0, 6).write(0, 8)
+    bw.write(1, 3).write(0, 1)
+    bw.write(1, 8)
+    bw.write(0, 6).write(0, 16).write(0, 1).write(0, 1).write(0, 2)
+    bw.write(0, 8).write(0, 8).write(0, 8)
+    bw.write(0, 6).write(0, 1).write(0, 16).write(0, 16).write(0, 8)
+    bw.write(1, 1)
+    return b"\x05vorbis" + bw.bytes(), vectors
+
+
+def test_decode_vorbis_floor_partitions_hand_computed():
+    """Posts at X = 0, 32, 8, 20 with y0=100, y1=200. At X=8 the
+    prediction is render_point(0,100,32,200,8) = 125; decoded val 3
+    (odd, < room) folds to 125 + 2 = 127. At X=20 the low neighbor
+    among PRECEDING posts is the just-decoded X=8 (spec: neighbors
+    range over every earlier entry, including partition posts), so
+    pred = render_point(8,127,32,200,20) = 163 and val 4 folds to
+    163 - 2 = 161. Hand-computed per spec §7.2.4."""
+    n = 64
+    setup, vectors = floor_partition_setup_packet()
+
+    bw = BitWriter()
+    bw.write(0, 1)  # audio
+    bw.write(1, 1).write(100, 8).write(200, 8)
+    # masterbook entry 0 -> cval bits 00 -> both posts pick
+    # subclass slot 0 = cb3 (slot 1 is the unused book)
+    bw.write_huff(0, 2)
+    bw.write_huff(3, 3)  # Y val at X=8: 3
+    bw.write_huff(4, 3)  # Y val at X=20: 4
+    bw.write(0, 1)  # residue classword
+    entries = [0] * 16  # vector (1,-1) everywhere
+    for e in entries:
+        bw.write_huff(e, 2)
+    audio = bw.bytes()
+
+    packets = [
+        ident_packet(1, 8000, n, n),
+        b"\x03vorbis" + b"\x00" * 8,
+        setup,
+        audio,
+        audio,
+    ]
+    ogg = make_page(2, [(packets[0], True)], bos=True) + make_page(
+        2, [(p, True) for p in packets[1:]]
+    )
+    got, rate = V.decode_vorbis(ogg)
+
+    # hand-built floor: lines through (0,100),(8,127),(20,161),(32,200)
+    pts = [(0, 100), (8, 127), (20, 161), (32, 200)]
+    curve = np.zeros(32)
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        curve[x0:x1] = indep_render_line(x0, y0, x1, y1, 32)
+    floor = 10.0 ** (7.0 * (np.clip(curve, 0, 255) - 255.0) / 256.0)
+    residue = np.tile([1.0, -1.0], 16)
+    spec = floor * residue
+    w = np.sin(0.5 * np.pi * np.sin(np.pi * (np.arange(n) + 0.5) / n) ** 2)
+    j = np.arange(n)[:, None]
+    k = np.arange(n // 2)[None, :]
+    basis = np.cos(np.pi / (2 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
+    td = (basis @ spec) * (4.0 / n) * w
+    expect = td[n // 2 :] + td[: n // 2]  # identical packets lap
+    assert np.allclose(got, np.clip(expect, -1, 1), atol=1e-12)
+
+
+def test_extract_audio_features_ogg_vorbis(spark):
+    """Spark leg: the multimodal audio dispatch recognizes OggS and
+    runs the native Vorbis decode; per-frame RMS must match the
+    independent synthesis model."""
+    from pyspark.sql import functions as F
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        multimodal as MM,
+    )
+
+    n = 64
+    setup, vectors = mono_setup_packet()
+    frames = [
+        (150, 150, [0, 1, 2, 3] * 4),
+        (210, 120, [3, 2, 1, 0] * 4),
+        (128, 230, [1, 3, 1, 3] * 4),
+    ]
+
+    def audio_packet(y0, y1, entries):
+        bw = BitWriter()
+        bw.write(0, 1).write(1, 1).write(y0, 8).write(y1, 8).write(0, 1)
+        for e in entries:
+            bw.write_huff(e, 2)
+        return bw.bytes()
+
+    packets = [
+        ident_packet(1, 8000, n, n),
+        b"\x03vorbis" + b"\x00" * 8,
+        setup,
+    ] + [audio_packet(*f) for f in frames]
+    ogg = make_page(6, [(packets[0], True)], bos=True) + make_page(
+        6, [(p, True) for p in packets[1:]]
+    )
+
+    mono, rate = V.decode_vorbis(ogg)
+    assert rate == 8000 and mono.size == n  # 3 packets -> 2 laps
+
+    df = spark.createDataFrame(
+        [(1, bytearray(ogg))], "media_id long, payload binary"
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("audio/ogg")).alias("media"),
+    )
+    rows = MM.extract_audio_features(df, fake=False, frame_ms=4).collect()
+    # 64 samples at 8 kHz = 8 ms -> two 4 ms frames of 32 samples
+    assert len(rows) == 2
+    for r in rows:
+        seg = mono[r["frame_idx"] * 32 : (r["frame_idx"] + 1) * 32]
+        assert r["rms"] == pytest.approx(
+            float(np.sqrt((seg**2).mean())), abs=1e-6
+        )
