@@ -708,10 +708,13 @@ def decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("no Vorbis logical stream in Ogg payload")
     if len(packets) < 3:
         raise ValueError("Vorbis stream missing header packets")
-    channels, rate, blocksizes = _parse_ident(packets[0])
-    if packets[1][:7] != b"\x03vorbis":
-        raise ValueError("not a Vorbis comment packet")
-    setup = _parse_setup(packets[2], channels)
+    try:
+        channels, rate, blocksizes = _parse_ident(packets[0])
+        if packets[1][:7] != b"\x03vorbis":
+            raise ValueError("not a Vorbis comment packet")
+        setup = _parse_setup(packets[2], channels)
+    except EOFError as e:
+        raise ValueError("truncated Vorbis header packet") from e
     setup.rate = rate
     setup.blocksizes = blocksizes
 

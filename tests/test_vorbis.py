@@ -814,3 +814,20 @@ def test_extract_audio_features_ogg_vorbis(spark):
         assert r["rms"] == pytest.approx(
             float(np.sqrt((seg**2).mean())), abs=1e-6
         )
+
+
+def test_decode_vorbis_malformed_inputs():
+    n = 64
+    setup, _ = mono_setup_packet()
+    ident = ident_packet(1, 8000, n, n)
+    with pytest.raises(ValueError, match="no Vorbis logical stream"):
+        V.decode_vorbis(make_page(1, [(b"OpusHead junk", True)], bos=True))
+    # truncated setup header -> ValueError, not a raw EOFError
+    pages = make_page(1, [(ident, True)], bos=True) + make_page(
+        1, [(b"\x03vorbis" + b"\x00" * 8, True), (setup[:20], True)]
+    )
+    with pytest.raises(ValueError, match="truncated Vorbis header"):
+        V.decode_vorbis(pages)
+    # missing headers entirely
+    with pytest.raises(ValueError, match="missing header"):
+        V.decode_vorbis(make_page(1, [(ident, True)], bos=True))
