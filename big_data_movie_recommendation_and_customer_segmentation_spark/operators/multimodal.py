@@ -1567,12 +1567,12 @@ def _decode_wav_ima_adpcm(
 
 
 def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
-    """Fallback for non-PCM WAV that stdlib ``wave`` rejects: manual
-    RIFF parse + G.711 µ-law (format 7) / A-law (format 6) expansion
-    via a 256-entry numpy table, or IMA/DVI ADPCM (format 0x11)
-    block decode — closed-form codecs, no library needed. Other
-    compressed formats (MS-ADPCM, MP3-in-WAV) raise ValueError
-    naming the tag."""
+    """Fallback for non-integer-PCM WAV that stdlib ``wave``
+    rejects: manual RIFF parse + IEEE float (format 3), G.711 µ-law
+    (format 7) / A-law (format 6) expansion via a 256-entry numpy
+    table, or IMA/DVI ADPCM (format 0x11) block decode — closed-form
+    codecs, no library needed. Other compressed formats (MS-ADPCM,
+    MP3-in-WAV) raise ValueError naming the tag."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos = 12
@@ -1590,6 +1590,18 @@ def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     tag, n_ch, rate, _byte_rate, block_align, bits = fmt
+    if tag == 3:  # IEEE float PCM
+        if bits == 32:
+            x = np.frombuffer(
+                data[: len(data) - len(data) % 4], "<f4"
+            ).astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data[: len(data) - len(data) % 8], "<f8").copy()
+        else:
+            raise ValueError(f"IEEE-float WAV must be 32/64-bit, got {bits}")
+        if n_ch > 1:
+            x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        return np.clip(x, -1.0, 1.0), rate
     if tag == 0x11:  # IMA/DVI ADPCM
         if bits != 4:
             raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
@@ -1612,7 +1624,7 @@ def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
 # Native FLAC subset decode (r08): the lossless format is pure
 # bit-twiddling — Rice-coded residuals over fixed/LPC predictors —
 # so, like PNG/JPEG/GIF, it needs numpy and the public spec, not a
-# codec library. Supported: 8/16-bit, mono/stereo (all four channel
+# codec library. Supported: 8/16/20/24-bit, mono/stereo (all four channel
 # assignments incl. mid/side), constant/verbatim/fixed(0-4)/LPC
 # subframes, wasted bits, partitioned Rice with escapes, frame-header
 # CRC-8 verified. Unsupported depths/layouts raise ValueError.
@@ -1767,7 +1779,7 @@ def _decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             break
     if rate is None:
         raise ValueError("FLAC missing STREAMINFO")
-    if bps not in (8, 16):
+    if bps not in (8, 16, 20, 24):
         raise ValueError(f"unsupported FLAC bit depth {bps}")
     if n_ch > 2:
         raise ValueError(f"unsupported FLAC channel count {n_ch}")
@@ -1968,9 +1980,10 @@ def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode WAV with stdlib ``wave`` + numpy — no codec library.
-    Returns (mono float64 samples in [-1, 1], sample_rate). 8/16/32
-    bit integer PCM; G.711 µ-law/A-law via the manual fallback
-    (r08); multi-channel is mean-downmixed."""
+    Returns (mono float64 samples in [-1, 1], sample_rate).
+    8/16/24/32-bit integer PCM; IEEE float, G.711 µ-law/A-law and
+    IMA ADPCM via the manual fallback (r08); multi-channel is
+    mean-downmixed."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
@@ -1981,6 +1994,12 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
     elif sampwidth == 1:  # unsigned 8-bit
         x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sampwidth == 3:  # 24-bit little-endian PCM
+        b = np.frombuffer(raw[: len(raw) - len(raw) % 3], np.uint8)
+        b = b.reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
     elif sampwidth == 4:
         x = np.frombuffer(raw, np.int32).astype(np.float64) / 2147483648.0
     else:

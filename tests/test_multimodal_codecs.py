@@ -1816,7 +1816,7 @@ def make_flac(
         else:
             raise ValueError(stereo_mode)
         hdr.write(ch_code, 4)
-        hdr.write({8: 1, 16: 4}[bps], 3)
+        hdr.write({8: 1, 16: 4, 20: 5, 24: 6}[bps], 3)
         hdr.write(0, 1)  # reserved
         hdr.align()
         head = bytes(hdr.out) + _flac_utf8(frame_no) + struct.pack(">H", bs - 1)
@@ -3324,3 +3324,54 @@ def test_probe_ogg_theora_multiplexed():
     assert (a["codec"], a["sample_rate"], a["duration_ms"]) == ("vorbis", 8000, 500)
     with pytest.raises(ValueError, match="capture pattern"):
         MM._probe_media(b"OggS\x00\x00" + b"\x00" * 30 + b"XXXX" + b"\x00" * 40)
+
+
+def test_decode_wav_24bit_pcm():
+    rng = np.random.default_rng(9)
+    v = rng.integers(-(1 << 23), 1 << 23, 500)
+    raw = b"".join(
+        int(x & 0xFFFFFF).to_bytes(3, "little") for x in v
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    x, rate = MM._decode_wav(payload)
+    assert rate == 8000
+    assert np.allclose(x, v / float(1 << 23), atol=0)
+
+
+def test_decode_wav_ieee_float():
+    v = np.linspace(-1, 1, 400).astype(np.float32)
+    raw = v.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 16000 * 4, 4, 32)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    x, rate = MM._decode_wav(payload)
+    assert rate == 16000
+    assert np.allclose(x, v.astype(np.float64))
+    # stereo float64 downmix
+    v2 = np.repeat(np.linspace(-0.5, 0.5, 100), 2)
+    raw2 = v2.astype("<f8").tobytes()
+    fmt2 = struct.pack("<HHIIHH", 3, 2, 8000, 8000 * 16, 16, 64)
+    p2 = (
+        b"RIFF" + struct.pack("<I", 36 + len(raw2)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt2
+        + b"data" + struct.pack("<I", len(raw2)) + raw2
+    )
+    x2, _ = MM._decode_wav(p2)
+    assert np.allclose(x2, np.linspace(-0.5, 0.5, 100))
+
+
+def test_decode_flac_24bit_roundtrip():
+    rng = np.random.default_rng(13)
+    sig = rng.integers(-(1 << 23), 1 << 23, 700).tolist()
+    payload = make_flac([sig], rate=48000, bps=24, blocksize=256)
+    x, rate = MM._decode_flac(payload)
+    assert rate == 48000
+    assert np.allclose(x, np.array(sig) / float(1 << 23), atol=0)
