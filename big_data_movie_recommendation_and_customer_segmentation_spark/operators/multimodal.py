@@ -1871,24 +1871,22 @@ def _decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode AIFF (FORM/AIFF, big-endian PCM): COMM carries the
-    geometry plus the sample rate as an 80-bit extended float; SSND
-    carries the raster. 8/16-bit, mean downmix. AIFC (compressed)
-    raises — a codec boundary."""
+    """Decode AIFF and uncompressed AIFC: COMM carries the geometry
+    plus the sample rate as an 80-bit extended float; SSND carries
+    the raster. 8/16/24/32-bit PCM, mean downmix. AIFC compression
+    types 'NONE' (big-endian) and 'sowt' (byte-swapped little-endian
+    PCM, the common Mac variant) are PCM and decode; genuinely
+    compressed AIFC (ulaw/ima4/...) raises — a codec boundary."""
     if len(payload) < 12 or payload[:4] != b"FORM":
         raise ValueError("not an AIFF payload")
     form = payload[8:12]
-    if form == b"AIFC":
-        raise NotImplementedError(
-            "AIFC compressed audio requires an external codec; plain "
-            "AIFF PCM decodes natively"
-        )
-    if form != b"AIFF":
+    if form not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF payload")
     pos = 12
     n_ch = bits = None
     rate = 0
     raster = None
+    comp = b"NONE"
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from(">I", payload, pos + 4)[0]
@@ -1899,16 +1897,34 @@ def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
             exp = struct.unpack_from(">H", body, 8)[0] & 0x7FFF
             mant = int.from_bytes(body[10:18], "big")
             rate = int(round(mant * 2.0 ** (exp - 16383 - 63))) if mant else 0
+            if form == b"AIFC" and len(body) >= 22:
+                comp = body[18:22]
         elif cid == b"SSND" and len(body) >= 8:
             offset = struct.unpack_from(">I", body, 0)[0]
             raster = body[8 + offset :]
         pos += 8 + size + (size & 1)
     if n_ch is None or raster is None:
         raise ValueError("AIFF missing COMM/SSND chunk")
-    if bits == 16:
-        x = np.frombuffer(raster[: len(raster) - len(raster) % 2], ">i2").astype(
-            np.float64
-        ) / 32768.0
+    if comp not in (b"NONE", b"sowt"):
+        raise NotImplementedError(
+            f"AIFC compression type {comp!r} requires an external codec; "
+            "uncompressed AIFF/AIFC ('NONE', 'sowt') decodes natively"
+        )
+    endian = "<" if comp == b"sowt" else ">"
+    if bits in (16, 32):
+        width = bits // 8
+        x = np.frombuffer(
+            raster[: len(raster) - len(raster) % width], f"{endian}i{width}"
+        ).astype(np.float64) / float(1 << (bits - 1))
+    elif bits == 24:
+        b = np.frombuffer(raster[: len(raster) - len(raster) % 3], np.uint8)
+        b = b.reshape(-1, 3).astype(np.int64)
+        if endian == ">":
+            v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        else:
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
     elif bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV)
         x = np.frombuffer(raster, np.int8).astype(np.float64) / 128.0
     else:
@@ -1920,8 +1936,8 @@ def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
 
 def _decode_au(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode Sun/NeXT AU ('.snd'): fixed big-endian header, then
-    µ-law (encoding 1 — reuses the G.711 table), 8-bit linear (2), or
-    16-bit big-endian linear (3) samples; mean downmix."""
+    µ-law (1) / A-law (27) via the shared G.711 tables, or 8/16/24/
+    32-bit big-endian linear (2/3/4/5) samples; mean downmix."""
     if len(payload) < 24 or payload[:4] != b".snd":
         raise ValueError("not an AU payload")
     offset, _size, enc, rate, n_ch = struct.unpack_from(">IIIII", payload, 4)
@@ -1932,12 +1948,26 @@ def _decode_au(payload: bytes) -> tuple[np.ndarray, int]:
         x = _g711_mulaw_table()[np.frombuffer(data, np.uint8)].astype(
             np.float64
         ) / 32768.0
+    elif enc == 27:
+        x = _g711_alaw_table()[np.frombuffer(data, np.uint8)].astype(
+            np.float64
+        ) / 32768.0
     elif enc == 2:
         x = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
     elif enc == 3:
         x = np.frombuffer(data[: len(data) - len(data) % 2], ">i2").astype(
             np.float64
         ) / 32768.0
+    elif enc == 4:
+        b = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8)
+        b = b.reshape(-1, 3).astype(np.int64)
+        v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif enc == 5:
+        x = np.frombuffer(data[: len(data) - len(data) % 4], ">i4").astype(
+            np.float64
+        ) / 2147483648.0
     else:
         raise ValueError(f"unsupported AU encoding {enc}")
     if n_ch > 1:

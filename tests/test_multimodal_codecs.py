@@ -2041,10 +2041,20 @@ def test_decode_aiff_stereo_downmix_and_aifc_boundary():
     inter[0::2], inter[1::2] = l, r
     x, _ = MM._decode_audio(make_aiff(inter, n_ch=2))
     assert np.abs(x).max() == 0.0  # L/R cancel
+    # AIFC with a genuinely compressed type raises; 'NONE'/'sowt' decode
     aifc = bytearray(make_aiff(l))
     aifc[8:12] = b"AIFC"
-    with pytest.raises(NotImplementedError, match="AIFC"):
-        MM._decode_audio(bytes(aifc))
+    comm_at = bytes(aifc).index(b"COMM")
+    old_sz = struct.unpack_from(">I", aifc, comm_at + 4)[0]
+    with_comp = (
+        bytes(aifc[: comm_at + 4])
+        + struct.pack(">I", old_sz + 4)
+        + bytes(aifc[comm_at + 8 : comm_at + 8 + old_sz])
+        + b"ulaw"
+        + bytes(aifc[comm_at + 8 + old_sz :])
+    )
+    with pytest.raises(NotImplementedError, match="ulaw"):
+        MM._decode_audio(with_comp)
 
 
 def make_au(data: bytes, enc: int, rate: int = 8000, n_ch: int = 1) -> bytes:
@@ -3375,3 +3385,61 @@ def test_decode_flac_24bit_roundtrip():
     x, rate = MM._decode_flac(payload)
     assert rate == 48000
     assert np.allclose(x, np.array(sig) / float(1 << 23), atol=0)
+
+
+def make_aifc(samples: np.ndarray, bits: int, comp: bytes,
+              rate: int = 8000, n_ch: int = 1) -> bytes:
+    """AIFC with explicit compression fourcc; raster endianness per
+    comp ('sowt' = little-endian, else big-endian)."""
+    frames = len(samples) // n_ch
+    comm = struct.pack(">HIH", n_ch, frames, bits)
+    e = rate.bit_length() - 1
+    comm += struct.pack(">H", 16383 + e) + (rate << (63 - e)).to_bytes(8, "big")
+    comm += comp + b"\x00\x00"  # empty pstring name (padded)
+    if bits == 24:
+        order = "little" if comp == b"sowt" else "big"
+        raster = b"".join(
+            int(v & 0xFFFFFF).to_bytes(3, order) for v in samples
+        )
+    else:
+        dt = ("<" if comp == b"sowt" else ">") + f"i{bits // 8}"
+        raster = samples.astype(dt).tobytes()
+    ssnd = struct.pack(">II", 0, 0) + raster
+
+    def chunk(cid, body):
+        return cid + struct.pack(">I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    inner = b"AIFC" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(inner)) + inner
+
+
+def test_decode_aifc_sowt_and_deep_pcm():
+    rng = np.random.default_rng(21)
+    s16 = rng.integers(-32768, 32768, 300)
+    x, rate = MM._decode_audio(make_aifc(s16, 16, b"sowt", rate=22050))
+    assert rate == 22050
+    assert np.array_equal((x * 32768).round().astype(np.int64), s16)
+    s24 = rng.integers(-(1 << 23), 1 << 23, 300)
+    for comp in (b"NONE", b"sowt"):
+        x, _ = MM._decode_audio(make_aifc(s24, 24, comp))
+        assert np.allclose(x, s24 / float(1 << 23), atol=0), comp
+    s32 = rng.integers(-(1 << 31), 1 << 31, 100)
+    x, _ = MM._decode_audio(make_aifc(s32, 32, b"NONE"))
+    assert np.allclose(x, s32 / float(1 << 31), atol=0)
+
+
+def test_decode_au_deep_and_alaw():
+    codes = bytes(range(256))
+    au, _ = MM._decode_audio(make_au(codes, enc=27))
+    wav, _ = MM._decode_wav(make_g711_wav(codes, 6))
+    assert np.array_equal(au, wav)
+    rng = np.random.default_rng(31)
+    s24 = rng.integers(-(1 << 23), 1 << 23, 200)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "big") for v in s24)
+    x, _ = MM._decode_audio(make_au(raw, enc=4))
+    assert np.allclose(x, s24 / float(1 << 23), atol=0)
+    s32 = rng.integers(-(1 << 31), 1 << 31, 200)
+    x, _ = MM._decode_audio(make_au(s32.astype(">i4").tobytes(), enc=5))
+    assert np.allclose(x, s32 / float(1 << 31), atol=0)
