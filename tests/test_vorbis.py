@@ -154,7 +154,6 @@ def test_render_point_and_line():
         y0 = int(rng.integers(0, 255))
         y1 = int(rng.integers(0, 255))
         seg = V._render_line(0, y0, x1, y1)
-        ext = V._render_line(0, y0, x1, y1) if x1 == 1 else None
         assert seg[0] == y0
         # all values between endpoints
         lo, hi = min(y0, y1), max(y0, y1)
