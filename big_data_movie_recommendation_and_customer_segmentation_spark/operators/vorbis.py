@@ -85,35 +85,43 @@ class _Bits:
 # ------------------------------------------------------- Ogg packets
 
 
-def ogg_packets(payload: bytes) -> dict[int, list[bytes]]:
+def ogg_packets(
+    payload: bytes,
+) -> tuple[dict[int, list[bytes]], dict[int, int]]:
     """Reassemble full packets per logical stream from an Ogg
     physical stream: lacing values chain (255 = continue), packets
-    may span pages (continuation flag 0x01)."""
+    may span pages (continuation flag 0x01). Also returns the final
+    non-negative granule position per stream (for Vorbis: the total
+    PCM sample count, used to trim the last partial block)."""
     out: dict[int, list[bytes]] = {}
+    granules: dict[int, int] = {}
     partial: dict[int, bytearray] = {}
     pos = 0
     while pos + 27 <= len(payload):
         if payload[pos : pos + 4] != b"OggS":
             raise ValueError(f"Ogg capture pattern lost at byte {pos}")
         header_type = payload[pos + 5]
+        granule = struct.unpack_from("<q", payload, pos + 6)[0]
         serial = struct.unpack_from("<I", payload, pos + 14)[0]
         n_segs = payload[pos + 26]
         segs = payload[pos + 27 : pos + 27 + n_segs]
         body = pos + 27 + n_segs
         out.setdefault(serial, [])
+        if granule >= 0:
+            granules[serial] = granule
         cur = partial.setdefault(serial, bytearray())
         if not (header_type & 0x01) and cur:
             # packet was left open but this page does not continue it
             raise ValueError("Ogg continuation flag missing")
         off = body
-        for i, lace in enumerate(segs):
+        for lace in segs:
             cur += payload[off : off + lace]
             off += lace
             if lace < 255:
                 out[serial].append(bytes(cur))
                 cur.clear()
         pos = off
-    return out
+    return out, granules
 
 
 # --------------------------------------------------------- codebooks
@@ -698,11 +706,12 @@ def decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode an Ogg/Vorbis payload → (mono float64 in [-1, 1],
     sample_rate), matching the WAV/FLAC decode contract. Multi-stream
     Ogg: the first Vorbis logical stream is decoded."""
-    streams = ogg_packets(payload)
-    packets = None
-    for plist in streams.values():
+    streams, granules = ogg_packets(payload)
+    packets = total = None
+    for serial, plist in streams.items():
         if plist and plist[0][:7] == b"\x01vorbis":
             packets = plist
+            total = granules.get(serial)
             break
     if packets is None:
         raise ValueError("no Vorbis logical stream in Ogg payload")
@@ -823,6 +832,11 @@ def decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("Vorbis stream has no audio packets")
         return np.zeros(0), rate
     mono = np.concatenate([p.mean(axis=0) for p in pcm])
+    if total and total < mono.size:
+        # final granule position = total PCM samples: encoders trim
+        # the last block's tail. Granule 0 carries no information
+        # (header pages are stamped 0), so only positive totals trim.
+        mono = mono[:total]
     return np.clip(mono, -1.0, 1.0), rate
 
 

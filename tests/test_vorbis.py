@@ -128,8 +128,9 @@ def test_ogg_packet_reassembly_spanning_pages():
         make_page(7, [(p1, True), (p2, True), (big[:510], False)], bos=True)
         + make_page(7, [(big[510:], True), (p3, True)], continued=True)
     )
-    out = V.ogg_packets(pages)
+    out, granules = V.ogg_packets(pages)
     assert out == {7: [p1, p2, big, p3]}
+    assert granules == {7: 0}
     # missing continuation flag must raise
     bad = make_page(7, [(big[:510], False)]) + make_page(7, [(big[510:], True)])
     with pytest.raises(ValueError, match="continuation"):
@@ -830,3 +831,34 @@ def test_decode_vorbis_malformed_inputs():
     # missing headers entirely
     with pytest.raises(ValueError, match="missing header"):
         V.decode_vorbis(make_page(1, [(ident, True)], bos=True))
+
+
+def test_decode_vorbis_granule_trims_tail():
+    """A final granule position short of the lapped sample count
+    trims the decoded tail (encoder wrote a partial last block)."""
+    n = 64
+    setup, _ = mono_setup_packet()
+    frames = [(150, 150, [0, 1, 2, 3] * 4)] * 3  # 2 laps -> 64 samples
+
+    def audio_packet(y0, y1, entries):
+        bw = BitWriter()
+        bw.write(0, 1).write(1, 1).write(y0, 8).write(y1, 8).write(0, 1)
+        for e in entries:
+            bw.write_huff(e, 2)
+        return bw.bytes()
+
+    packets = [
+        ident_packet(1, 8000, n, n),
+        b"\x03vorbis" + b"\x00" * 8,
+        setup,
+    ] + [audio_packet(*f) for f in frames]
+    full = make_page(8, [(packets[0], True)], bos=True) + make_page(
+        8, [(p, True) for p in packets[1:]], granule=64
+    )
+    trimmed = make_page(8, [(packets[0], True)], bos=True) + make_page(
+        8, [(p, True) for p in packets[1:]], granule=50
+    )
+    got_full, _ = V.decode_vorbis(full)
+    got_trim, _ = V.decode_vorbis(trimmed)
+    assert got_full.size == 64 and got_trim.size == 50
+    assert np.array_equal(got_trim, got_full[:50])
