@@ -862,3 +862,64 @@ def test_decode_vorbis_granule_trims_tail():
     got_trim, _ = V.decode_vorbis(trimmed)
     assert got_full.size == 64 and got_trim.size == 50
     assert np.array_equal(got_trim, got_full[:50])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 255),
+            st.integers(0, 255),
+            st.lists(st.integers(0, 3), min_size=16, max_size=16),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(0, 2),
+)
+def test_decode_vorbis_mono_property(frames, rate_idx):
+    """Any floor pair / residue entry pattern / frame count must
+    decode to the independent model's PCM exactly."""
+    n = 64
+    rate = (8000, 22050, 48000)[rate_idx]
+    setup, vectors = mono_setup_packet()
+
+    def audio_packet(y0, y1, entries):
+        bw = BitWriter()
+        bw.write(0, 1).write(1, 1).write(y0, 8).write(y1, 8).write(0, 1)
+        for e in entries:
+            bw.write_huff(e, 2)
+        return bw.bytes()
+
+    packets = [
+        ident_packet(1, rate, n, n),
+        b"\x03vorbis" + b"\x00" * 8,
+        setup,
+    ] + [audio_packet(*f) for f in frames]
+    ogg = make_page(5, [(packets[0], True)], bos=True) + make_page(
+        5, [(p, True) for p in packets[1:]]
+    )
+    got, got_rate = V.decode_vorbis(ogg)
+    assert got_rate == rate
+
+    w = np.sin(0.5 * np.pi * np.sin(np.pi * (np.arange(n) + 0.5) / n) ** 2)
+    j = np.arange(n)[:, None]
+    k = np.arange(n // 2)[None, :]
+    basis = np.cos(np.pi / (2 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
+    tds = []
+    for y0, y1, entries in frames:
+        floor = indep_floor_curve(y0, y1, n // 2)
+        residue = np.zeros(n // 2)
+        t = 0
+        for e in entries:
+            residue[t : t + 2] += vectors[e]
+            t += 2
+        tds.append((basis @ (floor * residue)) * (4.0 / n) * w)
+    expect = np.concatenate(
+        [tds[i][n // 2 :] + tds[i + 1][: n // 2] for i in range(len(tds) - 1)]
+    )
+    assert got.shape == expect.shape
+    assert np.allclose(got, np.clip(expect, -1, 1), atol=1e-12)
