@@ -923,3 +923,121 @@ def test_decode_vorbis_mono_property(frames, rate_idx):
     )
     assert got.shape == expect.shape
     assert np.allclose(got, np.clip(expect, -1, 1), atol=1e-12)
+
+
+def test_codebook_ordered_lengths_and_sequence_p():
+    """Ordered length coding: runs of increasing codeword length
+    (3 entries at len 1? no — lengths must form a valid tree: use
+    1,2,2); sequence_p accumulates lookup values across dims."""
+    bw = BitWriter()
+    bw.write(0x564342, 24).write(2, 16).write(3, 24)
+    bw.write(1, 1)  # ordered
+    bw.write(0, 5)  # initial length 1
+    # ilog(3)=2 bits: 1 entry at len 1; ilog(2)=2 bits: 2 at len 2
+    bw.write(1, 2).write(2, 2)
+    bw.write(2, 4)  # lookup type 2
+    bw.write(pack_f32(1.0), 32).write(pack_f32(1.0), 32)
+    bw.write(1, 4).write(1, 1)  # value_bits=2, sequence_p SET
+    for m in (1, 2, 0, 3, 2, 2):
+        bw.write(m, 2)
+    cb = V._Codebook(V._Bits(bw.bytes()))
+    # entry0: d0 = 1+1 = 2; d1 = 2+1 + last(2) = 5
+    assert list(cb.vectors[0]) == [2.0, 5.0]
+    assert list(cb.vectors[1]) == [1.0, 5.0]
+    assert list(cb.vectors[2]) == [3.0, 6.0]
+    # huffman: entry0 len1 = '0'; entries 1,2 len2 = '10','11'
+    br = V._Bits(BitWriter().write_huff(0, 1).write_huff(0b10, 2)
+                 .write_huff(0b11, 2).bytes())
+    assert [cb.decode_scalar(br) for _ in range(3)] == [0, 1, 2]
+
+
+def two_submap_setup_packet() -> tuple[bytes, np.ndarray]:
+    """Stereo with TWO submaps: ch0 -> submap 0 (residue over bins
+    0..32), ch1 -> submap 1 (residue over bins 0..16 only) — each
+    channel decodes through its own floor/residue pair."""
+    bw = BitWriter()
+    bw.write(1, 8)
+    write_codebook(bw, [1], dims=4)
+    mults = [3, 1, 0, 2, 1, 1, 2, 0]
+    write_codebook(bw, [2, 2, 2, 2], dims=2, lookup=(-2.0, 1.0, 2, mults))
+    vectors = (np.array(mults, float) - 2.0).reshape(4, 2)
+    bw.write(0, 6).write(0, 16)
+    bw.write(0, 6).write(1, 16).write(0, 5).write(0, 2).write(5, 4)
+    # TWO residues (type 1 to keep channels separate): end 32 and 16
+    bw.write(1, 6)
+    for end in (32, 16):
+        bw.write(2, 16)
+        bw.write(0, 24).write(end, 24).write(7, 24).write(0, 6).write(0, 8)
+        bw.write(1, 3).write(0, 1)
+        bw.write(1, 8)
+    # mapping: submap flag set -> 2 submaps; no coupling; mux 0,1
+    bw.write(0, 6).write(0, 16)
+    bw.write(1, 1).write(1, 4)
+    bw.write(0, 1).write(0, 2)
+    bw.write(0, 4).write(1, 4)  # mux per channel
+    bw.write(0, 8).write(0, 8).write(0, 8)  # submap0: floor0 res0
+    bw.write(0, 8).write(0, 8).write(1, 8)  # submap1: floor0 res1
+    bw.write(0, 6).write(0, 1).write(0, 16).write(0, 16).write(0, 8)
+    bw.write(1, 1)
+    return b"\x05vorbis" + bw.bytes(), vectors
+
+
+def test_decode_vorbis_two_submaps():
+    n = 64
+    setup, vectors = two_submap_setup_packet()
+    rng = np.random.default_rng(17)
+    frames = []
+    for _ in range(3):
+        floors = tuple(int(v) for v in rng.integers(80, 250, 4))
+        e0 = [int(e) for e in rng.integers(0, 4, 16)]
+        e1 = [int(e) for e in rng.integers(0, 4, 8)]
+        frames.append((floors, e0, e1))
+
+    def audio_packet(floors, e0, e1):
+        a0, b0, a1, b1 = floors
+        bw = BitWriter()
+        bw.write(0, 1)
+        bw.write(1, 1).write(a0, 8).write(b0, 8)
+        bw.write(1, 1).write(a1, 8).write(b1, 8)
+        bw.write(0, 1)  # submap 0 classword (4 partitions of ch0)
+        for e in e0:
+            bw.write_huff(e, 2)
+        bw.write(0, 1)  # submap 1 classword (2 partitions of ch1)
+        for e in e1:
+            bw.write_huff(e, 2)
+        return bw.bytes()
+
+    packets = [
+        ident_packet(2, 8000, n, n),
+        b"\x03vorbis" + b"\x00" * 8,
+        setup,
+    ] + [audio_packet(*f) for f in frames]
+    ogg = make_page(12, [(packets[0], True)], bos=True) + make_page(
+        12, [(p, True) for p in packets[1:]]
+    )
+    got, _ = V.decode_vorbis(ogg)
+
+    w = np.sin(0.5 * np.pi * np.sin(np.pi * (np.arange(n) + 0.5) / n) ** 2)
+    j = np.arange(n)[:, None]
+    k = np.arange(n // 2)[None, :]
+    basis = np.cos(np.pi / (2 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
+    tds = []
+    for (a0, b0, a1, b1), e0, e1 in frames:
+        r0 = np.zeros(32)
+        t = 0
+        for e in e0:
+            r0[t : t + 2] += vectors[e]
+            t += 2
+        r1 = np.zeros(32)
+        t = 0
+        for e in e1:  # residue 1 covers only bins 0..16
+            r1[t : t + 2] += vectors[e]
+            t += 2
+        s0 = r0 * indep_floor_curve(a0, b0, 32)
+        s1 = r1 * indep_floor_curve(a1, b1, 32)
+        td = np.stack([basis @ s0, basis @ s1]) * (4.0 / n) * w
+        tds.append(td.mean(axis=0))
+    expect = np.concatenate(
+        [tds[i][n // 2 :] + tds[i + 1][: n // 2] for i in range(len(tds) - 1)]
+    )
+    assert np.allclose(got, np.clip(expect, -1, 1), atol=1e-12)
