@@ -57,6 +57,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -1111,9 +1112,9 @@ def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Decode a baseline TIFF (both byte orders): first IFD, strip
     layout, 8-bit gray or RGB, uncompressed (1), LZW (5, with the
     early-change width rule and optional horizontal differencing
-    predictor), or PackBits (32773). Tiled, JPEG-compressed, planar,
-    and palette TIFFs raise — format features beyond this baseline
-    profile."""
+    predictor), Deflate (8 / legacy 32946, stdlib zlib), or PackBits
+    (32773). Tiled, JPEG-compressed, planar, and palette TIFFs raise
+    — format features beyond this baseline profile."""
     if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -1157,7 +1158,7 @@ def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
     planar = one(284, 1)
     predictor = one(317, 1)
     bits = tags.get(258, [8])
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
@@ -1185,6 +1186,8 @@ def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
             raster += _packbits_decode(strip, n_rows * row_bytes)
         elif compression == 5:
             raster += _tiff_lzw_decode(strip, n_rows * row_bytes)
+        elif compression in (8, 32946):
+            raster += zlib.decompress(strip)[: n_rows * row_bytes]
         else:
             raster += strip[: n_rows * row_bytes]
     if len(raster) < height * row_bytes:
@@ -1566,6 +1569,22 @@ def _decode_wav_ima_adpcm(
     ) / 2.0 / 32768.0
 
 
+def _pcm_int_to_float(data: bytes, bits: int) -> np.ndarray:
+    """Little-endian integer PCM raster -> float64 in [-1, 1]
+    (8-bit is unsigned per RIFF convention; 24-bit is packed)."""
+    if bits == 8:
+        return (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    if bits == 24:
+        b = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8)
+        b = b.reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        return v.astype(np.float64) / float(1 << 23)
+    width = bits // 8
+    x = np.frombuffer(data[: len(data) - len(data) % width], f"<i{width}")
+    return x.astype(np.float64) / float(1 << (bits - 1))
+
+
 def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
     """Fallback for non-integer-PCM WAV that stdlib ``wave``
     rejects: manual RIFF parse + IEEE float (format 3), G.711 µ-law
@@ -1577,6 +1596,7 @@ def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV payload")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -1584,12 +1604,24 @@ def _decode_wav_g711(payload: bytes) -> tuple[np.ndarray, int]:
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     tag, n_ch, rate, _byte_rate, block_align, bits = fmt
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads the GUID
+        if len(fmt_body) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        tag = struct.unpack_from("<H", fmt_body, 24)[0]
+        if tag == 1:  # integer PCM in the extensible container
+            if bits not in (8, 16, 24, 32):
+                raise ValueError(f"unsupported extensible PCM depth {bits}")
+            x = _pcm_int_to_float(data, bits)
+            if n_ch > 1:
+                x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+            return x, rate
     if tag == 3:  # IEEE float PCM
         if bits == 32:
             x = np.frombuffer(
@@ -2710,17 +2742,22 @@ def _probe_media(payload: bytes) -> list[dict]:
         return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         pos, fmt, data_len = 12, None, 0
+        ext_tag = None
         while pos + 8 <= len(payload):
             cid = payload[pos : pos + 4]
             size = struct.unpack_from("<I", payload, pos + 4)[0]
             if cid == b"fmt " and size >= 16:
                 fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+                if fmt[0] == 0xFFFE and size >= 26:
+                    ext_tag = struct.unpack_from("<H", payload, pos + 32)[0]
             elif cid == b"data":
                 data_len = size
             pos += 8 + size + (size & 1)
         if fmt is None:
             raise ValueError("WAV missing fmt chunk")
         tag, n_ch, rate, _br, block_align, bits = fmt
+        if ext_tag is not None:
+            tag = ext_tag  # WAVE_FORMAT_EXTENSIBLE: GUID leads with the tag
         codec = {1: "pcm", 3: "float", 6: "alaw", 7: "mulaw", 0x11: "ima-adpcm",
                  0x55: "mp3"}.get(tag, f"tag-{tag}")
         if tag == 0x11 and block_align >= 4 * n_ch:

@@ -3443,3 +3443,58 @@ def test_decode_au_deep_and_alaw():
     s32 = rng.integers(-(1 << 31), 1 << 31, 200)
     x, _ = MM._decode_audio(make_au(s32.astype(">i4").tobytes(), enc=5))
     assert np.allclose(x, s32 / float(1 << 31), atol=0)
+
+
+def test_decode_tiff_deflate():
+    rng = np.random.default_rng(41)
+    px = rng.integers(0, 256, (9, 7, 3), np.uint8)
+    raw = px.tobytes()
+    # hand-build a little-endian deflate TIFF (one strip)
+    entries = []
+    def entry(tag, typ, count, value):
+        entries.append(struct.pack("<HHII", tag, typ, count, value))
+    data_off = 8 + 2 + 12 * 7 + 4
+    comp = zlib.compress(raw)
+    entry(256, 3, 1, 7); entry(257, 3, 1, 9)
+    entry(258, 3, 1, 8); entry(259, 3, 1, 8)  # Deflate
+    entry(273, 4, 1, data_off); entry(277, 3, 1, 3)
+    entry(279, 4, 1, len(comp))
+    tif = (b"II*\x00" + struct.pack("<I", 8)
+           + struct.pack("<H", 7) + b"".join(entries)
+           + struct.pack("<I", 0) + comp)
+    img, w, h = MM._decode_tiff(tif)
+    assert (w, h) == (7, 9)
+    assert np.array_equal(img, px)
+
+
+def test_decode_wav_extensible_pcm_and_float():
+    rng = np.random.default_rng(43)
+    v = rng.integers(-(1 << 23), 1 << 23, 300)
+    raw = b"".join(int(x & 0xFFFFFF).to_bytes(3, "little") for x in v)
+    # fmt: EXTENSIBLE, 24-bit PCM GUID (leading tag 1)
+    guid = struct.pack("<H", 1) + b"\x00\x00" + b"\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000 * 3, 3, 24)
+    fmt += struct.pack("<HHI", 22, 24, 0x4) + guid
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    x, rate = MM._decode_audio(payload)
+    assert rate == 8000
+    assert np.allclose(x, v / float(1 << 23), atol=0)
+    # extensible float32
+    f = np.linspace(-1, 1, 128).astype("<f4")
+    guid3 = struct.pack("<H", 3) + guid[2:]
+    fmt3 = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 16000 * 4, 4, 32)
+    fmt3 += struct.pack("<HHI", 22, 32, 0x4) + guid3
+    p3 = (
+        b"RIFF" + struct.pack("<I", 36 + f.nbytes) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+        + b"data" + struct.pack("<I", f.nbytes) + f.tobytes()
+    )
+    x3, _ = MM._decode_audio(p3)
+    assert np.allclose(x3, f.astype(np.float64))
+    # probe resolves the inner tag
+    (m,) = MM._probe_media(payload)
+    assert m["codec"] == "pcm" and m["n_samples"] == 300
