@@ -378,13 +378,19 @@ def _gif_lzw_decode(data: bytes, min_code: int, expect: int) -> bytearray:
     return out
 
 
-def _decode_gif(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode the first frame of a GIF87a/89a with stdlib struct +
-    numpy LZW — no codec library. Returns (H×W×3 uint8 RGB of the
-    LOGICAL SCREEN, width, height); the frame is composited at its
-    (left, top) onto a background of the GIF's background color (or
-    black without a global table). Interlaced frames are de-woven
-    (4-pass row order). Malformed streams raise ValueError."""
+def _gif_decode_all(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[list[np.ndarray], int, int, list[int]]:
+    """Decode a GIF87a/89a — ALL frames, full GIF89a animation
+    semantics — with stdlib struct + numpy LZW, no codec library.
+    Returns (list of H×W×3 uint8 RGB canvases, width, height,
+    per-frame delays in ms). Each output frame is the LOGICAL SCREEN
+    after compositing: graphic control extensions drive transparency
+    (transparent indices leave the canvas through), disposal method
+    2 (restore to background) and 3 (restore to previous), and
+    per-frame delays (0 → the de-facto 100 ms default). Interlaced
+    frames are de-woven (4-pass row order). Malformed streams raise
+    ValueError."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
@@ -398,16 +404,33 @@ def _decode_gif(payload: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError("truncated GIF global color table")
         global_table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    bg_rgb = (
+        global_table[bg]
+        if global_table is not None and bg < len(global_table)
+        else np.zeros(3, np.uint8)
+    )
     canvas = np.zeros((sh, sw, 3), np.uint8)
-    if global_table is not None and bg < len(global_table):
-        canvas[:, :] = global_table[bg]
+    canvas[:, :] = bg_rgb
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    disposal = 0
+    transparent: int | None = None
+    delay_ms = 100
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            raise ValueError("GIF contains no image frame")
+            break
         if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
             pos += 1
+            if label == 0xF9 and pos + 1 < len(payload) and payload[pos] >= 4:
+                gpacked, delay_cs, t_idx = struct.unpack_from(
+                    "<BHB", payload, pos + 1
+                )
+                disposal = (gpacked >> 2) & 0x7
+                transparent = t_idx if gpacked & 0x01 else None
+                delay_ms = delay_cs * 10 or 100
             while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
@@ -455,9 +478,35 @@ def _decode_gif(payload: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError("GIF color index out of range")
         if top + fh > sh or left + fw > sw:
             raise ValueError("GIF frame exceeds logical screen")
-        canvas[top : top + fh, left : left + fw] = table[idx]
-        return canvas, sw, sh
-    raise ValueError("truncated GIF: no image frame before end of data")
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + fh, left : left + fw]
+        patch = table[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = patch[mask]
+        else:
+            region[:, :] = patch
+        frames.append(canvas.copy())
+        delays.append(delay_ms)
+        if disposal == 2:  # restore rect to background
+            canvas[top : top + fh, left : left + fw] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        disposal = 0
+        transparent = None
+        delay_ms = 100
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames, sw, sh, delays
+
+
+def _decode_gif(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """First frame of a GIF (image-leg contract): the logical screen
+    after compositing frame 1 — see ``_gif_decode_all``."""
+    frames, sw, sh, _delays = _gif_decode_all(payload, max_frames=1)
+    return frames[0], sw, sh
 
 
 # --------------------------------------------------------------- JPEG
@@ -2419,8 +2468,32 @@ def _parse_video(payload: bytes) -> tuple[list[bytes], int, int, float, int, str
         return _parse_mp4_video(payload)
     raise NotImplementedError(
         "unrecognized video container (native paths: AVI with DIB/MJPG "
-        "frames, MP4/MOV with jpeg/mjpa/png sample tracks); pass fake=True"
+        "frames, MP4/MOV with jpeg/mjpa/png sample tracks, animated GIF); "
+        "pass fake=True"
     )
+
+
+def _iter_video_frames(payload: bytes):
+    """Decoded (frame_idx, frame_ms, H×W×3 RGB) per frame for any
+    native video container. Animated GIF composes stateful frames
+    with per-frame delays; AVI/MP4 frames are independent and timed
+    by the container fps."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        frames, _w, _h, delays = _gif_decode_all(payload)
+        ms = 0
+        for i, (img, d) in enumerate(zip(frames, delays)):
+            yield i, ms, img
+            ms += d
+        return
+    frames, w, h, fps, bpp, codec = _parse_video(payload)
+    for i, raw in enumerate(frames):
+        if codec in ("mjpg", "jpeg"):
+            img, _fw, _fh = _decode_jpeg(raw)
+        elif codec == "png":
+            img, _fw, _fh = _decode_png(raw)
+        else:
+            img = _dib_to_rgb(raw, w, h, bpp)
+        yield i, int(i * 1000 / fps) if fps else 0, img
 
 
 def extract_video_frames(
@@ -2429,10 +2502,11 @@ def extract_video_frames(
     media_col: str = "media",
     every_n: int = 1,
 ) -> DataFrame:
-    """REAL video frame extraction for AVI (DIB + Motion-JPEG) and
-    MP4/MOV (jpeg/mjpa/png sample tracks) payloads: a RIFF chunk
-    walk or an ISO BMFF box walk (``_parse_video``) + the native
-    DIB/JPEG/PNG frame decoders, every ``every_n``-th frame emitted
+    """REAL video frame extraction for AVI (DIB + Motion-JPEG),
+    MP4/MOV (jpeg/mjpa/png sample tracks), and animated GIF
+    payloads: a RIFF chunk walk, an ISO BMFF box walk, or the GIF
+    compositor (``_iter_video_frames``) + the native
+    DIB/JPEG/PNG/LZW frame decoders, every ``every_n``-th frame emitted
     with its mean RGB and luma — the sampled-frame feature row a
     vision pipeline trains on. Same Arrow-batched ``mapInPandas``
     contract as the image/audio legs: per-batch decode, zero
@@ -2461,18 +2535,13 @@ def extract_video_frames(
         for pdf in it:
             rows: dict[str, list] = {k.name: [] for k in out_schema.fields}
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                frames, w, h, fps, bpp, codec = _parse_video(bytes(payload))
-                for i in range(0, len(frames), every_n):
-                    if codec in ("mjpg", "jpeg"):
-                        img, _fw, _fh = _decode_jpeg(frames[i])
-                    elif codec == "png":
-                        img, _fw, _fh = _decode_png(frames[i])
-                    else:
-                        img = _dib_to_rgb(frames[i], w, h, bpp)
+                for i, ms, img in _iter_video_frames(bytes(payload)):
+                    if i % every_n:
+                        continue
                     m = img.reshape(-1, 3).mean(axis=0) / 255.0
                     rows[id_col].append(mid)
                     rows["frame_idx"].append(i)
-                    rows["frame_ms"].append(int(i * 1000 / fps) if fps else 0)
+                    rows["frame_ms"].append(ms)
                     rows["mean_r"].append(float(m[0]))
                     rows["mean_g"].append(float(m[1]))
                     rows["mean_b"].append(float(m[2]))

@@ -3498,3 +3498,107 @@ def test_decode_wav_extensible_pcm_and_float():
     # probe resolves the inner tag
     (m,) = MM._probe_media(payload)
     assert m["codec"] == "pcm" and m["n_samples"] == 300
+
+
+def make_animated_gif(
+    frames: list[tuple[np.ndarray, tuple[int, int], int, int, int | None]],
+    palette: np.ndarray,
+    screen: tuple[int, int],
+    bg: int = 0,
+) -> bytes:
+    """GIF89a animation: frames are (idx_array, (left, top),
+    delay_cs, disposal, transparent_idx_or_None); global color table
+    only — an independent writer for the compositor tests."""
+    sw, sh = screen
+    n = max(2, int(palette.shape[0]))
+    size_field = max(1, (n - 1).bit_length()) - 1
+    table_n = 2 << size_field
+    table = np.zeros((table_n, 3), np.uint8)
+    table[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | size_field, bg, 0)
+    out += table.tobytes()
+    min_code = max(2, size_field + 1)
+    for idx, (left, top), delay_cs, disposal, transparent in frames:
+        fh, fw = idx.shape
+        gpacked = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+        out += struct.pack(
+            "<BBBBHBB", 0x21, 0xF9, 4, gpacked, delay_cs,
+            transparent if transparent is not None else 0, 0,
+        )
+        out += struct.pack("<BHHHHB", 0x2C, left, top, fw, fh, 0)
+        wr = _GifLzwWriter(min_code)
+        for v in idx.reshape(-1):
+            wr.pixel(int(v))
+        data = wr.finish()
+        out.append(min_code)
+        for i in range(0, len(data), 255):
+            sub = data[i : i + 255]
+            out.append(len(sub))
+            out += sub
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing_and_disposal():
+    """Hand-checkable 4x4 animation: full first frame; patch with
+    transparency; disposal 2 clears its rect to bg; disposal 3
+    reverts; delays accumulate."""
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    f0 = np.full((4, 4), 1, np.uint8)  # all red
+    patch = np.array([[2, 3], [3, 2]], np.uint8)  # green/blue 2x2
+    trans = np.array([[2, 0], [0, 2]], np.uint8)  # 0 = transparent
+    gif = make_animated_gif(
+        [
+            (f0, (0, 0), 5, 0, None),
+            (patch, (1, 1), 10, 3, None),   # dispose: revert to prev
+            (trans, (0, 0), 0, 2, 0),       # transparent + clear rect
+            (np.full((1, 1), 3, np.uint8), (3, 3), 7, 0, None),
+        ],
+        pal,
+        screen=(4, 4),
+    )
+    frames, sw, sh, delays = MM._gif_decode_all(gif)
+    assert (sw, sh) == (4, 4)
+    assert delays == [50, 100, 100, 70]  # 0 -> 100 ms default
+    assert np.array_equal(frames[0], pal[f0])
+    # frame 1: patch composited at (1,1)
+    want1 = pal[f0].copy()
+    want1[1:3, 1:3] = pal[patch]
+    assert np.array_equal(frames[1], want1)
+    # frame 2: previous canvas REVERTED (disposal 3), then trans
+    # patch at (0,0): only idx!=0 pixels land
+    want2 = pal[f0].copy()
+    want2[0, 0] = pal[2]
+    want2[1, 1] = pal[2]
+    assert np.array_equal(frames[2], want2)
+    # frame 3: disposal 2 cleared trans's 2x2 rect to bg (pal[0]),
+    # then a single blue pixel at (3,3)
+    want3 = pal[f0].copy()
+    want3[0:2, 0:2] = pal[0]
+    want3[3, 3] = pal[3]
+    assert np.array_equal(frames[3], want3)
+
+
+def test_extract_video_frames_animated_gif(spark):
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    frames = [
+        (np.full((2, 2), 1, np.uint8), (0, 0), 10, 0, None),  # white
+        (np.full((2, 2), 0, np.uint8), (0, 0), 20, 0, None),  # black
+        (np.full((1, 1), 1, np.uint8), (0, 0), 30, 0, None),  # 1 white px
+    ]
+    gif = make_animated_gif(frames, pal, screen=(2, 2))
+    df = spark.createDataFrame(
+        [(5, bytearray(gif))], "media_id long, payload binary"
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("image/gif")).alias("media"),
+    )
+    out = {r["frame_idx"]: r for r in MM.extract_video_frames(df).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["frame_ms"] == 0 and out[0]["luma"] == pytest.approx(1.0)
+    assert out[1]["frame_ms"] == 100 and out[1]["luma"] == pytest.approx(0.0)
+    assert out[2]["frame_ms"] == 300 and out[2]["luma"] == pytest.approx(0.25)
