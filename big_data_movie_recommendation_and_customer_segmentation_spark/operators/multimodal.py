@@ -123,11 +123,12 @@ def _dib_to_rgb(
 
 
 def _decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER) with
-    pure numpy — no codec library involved. Returns (H×W×3 uint8
-    RGB, width, height). Raises ValueError on unsupported variants
-    (compressed, paletted) so the caller can surface a clean error.
-    """
+    """Decode a BMP (BITMAPINFOHEADER) with pure numpy — no codec
+    library involved: uncompressed 24/32-bit truecolor, or 8-bit
+    paletted (uncompressed and RLE8, BI_RLE8 run/absolute/delta
+    opcodes). Returns (H×W×3 uint8 RGB, width, height). Raises
+    ValueError on other variants so the caller can surface a clean
+    error."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -141,15 +142,72 @@ def _decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError(f"unsupported BMP dimensions {width}x{height}")
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0 or bpp not in (24, 32):
-        raise ValueError(f"unsupported BMP (compression={compression}, bpp={bpp})")
     flip = height > 0  # positive height = bottom-up row order
     height = abs(height)
+    if bpp == 8 and compression in (0, 1):
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_at = 14 + header_size
+        pal = np.frombuffer(
+            payload, np.uint8, n_colors * 4, pal_at
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRA quads -> RGB
+        if compression == 1:
+            idx = _bmp_rle8_decode(payload[data_offset:], width, height)
+        else:
+            stride = (width + 3) & ~3
+            need = stride * height
+            if data_offset + need > len(payload):
+                raise ValueError("truncated BMP: raster short")
+            idx = np.frombuffer(
+                payload, np.uint8, need, data_offset
+            ).reshape(height, stride)[:, :width]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx]
+        if flip:
+            img = img[::-1]
+        return np.ascontiguousarray(img), width, height
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (compression={compression}, bpp={bpp})")
     try:
         img = _dib_to_rgb(payload, width, height, bpp, data_offset, flip)
     except ValueError as e:
         raise ValueError(f"truncated BMP: {e}") from None
     return img, width, height
+
+
+def _bmp_rle8_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """BI_RLE8: (count, value) runs; escape 0 -> 0 end-of-line,
+    1 end-of-bitmap, 2 delta (dx, dy), else absolute mode (count
+    literal bytes, word-aligned). Rows are stored bottom-up like the
+    uncompressed raster; the caller flips. Unwritten pixels stay 0."""
+    idx = np.zeros((height, width), np.uint8)
+    x = y = pos = 0
+    while pos + 1 < len(data) and y < height:
+        count, val = data[pos], data[pos + 1]
+        pos += 2
+        if count:
+            run = min(count, width - x)
+            idx[y, x : x + run] = val
+            x += run
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("truncated BMP RLE delta")
+            x = min(width, x + data[pos])
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute run of `val` literal bytes, padded to a word
+            if pos + val > len(data):
+                raise ValueError("truncated BMP RLE absolute run")
+            run = min(val, width - x)
+            idx[y, x : x + run] = np.frombuffer(data, np.uint8, run, pos)
+            x += run
+            pos += val + (val & 1)
+    return idx
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

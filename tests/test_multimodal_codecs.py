@@ -3602,3 +3602,59 @@ def test_extract_video_frames_animated_gif(spark):
     assert out[0]["frame_ms"] == 0 and out[0]["luma"] == pytest.approx(1.0)
     assert out[1]["frame_ms"] == 100 and out[1]["luma"] == pytest.approx(0.0)
     assert out[2]["frame_ms"] == 300 and out[2]["luma"] == pytest.approx(0.25)
+
+
+def test_decode_bmp_8bit_paletted_and_rle8():
+    pal = np.array(
+        [[10, 20, 30], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8
+    )
+    idx = np.array(
+        [[0, 1, 2, 3, 1], [3, 3, 3, 0, 0], [1, 2, 1, 2, 1]], np.uint8
+    )
+    h, w = idx.shape
+
+    def bmp8(raster: bytes, compression: int, image_size: int) -> bytes:
+        quads = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in pal.tolist()
+        ) + b"\x00" * 4 * (256 - len(pal))
+        data_off = 14 + 40 + len(quads)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, compression, image_size,
+            0, 0, 256, 0,
+        )
+        head = struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off)
+        return head + info + quads + raster
+
+    # uncompressed: bottom-up rows padded to 4 bytes
+    stride = (w + 3) & ~3
+    rows = b"".join(
+        idx[y].tobytes() + b"\x00" * (stride - w) for y in range(h - 1, -1, -1)
+    )
+    img, gw, gh = MM._decode_bmp(bmp8(rows, 0, len(rows)))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(img, pal[idx])
+
+    # RLE8 encoding of the same raster (bottom-up), exercising runs,
+    # absolute mode, and end-of-line escapes
+    rle = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = idx[y]
+        # absolute mode needs >= 3 pixels; encode row as one abs run
+        # when w >= 3 else runs
+        rle += bytes([0, w]) + row.tobytes() + (b"\x00" if w & 1 else b"")
+        rle += bytes([0, 0])  # end of line
+    rle += bytes([0, 1])  # end of bitmap
+    img2, _, _ = MM._decode_bmp(bmp8(bytes(rle), 1, len(rle)))
+    assert np.array_equal(img2, pal[idx])
+
+    # plain runs too
+    run_idx = np.tile(np.array([[1]], np.uint8), (2, 6))
+    rle_runs = bytes([6, 1, 0, 0, 3, 1, 3, 1, 0, 0, 0, 1])
+    quads_img, _, _ = MM._decode_bmp(
+        struct.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 40 + 1024)
+        + struct.pack("<IiiHHIIiiII", 40, 6, 2, 1, 8, 1, len(rle_runs), 0, 0, 256, 0)
+        + b"".join(bytes([b, g, r, 0]) for r, g, b in pal.tolist())
+        + b"\x00" * 4 * 252
+        + rle_runs
+    )
+    assert np.array_equal(quads_img, pal[run_idx])
