@@ -654,7 +654,53 @@ def _parse_setup(packet: bytes, channels: int) -> _VorbisSetup:
         setup.modes.append(mode)
     if not br.flag():
         raise ValueError("Vorbis setup framing bit unset")
+    _validate_setup(setup)
     return setup
+
+
+def _validate_setup(setup: _VorbisSetup) -> None:
+    """Cross-index validation (spec: undecodable setup = fatal).
+    Everything an audio packet dereferences is bounds-checked HERE so
+    packet decode cannot index out of range or divide by zero on a
+    hostile stream."""
+    n_books = len(setup.codebooks)
+
+    def book(idx: int, need_vq: bool, ctx: str) -> None:
+        if not 0 <= idx < n_books:
+            raise ValueError(f"Vorbis {ctx} references codebook {idx}")
+        if need_vq and setup.codebooks[idx].vectors is None:
+            raise ValueError(f"Vorbis {ctx} needs a VQ codebook, got scalar")
+
+    for fl in setup.floors:
+        for p in fl.partition_classes:
+            if fl.class_subclasses[p]:
+                book(fl.class_masterbooks[p], False, "floor class")
+            for b in fl.subclass_books[p]:
+                if b >= 0:
+                    book(b, False, "floor subclass")
+    for res in setup.residues:
+        book(res.classbook, False, "residue classbook")
+        if setup.codebooks[res.classbook].dimensions < 1:
+            raise ValueError("Vorbis residue classbook has zero dimensions")
+        for row in res.books:
+            for b in row:
+                if b >= 0:
+                    book(b, True, "residue partition")
+    for m in setup.mappings:
+        for f in m.submap_floor:
+            if not 0 <= f < len(setup.floors):
+                raise ValueError(f"Vorbis mapping references floor {f}")
+        for r in m.submap_residue:
+            if not 0 <= r < len(setup.residues):
+                raise ValueError(f"Vorbis mapping references residue {r}")
+        for mux in m.mux:
+            if not 0 <= mux < m.submaps:
+                raise ValueError(f"Vorbis mapping mux {mux} out of range")
+    for mode in setup.modes:
+        if not 0 <= mode.mapping < len(setup.mappings):
+            raise ValueError(
+                f"Vorbis mode references mapping {mode.mapping}"
+            )
 
 
 # --------------------------------------------------------- synthesis
@@ -738,7 +784,10 @@ def decode_vorbis(payload: bytes) -> tuple[np.ndarray, int]:
         try:
             if br.read(1) != 0:
                 continue  # not an audio packet
-            mode = setup.modes[br.read(mode_bits)]
+            mode_idx = br.read(mode_bits)
+            if mode_idx >= len(setup.modes):
+                continue  # corrupt packet: undecodable mode number
+            mode = setup.modes[mode_idx]
         except EOFError:
             continue
         n = setup.blocksizes[mode.blockflag]

@@ -1041,3 +1041,95 @@ def test_decode_vorbis_two_submaps():
         [tds[i][n // 2 :] + tds[i + 1][: n // 2] for i in range(len(tds) - 1)]
     )
     assert np.allclose(got, np.clip(expect, -1, 1), atol=1e-12)
+
+
+def test_setup_cross_index_validation():
+    """Hostile setups must fail with ValueError at header time, not
+    IndexError (or an infinite loop) during packet decode."""
+    n = 64
+    good, _ = mono_setup_packet()
+    V._parse_setup(good, 1)  # sanity
+
+    def corrupt(packet: bytes, bit_from_end_of_good_field: None = None,
+                **kw) -> bytes:
+        return packet
+
+    # residue classbook out of range: the classbook field is 8 bits
+    # right after classifications; rebuild via the writer instead of
+    # bit surgery — easier to keep exact
+    bw = BitWriter()
+    bw.write(1, 8)
+    write_codebook(bw, [1], dims=4)
+    write_codebook(bw, [2, 2, 2, 2], dims=2,
+                   lookup=(-2.0, 1.0, 2, [3, 1, 0, 2, 1, 1, 2, 0]))
+    bw.write(0, 6).write(0, 16)
+    bw.write(0, 6).write(1, 16).write(0, 5).write(0, 2).write(5, 4)
+    bw.write(0, 6).write(2, 16)
+    bw.write(0, 24).write(32, 24).write(7, 24).write(0, 6)
+    bw.write(9, 8)  # classbook index 9: out of range
+    bw.write(1, 3).write(0, 1).write(1, 8)
+    bw.write(0, 6).write(0, 16).write(0, 1).write(0, 1).write(0, 2)
+    bw.write(0, 8).write(0, 8).write(0, 8)
+    bw.write(0, 6).write(0, 1).write(0, 16).write(0, 16).write(0, 8)
+    bw.write(1, 1)
+    with pytest.raises(ValueError, match="classbook"):
+        V._parse_setup(b"\x05vorbis" + bw.bytes(), 1)
+
+    # residue partition book without a VQ lookup (scalar book 0)
+    bw2 = BitWriter()
+    bw2.write(1, 8)
+    write_codebook(bw2, [1], dims=4)
+    write_codebook(bw2, [2, 2, 2, 2], dims=2,
+                   lookup=(-2.0, 1.0, 2, [3, 1, 0, 2, 1, 1, 2, 0]))
+    bw2.write(0, 6).write(0, 16)
+    bw2.write(0, 6).write(1, 16).write(0, 5).write(0, 2).write(5, 4)
+    bw2.write(0, 6).write(2, 16)
+    bw2.write(0, 24).write(32, 24).write(7, 24).write(0, 6).write(0, 8)
+    bw2.write(1, 3).write(0, 1)
+    bw2.write(0, 8)  # pass-0 book = cb0, a scalar book -> invalid
+    bw2.write(0, 6).write(0, 16).write(0, 1).write(0, 1).write(0, 2)
+    bw2.write(0, 8).write(0, 8).write(0, 8)
+    bw2.write(0, 6).write(0, 1).write(0, 16).write(0, 16).write(0, 8)
+    bw2.write(1, 1)
+    with pytest.raises(ValueError, match="VQ"):
+        V._parse_setup(b"\x05vorbis" + bw2.bytes(), 1)
+
+
+def test_decode_vorbis_fuzzed_mutations_never_crash():
+    """Byte-flip fuzzing over a valid stream: decode must either
+    succeed or raise a contract error (ValueError /
+    NotImplementedError) — never IndexError/ZeroDivisionError/hang."""
+    n = 64
+    setup, _ = mono_setup_packet()
+
+    def audio_packet(y0, y1, entries):
+        bw = BitWriter()
+        bw.write(0, 1).write(1, 1).write(y0, 8).write(y1, 8).write(0, 1)
+        for e in entries:
+            bw.write_huff(e, 2)
+        return bw.bytes()
+
+    packets = [
+        ident_packet(1, 8000, n, n),
+        b"\x03vorbis" + b"\x00" * 8,
+        setup,
+        audio_packet(100, 200, [0, 1, 2, 3] * 4),
+        audio_packet(150, 150, [3, 2, 1, 0] * 4),
+    ]
+    base = bytearray(
+        make_page(5, [(packets[0], True)], bos=True)
+        + make_page(5, [(p, True) for p in packets[1:]])
+    )
+    rng = np.random.default_rng(99)
+    crashes = []
+    for trial in range(300):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            V.decode_vorbis(bytes(buf))
+        except (ValueError, NotImplementedError, EOFError):
+            pass
+        except Exception as e:  # noqa: BLE001 - the assertion target
+            crashes.append((trial, type(e).__name__, str(e)[:80]))
+    assert not crashes, crashes
