@@ -925,11 +925,12 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
     approximation, r08) — with stdlib ``struct`` + numpy only.
     Multi-scan architecture: every SOS accumulates into per-component
     zigzag coefficient stores; dequantize + IDCT run once at the end.
-    Optional restart intervals, 1- or 3-component, integer chroma
-    subsampling. Returns (H×W×3 uint8 RGB, width, height); grayscale
-    broadcasts to RGB like the BMP/PNG paths. Arithmetic-coded,
-    lossless, and hierarchical variants raise ValueError naming the
-    feature."""
+    Optional restart intervals, 1-, 3-, or 4-component (Adobe
+    CMYK/YCCK via the APP14 transform flag, inverted-ink convention),
+    integer chroma subsampling. Returns (H×W×3 uint8 RGB, width,
+    height); grayscale broadcasts to RGB like the BMP/PNG paths.
+    Arithmetic-coded, lossless, and hierarchical variants raise
+    ValueError naming the feature."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -937,6 +938,7 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
     huff_ac: dict[int, dict] = {}
     frame = None  # (width, height, comps=(cid, h, v, tq)...)
     dri = 0
+    adobe_transform = None  # APP14: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
     coefs: dict[int, list] = {}  # cid → [blocks_y][blocks_x] zigzag list
     geom: dict[int, tuple[int, int, int, int]] = {}  # cid → (h, v, bw, bh)
     max_h = max_v = mcux = mcuy = 0
@@ -988,7 +990,7 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise ValueError(f"unsupported JPEG component count {ncomp}")
             if width <= 0 or height <= 0:
                 raise ValueError(f"unsupported JPEG dimensions {width}x{height}")
@@ -1022,6 +1024,8 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
             )
         elif marker == 0xDD:  # DRI
             dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe_transform = body[11]
         elif marker == 0xDA:  # SOS — decode this scan, keep parsing
             if frame is None:
                 raise ValueError("JPEG missing SOF")
@@ -1075,6 +1079,21 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
     if len(up) == 1:
         y = np.clip(up[0], 0.0, 255.0)
         img = np.repeat(y[:, :, None], 3, axis=2)
+    elif len(up) == 4:
+        # Adobe CMYK with inverted ink (255 = no ink); YCCK runs the
+        # inverted CMY planes through the YCbCr transform first
+        if adobe_transform == 2:
+            yy, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0
+            c = yy + 1.402 * cr
+            m = yy - 0.344136 * cb - 0.714136 * cr
+            ye = yy + 1.772 * cb
+        else:
+            c, m, ye = up[0], up[1], up[2]
+        k = np.clip(up[3], 0.0, 255.0)
+        c = np.clip(c, 0.0, 255.0)
+        m = np.clip(m, 0.0, 255.0)
+        ye = np.clip(ye, 0.0, 255.0)
+        img = np.stack([c * k, m * k, ye * k], axis=2) / 255.0
     else:
         y, cb, cr = up[0], up[1] - 128.0, up[2] - 128.0  # SOF order: Y Cb Cr
         r = y + 1.402 * cr

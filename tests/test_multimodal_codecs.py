@@ -715,18 +715,22 @@ def make_jpeg(
     subsample: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
     gray: bool = False,
+    cmyk: np.ndarray | None = None,
+    ycck: bool = False,
 ) -> bytes:
     """Encode a baseline sequential JFIF: 4:4:4 by default, 4:2:0/2:2
     via ``subsample`` (Y sampling factors; chroma is box-averaged),
     optional restart intervals. ``quant`` is a raster-order 64-vector
     applied to all components (default: all ones → near-lossless)."""
-    h, w = rgb.shape[:2]
+    src = cmyk if cmyk is not None else rgb
+    h, w = src.shape[:2]
     q_raster = np.ones(64) if quant is None else np.asarray(quant, np.float64)
     q_zz = q_raster[_JZZ]
-    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if cmyk is None:
+        r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
     sh, sv = subsample
     comps: list[tuple[int, int, int, np.ndarray]] = []  # (cid, h, v, plane)
 
@@ -736,7 +740,19 @@ def make_jpeg(
 
     mcu_w, mcu_h = 8 * sh, 8 * sv
     mcux, mcuy = -(-w // mcu_w), -(-h // mcu_h)
-    if gray:
+    if cmyk is not None:  # Adobe inverted-ink CMYK / YCCK, 4:4:4:4
+        assert (sh, sv) == (1, 1) and not gray
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        c, m, ye, k = (cmyk[:, :, i].astype(np.float64) for i in range(4))
+        if ycck:
+            p0 = 0.299 * c + 0.587 * m + 0.114 * ye
+            p1 = 128.0 - 0.168736 * c - 0.331264 * m + 0.5 * ye
+            p2 = 128.0 + 0.5 * c - 0.418688 * m - 0.081312 * ye
+        else:
+            p0, p1, p2 = c, m, ye
+        for cid, plane in ((1, p0), (2, p1), (3, p2), (4, k)):
+            comps.append((cid, 1, 1, pad_to(plane, mcuy * 8, mcux * 8)))
+    elif gray:
         comps.append((1, 1, 1, pad_to(y, mcuy * 8, mcux * 8)))
         mcux, mcuy = -(-w // 8), -(-h // 8)
         comps = [(1, 1, 1, pad_to(y, mcuy * 8, mcux * 8))]
@@ -799,8 +815,14 @@ def make_jpeg(
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload_b) + 2) + payload_b
 
     out = bytearray(b"\xff\xd8")
+    if cmyk is not None:
+        out += seg(
+            0xEE,
+            b"Adobe" + struct.pack(">HHH", 100, 0, 0)
+            + bytes([2 if ycck else 0]),
+        )
     out += seg(0xDB, bytes([0x00]) + bytes(q_zz.astype(np.uint8)))
-    ncomp = 1 if gray else 3
+    ncomp = len(comps)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid, ch, cv, _ in comps:
         sof += bytes([cid, (ch << 4) | cv, 0])
@@ -3658,3 +3680,24 @@ def test_decode_bmp_8bit_paletted_and_rle8():
         + rle_runs
     )
     assert np.array_equal(quads_img, pal[run_idx])
+
+
+def test_decode_jpeg_cmyk_and_ycck():
+    """Adobe 4-component JPEG, inverted-ink convention: expected RGB
+    = plane * K / 255 computed independently; unit quant keeps the
+    DCT near-lossless so the comparison is tight."""
+    rng = np.random.default_rng(55)
+    cmyk = rng.integers(30, 226, (16, 16, 4), np.uint8)
+    want = (
+        cmyk[:, :, :3].astype(np.float64)
+        * cmyk[:, :, 3:4].astype(np.float64)
+        / 255.0
+    )
+    for ycck in (False, True):
+        payload = make_jpeg(None, cmyk=cmyk, ycck=ycck)
+        img, w, h = MM._decode_jpeg(payload)
+        assert (w, h) == (16, 16)
+        assert np.abs(img.astype(np.float64) - want).max() <= 4.0, ycck
+    # header probe still reads geometry from the 4-component SOF
+    (meta,) = MM._probe_media(make_jpeg(None, cmyk=cmyk))
+    assert (meta["width"], meta["height"]) == (16, 16)
