@@ -1104,18 +1104,21 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 
 def _decode_pnm(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode netpbm rasters (P2/P3 ASCII, P5/P6 binary; gray/RGB) —
-    the zero-dependency interchange format ML image datasets often
-    ship in. Maxval > 255 (16-bit binary, big-endian) keeps the high
-    byte, matching the PNG 16→8 reduction."""
-    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"2356":
-        raise ValueError("not a PGM/PPM payload")
+    """Decode netpbm rasters (P1/P4 bitmaps, P2/P3 ASCII, P5/P6
+    binary; bitmap/gray/RGB) — the zero-dependency interchange
+    format ML image datasets often ship in. Maxval > 255 (16-bit
+    binary, big-endian) keeps the high byte, matching the PNG 16→8
+    reduction. PBM convention: 1 = black."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"123456":
+        raise ValueError("not a netpbm payload")
     kind = payload[:2].decode()
-    # header tokens: magic, width, height, maxval — whitespace and
-    # '#'-comments between them
+    bitmap = kind in ("P1", "P4")
+    # header tokens: magic, width, height, maxval (bitmaps have no
+    # maxval) — whitespace and '#'-comments between them
+    n_tokens = 2 if bitmap else 3
     tokens: list[int] = []
     pos = 2
-    while len(tokens) < 3 and pos < len(payload):
+    while len(tokens) < n_tokens and pos < len(payload):
         c = payload[pos]
         if c == ord("#"):
             while pos < len(payload) and payload[pos] != ord("\n"):
@@ -1127,14 +1130,36 @@ def _decode_pnm(payload: bytes) -> tuple[np.ndarray, int, int]:
             while pos < len(payload) and payload[pos] not in b" \t\r\n#":
                 pos += 1
             tokens.append(int(payload[start:pos]))
-    if len(tokens) < 3:
-        raise ValueError("truncated PGM/PPM header")
-    width, height, maxval = tokens
+    if len(tokens) < n_tokens:
+        raise ValueError("truncated netpbm header")
+    if bitmap:
+        width, height = tokens
+        maxval = 1
+    else:
+        width, height, maxval = tokens
     if width <= 0 or height <= 0 or maxval <= 0 or maxval > 65535:
         raise ValueError(f"invalid PGM/PPM geometry {width}x{height}/{maxval}")
     channels = 3 if kind in ("P3", "P6") else 1
     n = width * height * channels
-    if kind in ("P2", "P3"):  # ASCII samples
+    if kind == "P1":  # ASCII bitmap: bare 0/1 digits, spacing optional
+        digits = [c - 48 for c in payload[pos:] if c in b"01"]
+        if len(digits) < n:
+            raise ValueError("truncated PBM raster")
+        arr = 1 - np.array(digits[:n], dtype=np.int64)  # 1 = black
+        arr *= 255
+        maxval = 255
+    elif kind == "P4":  # packed bitmap: rows padded to whole bytes
+        pos += 1
+        stride = (width + 7) // 8
+        raw = payload[pos : pos + stride * height]
+        if len(raw) < stride * height:
+            raise ValueError("truncated PBM raster")
+        bits = np.unpackbits(
+            np.frombuffer(raw, np.uint8).reshape(height, stride), axis=1
+        )[:, :width]
+        arr = ((1 - bits.astype(np.int64)) * 255).reshape(-1)
+        maxval = 255
+    elif kind in ("P2", "P3"):  # ASCII samples
         vals = payload[pos:].split()
         if len(vals) < n:
             raise ValueError("truncated PGM/PPM raster")
@@ -1290,8 +1315,8 @@ def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     if planar != 1:
         raise ValueError("unsupported TIFF planar configuration")
-    if photometric == 3:
-        raise ValueError("unsupported palette TIFF")
+    if photometric == 3 and (spp != 1 or 320 not in tags):
+        raise ValueError("palette TIFF needs spp=1 and a ColorMap tag")
     if spp not in (1, 3, 4) or any(b != 8 for b in bits[:spp]):
         raise ValueError(
             f"unsupported TIFF sample layout (spp={spp}, bits={bits})"
@@ -1324,6 +1349,17 @@ def _decode_tiff(payload: bytes) -> tuple[np.ndarray, int, int]:
     if predictor == 2:  # horizontal differencing: undo per-row cumsum
         px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
     if spp == 1:
+        if photometric == 3:  # palette: 16-bit planar R..G..B colormap
+            cmap = np.array(tags[320], dtype=np.int64)
+            n_col = len(cmap) // 3
+            if int(px.max(initial=0)) >= n_col:
+                raise ValueError("TIFF palette index out of range")
+            rgb16 = cmap.reshape(3, n_col).T  # (colors, 3)
+            return (
+                (rgb16[px[:, :, 0]] >> 8).astype(np.uint8),
+                width,
+                height,
+            )
         if photometric == 0:  # WhiteIsZero
             px = 255 - px
         return np.repeat(px, 3, axis=2), width, height
@@ -1387,7 +1423,7 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, int, int]:
         return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
-    if payload[:1] == b"P" and payload[1:2] in b"2356":
+    if payload[:1] == b"P" and payload[1:2] in b"123456":
         return _decode_pnm(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(payload)
@@ -2809,7 +2845,7 @@ def _probe_image_header(payload: bytes) -> dict | None:
             pos += 2 + seg
         if w is None:
             raise ValueError("JPEG has no SOF marker")
-    elif payload[:1] == b"P" and payload[1:2] in b"2356":
+    elif payload[:1] == b"P" and payload[1:2] in b"123456":
         codec = "pnm"
         toks = payload[:200].split()
         w, h = int(toks[1]), int(toks[2])

@@ -2132,7 +2132,7 @@ def test_decode_pnm_ascii_and_16bit_and_rescale():
 
 
 def test_decode_pnm_rejects_malformed():
-    with pytest.raises(ValueError, match="not a PGM"):
+    with pytest.raises(ValueError, match="not a netpbm"):
         MM._decode_pnm(b"P7 arbitrary")
     with pytest.raises(ValueError, match="truncated"):
         MM._decode_pnm(b"P5 4 4 255 " + b"\x00" * 3)
@@ -3701,3 +3701,44 @@ def test_decode_jpeg_cmyk_and_ycck():
     # header probe still reads geometry from the 4-component SOF
     (meta,) = MM._probe_media(make_jpeg(None, cmyk=cmyk))
     assert (meta["width"], meta["height"]) == (16, 16)
+
+
+def test_decode_pnm_bitmaps():
+    p1 = b"P1\n# bitmap\n5 3\n0 1 0 1 0\n11111\n00000\n"
+    img, w, h = MM._decode_pnm(p1)
+    assert (w, h) == (5, 3)
+    assert img[0, 0, 0] == 255 and img[0, 1, 0] == 0
+    assert np.all(img[1] == 0) and np.all(img[2] == 255)
+    bits = np.zeros((3, 5), np.uint8)
+    bits[1] = 1
+    p4 = b"P4\n5 3\n" + np.packbits(bits, axis=1).tobytes()
+    img4, _, _ = MM._decode_image(p4)
+    assert np.array_equal(img4[:, :, 0], (1 - bits) * 255)
+    (m,) = MM._probe_media(p4)
+    assert (m["codec"], m["width"], m["height"]) == ("pnm", 5, 3)
+
+
+def test_decode_tiff_palette():
+    rng = np.random.default_rng(61)
+    idx = rng.integers(0, 4, (5, 6), np.uint8)
+    pal8 = rng.integers(0, 256, (4, 3), np.uint8)
+    cmap16 = (pal8.astype(np.uint16) << 8) | pal8  # v -> v*257
+    entries = []
+    def entry(tag, typ, count, value):
+        entries.append(struct.pack("<HHII", tag, typ, count, value))
+    n_entries = 8
+    cmap_off = 8 + 2 + 12 * n_entries + 4
+    data_off = cmap_off + cmap16.size * 2
+    entry(256, 3, 1, 6); entry(257, 3, 1, 5)
+    entry(258, 3, 1, 8); entry(259, 3, 1, 1)
+    entry(262, 3, 1, 3)  # photometric: palette
+    entry(273, 4, 1, data_off); entry(279, 4, 1, idx.size)
+    entry(320, 3, cmap16.size, cmap_off)
+    tif = (b"II*\x00" + struct.pack("<I", 8)
+           + struct.pack("<H", n_entries) + b"".join(entries)
+           + struct.pack("<I", 0)
+           + cmap16.T.reshape(-1).astype("<u2").tobytes()  # planar R..G..B
+           + idx.tobytes())
+    img, w, h = MM._decode_tiff(tif)
+    assert (w, h) == (6, 5)
+    assert np.array_equal(img, pal8[idx])
