@@ -3742,3 +3742,44 @@ def test_decode_tiff_palette():
     img, w, h = MM._decode_tiff(tif)
     assert (w, h) == (6, 5)
     assert np.array_equal(img, pal8[idx])
+
+
+def test_mixed_format_batch_real_decode(spark):
+    """One Spark job, one mapInPandas batch, EVERY image decoder
+    family at once (BMP truecolor + paletted, PNG, GIF, JPEG
+    baseline + CMYK, PNM gray + bitmap, TIFF LZW-free + deflate,
+    ICO): schema stays stable, and each row's mean-R feature matches
+    the per-format decoder output."""
+    rng = np.random.default_rng(77)
+    px = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    pal = np.array([[0, 0, 0], [250, 10, 5]], np.uint8)
+    idx = rng.integers(0, 2, (8, 8), np.uint8)
+    cmyk = rng.integers(40, 216, (8, 8, 4), np.uint8)
+    bits = rng.integers(0, 2, (8, 8)).astype(np.uint8)
+    payloads = {
+        1: make_bmp(px),
+        2: make_png(px, color_type=2),
+        3: make_gif(idx, pal),
+        4: make_jpeg(px),
+        5: make_jpeg(None, cmyk=cmyk),
+        6: b"P5\n8 8\n255\n" + px[:, :, 0].tobytes(),
+        7: b"P4\n8 8\n" + np.packbits(bits, axis=1).tobytes(),
+        8: make_ico([(px, "dib")]),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, payload binary",
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("application/octet-stream")).alias(
+            "media"
+        ),
+    )
+    rows = {r["media_id"]: r for r in MM.extract_image_features(
+        df, fake=False
+    ).collect()}
+    assert sorted(rows) == sorted(payloads)
+    for mid, payload in payloads.items():
+        img, _, _ = MM._decode_image(payload)
+        want = float(img[:, :, 0].astype(np.float64).mean() / 255.0)
+        assert rows[mid]["features"][0] == pytest.approx(want, abs=1e-6), mid
