@@ -3201,3 +3201,52 @@ def _probe_ogg(payload: bytes) -> list[dict]:
         meta.pop("_kfgshift", None)
         out.append(meta)
     return out
+
+
+# Formats whose payloads the native decoders can fully decode, by
+# probe (container, codec). Everything else is metadata-only here.
+_DECODABLE = {
+    ("image", None),  # every probed image codec decodes natively
+    ("wav", "pcm"), ("wav", "float"), ("wav", "alaw"), ("wav", "mulaw"),
+    ("wav", "ima-adpcm"),
+    ("flac", "flac"), ("aiff", "pcm"),
+    ("au", "pcm8"), ("au", "pcm16"), ("au", "mulaw"),
+    ("ogg", "vorbis"),
+    ("avi", "dib"), ("avi", "mjpg"),
+    ("mp4", "jpeg"), ("mp4", "mjpa"), ("mp4", "png"),
+}
+
+
+def route_media_by_codec(
+    df: DataFrame,
+    id_col: str = "media_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """The probe-then-route pattern SCALE.md §18 describes, as an
+    operator: join each media row to its probed streams and tag it
+    ``decodable`` when every stream's (container, codec) has a
+    native decoder — the cheap O(header) pass that decides which
+    payloads the expensive decode legs ever touch at 100 TB scale.
+    Output: id, container, codecs (sorted distinct), decodable.
+    The probe runs map-local; the only shuffle is the groupBy on the
+    media id (pre-partitioned inputs keep it local too)."""
+    probed = probe_media_metadata(df, id_col=id_col, media_col=media_col)
+    pair_ok = F.lit(False)
+    for c, k in sorted(_DECODABLE):
+        if k is None:
+            continue
+        pair_ok = pair_ok | (
+            (F.col("container") == c) & (F.col("codec") == k)
+        )
+    dec = F.when(F.col("container") == "image", F.lit(True)).otherwise(pair_ok)
+    return (
+        probed.withColumn("stream_decodable", dec)
+        .groupBy(F.col("media_id").alias(id_col))
+        .agg(
+            F.first("container").alias("container"),
+            F.array_sort(F.collect_set("codec")).alias("codecs"),
+            F.min(F.col("stream_decodable").cast("int")).cast("boolean").alias(
+                "decodable"
+            ),
+        )
+    )

@@ -3783,3 +3783,71 @@ def test_mixed_format_batch_real_decode(spark):
         img, _, _ = MM._decode_image(payload)
         want = float(img[:, :, 0].astype(np.float64).mean() / 255.0)
         assert rows[mid]["features"][0] == pytest.approx(want, abs=1e-6), mid
+
+
+def test_mixed_format_audio_batch_real_decode(spark):
+    """Every audio decoder family in one extract_audio_features job:
+    WAV PCM/float/G.711, FLAC, AIFF, AU, Ogg/Vorbis — per-clip frame
+    counts follow each clip's actual sample count."""
+    from tests.test_vorbis import (
+        BitWriter, ident_packet, make_page, mono_setup_packet,
+    )
+
+    x16 = (np.sin(np.linspace(0, 30, 1600)) * 20000).astype(np.int16)
+    setup, _ = mono_setup_packet()
+    bw = BitWriter()
+    bw.write(0, 1).write(1, 1).write(150, 8).write(150, 8).write(0, 1)
+    for e in [0, 1, 2, 3] * 4:
+        bw.write_huff(e, 2)
+    audio = bw.bytes()
+    ogg = make_page(5, [(ident_packet(1, 8000, 64, 64), True)], bos=True) + (
+        make_page(5, [(b"\x03vorbis" + b"\x00" * 8, True), (setup, True),
+                      (audio, True), (audio, True), (audio, True)])
+    )
+    payloads = {
+        1: make_wav(x16, rate=8000),                      # 1600 smp
+        2: make_g711_wav(bytes(range(256)) * 4, 7),       # 1024 smp
+        3: make_flac([x16[:800].tolist()], rate=8000),    # 800 smp
+        4: make_aiff(x16[:400], rate=8000),               # 400 smp
+        5: make_au(x16[:200].astype(">i2").tobytes(), enc=3),  # 200
+        6: ogg,                                           # 128 smp
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, payload binary",
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("audio/any")).alias("media"),
+    )
+    rows = MM.extract_audio_features(df, fake=False, frame_ms=25).collect()
+    # 25 ms at 8 kHz = 200 samples/frame
+    counts = {}
+    for r in rows:
+        counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
+    assert counts == {1: 8, 2: 6, 3: 4, 4: 2, 5: 1, 6: 1}
+
+
+def test_route_media_by_codec(spark):
+    px = np.full((4, 4, 3), 77, np.uint8)
+    h264 = make_mp4([b"\x00\x00\x01e"], 16, 16, codec=b"avc1")
+    payloads = {
+        1: make_png(px, color_type=2),   # image -> decodable
+        2: make_mp3([128] * 2),          # mpeg-audio -> metadata-only
+        3: make_wav(np.zeros(100, np.int16)),  # wav/pcm -> decodable
+        4: h264,                         # mp4/avc1 -> metadata-only
+        5: make_mp4([make_jpeg(px)], 4, 4),    # mp4/jpeg -> decodable
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, payload binary",
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("application/octet-stream")).alias(
+            "media"
+        ),
+    )
+    out = {r["media_id"]: r for r in MM.route_media_by_codec(df).collect()}
+    assert {k: out[k]["decodable"] for k in payloads} == {
+        1: True, 2: False, 3: True, 4: False, 5: True,
+    }
+    assert out[4]["container"] == "mp4" and "avc1" in out[4]["codecs"]
