@@ -2881,12 +2881,62 @@ def _probe_image_header(payload: bytes) -> dict | None:
             "width": int(w), "height": int(h)}
 
 
+def _gif_probe_animation(payload: bytes) -> tuple[int, int]:
+    """(frame_count, total_delay_ms) via a block walk that SKIPS the
+    LZW data through sub-block lengths — O(file) byte hops, zero
+    decompression; the cheap animation census the probe needs."""
+    packed = payload[10]
+    pos = 13 + ((2 << (packed & 0x07)) * 3 if packed & 0x80 else 0)
+    frames = 0
+    total_ms = 0
+    delay_ms = 100
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and pos + 3 < len(payload) and payload[pos] >= 4:
+                delay_ms = struct.unpack_from("<H", payload, pos + 2)[0] * 10 or 100
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            if pos + 9 > len(payload):
+                break
+            fpacked = payload[pos + 8]
+            pos += 9
+            if fpacked & 0x80:
+                pos += (2 << (fpacked & 0x07)) * 3
+            pos += 1  # LZW minimum code size
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            frames += 1
+            total_ms += delay_ms
+            delay_ms = 100
+        else:
+            break
+    return frames, total_ms
+
+
 def _probe_media(payload: bytes) -> list[dict]:
     """Dispatch a payload to its header-level probe. Returns one dict
     per stream/track (MP4 can carry several); every dict has at least
-    container/stream/codec. Unknown formats raise ValueError."""
+    container/stream/codec. Unknown formats raise ValueError.
+    Animated GIFs (>1 frame) probe as video with frame count,
+    duration, and mean fps."""
     img = _probe_image_header(payload)
     if img is not None:
+        if img["codec"] == "gif":
+            frames, total_ms = _gif_probe_animation(payload)
+            if frames > 1:
+                img.update(
+                    stream="video", n_frames=frames, duration_ms=total_ms,
+                    fps=round(frames * 1000 / total_ms, 3) if total_ms else 0.0,
+                )
         return [img]
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         frames, w, h, fps, bpp, codec = _parse_avi(payload)

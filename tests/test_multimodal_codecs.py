@@ -3851,3 +3851,20 @@ def test_route_media_by_codec(spark):
         1: True, 2: False, 3: True, 4: False, 5: True,
     }
     assert out[4]["container"] == "mp4" and "avc1" in out[4]["codecs"]
+
+
+def test_probe_animated_gif_reports_video_stream():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    frames = [
+        (np.full((2, 2), 1, np.uint8), (0, 0), 10, 0, None),
+        (np.full((2, 2), 0, np.uint8), (0, 0), 20, 0, None),
+        (np.full((2, 2), 1, np.uint8), (0, 0), 0, 0, None),  # -> 100 ms
+    ]
+    gif = make_animated_gif(frames, pal, screen=(2, 2))
+    (m,) = MM._probe_media(gif)
+    assert (m["stream"], m["codec"]) == ("video", "gif")
+    assert (m["n_frames"], m["duration_ms"]) == (3, 400)
+    assert m["fps"] == pytest.approx(7.5)
+    # single-frame GIF stays an image
+    (m1,) = MM._probe_media(make_gif(np.zeros((2, 2), np.uint8), pal))
+    assert m1["stream"] == "image" and "n_frames" not in m1 or m1.get("n_frames") is None
