@@ -1845,46 +1845,50 @@ def rolling_order_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "media_image_features",
     oracle="""
-    WITH m AS (
-      SELECT doc_id, 'IMG:' || sha256(text) AS s FROM documents
+    WITH px AS (
+      SELECT doc_id, i % 3 AS c,
+             (doc_id * 7 + (i // 3) * 13 + (i % 3) * 101) % 256 AS v
+      FROM documents, generate_series(0, 24 * 16 * 3 - 1) t(i)
     )
-    SELECT doc_id AS media_id,
-           64 AS width, 64 AS height,
-           CAST(sum(CASE WHEN (i - 1) % 8 = 0 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f0,
-           CAST(sum(CASE WHEN (i - 1) % 8 = 1 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f1,
-           CAST(sum(CASE WHEN (i - 1) % 8 = 2 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f2,
-           CAST(sum(CASE WHEN (i - 1) % 8 = 3 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f3,
-           CAST(sum(CASE WHEN (i - 1) % 8 = 4 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f4,
-           CAST(sum(CASE WHEN (i - 1) % 8 = 5 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f5,
-           CAST(sum(CASE WHEN (i - 1) % 8 = 6 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f6,
-           CAST(sum(CASE WHEN (i - 1) % 8 = 7 THEN ord(substr(s, i, 1)) ELSE 0 END) AS BIGINT) AS f7
-    FROM m, generate_series(1, 68) t(i)
+    SELECT doc_id AS media_id, 24 AS width, 16 AS height,
+           CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(1500 AS BIGINT) AS aspect_milli
+    FROM px
     GROUP BY doc_id
     """,
 )
 def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → Arrow-batched mapInPandas feature
-    extraction (decode stubbed deterministically; plumbing real).
+    extraction over the REAL decode path (``fake=False``).
 
-    VALUE-oracle-checked (upgraded from rows-only, r3): the fake
-    decode's features are position-interleaved byte averages of the
-    68-byte ``'IMG:' + sha256(text)`` payload, so the gate view
-    inverts them to exact integer byte-sums via ``round(f * 68)`` —
-    float32 storage error is ≤ ~1.3e-4 against a 0.5 rounding
-    margin, so the inversion is provably exact — and DuckDB rebuilds
-    the same sums from ``sha256``/``ord``. This puts the mapInPandas
-    batch plumbing itself (schema, batching, per-byte decode loop)
-    inside the value gate."""
-    d = load_table(spark, sf_dir, "documents")
-    media = MM.synthetic_media_table(d.withColumnRenamed("doc_id", "media_id"), "media_id", "text")
-    feats = MM.extract_image_features(media, fake=True)
-    n = 68.0  # len("IMG:") + 64 hex chars — fixed by synthetic_media_table
+    VALUE-oracle-checked through an encode→decode roundtrip (VERDICT
+    r8 ask #2, upgraded from the fake-path gate): each doc_id is
+    synthesized in-plan into a genuine 24-bit BMP whose pixel bytes
+    follow ``(id*7 + p*13 + c*101) mod 256`` (multimodal.
+    synthesize_bmp_media), then decoded by the production BMP codec
+    (``_decode_bmp`` → numpy DIB parse) inside ``extract_image_
+    features(fake=False)``. The gate view inverts the decoded
+    per-channel means back to exact integer byte sums — f_c × 255 ×
+    384 px, float32 storage error ≤ ~0.006 against the 0.5 rounding
+    margin — and the decoded 24:16 aspect (feature 7) to 1500 milli.
+    DuckDB rebuilds the same sums from the closed-form pixel algebra,
+    so any defect in the encoder, the decoder, or the mapInPandas
+    batch plumbing breaks the hash."""
+    d = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = MM.synthesize_bmp_media(d, "media_id", width=24, height=16)
+    feats = MM.extract_image_features(media, fake=False)
+    n_px = 24.0 * 16.0
     return feats.select(
         "media_id", "width", "height",
         *[
-            F.round(F.element_at("features", k + 1) * F.lit(n)).cast("long").alias(f"f{k}")
-            for k in range(8)
+            F.round(F.element_at("features", k + 1) * F.lit(255.0 * n_px))
+            .cast("long")
+            .alias(name)
+            for k, name in enumerate(["sum_r", "sum_g", "sum_b"])
         ],
+        F.round(F.element_at("features", 7) * F.lit(1000.0)).cast("long").alias("aspect_milli"),
     )
 
 

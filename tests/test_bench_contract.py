@@ -112,30 +112,31 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r08 rotation (VERDICT r7 ask #1): every age-1 family (last
-    # gated r06) re-gates before its evidence hits the 2-round
+    # r09 rotation (VERDICT r8 ask #1): every age-1 family (last
+    # gated r07) re-gates before its evidence hits the 2-round
     # freshness edge; anchors keep the perf-watched and
     # edit-adjacent families age-0
     for must in (
         # age-1 families re-gating (sample of the 29)
-        "purchase_value_auc",
-        "bloom_filtered_order_revenue",
-        "segment_acctbal_bootstrap_ci",
-        "tfidf_top_terms",
-        "ngram_decontaminated_docs",
-        "dedup_representatives",
-        "embedding_near_duplicates_deterministic",
-        "part_cosine_neighbors",
-        "kmeans_embedding_segments_det",
-        "token_shard_assignment",
-        "embedding_covariance",
-        "ranking_metrics_summary",
-        "customer_order_status_scd2",
-        "simhash_duplicate_pairs",
-        "customer_user_cf_recommendations",
+        "purchase_next_click_asof",
+        "part_association_rules",
+        "bm25_doc_ranking",
+        "chronological_split_counts",
+        "weekly_cohort_retention",
+        "corr_qty_price_by_flag",
+        "fuzzy_duplicate_pairs",
+        "revenue_rollup_region_nation",
+        "segment_revenue",
+        "orders_profile",
+        "customer_rfm_segments",
+        "semantic_dedup_survivors",
+        "salted_user_segment_stats",
+        "doc_quality_scores",
+        "doc_weighted_sample",
         # serving-parity-pinned ALS scoring oracle stays gated
         "als_scoring_topk",
-        # edit-adjacent anchors (vectorops compaction, JPEG decoder)
+        # edit-adjacent anchors (vectorops sf1-scaling subjects,
+        # real-decode media gate)
         "ivfadc_rerank_knn",
         "media_image_features",
         "pq_adc_knn",

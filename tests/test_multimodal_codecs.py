@@ -3868,3 +3868,44 @@ def test_probe_animated_gif_reports_video_stream():
     # single-frame GIF stays an image
     (m1,) = MM._probe_media(make_gif(np.zeros((2, 2), np.uint8), pal))
     assert m1["stream"] == "image" and "n_frames" not in m1 or m1.get("n_frames") is None
+
+
+# --------------------------------------------------------------------------
+# In-plan BMP synthesis (the r09 gated encode→decode roundtrip path)
+# --------------------------------------------------------------------------
+
+
+def test_synthesize_bmp_media_closed_form_roundtrip():
+    """The synthesizer's pixel algebra is the contract the driver
+    oracle replays in SQL: byte(p, c) = (id*7 + p*13 + c*101) % 256.
+    Encoding then decoding must be the identity on those bytes."""
+    width, height, media_id = 24, 16, 123
+    base = (
+        np.arange(width * height, dtype=np.int64)[:, None] * 13
+        + np.arange(3, dtype=np.int64)[None, :] * 101
+    )
+    expect = ((media_id * 7 + base) % 256).astype(np.uint8).reshape(height, width, 3)
+    img, w, h = MM._decode_bmp(MM._encode_bmp(expect))
+    assert (w, h) == (width, height)
+    assert np.array_equal(img, expect)
+
+
+def test_synthesize_bmp_media_gated_sums(spark):
+    """Spark-level pin of the gated formulation: synthesize → REAL
+    decode → channel means invert to the exact closed-form byte sums
+    (the media_image_features gate identity, VERDICT r8 ask #2)."""
+    ids = [0, 1, 7, 255, 499]
+    df = spark.createDataFrame([(i,) for i in ids], "media_id long")
+    media = MM.synthesize_bmp_media(df, "media_id", width=24, height=16)
+    rows = {r["media_id"]: r for r in MM.extract_image_features(media, fake=False).collect()}
+    base = (
+        np.arange(24 * 16, dtype=np.int64)[:, None] * 13
+        + np.arange(3, dtype=np.int64)[None, :] * 101
+    )
+    for i in ids:
+        px = (i * 7 + base) % 256  # (384, 3)
+        f = rows[i]["features"]
+        for c in range(3):
+            assert round(f[c] * 255.0 * 384.0) == int(px[:, c].sum())
+        assert round(f[6] * 1000.0) == 1500  # decoded 24:16 aspect
+        assert (rows[i]["width"], rows[i]["height"]) == (24, 16)
