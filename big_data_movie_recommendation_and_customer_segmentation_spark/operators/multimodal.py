@@ -1151,19 +1151,12 @@ def _decode_jpeg(payload: bytes) -> tuple[np.ndarray, int, int]:
     return (img + 0.5).astype(np.uint8), width, height
 
 
-def _decode_pnm(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode netpbm rasters (P1/P4 bitmaps, P2/P3 ASCII, P5/P6
-    binary; bitmap/gray/RGB) — the zero-dependency interchange
-    format ML image datasets often ship in. Maxval > 255 (16-bit
-    binary, big-endian) keeps the high byte, matching the PNG 16→8
-    reduction. PBM convention: 1 = black."""
-    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"123456":
-        raise ValueError("not a netpbm payload")
-    kind = payload[:2].decode()
-    bitmap = kind in ("P1", "P4")
-    # header tokens: magic, width, height, maxval (bitmaps have no
-    # maxval) — whitespace and '#'-comments between them
-    n_tokens = 2 if bitmap else 3
+def _pnm_header_tokens(payload: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Netpbm header tokenizer shared by the decoder and the header
+    probe: integer tokens after the magic, separated by whitespace
+    and '#'-to-newline comments (which are legal anywhere in the
+    header — a probe that naively ``split()``s chokes on them,
+    ADVICE r8). Returns (tokens, position after the last token)."""
     tokens: list[int] = []
     pos = 2
     while len(tokens) < n_tokens and pos < len(payload):
@@ -1178,6 +1171,23 @@ def _decode_pnm(payload: bytes) -> tuple[np.ndarray, int, int]:
             while pos < len(payload) and payload[pos] not in b" \t\r\n#":
                 pos += 1
             tokens.append(int(payload[start:pos]))
+    return tokens, pos
+
+
+def _decode_pnm(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode netpbm rasters (P1/P4 bitmaps, P2/P3 ASCII, P5/P6
+    binary; bitmap/gray/RGB) — the zero-dependency interchange
+    format ML image datasets often ship in. Maxval > 255 (16-bit
+    binary, big-endian) keeps the high byte, matching the PNG 16→8
+    reduction. PBM convention: 1 = black."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"123456":
+        raise ValueError("not a netpbm payload")
+    kind = payload[:2].decode()
+    bitmap = kind in ("P1", "P4")
+    # header tokens: magic, width, height, maxval (bitmaps have no
+    # maxval) — whitespace and '#'-comments between them
+    n_tokens = 2 if bitmap else 3
+    tokens, pos = _pnm_header_tokens(payload, n_tokens)
     if len(tokens) < n_tokens:
         raise ValueError("truncated netpbm header")
     if bitmap:
@@ -1490,10 +1500,11 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> list[float]:
     numpy, PNG with stdlib zlib + numpy, baseline JPEG with stdlib
     struct + numpy Huffman/IDCT; features = per-channel mean/std +
     luma mean + aspect + fill constants — cheap, deterministic,
-    codec-free. Non-baseline JPEG (progressive/arithmetic/12-bit)
-    raises ValueError from the decoder — a format boundary, not a
-    missing codec. fake=True keeps the synthetic-payload contract
-    for tests/benchmarks."""
+    codec-free. Baseline-sequential AND progressive JPEG decode;
+    the still-unsupported variants (arithmetic-coded, lossless,
+    hierarchical, 12-bit) raise ValueError from the decoder — a
+    format boundary, not a missing codec. fake=True keeps the
+    synthetic-payload contract for tests/benchmarks."""
     if not fake:
         img, width, height = _decode_image(payload)
         pix = img.astype(np.float64) / 255.0
@@ -2895,8 +2906,10 @@ def _probe_image_header(payload: bytes) -> dict | None:
             raise ValueError("JPEG has no SOF marker")
     elif payload[:1] == b"P" and payload[1:2] in b"123456":
         codec = "pnm"
-        toks = payload[:200].split()
-        w, h = int(toks[1]), int(toks[2])
+        toks, _ = _pnm_header_tokens(payload[:4096], 2)
+        if len(toks) < 2:
+            raise ValueError("truncated netpbm header")
+        w, h = toks
     elif payload[:4] in (b"II*\x00", b"MM\x00*"):
         codec = "tiff"
         endian = "<" if payload[:2] == b"II" else ">"
@@ -3072,9 +3085,22 @@ def _probe_media(payload: bytes) -> list[dict]:
                 exp = struct.unpack_from(">H", payload, pos + 16)[0] & 0x7FFF
                 mant = int.from_bytes(payload[pos + 18 : pos + 26], "big")
                 rate = int(round(mant * 2.0 ** (exp - 16383 - 63))) if mant else 0
+                # AIFC carries a compression fourcc after the rate;
+                # 'NONE'/'sowt' are plain PCM and decode natively
+                # (ADVICE r8: probing them as opaque 'aifc' caused
+                # the router to skip real decode work)
+                comp = (
+                    payload[pos + 26 : pos + 30]
+                    if payload[8:12] == b"AIFC" and size >= 22
+                    else b"NONE"
+                )
+                codec = (
+                    "pcm"
+                    if comp in (b"NONE", b"sowt")
+                    else comp.decode("latin1").strip("\x00 ").lower()
+                )
                 return [{
-                    "container": "aiff", "stream": "audio",
-                    "codec": "pcm" if payload[8:12] == b"AIFF" else "aifc",
+                    "container": "aiff", "stream": "audio", "codec": codec,
                     "sample_rate": rate, "channels": n_ch, "n_samples": frames,
                     "duration_ms": int(frames * 1000 / rate) if rate else 0,
                 }]
@@ -3088,9 +3114,10 @@ def _probe_media(payload: bytes) -> list[dict]:
         n_samples = size // (width * n_ch) if width and n_ch else 0
         return [{
             "container": "au", "stream": "audio",
-            "codec": {1: "mulaw", 2: "pcm8", 3: "pcm16", 27: "alaw"}.get(
-                enc, f"enc-{enc}"
-            ),
+            # names match what _decode_au handles (ADVICE r8: enc
+            # 4/5 decode natively, so give them real codec names)
+            "codec": {1: "mulaw", 2: "pcm8", 3: "pcm16", 4: "pcm24",
+                      5: "pcm32", 27: "alaw"}.get(enc, f"enc-{enc}"),
             "sample_rate": rate, "channels": n_ch, "n_samples": n_samples,
             "duration_ms": int(n_samples * 1000 / rate) if rate else 0,
         }]
@@ -3129,6 +3156,7 @@ def probe_media_metadata(
     df: DataFrame,
     id_col: str = "media_id",
     media_col: str = "media",
+    strict: bool = True,
 ) -> DataFrame:
     """Header-level media inventory: one output row per stream/track
     with container, codec, geometry, duration and bitrate — the
@@ -3143,14 +3171,28 @@ def probe_media_metadata(
     13-bit per-frame length makes the walk exact), and Ogg physical
     streams (Vorbis/Opus/Theora/FLAC identification headers + exact
     durations from final granule positions, including Theora's
-    keyframe-shift granule split)."""
+    keyframe-shift granule split).
+
+    ``strict=True`` (default) raises on an unrecognized or corrupt
+    payload — the right contract for a curated lake. ``strict=False``
+    tags such payloads with container='unknown' instead, so one junk
+    row in a 100 TB mixed lake marks itself non-routable rather than
+    failing the whole Spark stage (ADVICE r8: route_media_by_codec is
+    the triage pass and must survive junk)."""
     out_fields = {f.name for f in _PROBE_SCHEMA.fields}
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows: dict[str, list] = {name: [] for name in out_fields}
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
-                for ti, meta in enumerate(_probe_media(bytes(payload))):
+                try:
+                    metas = _probe_media(bytes(payload))
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error):
+                    if strict:
+                        raise
+                    metas = [{"container": "unknown", "stream": "unknown"}]
+                for ti, meta in enumerate(metas):
                     rows["media_id"].append(mid)
                     rows["track"].append(ti)
                     for f in _PROBE_SCHEMA.fields[2:]:
@@ -3308,7 +3350,8 @@ _DECODABLE = {
     ("wav", "pcm"), ("wav", "float"), ("wav", "alaw"), ("wav", "mulaw"),
     ("wav", "ima-adpcm"),
     ("flac", "flac"), ("aiff", "pcm"),
-    ("au", "pcm8"), ("au", "pcm16"), ("au", "mulaw"),
+    ("au", "pcm8"), ("au", "pcm16"), ("au", "pcm24"), ("au", "pcm32"),
+    ("au", "mulaw"), ("au", "alaw"),
     ("ogg", "vorbis"),
     ("avi", "dib"), ("avi", "mjpg"),
     ("mp4", "jpeg"), ("mp4", "mjpa"), ("mp4", "png"),
@@ -3327,8 +3370,15 @@ def route_media_by_codec(
     payloads the expensive decode legs ever touch at 100 TB scale.
     Output: id, container, codecs (sorted distinct), decodable.
     The probe runs map-local; the only shuffle is the groupBy on the
-    media id (pre-partitioned inputs keep it local too)."""
-    probed = probe_media_metadata(df, id_col=id_col, media_col=media_col)
+    media id (pre-partitioned inputs keep it local too).
+
+    Unknown/corrupt payloads route as container='unknown',
+    decodable=false instead of raising — triage must survive junk
+    rows (ADVICE r8); use ``probe_media_metadata(strict=True)`` for
+    the raising contract."""
+    probed = probe_media_metadata(
+        df, id_col=id_col, media_col=media_col, strict=False
+    )
     pair_ok = F.lit(False)
     for c, k in sorted(_DECODABLE):
         if k is None:

@@ -3909,3 +3909,94 @@ def test_synthesize_bmp_media_gated_sums(spark):
             assert round(f[c] * 255.0 * 384.0) == int(px[:, c].sum())
         assert round(f[6] * 1000.0) == 1500  # decoded 24:16 aspect
         assert (rows[i]["width"], rows[i]["height"]) == (24, 16)
+
+
+# --------------------------------------------------------------------------
+# ADVICE r8 hardening: junk-tolerant routing, AU/AIFC codec names,
+# commented-PNM probe
+# --------------------------------------------------------------------------
+
+
+def test_route_media_by_codec_survives_junk(spark):
+    """One unknown payload (WebP, random junk, empty-ish) must tag
+    itself container='unknown', decodable=false — not fail the stage
+    (ADVICE r8 medium)."""
+    px = np.full((4, 4, 3), 9, np.uint8)
+    webp = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+    payloads = {
+        1: make_png(px, color_type=2),  # known-good alongside the junk
+        2: webp,
+        3: b"\x01\x02\x03garbage-not-a-container",
+        4: b"\x00",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, payload binary",
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("application/octet-stream")).alias("media"),
+    )
+    out = {r["media_id"]: r for r in MM.route_media_by_codec(df).collect()}
+    assert out[1]["decodable"] is True
+    for k in (2, 3, 4):
+        assert out[k]["container"] == "unknown", k
+        assert out[k]["decodable"] is False, k
+    # the direct probe keeps the strict raising contract
+    with pytest.raises(Exception, match="unrecognized media container"):
+        MM._probe_media(webp)
+    df_junk = df.filter(F.col("media_id") == 2)
+    with pytest.raises(Exception):
+        MM.probe_media_metadata(df_junk, strict=True).collect()
+
+
+def test_probe_au_deep_pcm_and_alaw_route_decodable(spark):
+    """AU A-law and 24/32-bit PCM decode natively (_decode_au), so
+    the probe must give them real codec names and the router must
+    mark them decodable (ADVICE r8 low)."""
+    s24 = np.array([-(1 << 23), -1, 0, 1, (1 << 23) - 1], np.int64)
+    au24 = make_au(
+        b"".join(int(v & 0xFFFFFF).to_bytes(3, "big") for v in s24), enc=4
+    )
+    s32 = np.array([-(1 << 31), 0, (1 << 31) - 1], np.int64)
+    au32 = make_au(s32.astype(">i4").tobytes(), enc=5)
+    alaw = make_au(bytes(range(256)), enc=27)
+    for payload, codec, n in ((au24, "pcm24", 5), (au32, "pcm32", 3), (alaw, "alaw", 256)):
+        (m,) = MM._probe_media(payload)
+        assert (m["container"], m["codec"], m["n_samples"]) == ("au", codec, n)
+    df = spark.createDataFrame(
+        [(1, bytearray(au24)), (2, bytearray(au32)), (3, bytearray(alaw))],
+        "media_id long, payload binary",
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("audio/basic")).alias("media"),
+    )
+    out = {r["media_id"]: r for r in MM.route_media_by_codec(df).collect()}
+    assert all(out[k]["decodable"] for k in (1, 2, 3))
+
+
+def test_probe_aifc_compression_type():
+    """Uncompressed AIFC ('NONE'/'sowt') probes as pcm (decodable);
+    compressed AIFC probes as its fourcc and routes metadata-only
+    (ADVICE r8 low)."""
+    s = np.arange(-100, 100, dtype=np.int64)
+    for comp in (b"NONE", b"sowt"):
+        (m,) = MM._probe_media(make_aifc(s, 16, comp))
+        assert (m["container"], m["codec"]) == ("aiff", "pcm"), comp
+        assert ("aiff", m["codec"]) in MM._DECODABLE
+    (m,) = MM._probe_media(make_aifc(s, 16, b"ulaw"))
+    assert (m["container"], m["codec"]) == ("aiff", "ulaw")
+    assert ("aiff", "ulaw") not in MM._DECODABLE
+    # plain AIFF is unchanged
+    (m,) = MM._probe_media(make_aiff(np.zeros(10, np.int16)))
+    assert m["codec"] == "pcm"
+
+
+def test_probe_pnm_with_header_comments():
+    """'#' comments are legal anywhere in a netpbm header; the probe
+    must tokenize like the decoder instead of choking (ADVICE r8)."""
+    gray = np.zeros((4, 5), np.uint8)
+    p5 = b"P5\n# made by a camera\n5 # width\n4\n255\n" + gray.tobytes()
+    (m,) = MM._probe_media(p5)
+    assert (m["codec"], m["width"], m["height"]) == ("pnm", 5, 4)
+    img, w, h = MM._decode_image(p5)  # decoder agrees
+    assert (w, h) == (5, 4)
