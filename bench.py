@@ -104,8 +104,18 @@ def materialize(df) -> None:
 
 
 def _next_round() -> int:
-    """Rounds are numbered by the driver's committed artifacts: the
-    bench for round N runs while CORRECTNESS_r{01..N-1}.json exist."""
+    """Round number for the sidecar stamp, from committed driver
+    artifacts. Two writers share this path (PERF.md §Round 9):
+
+    - builder runs mid-round N: CORRECTNESS_r{N-1} AND BENCH_r{N-1}
+      both exist (committed together at the end of round N-1) →
+      stamp N = max+1;
+    - the driver's own end-of-round-N run: it writes CORRECTNESS_rN
+      BEFORE benching, so max = N but BENCH_rN does not exist yet →
+      stamp N = max.
+
+    The old unconditional max+1 made the driver's run overshoot into
+    round N+1's slot (the r08→r09 off-by-one VERDICT r8 flagged)."""
     import glob
     import re
 
@@ -115,7 +125,11 @@ def _next_round() -> int:
         for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
-    return (max(rounds) + 1) if rounds else 0
+    if not rounds:
+        return 0
+    latest = max(rounds)
+    bench_done = os.path.exists(os.path.join(here, f"BENCH_r{latest:02d}.json"))
+    return latest + 1 if bench_done else latest
 
 
 def write_detail_sidecar(
