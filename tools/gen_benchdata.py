@@ -139,6 +139,31 @@ def gen_documents(spark, n_docs: int):
     )
 
 
+def gen_embeddings(spark, n_vecs: int, dim: int = 64, n_labels: int = 10):
+    """Unit-norm float32 vectors with label-centered cluster structure,
+    mimicking testdata's embeddings (64-dim, 10 labels, ||v|| = 1) so
+    IVF cell routing sees realistic skew. Pure Spark expressions —
+    per-component hashes, normalized via HOF aggregate; no driver RNG."""
+    base = spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+    label = F.pmod(F.xxhash64("vec_id", F.lit(30)), F.lit(n_labels)).cast("int")
+    with_label = base.select("vec_id", label.alias("label"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    u = lambda *cols, seed: (  # noqa: E731 — uniform [-1, 1)
+        F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(MILLION)) / (MILLION / 2.0) - 1.0
+    )
+    raw = F.transform(
+        idx,
+        lambda i: u(F.col("label"), i, seed=31) * 0.8
+        + u(F.col("vec_id"), i, seed=32) * 0.6,
+    )
+    with_raw = with_label.withColumn("_raw", raw)
+    norm = F.sqrt(
+        F.aggregate("_raw", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    emb = F.transform("_raw", lambda x: (x / norm).cast("float"))
+    return with_raw.select("vec_id", emb.alias("embedding"), "label")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
@@ -153,6 +178,7 @@ def main() -> None:
     n_parts = int(200_000 * sf)
     n_suppliers = int(10_000 * sf)
     n_docs = int(50_000 * sf)
+    n_vecs = int(20_000 * sf)  # testdata: 2,000 at sf0.1
 
     orders = gen_orders(spark, n_orders, n_customers)
     orders.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
@@ -163,7 +189,10 @@ def main() -> None:
     gen_documents(spark, n_docs).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
     )
-    for t in ("orders", "lineitem", "documents"):
+    gen_embeddings(spark, n_vecs).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    for t in ("orders", "lineitem", "documents", "embeddings"):
         n = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
         print(f"{t}: {n} rows")
     print(f"wrote {out}")

@@ -39,6 +39,7 @@ QUERIES = [
     "fuzzy_duplicate_pairs",
     "semantic_dedup_survivors",
     "part_copurchase_components",
+    "part_copurchase_pagerank",
     "pq_adc_knn",
 ]
 SFS = [0.001, 0.01, 0.1]
@@ -47,11 +48,18 @@ SFS = [0.001, 0.01, 0.1]
 # first point where local[32] actually saturates) for the three pair
 # joins + the flagship scan. sf1 lives under the repo (bench-only,
 # gitignored; recipe = tools/gen_benchdata.py, see TESTDATA.md).
+# VERDICT r8 ask #4 widened the sf1 set to the expensive extended
+# tier whose 100 TB story rests on cell routing (pq/ivfadc over sf1
+# embeddings) and fixpoint round counts (graph queries over sf1
+# lineitem), plus the stored-index build/search legs below.
 SF1_QUERIES = {
     "top_similar_customer_pairs",
     "ngram_duplicate_pairs",
     "minhash_duplicate_pairs",
     "pricing_summary",
+    "pq_adc_knn",
+    "part_copurchase_components",
+    "part_copurchase_pagerank",
 }
 SF1_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1"
@@ -100,8 +108,72 @@ def main() -> None:
         results[name] = per_sf
         print(f"# {name}: {per_sf}", file=sys.stderr)
 
+    results.update(ivfadc_lifecycle_points(spark, clean))
     print(json.dumps(make_report(results), indent=1))
     spark.stop()
+
+
+def ivfadc_lifecycle_points(spark, clean) -> dict[str, dict[str, float]]:
+    """sf-scaling for the stored-index legs bench.py times one-shot:
+    build (parquet write, cell-partitioned) and search (cell-pruned
+    read). Not registry queries, so measured here with the bench's
+    exact parameters (n_cells=16, dim=64, m=8, pq_k=16, iters=2) —
+    the slope, not the constant, is what the 100 TB claim rests on
+    (VERDICT r8 ask #4). Median of 3 per point; search gets a warmup,
+    build cannot (it IS a write job) so its first rep carries any
+    residual compile cost — acceptable, identical across SFs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        vectorops as VO,
+    )
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources import (
+        load_table,
+    )
+
+    sfs = SFS + ([1] if os.path.isdir(SF1_DIR) else [])
+    build: dict[str, float] = {}
+    search: dict[str, float] = {}
+    for sf in sfs:
+        emb = load_table(spark, _sf_dir(sf), "embeddings").select(
+            "vec_id", "embedding"
+        )
+        probes = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+        b_runs, s_runs = [], []
+        for _ in range(3):
+            idx_dir = tempfile.mkdtemp(prefix="scaling-ivfadc-")
+            idx_path = os.path.join(idx_dir, "idx")
+            try:
+                clean()
+                t0 = time.perf_counter()
+                VO.build_ivfadc_index(
+                    emb, idx_path, n_cells=16, dim=64, m=8, pq_k=16, iters=2
+                )
+                b_runs.append(time.perf_counter() - t0)
+                materialize(  # warmup at this SF
+                    VO.ivfadc_index_search(spark, idx_path, probes, k_neighbors=10)
+                )
+                clean()
+                t0 = time.perf_counter()
+                materialize(
+                    VO.ivfadc_index_search(spark, idx_path, probes, k_neighbors=10)
+                )
+                s_runs.append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+        build[str(sf)] = round(sorted(b_runs)[1], 3)
+        search[str(sf)] = round(sorted(s_runs)[1], 3)
+        print(
+            f"# ivfadc sf{sf}: build {build[str(sf)]} search {search[str(sf)]}",
+            file=sys.stderr,
+        )
+    return {"ivfadc_index_build": build, "ivfadc_index_search": search}
 
 
 def make_report(results: dict[str, dict[str, float]]) -> dict:
