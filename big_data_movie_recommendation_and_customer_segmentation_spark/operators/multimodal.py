@@ -151,6 +151,70 @@ def synthesize_bmp_media(
     )
 
 
+def synthesize_wav_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_frames_col: str = "n_frames",
+    rate: int = 64,
+) -> DataFrame:
+    """In-plan REAL audio synthesis, the WAV sibling of
+    ``synthesize_bmp_media``: each id becomes a genuine 16-bit PCM
+    mono WAV (stdlib ``wave``) of ``n_frames`` × ``rate`` samples
+    following a closed-form, SQL-replayable algebra —
+
+        sample(k) = (id*13 + k*7) mod 401 − 200
+
+    Small amplitudes (|s| ≤ 200) and power-of-two frame lengths are
+    deliberate: the decode path computes per-frame rms in exact
+    dyadic float64 (s/2¹⁵ squared and averaged over 64 samples is
+    exact), so ``round(rms² · 2³⁶)`` recovers the integer Σs² per
+    frame through the float32 output column with ≤ 0.31 absolute
+    error against the 0.5 rounding margin — an exact VALUE gate over
+    the production WAV decoder. Arrow-batched ``mapInPandas``,
+    map-local, zero shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import wave as _wave
+
+        for pdf in it:
+            payloads, durs = [], []
+            for mid, nf in zip(pdf[id_col], pdf[n_frames_col]):
+                n = rate * int(nf)
+                k = np.arange(n, dtype=np.int64)
+                s = ((int(mid) * 13 + k * 7) % 401 - 200).astype("<i2")
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(s.tobytes())
+                payloads.append(buf.getvalue())
+                durs.append(int(nf) * 1000)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "duration_ms": durs}
+            )
+
+    flat = df.select(id_col, n_frames_col).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+                T.StructField("duration_ms", T.LongType()),
+            ]
+        ),
+    )
+    return flat.select(
+        F.col(id_col),
+        pack_media(
+            F.col("payload"),
+            F.lit("audio/wav"),
+            duration_ms=F.col("duration_ms"),
+            sample_rate=F.lit(rate),
+        ).alias("media"),
+    )
+
+
 def _dib_to_rgb(
     data: bytes, width: int, height: int, bpp: int, offset: int = 0, flip: bool = True
 ) -> np.ndarray:

@@ -1896,46 +1896,49 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_audio_frames",
     oracle="""
     WITH m AS (
-      SELECT doc_id, 'AUD:' || sha256(text) AS s, (doc_id % 7) + 1 AS nf FROM documents
+      SELECT doc_id, (doc_id % 7) + 1 AS nf FROM documents
     ),
-    b AS (
-      SELECT doc_id, nf, sum(ord(substr(s, i, 1))) AS base
-      FROM m, generate_series(1, 64) t(i)
-      GROUP BY doc_id, nf
+    e AS (
+      SELECT doc_id, unnest(range(0, 64 * nf)) AS i FROM m
+    ),
+    s AS (
+      SELECT doc_id, i // 64 AS frame_idx,
+             (doc_id * 13 + i * 7) % 401 - 200 AS v
+      FROM e
     )
     SELECT doc_id AS media_id,
-           CAST(unnest(range(0, nf)) AS BIGINT) AS frame_idx,
-           CAST((base * (unnest(range(0, nf)) + 1)) % 997 AS BIGINT) AS rms_ticks
-    FROM b
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(sum(v * v) AS BIGINT) AS ss_ticks
+    FROM s
+    GROUP BY doc_id, frame_idx
     """,
 )
 def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction plumbing: per-frame rows via the
-    Arrow-batched mapInPandas contract (decode stubbed).
-
-    VALUE-oracle-checked (upgraded from rows-only, r3): the fake
-    per-frame rms is ``((Σ first-64 payload bytes)·(i+1) mod 997) /
-    997`` — the gate view inverts to the exact mod-997 tick count
-    (float32 error ≤ ~6e-5 vs the 0.5 margin) and DuckDB rebuilds it
-    from ``sha256``/``ord`` plus a per-row ``range`` unnest for the
-    frame amplification."""
+    """Audio feature extraction over the REAL decode path
+    (``fake=False``), the WAV sibling of ``media_image_features``'s
+    r09 upgrade: each doc_id is synthesized in-plan into a genuine
+    16-bit PCM WAV whose samples follow ``(id*13 + k*7) mod 401 −
+    200`` (multimodal.synthesize_wav_media), then decoded by the
+    production WAV codec inside ``extract_audio_features(fake=
+    False)``. Per-frame rms is computed from the DECODED samples in
+    exact dyadic float64 (64-sample frames, |s| ≤ 200), so ``round(
+    rms² · 2³⁶)`` inverts to the exact integer per-frame Σs²
+    (float32 error ≤ 0.31 vs the 0.5 margin) and DuckDB rebuilds the
+    same sums from the closed-form sample algebra — a defect in the
+    WAV encoder, the decoder, the framing, or the mapInPandas row
+    amplification breaks the value match."""
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        F.encode(F.concat(F.lit("AUD:"), F.sha2(F.col("text"), 256)), "utf-8").alias("_payload"),
-        ((F.col("doc_id") % 7) * 1000 + 1000).cast("long").alias("_dur"),
+        ((F.col("doc_id") % 7) + 1).cast("int").alias("n_frames"),
     )
-    media = d.select(
-        "media_id",
-        MM.pack_media(
-            F.col("_payload"), F.lit("audio/fake"),
-            duration_ms=F.col("_dur"), sample_rate=F.lit(16000),
-        ).alias("media"),
-    )
-    frames = MM.extract_audio_features(media, fake=True)
+    media = MM.synthesize_wav_media(d, "media_id", "n_frames", rate=64)
+    frames = MM.extract_audio_features(media, fake=False, frame_ms=1000)
     return frames.select(
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
-        F.round(F.col("rms") * F.lit(997.0)).cast("long").alias("rms_ticks"),
+        F.round(F.pow(F.col("rms").cast("double"), 2) * F.lit(float(1 << 36)))
+        .cast("long")
+        .alias("ss_ticks"),
     )
 
 

@@ -4000,3 +4000,21 @@ def test_probe_pnm_with_header_comments():
     assert (m["codec"], m["width"], m["height"]) == ("pnm", 5, 4)
     img, w, h = MM._decode_image(p5)  # decoder agrees
     assert (w, h) == (5, 4)
+
+
+def test_synthesize_wav_media_gated_sums(spark):
+    """Spark-level pin of the media_audio_frames gate identity:
+    synthesize → REAL WAV decode → round(rms²·2³⁶) recovers the
+    exact closed-form per-frame Σs² (64-sample frames, |s| ≤ 200)."""
+    rows = [(3, 2), (10, 1), (499, 7)]
+    df = spark.createDataFrame(rows, "media_id long, n_frames int")
+    media = MM.synthesize_wav_media(df, "media_id", "n_frames", rate=64)
+    out = MM.extract_audio_features(media, fake=False, frame_ms=1000).collect()
+    got = {(r["media_id"], r["frame_idx"]): r["rms"] for r in out}
+    assert len(got) == sum(nf for _, nf in rows)
+    for mid, nf in rows:
+        for i in range(nf):
+            k = np.arange(i * 64, (i + 1) * 64, dtype=np.int64)
+            s = (mid * 13 + k * 7) % 401 - 200
+            expect = int((s * s).sum())
+            assert round(float(got[(mid, i)]) ** 2 * (1 << 36)) == expect, (mid, i)
