@@ -215,6 +215,90 @@ def synthesize_wav_media(
     )
 
 
+def synthesize_avi_media(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_frames_col: str = "n_frames",
+    width: int = 8,
+    height: int = 8,
+    fps: int = 1,
+) -> DataFrame:
+    """In-plan REAL video synthesis, completing the triad with
+    ``synthesize_bmp_media``/``synthesize_wav_media``: each id
+    becomes a genuine uncompressed AVI (RIFF 'AVI ' + avih + movi
+    with bottom-up BGR '00db' DIB frames — the layout
+    ``_parse_avi``/``_dib_to_rgb`` decode) whose pixel bytes follow
+
+        byte(frame f, pixel p, channel c)
+            = (id*7 + f*97 + p*13 + c*101) mod 256
+
+    so a downstream ``extract_video_frames`` sits under a VALUE gate:
+    the decoded per-frame channel means invert to integer byte sums
+    an oracle rebuilds from the closed form. Arrow-batched
+    ``mapInPandas``, map-local, zero shuffle."""
+    n_px = width * height
+    base = (
+        np.arange(n_px, dtype=np.int64)[:, None] * 13
+        + np.arange(3, dtype=np.int64)[None, :] * 101
+    )
+    stride = (width * 3 + 3) & ~3
+
+    def _chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def _dib(img: np.ndarray) -> bytes:
+        rows = np.zeros((height, stride), np.uint8)
+        rows[:, : width * 3] = img[::-1, :, ::-1].reshape(height, width * 3)
+        return rows.tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, durs = [], []
+            for mid, nf in zip(pdf[id_col], pdf[n_frames_col]):
+                nf = int(nf)
+                movi_body = b"movi"
+                for f in range(nf):
+                    img = (
+                        ((int(mid) * 7 + f * 97 + base) % 256)
+                        .astype(np.uint8)
+                        .reshape(height, width, 3)
+                    )
+                    movi_body += _chunk(b"00db", _dib(img))
+                avih = struct.pack(
+                    "<14I", 1_000_000 // fps, 0, 0, 0, nf, 0, 1, 0,
+                    width, height, 0, 0, 0, 0,
+                )
+                hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih))
+                payloads.append(
+                    _chunk(b"RIFF", b"AVI " + hdrl + _chunk(b"LIST", movi_body))
+                )
+                durs.append(nf * 1000 // fps)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "duration_ms": durs}
+            )
+
+    flat = df.select(id_col, n_frames_col).mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+                T.StructField("duration_ms", T.LongType()),
+            ]
+        ),
+    )
+    return flat.select(
+        F.col(id_col),
+        pack_media(
+            F.col("payload"),
+            F.lit("video/avi"),
+            width=F.lit(width),
+            height=F.lit(height),
+            duration_ms=F.col("duration_ms"),
+        ).alias("media"),
+    )
+
+
 def _dib_to_rgb(
     data: bytes, width: int, height: int, bpp: int, offset: int = 0, flip: bool = True
 ) -> np.ndarray:

@@ -1945,29 +1945,56 @@ def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "video_frame_samples",
     oracle="""
-    SELECT doc_id AS media_id, unnest(range(0, (doc_id % 5) * 1000 + 1, 1000)) AS frame_ms
-    FROM documents
+    WITH m AS (
+      SELECT doc_id, (doc_id % 5) + 1 AS nf FROM documents
+    ),
+    e AS (
+      SELECT doc_id, unnest(range(0, nf)) AS f FROM m
+    ),
+    px AS (
+      SELECT doc_id, f, i % 3 AS c,
+             (doc_id * 7 + f * 97 + (i // 3) * 13 + (i % 3) * 101) % 256 AS v
+      FROM e, generate_series(0, 8 * 8 * 3 - 1) t(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(f * 1000 AS BIGINT) AS frame_ms,
+           CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY doc_id, f
     """,
 )
 def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling row amplification (sequence+explode, map-local,
-    no shuffle) over synthetic durations."""
+    """Video frame extraction over the REAL decode path, completing
+    the r09 media-triad upgrade (image r8-ask#2, audio, now video):
+    each doc_id is synthesized in-plan into a genuine uncompressed
+    AVI whose DIB frames follow ``(id*7 + f*97 + p*13 + c*101) mod
+    256`` (multimodal.synthesize_avi_media), decoded by the
+    production RIFF-walk + DIB path inside ``extract_video_frames``.
+    The per-frame channel means invert to exact integer byte sums
+    (mean × 255 × 64 px; float32 error ≤ ~0.002 vs the 0.5 margin)
+    and frame_ms pins the container fps timing; DuckDB rebuilds both
+    from the closed form. The prior metadata-only row amplification
+    (``sample_video_frames``) keeps its own unit test
+    (tests/test_multimodal_codecs.py)."""
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        ((F.col("doc_id") % 5) * 1000).cast("long").alias("duration_ms"),
+        ((F.col("doc_id") % 5) + 1).cast("int").alias("n_frames"),
     )
-    media = d.select(
+    media = MM.synthesize_avi_media(d, "media_id", "n_frames", width=8, height=8, fps=1)
+    frames = MM.extract_video_frames(media)
+    n_px = 8.0 * 8.0
+    return frames.select(
         "media_id",
-        F.struct(
-            F.lit(None).cast("binary").alias("payload"),
-            F.lit("video/fake").alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.col("duration_ms"),
-            F.lit(None).cast("int").alias("sample_rate"),
-        ).alias("media"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_ms",
+        *[
+            F.round(F.col(f"mean_{ch}") * F.lit(255.0 * n_px)).cast("long").alias(f"sum_{ch}")
+            for ch in ("r", "g", "b")
+        ],
     )
-    return MM.sample_video_frames(media, every_ms=1000)
 
 
 # --------------------------------------------------------------------------

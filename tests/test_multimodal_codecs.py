@@ -4018,3 +4018,41 @@ def test_synthesize_wav_media_gated_sums(spark):
             s = (mid * 13 + k * 7) % 401 - 200
             expect = int((s * s).sum())
             assert round(float(got[(mid, i)]) ** 2 * (1 << 36)) == expect, (mid, i)
+
+
+def test_synthesize_avi_media_gated_sums(spark):
+    """Spark-level pin of the video_frame_samples gate identity:
+    synthesize → REAL RIFF/DIB decode → per-frame channel means
+    invert to the closed-form byte sums; frame_ms pins fps timing."""
+    df = spark.createDataFrame([(2, 1), (11, 3)], "media_id long, n_frames int")
+    media = MM.synthesize_avi_media(df, "media_id", "n_frames", width=8, height=8, fps=1)
+    out = {(r["media_id"], r["frame_idx"]): r
+           for r in MM.extract_video_frames(media).collect()}
+    assert len(out) == 4
+    base = (
+        np.arange(64, dtype=np.int64)[:, None] * 13
+        + np.arange(3, dtype=np.int64)[None, :] * 101
+    )
+    for (mid, f), r in out.items():
+        px = (mid * 7 + f * 97 + base) % 256
+        assert r["frame_ms"] == f * 1000
+        for ci, ch in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert round(r[ch] * 255.0 * 64.0) == int(px[:, ci].sum()), (mid, f, ch)
+
+
+def test_sample_video_frames_offsets(spark):
+    """The metadata-only sampler keeps its unit pin now that the
+    gated video query runs the real decode instead: one row per
+    every_ms offset over the duration, inclusive, map-local."""
+    df = spark.createDataFrame(
+        [(1, 2500), (2, 0), (3, None)], "media_id long, duration_ms long"
+    ).select(
+        "media_id",
+        MM.pack_media(
+            F.lit(None).cast("binary"), F.lit("video/fake"),
+            duration_ms=F.col("duration_ms"),
+        ).alias("media"),
+    )
+    rows = MM.sample_video_frames(df, every_ms=1000).collect()
+    got = sorted((r["media_id"], r["frame_ms"]) for r in rows)
+    assert got == [(1, 0), (1, 1000), (1, 2000), (2, 0), (3, 0)]
