@@ -241,36 +241,30 @@ def synthesize_avi_media(
         np.arange(n_px, dtype=np.int64)[:, None] * 13
         + np.arange(3, dtype=np.int64)[None, :] * 101
     )
-    stride = (width * 3 + 3) & ~3
 
     def _chunk(fourcc: bytes, body: bytes) -> bytes:
         return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
-
-    def _dib(img: np.ndarray) -> bytes:
-        rows = np.zeros((height, stride), np.uint8)
-        rows[:, : width * 3] = img[::-1, :, ::-1].reshape(height, width * 3)
-        return rows.tobytes()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads, durs = [], []
             for mid, nf in zip(pdf[id_col], pdf[n_frames_col]):
                 nf = int(nf)
-                movi_body = b"movi"
+                movi = [b"movi"]  # list-accumulate: O(frames), not O(frames²)
                 for f in range(nf):
                     img = (
                         ((int(mid) * 7 + f * 97 + base) % 256)
                         .astype(np.uint8)
                         .reshape(height, width, 3)
                     )
-                    movi_body += _chunk(b"00db", _dib(img))
+                    movi.append(_chunk(b"00db", _pack_dib_rows(img)))
                 avih = struct.pack(
                     "<14I", 1_000_000 // fps, 0, 0, 0, nf, 0, 1, 0,
                     width, height, 0, 0, 0, 0,
                 )
                 hdrl = _chunk(b"LIST", b"hdrl" + _chunk(b"avih", avih))
                 payloads.append(
-                    _chunk(b"RIFF", b"AVI " + hdrl + _chunk(b"LIST", movi_body))
+                    _chunk(b"RIFF", b"AVI " + hdrl + _chunk(b"LIST", b"".join(movi)))
                 )
                 durs.append(nf * 1000 // fps)
             yield pd.DataFrame(
@@ -1718,16 +1712,25 @@ def extract_image_features(
     return flat.mapInPandas(batches, out_schema)
 
 
+def _pack_dib_rows(img: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB → raw 24-bit DIB pixel block (bottom-up BGR
+    rows padded to 4 bytes) — the exact inverse of ``_dib_to_rgb``,
+    shared by the BMP encoder and the AVI synthesizer so the two
+    writers can never diverge (r9 review)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return rows.tobytes()
+
+
 def _encode_bmp(img: np.ndarray) -> bytes:
     """H×W×3 uint8 RGB → uncompressed 24-bit bottom-up BMP — the one
     image format that can be WRITTEN with pure numpy, making it the
     natural interchange payload for resized outputs (it round-trips
     through ``_decode_bmp``)."""
     h, w, _ = img.shape
-    stride = (w * 3 + 3) & ~3
-    rows = np.zeros((h, stride), np.uint8)
-    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
-    body = rows.tobytes()
+    body = _pack_dib_rows(img)
     header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
@@ -3237,11 +3240,12 @@ def _probe_media(payload: bytes) -> list[dict]:
                 # 'NONE'/'sowt' are plain PCM and decode natively
                 # (ADVICE r8: probing them as opaque 'aifc' caused
                 # the router to skip real decode work)
-                comp = (
-                    payload[pos + 26 : pos + 30]
-                    if payload[8:12] == b"AIFC" and size >= 22
-                    else b"NONE"
-                )
+                if payload[8:12] == b"AIFC" and size >= 22:
+                    comp = payload[pos + 26 : pos + 30]
+                    if len(comp) < 4:  # declared size lies past EOF
+                        raise ValueError("truncated AIFC COMM chunk")
+                else:
+                    comp = b"NONE"
                 codec = (
                     "pcm"
                     if comp in (b"NONE", b"sowt")
@@ -3334,9 +3338,15 @@ def probe_media_metadata(
             rows: dict[str, list] = {name: [] for name in out_fields}
             for mid, payload in zip(pdf[id_col], pdf["payload"]):
                 try:
+                    if payload is None:
+                        raise ValueError("null media payload")
                     metas = _probe_media(bytes(payload))
-                except (ValueError, NotImplementedError, IndexError,
-                        struct.error):
+                except Exception:
+                    # lenient mode must survive ANY junk row — a
+                    # narrower tuple was repro'd to miss TypeError
+                    # (null payload) and OverflowError (absurd AIFF
+                    # rate exponent): one such row in a 100 TB lake
+                    # would fail the whole routing stage (r9 review)
                     if strict:
                         raise
                     metas = [{"container": "unknown", "stream": "unknown"}]

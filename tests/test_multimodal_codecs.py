@@ -4056,3 +4056,43 @@ def test_sample_video_frames_offsets(spark):
     rows = MM.sample_video_frames(df, every_ms=1000).collect()
     got = sorted((r["media_id"], r["frame_ms"]) for r in rows)
     assert got == [(1, 0), (1, 1000), (1, 2000), (2, 0), (3, 0)]
+
+
+def test_route_media_survives_null_payload_and_overflow_rate(spark):
+    """r9 review: lenient routing must survive junk beyond the
+    narrow exception tuple — a NULL payload (TypeError path) and an
+    AIFF whose 80-bit rate exponent overflows float (OverflowError
+    path) each previously failed the stage."""
+    # AIFF with absurd COMM rate exponent (0x7FFE) and nonzero mantissa
+    comm = struct.pack(">HIH", 1, 10, 16) + b"\x7f\xfe" + b"\xff" * 8
+    evil = b"FORM" + struct.pack(">I", 4 + 8 + len(comm)) + b"AIFF" + (
+        b"COMM" + struct.pack(">I", len(comm)) + comm
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(evil))],
+        "media_id long, payload binary",
+    ).select(
+        "media_id",
+        MM.pack_media(F.col("payload"), F.lit("application/octet-stream")).alias("media"),
+    )
+    out = {r["media_id"]: r for r in MM.route_media_by_codec(df).collect()}
+    assert out[1]["container"] == "unknown" and out[1]["decodable"] is False
+    assert out[2]["container"] == "unknown" and out[2]["decodable"] is False
+    with pytest.raises(Exception):  # strict probe still raises
+        MM.probe_media_metadata(df, strict=True).collect()
+
+
+def test_probe_truncated_aifc_comm_raises():
+    """r9 review: a COMM that declares size >= 22 but ends before the
+    compression fourcc must raise under strict probing, not emit an
+    empty codec name."""
+    e = 8000 .bit_length() - 1
+    comm_full = struct.pack(">HIH", 1, 10, 16) + struct.pack(">H", 16383 + e) + (
+        8000 << (63 - e)
+    ).to_bytes(8, "big")
+    # declare 22 bytes but provide only the 18-byte prefix
+    payload = b"FORM" + struct.pack(">I", 4 + 8 + 18) + b"AIFC" + (
+        b"COMM" + struct.pack(">I", 22) + comm_full
+    )
+    with pytest.raises(ValueError, match="truncated AIFC"):
+        MM._probe_media(payload)

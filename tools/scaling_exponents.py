@@ -141,9 +141,21 @@ def ivfadc_lifecycle_points(spark, clean) -> dict[str, dict[str, float]]:
         emb = load_table(spark, _sf_dir(sf), "embeddings").select(
             "vec_id", "embedding"
         )
-        probes = emb.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("probe_vec"),
+        # Materialize the 5 probe rows ONCE per SF: the lazy
+        # filter-on-emb plan would re-scan the full embeddings
+        # parquet inside every timed search — an O(N) leg that would
+        # bias the search slope the measurement exists to establish
+        # (r9 review finding).
+        probe_rows = (
+            emb.filter(F.col("vec_id") < 5)
+            .select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_vec"),
+            )
+            .collect()
+        )
+        probes = spark.createDataFrame(
+            probe_rows, "probe_id long, probe_vec array<float>"
         )
         b_runs, s_runs = [], []
         for _ in range(3):
