@@ -60,6 +60,11 @@ SF1_QUERIES = {
     "pq_adc_knn",
     "part_copurchase_components",
     "part_copurchase_pagerank",
+    # r09 follow-on: the last two extended-tier queries without a
+    # saturated point (fuzzy needs sf1 documents, semantic the r09
+    # sf1 embeddings)
+    "fuzzy_duplicate_pairs",
+    "semantic_dedup_survivors",
 }
 SF1_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1"
