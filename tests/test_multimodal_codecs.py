@@ -4096,3 +4096,56 @@ def test_probe_truncated_aifc_comm_raises():
     )
     with pytest.raises(ValueError, match="truncated AIFC"):
         MM._probe_media(payload)
+
+
+# --------------------------------------------------------------------------
+# Hypothesis properties over the in-plan synthesizers (no Spark —
+# the pure payload builders behind the mapInPandas closures)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    mid=st.integers(min_value=0, max_value=10**12),
+    w=st.integers(min_value=1, max_value=17),   # odd widths exercise stride pad
+    h=st.integers(min_value=1, max_value=17),
+)
+def test_prop_bmp_synthesis_roundtrip(mid, w, h):
+    img, gw, gh = MM._decode_bmp(MM._bmp_payload_for(mid, w, h))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(img, MM._synthetic_rgb(mid, w, h))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    mid=st.integers(min_value=0, max_value=10**12),
+    nf=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=1, max_value=13),
+    h=st.integers(min_value=1, max_value=13),
+)
+def test_prop_avi_synthesis_roundtrip(mid, nf, w, h):
+    frames, gw, gh, fps, bpp, codec = MM._parse_avi(
+        MM._avi_payload_for(mid, nf, w, h, fps=1)
+    )
+    assert (gw, gh, codec, len(frames)) == (w, h, "dib", nf)
+    for f, raw in enumerate(frames):
+        assert np.array_equal(
+            MM._dib_to_rgb(raw, w, h, bpp), MM._synthetic_rgb(mid, w, h, frame=f)
+        )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    mid=st.integers(min_value=0, max_value=10**12),
+    nf=st.integers(min_value=1, max_value=5),
+    rate=st.sampled_from([8, 64, 256, 8000]),
+)
+def test_prop_wav_synthesis_roundtrip(mid, nf, rate):
+    x, grate = MM._decode_audio(MM._wav_payload_for(mid, nf, rate))
+    assert grate == rate
+    k = np.arange(rate * nf, dtype=np.int64)
+    expect = (mid * 13 + k * 7) % 401 - 200
+    assert np.array_equal((x * 32768.0).round().astype(np.int64), expect)
