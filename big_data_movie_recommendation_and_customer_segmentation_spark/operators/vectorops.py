@@ -96,19 +96,39 @@ def knn_bruteforce_vectorized(
     probe_id_type = probes.schema[probe_id_col].dataType.simpleString()
     partial_schema = f"{probe_id_col} {probe_id_type}, {id_col} {id_type}, cos_sim double"
 
-    rows = probes.select(probe_id_col, probe_vec_col).collect()
+    # NULL and zero-norm rows are dropped on BOTH sides to match the
+    # HOF variant's contract (cosine via try_divide is NULL there and
+    # filtered out); without this a NULL embedding crashed the numpy
+    # conversion and a zero-norm vector ranked with cos_sim 0.0
+    # (r9 review).
+    rows = [
+        r
+        for r in probes.select(probe_id_col, probe_vec_col).collect()
+        if r[1] is not None
+    ]
+    if rows:
+        pid_all = np.array([r[0] for r in rows])
+        pm = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
+        pnorm = np.linalg.norm(pm, axis=1, keepdims=True)
+        keep_p = pnorm[:, 0] > 0.0
+        rows = [r for r, k in zip(rows, keep_p) if k]
     if not rows:
         return corpus.sparkSession.createDataFrame([], partial_schema + ", rank int")
-    pid = np.array([r[0] for r in rows])
-    pm = np.array([list(map(float, r[1])) for r in rows], dtype=np.float64)
-    pmn = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
+    pid = pid_all[keep_p]
+    pmn = pm[keep_p] / pnorm[keep_p]
 
     def score(batches):
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            keep = norms[:, 0] > 0.0
+            if not keep.any():
+                continue
+            pdf, m, norms = pdf[keep], m[keep], norms[keep]
+            mn = m / norms
             sims = mn @ pmn.T
             take = min(k, len(pdf))
             ids = pdf[id_col].values
@@ -135,6 +155,26 @@ def _to_ml_vectors(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     return df.withColumn(out_col, array_to_vector(F.col(vec_col).cast("array<double>")))
 
 
+def _checked_vec(vec, expected_len: int, ctx: str):
+    """Length-guard a vector column in-plan: wrong-dim vectors feed
+    PQ's (subspace, d) equi-joins, where missing subspaces SILENTLY
+    drop and the summed ADC distance comes out smaller — the exact
+    wrong-but-plausible-ranking class the pq_knn codes guard already
+    blocks for the corpus side (ADVICE r4). This extends the guard to
+    probe/input vectors (r9 review): codegen'd size() check,
+    raise_error at execution so the job fails loudly."""
+    cv = F.col(vec) if isinstance(vec, str) else vec
+    return F.when(F.size(cv) == F.lit(expected_len), cv).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{ctx}: vector length "),
+                F.size(cv).cast("string"),
+                F.lit(f" != expected dim {expected_len}"),
+            )
+        )
+    )
+
+
 def ann_lsh_neighbors(
     corpus: DataFrame,
     probes: DataFrame,
@@ -158,15 +198,38 @@ def ann_lsh_neighbors(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
     radius = float((2.0 - 2.0 * min_cosine) ** 0.5)
-    c = _to_ml_vectors(
-        corpus.select(F.col(id_col), F.col(vec_col), V.l2_normalize(vec_col).alias("_unit")),
-        "_unit",
-        "features",
+
+    # Zero-norm / NULL embeddings normalize to NULL components
+    # (try_divide), which the vector/hash UDFs cannot take — one
+    # degenerate row killed the whole LSH job where brute force just
+    # filters it (cosine NULL). A plain filter is NOT enough: the
+    # merged whole-stage-codegen Filter evaluates the LSH's UDF
+    # subexpressions on EVERY scan row regardless of the other
+    # conjuncts, so degenerate rows must be substituted with a
+    # valid same-dim unit vector and excluded via a plain boolean
+    # column (r9 review).
+    head = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    empty_schema = (
+        f"{probe_id_col} {probes.schema[probe_id_col].dataType.simpleString()}, "
+        f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, cos_sim double"
     )
+    if head is None:
+        return corpus.sparkSession.createDataFrame([], empty_schema)
+    vdim = len(head[0])
+    subst = F.array(F.lit(1.0), *[F.lit(0.0)] * (vdim - 1))
+
+    def _safe_units(df_, idc, vc):
+        valid = F.col(vc).isNotNull() & (V.norm(vc) > 0)
+        return df_.select(
+            F.col(idc),
+            F.col(vc),
+            F.when(valid, V.l2_normalize(vc)).otherwise(subst).alias("_unit"),
+            valid.alias("_ok"),
+        ).filter(F.col("_ok"))
+
+    c = _to_ml_vectors(_safe_units(corpus, id_col, vec_col), "_unit", "features")
     p = _to_ml_vectors(
-        probes.select(F.col(probe_id_col), F.col(probe_vec_col), V.l2_normalize(probe_vec_col).alias("_unit")),
-        "_unit",
-        "features",
+        _safe_units(probes, probe_id_col, probe_vec_col), "_unit", "features"
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes",
@@ -231,7 +294,13 @@ def hyperplane_signatures(
     import pandas as pd
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "hyperplane_signatures: cannot infer dim from an empty "
+                "DataFrame or a NULL first vector — pass dim= explicitly"
+            )
+        dim = len(head[0])
     planes = np.array(
         hyperplane_lsh_planes(n_tables * bits_per_table, dim, tag=tag), dtype=np.int64
     )
@@ -285,6 +354,17 @@ def ann_hyperplane_neighbors(
     density, not |corpus|×|probes|); the reported cosine is exact,
     recomputed on the raw vectors. Output: probe_id, vec_id, cos_sim.
     """
+    if dim is None:
+        # infer once from the corpus so an EMPTY probes frame (a
+        # legitimate no-probes search) returns empty instead of
+        # crashing probe-side dim inference (r9 review)
+        head = corpus.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "ann_hyperplane_neighbors: cannot infer dim from an empty "
+                "corpus — pass dim= explicitly"
+            )
+        dim = len(head[0])
     csig = hyperplane_signatures(
         corpus, id_col, vec_col, n_tables, bits_per_table, dim=dim
     )
@@ -623,7 +703,10 @@ def kmeans_segments(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
-    if (feature_cols is None) == (vec_col is None):
+    # bool() also rejects feature_cols=[] / vec_col="" — previously []
+    # slipped past the is-None check and died later on F.col(None)
+    # (r9 review)
+    if bool(feature_cols) == bool(vec_col):
         raise ValueError("pass exactly one of feature_cols / vec_col")
     if feature_cols:
         assembled = VectorAssembler(inputCols=feature_cols, outputCol="_raw").transform(df)
@@ -862,7 +945,8 @@ def pq_fit(
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub_d = dim // m
     ve = df.select(
-        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("gd", "xr")
+        F.col(id_col).alias("vid"),
+        F.posexplode(_checked_vec(vec_col, dim, "pq_fit input")).alias("gd", "xr"),
     ).select(
         "vid",
         (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
@@ -976,9 +1060,12 @@ def pq_knn(
             f"but search was called with m={m}, sub_d={sub_d} (dim={dim})"
         )
     # probe components, quantized like the codebook, keyed by
-    # (subspace, local 0-based component)
+    # (subspace, local 0-based component); length-guarded — a short
+    # probe would build distance tables missing subspaces and rank
+    # every candidate by a partial sum (r9 review)
     pe = probes.select(
-        F.col(probe_id_col), F.posexplode(probe_vec_col).alias("gd", "xr")
+        F.col(probe_id_col),
+        F.posexplode(_checked_vec(probe_vec_col, dim, "pq_knn probe")).alias("gd", "xr"),
     ).select(
         probe_id_col,
         (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
@@ -1129,7 +1216,11 @@ def ivfadc_knn(
             .select(
                 probe_id_col,
                 "cell",
-                F.zip_with(probe_vec_col, "_cv", lambda a, b: a - b).alias("_pr"),
+                F.zip_with(
+                    _checked_vec(probe_vec_col, dim, "ivfadc probe"),
+                    "_cv",
+                    lambda a, b: a - b,
+                ).alias("_pr"),
             )
         )
         pe = pr.select(
@@ -1161,7 +1252,8 @@ def ivfadc_knn(
             iters=iters, scale=scale,
         )
         pe = probes.select(
-            F.col(probe_id_col), F.posexplode(probe_vec_col).alias("gd", "xr")
+            F.col(probe_id_col),
+            F.posexplode(_checked_vec(probe_vec_col, dim, "ivfadc probe")).alias("gd", "xr"),
         ).select(
             probe_id_col,
             (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
@@ -1281,6 +1373,11 @@ def build_ivfadc_index(
         "dim int, m int, pq_k int, iters int, scale int, n_cells int, "
         "encode_residuals boolean",
     ).write.mode("overwrite").parquet(f"{path}/meta")
+    # A rebuild is a NEW index generation: tombstones from the
+    # previous generation must not outlive it, or ids deleted before
+    # the rebuild stay invisible even though the fresh corpus
+    # contains them (r9 review).
+    _hadoop_delete(corpus.sparkSession, f"{path}/tombstones")
 
 
 def ivfadc_index_search(
@@ -1343,7 +1440,11 @@ def ivfadc_index_search(
             .select(
                 probe_id_col,
                 "cell",
-                F.zip_with(probe_vec_col, "_cv", lambda a, b: a - b).alias("_pr"),
+                F.zip_with(
+                    _checked_vec(probe_vec_col, dim, "ivfadc probe"),
+                    "_cv",
+                    lambda a, b: a - b,
+                ).alias("_pr"),
             )
         )
         pe = pr.select(
@@ -1365,7 +1466,8 @@ def ivfadc_index_search(
         join_keys = [probe_id_col, "cell", "subspace", "cluster"]
     else:
         pe = probes.select(
-            F.col(probe_id_col), F.posexplode(probe_vec_col).alias("gd", "xr")
+            F.col(probe_id_col),
+            F.posexplode(_checked_vec(probe_vec_col, dim, "ivfadc probe")).alias("gd", "xr"),
         ).select(
             probe_id_col,
             (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
@@ -1618,7 +1720,8 @@ def pq_encode_with_book(
     """
     sub_d = dim // m
     ve = df.select(
-        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("gd", "xr")
+        F.col(id_col).alias("vid"),
+        F.posexplode(_checked_vec(vec_col, dim, "pq_encode_with_book input")).alias("gd", "xr"),
     ).select(
         "vid",
         (F.col("gd") / F.lit(sub_d)).cast("int").alias("subspace"),
@@ -1710,8 +1813,26 @@ def upsert_ivfadc_index(
         id_col, F.col("codes").cast("array<int>").alias("codes"), "cell"
     )
 
-    cells = [r.cell for r in new_rows.select("cell").distinct().collect()]
-    old = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(cells))
+    # Affected cells = cells receiving new rows ∪ cells holding a
+    # PRIOR copy of an upserted id: an updated embedding can route to
+    # a DIFFERENT cell, and without rewriting the old cell its stale
+    # copy survives — searches probing both cells would then sum two
+    # code rows per id into one garbage adc_dist (r9 review). The
+    # prior-copy lookup is an id-keyed semi-join over (id, cell) only
+    # (the codes column prunes away); at 100 TB churn rates, keep an
+    # id→cell manifest beside the index to make this O(batch) instead
+    # of an index-wide id scan per upsert.
+    codes_tbl = spark.read.parquet(f"{path}/codes")
+    prior_cells = (
+        codes_tbl.join(new_rows.select(id_col), id_col, "left_semi")
+        .select("cell")
+        .distinct()
+    )
+    cells = [
+        r.cell
+        for r in new_rows.select("cell").unionByName(prior_cells).distinct().collect()
+    ]
+    old = codes_tbl.filter(F.col("cell").isin(cells))
     merged = (
         old.join(new_rows.select(id_col), id_col, "left_anti")
         .select(id_col, "codes", "cell")

@@ -370,3 +370,74 @@ def test_pq_knn_rejects_mismatched_m(spark, emb):
     # right geometry still works
     out = VO.pq_knn(codes, book, probes, k_neighbors=3, dim=64, m=8)
     assert out.count() > 0
+
+
+def test_knn_vectorized_matches_hof_on_degenerate_rows(spark):
+    """r9 review: the 'same contract' pair must agree on NULL and
+    zero-norm embeddings — the HOF variant filters them (try_divide
+    NULL), the vectorized one previously crashed on NULL and ranked
+    zero-norm rows at cos_sim 0.0."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+            (3, None),                  # NULL embedding
+            (4, [0.8, 0.6, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, None), (12, [0.0, 0.0, 0.0, 0.0])],
+        "probe_id long, probe_vec array<double>",
+    )
+    hof = {
+        (r["probe_id"], r["vec_id"])
+        for r in VO.knn_bruteforce(corpus, probes, k=4).collect()
+    }
+    vec = {
+        (r["probe_id"], r["vec_id"])
+        for r in VO.knn_bruteforce_vectorized(corpus, probes, k=4).collect()
+    }
+    assert vec == hof
+    assert all(v in (1, 4) for _, v in vec)
+    assert all(p == 10 for p, _ in vec)
+
+
+def test_ann_lsh_survives_zero_norm_and_null_rows(spark):
+    """r9 review: one degenerate row previously killed the whole LSH
+    job (l2_normalize -> NULL components -> array_to_vector throws)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, None),
+            (4, [0.9, 0.1, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0])], "probe_id long, probe_vec array<double>"
+    )
+    got = VO.ann_lsh_neighbors(corpus, probes, min_cosine=0.5).collect()
+    ids = {r["vec_id"] for r in got}
+    assert 1 in ids and 2 not in ids and 3 not in ids
+
+
+def test_ann_hyperplane_empty_probes_returns_empty(spark):
+    """r9 review: an empty probes frame is a legitimate no-probes
+    search — previously dim inference crashed on first()=None."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    probes = spark.createDataFrame([], "probe_id long, probe_vec array<double>")
+    assert VO.ann_hyperplane_neighbors(corpus, probes).count() == 0
+    with pytest.raises(ValueError, match="pass dim"):
+        VO.hyperplane_signatures(probes, "probe_id", "probe_vec")
+
+
+def test_kmeans_segments_rejects_empty_feature_list(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, x double")
+    with pytest.raises(ValueError, match="exactly one"):
+        VO.kmeans_segments(df, feature_cols=[])
+    with pytest.raises(ValueError, match="exactly one"):
+        VO.kmeans_segments(df, feature_cols=["x"], vec_col="x")

@@ -333,3 +333,91 @@ def test_compact_without_tombstones_is_a_noop(spark, emb, tmp_path):
     before = _codes_map(spark, path)
     assert VO.compact_ivfadc_index(path, spark=spark) == 0
     assert _codes_map(spark, path) == before
+
+
+def test_upsert_moving_an_id_across_cells_leaves_no_stale_copy(
+    spark, emb, tmp_path
+):
+    """r9 review: an updated embedding that routes to a DIFFERENT
+    cell must remove the old cell's copy — previously the anti-join
+    covered only the new rows' cells, so the stale copy survived and
+    a search probing both cells summed two code rows into one garbage
+    adc_dist."""
+    path = str(tmp_path / "idx_move")
+    VO.build_ivfadc_index(
+        emb.filter(F.col("vec_id") < 100), path, n_cells=4, dim=64, m=8,
+        pq_k=16, iters=2,
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    # pick a victim id and a donor living in a DIFFERENT cell; give
+    # the victim the donor's embedding so it must move cells
+    cell_of = {r["vec_id"]: r["cell"] for r in codes.collect()}
+    victim = 7
+    donor = next(v for v, c in cell_of.items() if c != cell_of[victim])
+    donor_vec = emb.filter(F.col("vec_id") == donor).collect()[0]["embedding"]
+    moved = spark.createDataFrame(
+        [(victim, list(donor_vec))], "vec_id long, embedding array<double>"
+    )
+    VO.upsert_ivfadc_index(moved, path)
+    after = spark.read.parquet(f"{path}/codes").filter(
+        F.col("vec_id") == victim
+    ).collect()
+    assert len(after) == 1, f"stale duplicate copies: {after}"
+    assert after[0]["cell"] == cell_of[donor]
+    # search probing every cell sees exactly one ranked row for it
+    probes = moved.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    got = VO.ivfadc_index_search(
+        spark, path, probes, k_neighbors=100, n_probe_cells=4
+    ).filter(F.col("vec_id") == victim).collect()
+    assert len(got) == 1
+
+
+def test_rebuild_clears_previous_generation_tombstones(spark, emb, tmp_path):
+    """r9 review: tombstones belong to an index GENERATION — after a
+    full rebuild whose corpus contains a previously deleted id, that
+    id must rank again."""
+    path = str(tmp_path / "idx_regen")
+    subset = emb.filter(F.col("vec_id") < 100)
+    VO.build_ivfadc_index(subset, path, n_cells=4, dim=64, m=8, pq_k=16, iters=2)
+    VO.delete_from_ivfadc_index(
+        spark.createDataFrame([(7,)], "vec_id long"), path
+    )
+    VO.build_ivfadc_index(subset, path, n_cells=4, dim=64, m=8, pq_k=16, iters=2)
+    probes = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    got = VO.ivfadc_index_search(
+        spark, path, probes, k_neighbors=5, n_probe_cells=4
+    ).collect()
+    assert any(r["vec_id"] == 7 for r in got)
+
+
+def test_wrong_dim_vectors_raise_instead_of_silently_ranking(
+    spark, emb, tmp_path
+):
+    """r9 review: short vectors previously encoded/scored with
+    silently missing subspaces (smaller ADC sums → spuriously high
+    ranks). Encode, upsert, and probe paths must all fail loudly."""
+    from py4j.protocol import Py4JJavaError
+
+    path = str(tmp_path / "idx_dim")
+    VO.build_ivfadc_index(
+        emb.filter(F.col("vec_id") < 100), path, n_cells=4, dim=64, m=8,
+        pq_k=16, iters=2,
+    )
+    short = spark.createDataFrame(
+        [(999, [0.5] * 48)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length|Py4JJavaError"):
+        VO.upsert_ivfadc_index(short, path)
+    short_probe = short.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    with pytest.raises(Exception, match="vector length|Py4JJavaError"):
+        VO.ivfadc_index_search(spark, path, short_probe, k_neighbors=5).collect()
+    # pq_knn probe guard
+    codes, book = VO.pq_fit(emb.filter(F.col("vec_id") < 50), dim=64, m=8, k=16, iters=1)
+    with pytest.raises(Exception, match="vector length|Py4JJavaError"):
+        VO.pq_knn(codes, book, short_probe, dim=64, m=8).collect()
