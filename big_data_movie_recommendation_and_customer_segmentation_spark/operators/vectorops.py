@@ -155,6 +155,61 @@ def _to_ml_vectors(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     return df.withColumn(out_col, array_to_vector(F.col(vec_col).cast("array<double>")))
 
 
+def _hash_seeded_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """First ``n_cells`` vectors in md5-hash order of their ids (a
+    deterministic, SQL-replayable pseudo-random seed pick), numbered
+    0..n_cells−1 as ``(cell, _cv)``. ONE implementation shared by
+    ``ivf_knn_deterministic`` / ``ivfadc_knn`` /
+    ``build_ivfadc_index`` so the stored-vs-in-memory equivalence
+    those operators promise can never drift between copies (r9
+    review). Bounded: n_cells rows → the single-partition window is
+    safe."""
+    from pyspark.sql import Window
+
+    from ..functions.textops import shared_token_hash
+
+    hash_order = [
+        shared_token_hash(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    ]
+    cell_w = Window.orderBy(*hash_order)
+    return (
+        corpus.select(id_col, vec_col)
+        .orderBy(*hash_order)
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(cell_w) - 1)
+        .select("cell", F.col(vec_col).alias("_cv"))
+    )
+
+
+def _nearest_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    key_col: str,
+    vec_col: str,
+    n: int,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Top-``n`` nearest centroids per row by cosine (ties to the
+    lower cell id) — the broadcast routing half shared by corpus
+    cell assignment (n=1), probe routing (n=n_probe_cells), and
+    stored-index upsert routing."""
+    sel = (
+        [F.col(key_col)]
+        + ([F.col(vec_col)] if keep_vec else [])
+        + [F.col("cell"), V.cosine(vec_col, "_cv").alias("_csim")]
+    )
+    out = [key_col] + ([vec_col] if keep_vec else []) + ["cell"]
+    return per_group_topk(
+        df.select(key_col, vec_col).crossJoin(F.broadcast(centroids)).select(*sel),
+        key_col,
+        [F.col("_csim").desc(), F.col("cell").asc()],
+        n,
+    ).select(*out)
+
+
 def _checked_vec(vec, expected_len: int, ctx: str):
     """Length-guard a vector column in-plan: wrong-dim vectors feed
     PQ's (subspace, d) equi-joins, where missing subspaces SILENTLY
@@ -480,46 +535,11 @@ def ivf_knn_deterministic(
     equi-join, scan ~n_probe_cells/n_cells of the corpus).
     Output: probe_id, vec_id, cos_sim, rank.
     """
-    from pyspark.sql import Window
-
-    from ..functions.textops import shared_token_hash
-
-    hash_order = [
-        shared_token_hash(F.col(id_col).cast("string")).asc(),
-        F.col(id_col).asc(),
-    ]
-    # bounded: n_cells rows → the single-partition window is safe
-    cell_w = Window.orderBy(*hash_order)
-    centroids = (
-        corpus.select(id_col, vec_col)
-        .orderBy(*hash_order)
-        .limit(n_cells)
-        .withColumn("cell", F.row_number().over(cell_w) - 1)
-        .select("cell", F.col(vec_col).alias("_cv"))
+    centroids = _hash_seeded_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = _nearest_cells(corpus, centroids, id_col, vec_col, 1, keep_vec=True)
+    probe_cells = _nearest_cells(
+        probes, centroids, probe_id_col, probe_vec_col, n_probe_cells, keep_vec=True
     )
-
-    assigned = per_group_topk(
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            id_col, vec_col, "cell", V.cosine(vec_col, "_cv").alias("_csim")
-        ),
-        id_col,
-        [F.col("_csim").desc(), F.col("cell").asc()],
-        1,
-    ).select(id_col, vec_col, "cell")
-
-    probe_cells = per_group_topk(
-        probes.select(probe_id_col, probe_vec_col)
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            probe_id_col, probe_vec_col, "cell",
-            V.cosine(probe_vec_col, "_cv").alias("_csim"),
-        ),
-        probe_id_col,
-        [F.col("_csim").desc(), F.col("cell").asc()],
-        n_probe_cells,
-    ).select(probe_id_col, probe_vec_col, "cell")
 
     scored = (
         assigned.join(F.broadcast(probe_cells), "cell")
@@ -1151,38 +1171,11 @@ def ivfadc_knn(
     scoring. Ties rank by id.
     Output: probe_id, vec_id, adc_dist (long), rank.
     """
-    from pyspark.sql import Window
-
-    from ..functions.textops import shared_token_hash
-
-    hash_order = [
-        shared_token_hash(F.col(id_col).cast("string")).asc(),
-        F.col(id_col).asc(),
-    ]
-    cell_w = Window.orderBy(*hash_order)
-    centroids = (
-        corpus.select(id_col, vec_col)
-        .orderBy(*hash_order)
-        .limit(n_cells)
-        .withColumn("cell", F.row_number().over(cell_w) - 1)
-        .select("cell", F.col(vec_col).alias("_cv"))
+    centroids = _hash_seeded_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = _nearest_cells(corpus, centroids, id_col, vec_col, 1)
+    probe_cells = _nearest_cells(
+        probes, centroids, probe_id_col, probe_vec_col, n_probe_cells
     )
-    assigned = per_group_topk(
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(centroids))
-        .select(id_col, "cell", V.cosine(vec_col, "_cv").alias("_csim")),
-        id_col,
-        [F.col("_csim").desc(), F.col("cell").asc()],
-        1,
-    ).select(id_col, "cell")
-    probe_cells = per_group_topk(
-        probes.select(probe_id_col, probe_vec_col)
-        .crossJoin(F.broadcast(centroids))
-        .select(probe_id_col, "cell", V.cosine(probe_vec_col, "_cv").alias("_csim")),
-        probe_id_col,
-        [F.col("_csim").desc(), F.col("cell").asc()],
-        n_probe_cells,
-    ).select(probe_id_col, "cell")
     cand = probe_cells.join(assigned, "cell").select(probe_id_col, id_col, "cell")
     if exclude_id_eq_probe:
         cand = cand.filter(F.col(probe_id_col) != F.col(id_col))
@@ -1314,30 +1307,8 @@ def build_ivfadc_index(
     stored index searched with the same knobs reproduces the
     in-memory operator bit for bit (equivalence-tested).
     """
-    from pyspark.sql import Window
-
-    from ..functions.textops import shared_token_hash
-
-    hash_order = [
-        shared_token_hash(F.col(id_col).cast("string")).asc(),
-        F.col(id_col).asc(),
-    ]
-    cell_w = Window.orderBy(*hash_order)
-    centroids = (
-        corpus.select(id_col, vec_col)
-        .orderBy(*hash_order)
-        .limit(n_cells)
-        .withColumn("cell", F.row_number().over(cell_w) - 1)
-        .select("cell", F.col(vec_col).alias("_cv"))
-    )
-    assigned = per_group_topk(
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(centroids))
-        .select(id_col, "cell", V.cosine(vec_col, "_cv").alias("_csim")),
-        id_col,
-        [F.col("_csim").desc(), F.col("cell").asc()],
-        1,
-    ).select(id_col, "cell")
+    centroids = _hash_seeded_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = _nearest_cells(corpus, centroids, id_col, vec_col, 1)
 
     if encode_residuals:
         fit_input = (
@@ -1412,14 +1383,9 @@ def ivfadc_index_search(
     )
     book = spark.read.parquet(f"{path}/codebook")
 
-    probe_cells = per_group_topk(
-        probes.select(probe_id_col, probe_vec_col)
-        .crossJoin(F.broadcast(centroids))
-        .select(probe_id_col, "cell", V.cosine(probe_vec_col, "_cv").alias("_csim")),
-        probe_id_col,
-        [F.col("_csim").desc(), F.col("cell").asc()],
-        n_probe_cells,
-    ).select(probe_id_col, "cell")
+    probe_cells = _nearest_cells(
+        probes, centroids, probe_id_col, probe_vec_col, n_probe_cells
+    )
     wanted = [r.cell for r in probe_cells.select("cell").distinct().collect()]
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(wanted))
     # logically-deleted ids (delete_from_ivfadc_index) stop ranking
@@ -1784,14 +1750,7 @@ def upsert_ivfadc_index(
     )
     book = spark.read.parquet(f"{path}/codebook")
 
-    assigned = per_group_topk(
-        new_vectors.select(id_col, vec_col)
-        .crossJoin(F.broadcast(centroids))
-        .select(id_col, "cell", V.cosine(vec_col, "_cv").alias("_csim")),
-        id_col,
-        [F.col("_csim").desc(), F.col("cell").asc()],
-        1,
-    ).select(id_col, "cell")
+    assigned = _nearest_cells(new_vectors, centroids, id_col, vec_col, 1)
 
     if meta.encode_residuals:
         fit_input = (
