@@ -38,18 +38,18 @@ def idempotent_epoch_writer(path: str):
     from a failed attempt is replaced, other epochs untouched)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn(EPOCH_COL, F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy(EPOCH_COL)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-WRITE dynamic overwrite, not a session-conf save/set/
+        # restore: the session conf raced with concurrent queries in
+        # the same SparkSession (a static-mode overwrite running while
+        # this held 'dynamic' silently lost its full-directory
+        # replace — r9 review)
+        (
+            batch_df.withColumn(EPOCH_COL, F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(EPOCH_COL)
+            .parquet(path)
+        )
 
     return write_batch
 
@@ -130,19 +130,24 @@ def dedup_append_writer(path: str, id_col: str):
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        from pyspark.errors import AnalysisException
         from pyspark.sql import Window
 
+        # Explicit existence probe instead of catching
+        # AnalysisException around the whole anti-join build: the
+        # broad catch also swallowed real analysis errors (schema
+        # drift, renamed id column) and silently disabled cross-batch
+        # dedup — exactly-once admission failed open (r9 review).
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         fresh = batch_df
-        try:
+        if fs.exists(hpath):
             seen = (
                 spark.read.parquet(path)
                 .filter(F.col(EPOCH_COL) != int(batch_id))
                 .select(id_col)
             )
             fresh = batch_df.join(seen, id_col, "left_anti")
-        except AnalysisException:
-            pass  # first epoch: nothing committed yet
         # deterministic within-batch winner: order duplicate ids by
         # full row content, not arrival order (which shuffles freely)
         w = Window.partitionBy(id_col).orderBy(
@@ -153,16 +158,8 @@ def dedup_append_writer(path: str, id_col: str):
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                survivors.withColumn(EPOCH_COL, F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy(EPOCH_COL)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # the epoch write IS idempotent_epoch_writer's — one
+        # implementation, not a pasted copy (r9 review)
+        idempotent_epoch_writer(path)(survivors, batch_id)
 
     return write_batch

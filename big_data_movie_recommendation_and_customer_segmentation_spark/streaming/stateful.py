@@ -137,6 +137,7 @@ def running_zscore_flags(
     *,
     cutoff: float = 3.0,
     min_history: int = 5,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Streaming anomaly flags: each event is scored against the
     RUNNING mean/stddev of the key's PRIOR events (Welford-style
@@ -150,8 +151,18 @@ def running_zscore_flags(
     formulation (``running_zscore_batch``) — prior-moment windows
     per key ordered by time — and the equivalence test feeds the
     same events through both paths. Within a micro-batch, rows are
-    processed in ``ts`` order so replays are deterministic.
+    processed in ``ts`` order so replays are deterministic: the
+    whole micro-batch is concatenated BEFORE the sort
+    (``applyInPandasWithState`` delivers it as multiple Arrow-sized
+    chunks, and per-chunk sorting scored events against future
+    moments whenever a key spanned chunks — r9 review), with
+    ``tiebreak_col`` available for keys whose events share a
+    timestamp (mirroring the batch twin). The threshold compare
+    rounds both sides to 9 decimals half-up, exactly like the batch
+    twin, so a boundary event cannot flag differently between the
+    declared twins.
     """
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -161,26 +172,47 @@ def running_zscore_flags(
     )
     state_schema = "n long, sx double, sxx double"
 
+    def _r9(x: np.ndarray) -> np.ndarray:
+        # Spark F.round semantics (HALF_UP); inputs are non-negative
+        return np.floor(x * 1e9 + 0.5) / 1e9
+
     def update(key, pdfs, state: GroupState):
-        n, sx, sxx = state.get if state.exists else (0, 0.0, 0.0)
-        rows = {key_col: [], ts_col: [], value_col: [], "is_anomaly": []}
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(ts_col).iterrows():
-                v = float(r[value_col])
-                flag = 0
-                if n >= min_history:
-                    mean = sx / n
-                    var = (n * sxx - sx * sx) / (n * (n - 1)) if n > 1 else 0.0
-                    std = var**0.5 if var > 0 else 0.0
-                    if std > 0 and abs(v - mean) > cutoff * std:
-                        flag = 1
-                rows[key_col].append(key[0])
-                rows[ts_col].append(r[ts_col])
-                rows[value_col].append(v)
-                rows["is_anomaly"].append(flag)
-                n, sx, sxx = n + 1, sx + v, sxx + v * v
-        state.update((n, sx, sxx))
-        yield pd.DataFrame(rows)
+        n0, sx0, sxx0 = state.get if state.exists else (0, 0.0, 0.0)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((n0, sx0, sxx0))
+            return
+        sort_keys = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            sort_keys, kind="mergesort"
+        )
+        v = pdf[value_col].to_numpy(np.float64)
+        # exact loop-order prefixes: cumsum with the carried state as
+        # the first element reproduces ((sx0+v0)+v1)+... bit-for-bit
+        sx = np.cumsum(np.concatenate(([sx0], v)))
+        sxx = np.cumsum(np.concatenate(([sxx0], v * v)))
+        n = n0 + np.arange(len(v) + 1)
+        n_p, sx_p, sxx_p = n[:-1], sx[:-1], sxx[:-1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = sx_p / n_p
+            var = np.where(
+                n_p > 1, (n_p * sxx_p - sx_p * sx_p) / (n_p * (n_p - 1)), 0.0
+            )
+        std = np.sqrt(np.where(var > 0, var, 0.0))
+        flag = (
+            (n_p >= min_history)
+            & (std > 0)
+            & (_r9(np.abs(v - mean)) > _r9(cutoff * std))
+        ).astype(np.int32)
+        state.update((int(n[-1]), float(sx[-1]), float(sxx[-1])))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: pdf[ts_col].values,
+                value_col: v,
+                "is_anomaly": flag,
+            }
+        )
 
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
@@ -256,11 +288,17 @@ def decayed_count_state(
     Batch-first contract: ``decayed_count_batch`` computes the same
     per-event trajectory with a normalized prefix-sum window, and
     the stream/batch equivalence test feeds identical events through
-    both. Within a micro-batch rows process in ``ts`` order, so
-    replays are deterministic.
+    both. Within a micro-batch rows process in ``ts`` order — the
+    WHOLE micro-batch concatenated before the sort (per-chunk
+    sorting made Δt negative whenever a key spanned Arrow chunks,
+    multiplying the score by 0.5^(negative) > 1 — r9 review) — and
+    Δt comes from a JVM-side ``cast('double')`` true-epoch column
+    exactly like the batch twin, not from naive session-local pandas
+    timestamps that mis-measure gaps across DST in non-UTC sessions.
     """
     import pandas as pd
 
+    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = f"{key_col} string, {ts_col} timestamp, decayed_count double"
@@ -269,21 +307,28 @@ def decayed_count_state(
 
     def update(key, pdfs, state: GroupState):
         score, last = state.get if state.exists else (0.0, None)
-        rows = {key_col: [], ts_col: [], "decayed_count": []}
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(ts_col).iterrows():
-                t = r[ts_col].timestamp()
-                if last is not None:
-                    score = score * (0.5 ** ((t - last) / hl_secs))
-                score += 1.0
-                last = t
-                rows[key_col].append(key[0])
-                rows[ts_col].append(r[ts_col])
-                rows["decayed_count"].append(round(score, 6))
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((score, last if last is not None else 0.0))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            "_epoch_s", kind="mergesort"
+        )
+        epochs = pdf["_epoch_s"].to_list()
+        counts = []
+        for t in epochs:
+            if last is not None:
+                score = score * (0.5 ** ((t - last) / hl_secs))
+            score += 1.0
+            last = t
+            counts.append(round(score, 6))
         state.update((score, last if last is not None else 0.0))
-        yield pd.DataFrame(rows)
+        yield pd.DataFrame(
+            {key_col: key[0], ts_col: pdf[ts_col].values, "decayed_count": counts}
+        )
 
-    return stream.groupBy(key_col).applyInPandasWithState(
+    with_epoch = stream.withColumn("_epoch_s", F.col(ts_col).cast("double"))
+    return with_epoch.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 

@@ -16,6 +16,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _default_aggs(aggs: Sequence[Column]) -> Sequence[Column]:
+    """GroupedData.agg(*[]) raises — an aggs-free call counts events
+    (the natural windowed default) instead of crashing (r9 review)."""
+    return aggs if aggs else (F.count(F.lit(1)).alias("n_events"),)
+
+
 def tumbling_agg(
     df: DataFrame,
     ts_col: str,
@@ -26,7 +32,7 @@ def tumbling_agg(
     """Fixed, non-overlapping event-time windows. One shuffle keyed
     on (window, group keys); partial aggregation map-side. Output
     columns: window_start, window_end, group keys, aggregates."""
-    out = df.groupBy(F.window(ts_col, duration), *group_by).agg(*aggs)
+    out = df.groupBy(F.window(ts_col, duration), *group_by).agg(*_default_aggs(aggs))
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -45,7 +51,7 @@ def sliding_agg(
 ) -> DataFrame:
     """Overlapping windows (each row lands in duration/slide
     windows — the row amplification is explicit and bounded)."""
-    out = df.groupBy(F.window(ts_col, duration, slide), *group_by).agg(*aggs)
+    out = df.groupBy(F.window(ts_col, duration, slide), *group_by).agg(*_default_aggs(aggs))
     return out.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
@@ -65,7 +71,7 @@ def session_agg(
     < ``gap``. Output: session_start, session_end(last event + gap),
     group keys, aggregates. The SQL-oracle equivalent is the classic
     lag/cumsum gap-detection rewrite."""
-    out = df.groupBy(F.session_window(ts_col, gap), *group_by).agg(*aggs)
+    out = df.groupBy(F.session_window(ts_col, gap), *group_by).agg(*_default_aggs(aggs))
     return out.select(
         F.col("session_window.start").alias("session_start"),
         F.col("session_window.end").alias("session_end"),

@@ -449,3 +449,76 @@ def test_decayed_count_stream_matches_batch(spark, tmp_path):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert got[k] == pytest.approx(v, abs=1e-4), k
+
+
+def test_running_zscore_multichunk_key_sorts_globally(spark, tmp_path):
+    """r9 review: applyInPandasWithState delivers a key's micro-batch
+    as multiple Arrow chunks; per-chunk sorting scored events against
+    FUTURE moments. With a 4-row Arrow cap and shuffled input order,
+    the stream must still match the batch twin exactly."""
+    import pandas as pd
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming.stateful import (
+        running_zscore_batch,
+        running_zscore_flags,
+    )
+
+    rows = []
+    for i in range(12):
+        v = 10.0 + (i % 3) * 0.5 + (1000.0 if i == 8 else 0.0)
+        rows.append((1, f"2024-01-01 00:{i:02d}:00", v))
+    # shuffle so later timestamps land in earlier Arrow chunks
+    order = [8, 11, 2, 5, 0, 9, 4, 7, 1, 10, 3, 6]
+    pdf = pd.DataFrame([rows[i] for i in order], columns=["user_id", "ts", "value"])
+    src = tmp_path / "zchunk"
+    src.mkdir()
+    pdf.to_json(src / "a.json", orient="records", lines=True)
+
+    schema = "user_id long, ts timestamp, value double"
+    expected = {
+        (r["user_id"], str(r["ts"])): r["is_anomaly"]
+        for r in running_zscore_batch(
+            spark.read.schema(schema).json(str(src)), "user_id", "ts", "value"
+        ).collect()
+    }
+    assert sum(expected.values()) == 1
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            running_zscore_flags(stream, "user_id", "ts", "value")
+            .writeStream.format("memory")
+            .queryName("zchunk_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = {
+        (r["user_id"], str(r["ts"])): r["is_anomaly"]
+        for r in spark.sql("SELECT * FROM zchunk_sink").collect()
+    }
+    assert got == expected
+
+
+def test_windowed_aggs_default_counts_events(spark):
+    """r9 review: aggs=() previously crashed in GroupedData.agg."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming.windows import (
+        session_agg,
+        sliding_agg,
+        tumbling_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:05",), ("2024-01-01 00:00:20",), ("2024-01-01 00:12:00",)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    t = tumbling_agg(df, "ts", "10 minutes")
+    assert {r["n_events"] for r in t.collect()} == {2, 1}
+    assert sliding_agg(df, "ts", "10 minutes", "5 minutes").count() > 0
+    s = session_agg(df, "ts", "1 minute")
+    assert sorted(r["n_events"] for r in s.collect()) == [1, 2]

@@ -137,3 +137,23 @@ def test_dedup_append_sink_cross_batch_and_replay(spark, tmp_path):
     write(b1b, 1)
     final = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
     assert final == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+
+def test_dedup_sink_schema_drift_raises_instead_of_failing_open(spark, tmp_path):
+    """r9 review: the broad AnalysisException catch previously
+    swallowed schema drift and silently disabled cross-batch dedup;
+    now only a genuinely absent sink path skips the anti-join."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "dedup_drift")
+    write = SK.dedup_append_writer(path, "doc_id")
+    write(spark.createDataFrame([(1, "a")], "doc_id long, text string"), 0)
+    # corrupt the committed schema: rewrite without doc_id
+    # (materialize first — overwriting a path being read fails)
+    import shutil
+
+    drifted = spark.read.parquet(path).drop("doc_id").toPandas()
+    shutil.rmtree(path)
+    spark.createDataFrame(drifted).write.parquet(path)
+    with _pytest.raises(Exception):
+        write(spark.createDataFrame([(2, "b")], "doc_id long, text string"), 1)
