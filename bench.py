@@ -104,8 +104,15 @@ def materialize(df) -> None:
 
 
 def _next_round() -> int:
-    """Round number for the sidecar stamp, from committed driver
-    artifacts. Two writers share this path (PERF.md §Round 9):
+    """Round number for the sidecar stamp.
+
+    An explicit ``SPARK_GRAFT_ROUND`` env var wins outright — the
+    artifact inference below can still misfire on a re-bench inside a
+    finished round (BENCH_rN committed → stamps N+1, r10 advice), so
+    any builder-initiated run should pin the round explicitly.
+
+    Fallback inference from committed driver artifacts. Two writers
+    share this path (PERF.md §Round 9):
 
     - builder runs mid-round N: CORRECTNESS_r{N-1} AND BENCH_r{N-1}
       both exist (committed together at the end of round N-1) →
@@ -118,6 +125,10 @@ def _next_round() -> int:
     round N+1's slot (the r08→r09 off-by-one VERDICT r8 flagged)."""
     import glob
     import re
+
+    explicit = os.environ.get("SPARK_GRAFT_ROUND")
+    if explicit:
+        return int(explicit)
 
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [

@@ -217,14 +217,26 @@ def _checked_vec(vec, expected_len: int, ctx: str):
     wrong-but-plausible-ranking class the pq_knn codes guard already
     blocks for the corpus side (ADVICE r4). This extends the guard to
     probe/input vectors (r9 review): codegen'd size() check,
-    raise_error at execution so the job fails loudly."""
+    raise_error at execution so the job fails loudly.
+
+    NULL vectors pass through as NULL — the degenerate-input contract
+    across all knn operators is "NULL embedding ⇒ row filtered"
+    (matching ``knn_bruteforce``; every consumer of this guard ends
+    at a ``posexplode``/``zip_with``+``posexplode``, which drops NULL
+    rows), and ``raise_error`` is reserved for genuinely wrong-length
+    vectors (r10 advice — size(NULL) is NULL, so without the explicit
+    NULL arm the otherwise() branch crashed the job)."""
     cv = F.col(vec) if isinstance(vec, str) else vec
-    return F.when(F.size(cv) == F.lit(expected_len), cv).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"{ctx}: vector length "),
-                F.size(cv).cast("string"),
-                F.lit(f" != expected dim {expected_len}"),
+    return (
+        F.when(F.size(cv) == F.lit(expected_len), cv)
+        .when(cv.isNull(), cv)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{ctx}: vector length "),
+                    F.size(cv).cast("string"),
+                    F.lit(f" != expected dim {expected_len}"),
+                )
             )
         )
     )
@@ -1798,12 +1810,16 @@ def upsert_ivfadc_index(
         .unionByName(new_rows)
         .localCheckpoint(eager=True)  # break the read-from-overwrite-target dependency
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-write option, not a session-conf save/set/restore: the
+    # session-wide toggle races concurrent static-mode overwrites in
+    # the same SparkSession (the exact defect fixed in
+    # streaming.sinks.idempotent_epoch_writer — r10 advice)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
 
     # a re-inserted id must become searchable again: clear any
     # tombstone covering the upserted ids (tombstone table is small —
@@ -1926,12 +1942,14 @@ def compact_ivfadc_index(path: str, spark=None, *, id_col: str | None = None) ->
             eager=True  # break read-from-overwrite-target
         )
         surviving = {r.cell for r in keep.select("cell").distinct().collect()}
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            keep.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-write option — same session-conf-race rationale as
+        # upsert_ivfadc_index above (r10 advice)
+        (
+            keep.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
         for cell in set(affected) - surviving:
             _hadoop_delete(spark, f"{path}/codes/cell={cell}")
         if not surviving and set(affected) == all_cells:

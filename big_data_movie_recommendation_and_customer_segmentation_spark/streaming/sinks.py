@@ -137,11 +137,30 @@ def dedup_append_writer(path: str, id_col: str):
         # broad catch also swallowed real analysis errors (schema
         # drift, renamed id column) and silently disabled cross-batch
         # dedup — exactly-once admission failed open (r9 review).
+        # The probe must see COMMITTED data, not just the directory:
+        # a failed first-epoch attempt can leave ``path`` holding only
+        # ``_temporary``, and reading that raises "unable to infer
+        # schema" on every retry — permanently wedging the stream
+        # (r10 advice). Glob for epoch-partitioned parquet files so an
+        # empty/aborted sink is treated as "nothing committed yet"
+        # while real analysis errors from the anti-join (schema drift,
+        # renamed id column) still propagate.
         jvm = spark.sparkContext._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+        def _has_parquet(pattern: str) -> bool:
+            matches = fs.globStatus(
+                jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + pattern)
+            )
+            return matches is not None and len(matches) > 0
+
+        committed = fs.exists(hpath) and (
+            _has_parquet(f"/{EPOCH_COL}=*/*.parquet")  # this sink's layout
+            or _has_parquet("/*.parquet")  # foreign/unpartitioned data
+        )
         fresh = batch_df
-        if fs.exists(hpath):
+        if committed:
             seen = (
                 spark.read.parquet(path)
                 .filter(F.col(EPOCH_COL) != int(batch_id))

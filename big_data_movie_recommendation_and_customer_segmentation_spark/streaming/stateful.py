@@ -14,6 +14,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _round9_half_up(x):
+    """Round a float64 numpy array to 9 decimals matching Spark
+    ``F.round(col, 9)`` on doubles: BigDecimal HALF_UP over the
+    value's shortest decimal repr.
+
+    The vectorized ``floor(x·1e9 + 0.5)`` fast path agrees except
+    when the binary-scaled value sits within float error of a
+    half-integer (r10 advice — the binary multiply can land on the
+    other side of the decimal half boundary); those few elements are
+    recomputed via ``Decimal(repr(x)).quantize(1e-9, HALF_UP)``,
+    the same quantization the JVM performs (`BigDecimal.valueOf`
+    stringifies via ``Double.toString``; Python ``repr`` produces
+    the same shortest round-trip decimal, modulo pre-JDK-19
+    ``Double.toString`` corner cases). Band = ~4 ulp of the scaled
+    value + absolute slack; callers pass non-negative values, where
+    HALF_UP == half-away-from-zero.
+    """
+    import numpy as np
+
+    scaled = x * 1e9
+    fast = np.floor(scaled + 0.5) / 1e9
+    band = np.abs(scaled) * 4e-16 + 1e-6
+    near = np.abs(scaled - np.floor(scaled) - 0.5) <= band
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        nine = Decimal("1e-9")
+        fast = fast.copy()
+        fast[near] = [
+            float(Decimal(repr(float(v))).quantize(nine, ROUND_HALF_UP))
+            for v in np.asarray(x)[near]
+        ]
+    return fast
+
+
 def running_user_totals(
     stream: DataFrame,
     user_col: str = "user_id",
@@ -158,9 +193,14 @@ def running_zscore_flags(
     moments whenever a key spanned chunks — r9 review), with
     ``tiebreak_col`` available for keys whose events share a
     timestamp (mirroring the batch twin). The threshold compare
-    rounds both sides to 9 decimals half-up, exactly like the batch
-    twin, so a boundary event cannot flag differently between the
-    declared twins.
+    rounds both sides to 9 decimals with the same HALF_UP-on-
+    shortest-decimal-repr quantization Spark's ``F.round`` applies
+    to doubles (near-boundary elements go through
+    ``decimal.Decimal(repr(x))`` — the binary ``floor(x·1e9+0.5)``
+    shortcut alone can land on the other side of a half-integer,
+    r10 advice), so a boundary event agrees with the batch twin up
+    to the JVM's pre-JDK-19 ``Double.toString`` shortest-repr corner
+    cases.
     """
     import numpy as np
     import pandas as pd
@@ -172,9 +212,7 @@ def running_zscore_flags(
     )
     state_schema = "n long, sx double, sxx double"
 
-    def _r9(x: np.ndarray) -> np.ndarray:
-        # Spark F.round semantics (HALF_UP); inputs are non-negative
-        return np.floor(x * 1e9 + 0.5) / 1e9
+    _r9 = _round9_half_up
 
     def update(key, pdfs, state: GroupState):
         n0, sx0, sxx0 = state.get if state.exists else (0, 0.0, 0.0)

@@ -102,6 +102,18 @@ def test_bench_detail_sidecar_covers_both_sets(tmp_path):
     assert bench._next_round() >= 1
 
 
+def test_next_round_env_override_wins(monkeypatch):
+    """r10 advice: the artifact inference can still stamp N+1 on a
+    re-bench inside a finished round (BENCH_rN already committed);
+    an explicit SPARK_GRAFT_ROUND pins the stamp outright."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "42")
+    assert bench._next_round() == 42
+    monkeypatch.delenv("SPARK_GRAFT_ROUND")
+    assert bench._next_round() >= 1
+
+
 def test_gate_priority_is_the_first_50_queries():
     """The driver's correctness gate records only the first 50
     ``queries()`` entries; GATE_PRIORITY curates them so every

@@ -394,6 +394,80 @@ def test_rebuild_clears_previous_generation_tombstones(spark, emb, tmp_path):
     assert any(r["vec_id"] == 7 for r in got)
 
 
+def test_null_vectors_are_filtered_not_crashed(spark, emb, tmp_path):
+    """r10 advice: the degenerate-input contract is uniform across the
+    knn operators — NULL embedding ⇒ row silently filtered (the
+    knn_bruteforce contract), raise_error reserved for genuinely
+    wrong-length vectors. size(NULL) is NULL, so the guard's
+    otherwise() branch used to crash PQ/IVFADC jobs on NULL input."""
+    path = str(tmp_path / "idx_null")
+    VO.build_ivfadc_index(
+        emb.filter(F.col("vec_id") < 100), path, n_cells=4, dim=64, m=8,
+        pq_k=16, iters=2,
+    )
+    # NULL probe vector: dropped, real probe still ranks
+    real = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    null_probe = spark.createDataFrame(
+        [(999, None)], "probe_id long, probe_vec array<double>"
+    )
+    got = VO.ivfadc_index_search(
+        spark, path, real.unionByName(null_probe), k_neighbors=5, n_probe_cells=4
+    ).collect()
+    assert {r["probe_id"] for r in got} == {3}
+    # NULL corpus vector: pq_fit drops the row, others encode fine
+    with_null = emb.filter(F.col("vec_id") < 50).unionByName(
+        spark.createDataFrame([(998, None)], "vec_id long, embedding array<double>")
+    )
+    codes, _ = VO.pq_fit(with_null, dim=64, m=8, k=16, iters=1)
+    assert 998 not in {r["vec_id"] for r in codes.select("vec_id").collect()}
+
+
+def test_upsert_and_compact_do_not_touch_session_overwrite_mode(
+    spark, emb, tmp_path
+):
+    """r10 advice: upsert/compact used a session-wide
+    partitionOverwriteMode save/set/restore — the same cross-query
+    race fixed in streaming.sinks. They now pass the per-write option,
+    so the session conf is never written and a session pinned to
+    'static' still gets correct partition-scoped behavior."""
+    path = str(tmp_path / "idx_conf")
+    VO.build_ivfadc_index(
+        emb.filter(F.col("vec_id") < 100), path, n_cells=4, dim=64, m=8,
+        pq_k=16, iters=2,
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        before = _codes_map(spark, path)
+        VO.upsert_ivfadc_index(emb.filter(F.col("vec_id").between(100, 120)), path)
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+        )
+        after = _codes_map(spark, path)
+        assert set(before) < set(after)
+        for vid, v in before.items():
+            assert after[vid] == v
+        # compaction under a static session conf must still rewrite
+        # ONLY the affected cells (per-write dynamic wins)
+        victims = sorted(after)[:3]
+        VO.delete_from_ivfadc_index(
+            spark.createDataFrame([(v,) for v in victims], "vec_id long"), path
+        )
+        removed = VO.compact_ivfadc_index(path, spark=spark)
+        assert removed == len(victims)
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+        )
+        final = _codes_map(spark, path)
+        assert set(final) == set(after) - set(victims)
+        for vid in final:
+            assert final[vid] == after[vid]
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def test_wrong_dim_vectors_raise_instead_of_silently_ranking(
     spark, emb, tmp_path
 ):

@@ -522,3 +522,43 @@ def test_windowed_aggs_default_counts_events(spark):
     assert sliding_agg(df, "ts", "10 minutes", "5 minutes").count() > 0
     s = session_agg(df, "ts", "1 minute")
     assert sorted(r["n_events"] for r in s.collect()) == [1, 2]
+
+
+def test_round9_half_up_matches_spark_f_round(spark):
+    """r10 advice: the binary floor(x*1e9+0.5) shortcut is not
+    bit-identical to Spark F.round (BigDecimal HALF_UP on the
+    shortest decimal repr) — the hybrid _round9_half_up recomputes
+    near-boundary elements via Decimal(repr(x)) and must agree with
+    the JVM on random values AND constructed half-boundary cases."""
+    import numpy as np
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming.stateful import (
+        _round9_half_up,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.uniform(0, 10, 2000),
+            rng.uniform(0, 1e-6, 500),
+            rng.uniform(100, 5000, 500),
+            # constructed half-integer boundaries at the 1e-9 grid:
+            # k·1e-9 + 5e-10 is exactly the HALF_UP decision point
+            (np.arange(1, 400, dtype=np.float64) * 1e-9 + 5e-10),
+            (np.arange(1, 200, dtype=np.float64) * 1e-3 + 5e-10),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, x double"
+    )
+    want = {
+        r["i"]: r["r"]
+        for r in df.select("i", F.round("x", 9).alias("r")).collect()
+    }
+    got = _round9_half_up(vals)
+    mismatches = [
+        (i, float(vals[i]), float(got[i]), want[i])
+        for i in range(len(vals))
+        if got[i] != want[i]
+    ]
+    assert not mismatches, mismatches[:5]

@@ -139,6 +139,25 @@ def test_dedup_append_sink_cross_batch_and_replay(spark, tmp_path):
     assert final == {1: "a", 2: "b", 3: "c", 4: "d"}
 
 
+def test_dedup_sink_recovers_from_aborted_first_epoch(spark, tmp_path):
+    """r10 advice: a failed first-epoch attempt can leave the sink
+    directory existing but holding no committed parquet (e.g. only
+    ``_temporary``). The existence probe must treat that as "nothing
+    committed yet" — a dir-only probe made spark.read.parquet raise
+    'unable to infer schema' on every retry, wedging the stream."""
+    path = tmp_path / "dedup_aborted"
+    (path / "_temporary" / "0").mkdir(parents=True)
+    write = SK.dedup_append_writer(str(path), "doc_id")
+    # the retry of epoch 0 must succeed, not wedge
+    write(spark.createDataFrame([(1, "a"), (1, "a2")], "doc_id long, text string"), 0)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(path)).collect()}
+    assert got == {1: "a"}
+    # and cross-batch dedup engages normally afterwards
+    write(spark.createDataFrame([(1, "a3"), (2, "b")], "doc_id long, text string"), 1)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(path)).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
 def test_dedup_sink_schema_drift_raises_instead_of_failing_open(spark, tmp_path):
     """r9 review: the broad AnalysisException catch previously
     swallowed schema drift and silently disabled cross-batch dedup;
