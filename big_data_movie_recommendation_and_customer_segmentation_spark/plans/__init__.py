@@ -24,47 +24,49 @@ from . import queries_insights  # noqa: F401  (registers r5 analytics batch 3)
 # representative) + 21 rows for families that were never gated or
 # fell out of the r02 gate (VERDICT r2 asks #1/#4).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r09 rotation (VERDICT r8 ask #1): the 29 families whose
-    # driver evidence is age-1 (last gated r07) re-gate before they
-    # hit the 2-round freshness edge; the 21 age-0 anchor slots are
-    # unchanged from r08 — flagship, the perf-watched pair joins,
-    # the vectorops/ANN block (sf1 scaling subjects this round),
-    # multimodal (media_image_features now runs the REAL decode
-    # path, fake=False — VERDICT r8 ask #2), the streaming family
-    # block, and als_scoring_topk (serving-parity pinned).
-    # Everything r08-gated and not re-listed is age-1 after this
-    # round and scheduled for the r10 rotation — the stable 29/21
-    # two-phase cycle keeps every family within the 2-round window.
+    # -- r10 rotation (VERDICT r9 ask #1): the 29 families whose
+    # driver evidence is age-1 (last gated r08) re-gate before they
+    # hit the 2-round freshness edge. The 21 anchor slots keep the
+    # flagship, perf-watched pair joins, vectorops/ANN block,
+    # streaming family block, and als_scoring_topk — with TWO
+    # near-sibling swaps (VERDICT r9 ask #2): the multimodal slot
+    # moves from media_image_features (hash-green r09) to
+    # media_audio_frames, and knn_bruteforce (hash-green r09) cedes
+    # its slot to video_frame_samples, giving the real WAV/AVI
+    # decode gates their first driver rows. Everything r09-gated and
+    # not re-listed is age-1 after this round and scheduled for the
+    # r11 rotation — the stable 29/21 two-phase cycle keeps every
+    # family within the 2-round window.
     # -- tier 1: age-1 families, one representative each (29) --
-    "purchase_next_click_asof",          # asof_join
-    "part_association_rules",            # association
-    "bm25_doc_ranking",                  # bm25
-    "chronological_split_counts",        # chrono_split
-    "weekly_cohort_retention",           # cohort
-    "order_part_sets",                   # collect_aggs
-    "doc_shuffle_shards",                # corpus_shuffle
-    "corr_qty_price_by_flag",            # correlation
-    "distinct_segments",                 # distinct
-    "daily_revenue_ewma",                # ewma
-    "signup_click_purchase_funnel",      # funnel
-    "fuzzy_duplicate_pairs",             # fuzzy_dedup
-    "daily_orders_gapfill",              # gapfill
-    "revenue_rollup_region_nation",      # grouping_sets
-    "segment_revenue",                   # joins
-    "order_year_status_pivot",           # pivot
-    "orders_profile",                    # profiling
-    "segment_price_quantiles",           # quantiles
-    "customer_rfm_segments",             # rfm_pareto
-    "priority_revenue_trend",            # robust_stats
-    "random_pair_baseline_trials",       # sampling
-    "semantic_dedup_survivors",          # semantic_dedup
-    "kmv_distinct_customers",            # sketches
-    "salted_user_segment_stats",         # skew_join
-    "snapshot_diff_orders",              # snapshot_cdc
-    "sql_surface_top_customers",         # sql_surface
-    "doc_quality_scores",                # text_stats
-    "top_parts_by_price",                # topk
-    "doc_weighted_sample",               # weighted_sampling
+    "purchase_value_auc",                # auc
+    "bloom_filtered_order_revenue",      # bloom_join
+    "segment_acctbal_bootstrap_ci",      # bootstrap
+    "doc_bigram_collocations",           # collocations
+    "tfidf_top_terms",                   # corpus_ops
+    "events_kfold_summary",              # cv_splits
+    "ngram_decontaminated_docs",         # decontamination
+    "dedup_representatives",             # dedup_closure
+    "order_price_psi",                   # drift
+    "embedding_near_duplicates_deterministic",  # embedding_dedup
+    "orders_priority_target_encoding",   # feature_prep
+    "segment_priority_chisq",            # hypothesis_tests
+    "part_cosine_neighbors",             # item_item_cosine
+    "props_json_stats",                  # json_props
+    "kmeans_embedding_segments_det",     # kmeans
+    "purchase_value_lift",               # lift_gains
+    "token_shard_assignment",            # packing
+    "embedding_covariance",              # pca
+    "hybrid_doc_retrieval_rrf",          # rank_fusion
+    "ranking_metrics_summary",           # ranking_metrics
+    "rolling_order_spend",               # rolling_window
+    "customer_order_status_scd2",        # scd2
+    "weekday_revenue_seasonality",       # seasonality
+    "event_transition_matrix",           # sequence_mining
+    "simhash_duplicate_pairs",           # simhash_dedup (Py4J collapse re-gate)
+    "event_user_skew_report",            # skew_report
+    "part_skyline",                      # skyline
+    "customer_repurchase_survival",      # survival
+    "customer_user_cf_recommendations",  # user_cf
     # -- age-0 anchors: flagship + perf-watched + edit-adjacent (21) --
     "pricing_summary",                   # flagship scan/agg
     "top_similar_customer_pairs",        # set_similarity, drift-A/B subject
@@ -73,12 +75,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "candidates_unseen",                 # C3+C4, perf-watched
     "part_copurchase_pagerank",          # graph_centrality, perf-watched
     "als_scoring_topk",                  # als (+ serving parity pin)
-    "ivfadc_rerank_knn",                 # ann_rerank (compaction edits)
+    "ivfadc_rerank_knn",                 # ann_rerank (vectorops edits)
     "ivf_knn_deterministic",             # ivf (vectorops edits nearby)
-    "pq_adc_knn",                        # pq (vectorops edits nearby)
-    "knn_bruteforce",                    # knn
+    "pq_adc_knn",                        # pq (_checked_vec edit re-gates)
+    "media_audio_frames",                # multimodal (real WAV decode, first row)
+    "video_frame_samples",               # multimodal (real AVI decode, first row)
     "ann_hyperplane_neighbors",          # ann
-    "media_image_features",              # multimodal (JPEG decoder)
     "events_session_interval_join",      # interval_join
     "purchase_click_attribution",        # streaming_join
     "trending_event_types",              # streaming_tumbling

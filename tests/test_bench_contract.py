@@ -124,37 +124,43 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r09 rotation (VERDICT r8 ask #1): every age-1 family (last
-    # gated r07) re-gates before its evidence hits the 2-round
+    # r10 rotation (VERDICT r9 ask #1): every age-1 family (last
+    # gated r08) re-gates before its evidence hits the 2-round
     # freshness edge; anchors keep the perf-watched and
     # edit-adjacent families age-0
     for must in (
         # age-1 families re-gating (sample of the 29)
-        "purchase_next_click_asof",
-        "part_association_rules",
-        "bm25_doc_ranking",
-        "chronological_split_counts",
-        "weekly_cohort_retention",
-        "corr_qty_price_by_flag",
-        "fuzzy_duplicate_pairs",
-        "revenue_rollup_region_nation",
-        "segment_revenue",
-        "orders_profile",
-        "customer_rfm_segments",
-        "semantic_dedup_survivors",
-        "salted_user_segment_stats",
-        "doc_quality_scores",
-        "doc_weighted_sample",
+        "purchase_value_auc",
+        "bloom_filtered_order_revenue",
+        "segment_acctbal_bootstrap_ci",
+        "tfidf_top_terms",
+        "ngram_decontaminated_docs",
+        "dedup_representatives",
+        "embedding_near_duplicates_deterministic",
+        "kmeans_embedding_segments_det",
+        "token_shard_assignment",
+        "embedding_covariance",
+        "ranking_metrics_summary",
+        "customer_order_status_scd2",
+        "simhash_duplicate_pairs",  # Py4J-collapse same-round re-gate
+        "part_skyline",
+        "customer_user_cf_recommendations",
         # serving-parity-pinned ALS scoring oracle stays gated
         "als_scoring_topk",
-        # edit-adjacent anchors (vectorops sf1-scaling subjects,
-        # real-decode media gate)
+        # edit-adjacent anchors (vectorops edits re-gate same round)
         "ivfadc_rerank_knn",
-        "media_image_features",
         "pq_adc_knn",
         "ivf_knn_deterministic",
+        # VERDICT r9 ask #2: the real WAV/AVI decode gates earn their
+        # first driver rows via near-sibling anchor swaps
+        "media_audio_frames",
+        "video_frame_samples",
     ):
         assert must in GATE_PRIORITY, must
+    # the displaced near-siblings are hash-green r09 (age 1 after
+    # r10) and scheduled for the r11 rotation
+    for displaced in ("media_image_features", "knn_bruteforce"):
+        assert displaced not in GATE_PRIORITY, displaced
     # the rows-only ml-lib k-means variant must have ceded its slot
     # to the value-checked deterministic sibling (VERDICT r3 ask #3)
     assert "kmeans_customer_segments" not in GATE_PRIORITY
