@@ -182,6 +182,51 @@ def test_gate_rows_only_entries_are_the_declared_one():
     assert rows_only == set(), rows_only
 
 
+def test_gate_coverage_every_registry_name_has_evidence():
+    """VERDICT r9 ask #4: the family→member vouching argument must be
+    machine-checkable — every registry name carries at least
+    local-oracle evidence (value-hash vs DuckDB at sf0.01, or
+    rows-only WITH a value-checked same-family sibling), and the
+    committed GATE_COVERAGE.md table stays total over the registry."""
+    import __spark_entry__ as E
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    import gate_coverage as GC
+    from gate_freshness import FAMILIES
+
+    evidence = GC.collect_evidence()
+    names = set(E.queries())
+    assert set(evidence) == names, (
+        f"coverage table not total: missing={sorted(names - set(evidence))} "
+        f"ghosts={sorted(set(evidence) - names)}"
+    )
+    bad = {q for q, e in evidence.items() if e["local"] not in ("value", "rows-only")}
+    assert not bad, f"registry names without local-oracle evidence: {sorted(bad)}"
+    fam_has_value = {
+        fam: any(evidence[m]["local"] == "value" for m in members)
+        for fam, members in FAMILIES.items()
+    }
+    unvouched = {
+        q
+        for q, e in evidence.items()
+        if e["local"] == "rows-only" and not fam_has_value[e["family"]]
+    }
+    assert not unvouched, (
+        f"rows-only names with no value-checked sibling: {sorted(unvouched)}"
+    )
+    # the committed artifact exists and lists every name
+    md_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "GATE_COVERAGE.md"
+    )
+    assert os.path.exists(md_path), "run tools/gate_coverage.py and commit the table"
+    with open(md_path) as f:
+        md = f.read()
+    missing_rows = [q for q in names if f"| {q} |" not in md]
+    assert not missing_rows, f"GATE_COVERAGE.md missing rows: {missing_rows}"
+
+
 def test_family_map_covers_the_whole_registry():
     """tools/gate_freshness.py reports per-family driver-evidence age;
     a query missing from its FAMILIES map silently escapes the
