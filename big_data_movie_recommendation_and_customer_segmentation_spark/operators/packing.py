@@ -27,8 +27,6 @@ value), so the oracle SQL is the plain ``SUM() OVER (ORDER BY ...)``.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,15 +34,23 @@ from pyspark.sql import functions as F
 def _bucket_expr(order_col: str, boundaries: list[float]):
     """Bucket index for ``order_col`` given sorted range boundaries:
     Σ [col >= b] — a codegen'd add-tree of comparisons (no
-    interpreted HOF lambda per element)."""
-    col = F.col(order_col)
+    interpreted HOF lambda per element).
+
+    SQL-parsed in ONE expr instead of a when()-chain built
+    boundary-by-boundary: at the default num_buckets (the session's
+    shuffle partitions) the per-boundary Column construction cost
+    ~4 Py4J round-trips each on every plan build — the same chatter
+    class collapsed for the minhash (r9) and simhash (r10)
+    signature columns. ``repr(float)`` is the shortest round-trip
+    decimal, so the parsed double literal is bit-identical to the
+    F.lit it replaces."""
     if not boundaries:
         return F.lit(0)
-    return reduce(
-        lambda acc, b: acc + F.when(col >= F.lit(b), 1).otherwise(0),
-        boundaries,
-        F.lit(0),
+    terms = " + ".join(
+        f"(CASE WHEN `{order_col}` >= {b!r}D THEN 1 ELSE 0 END)"
+        for b in boundaries
     )
+    return F.expr(terms)
 
 
 def bucketed_running_sum(
