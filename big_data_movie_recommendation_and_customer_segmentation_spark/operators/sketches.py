@@ -129,6 +129,15 @@ def cms_estimate(
     within εN for width ≈ e/ε). The sketch side is ≤ depth·width
     rows, ALWAYS broadcast; keys never shuffle.
 
+    A probe key whose (row, bucket) cell was never incremented hits
+    an ABSENT sketch row; that counter is zero by CMS semantics, so
+    the join is LEFT with ``coalesce(cnt, 0)`` — an inner join would
+    silently drop the zero counters and overestimate (or, for a key
+    with no populated buckets at all, drop the key from the output
+    instead of estimating 0). For keys present in the sketched data
+    every bucket is populated, so this changes nothing there (r10
+    self-review).
+
     Output: key column + ``est_count``.
     """
     key = F.col(key_col)
@@ -142,7 +151,7 @@ def cms_estimate(
         key_col, F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket")
     )
     return (
-        probe.join(F.broadcast(sketch), ["row", "bucket"])
+        probe.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )

@@ -538,6 +538,35 @@ def test_cms_overestimates_and_merges(spark):
     assert got == whole
 
 
+def test_cms_absent_key_estimates_zero_not_dropped(spark):
+    """r10 self-review: a probe key absent from the sketched data can
+    hit buckets that were never incremented — those counters are ZERO
+    by CMS semantics. The old inner join dropped the zero cells, so an
+    absent key either overestimated (min over its populated-by-
+    collision buckets only) or vanished from the output entirely."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    # tiny data, wide sketch → an unseen key almost surely has at
+    # least one empty bucket among its depth cells
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    sk = count_min_sketch(df, "k", depth=4, width=4096)
+    probes = spark.createDataFrame(
+        [("a",), ("b",)] + [(f"ghost{i}",) for i in range(20)], "k string"
+    )
+    est = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(sk, probes, "k", depth=4, width=4096).collect()
+    }
+    # every probe key appears (no dropped rows)
+    assert set(est) == {"a", "b"} | {f"ghost{i}" for i in range(20)}
+    assert est["a"] == 1 and est["b"] == 1
+    # with 2 populated cells in 4×4096, all 20 ghosts estimate 0
+    assert all(est[f"ghost{i}"] == 0 for i in range(20)), est
+
+
 def test_histogram_fixed_dense_and_degenerate(spark):
     from big_data_movie_recommendation_and_customer_segmentation_spark.operators.stats import (
         histogram_fixed,
