@@ -91,6 +91,12 @@ def binary_auc(
     ``sortByScore.collect()`` formulation (how single-node libs do
     it) would be O(N) driver memory; rejected by construction.
 
+    Rows with a NULL score or label are excluded (complete-case, the
+    standard AUC contract): a NULL label previously counted as a
+    NEGATIVE (``sum`` skipped it while ``count`` didn't) and a NULL
+    score ranked as the lowest score — both silently biased the
+    statistic (r10 self-review, same class as the CMS absent-key fix).
+
     Returns one row ``(auc, n_pos, n_neg)``.
     """
     from .packing import bucketed_running_sum
@@ -100,6 +106,7 @@ def binary_auc(
             F.col(score_col).cast("double").alias("_score"),
             F.col(label_col).cast("int").alias("_y"),
         )
+        .filter(F.col("_score").isNotNull() & F.col("_y").isNotNull())
         .groupBy("_score")
         .agg(F.count(F.lit(1)).alias("_cnt"), F.sum("_y").alias("_pos"))
     )

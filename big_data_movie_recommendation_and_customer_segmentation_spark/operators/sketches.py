@@ -57,12 +57,19 @@ def kmv_distinct(
     count(distinct) at 100 TB: the final per-group state is O(k),
     not O(D).
 
+    NULL values are excluded, matching ``count(DISTINCT col)``
+    semantics: the md5 of a NULL value is NULL, which previously
+    ranked FIRST under the ascending top-k (Spark sorts nulls first),
+    occupying a sketch slot and inflating ``n_seen`` by one (r10
+    self-review).
+
     Output: group cols, ``est_col`` (long), n_seen (long, = min(k,
     distinct hashes seen) — the sketch fill level).
     """
     groups = [group_by] if isinstance(group_by, str) else list(group_by)
     hashed = (
         df.select(*groups, shared_token_hash60(F.col(value_col).cast("string")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
         .distinct()
     )
     kept = per_group_topk(

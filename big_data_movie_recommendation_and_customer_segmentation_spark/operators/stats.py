@@ -39,8 +39,14 @@ def group_linear_trend(
     The moment formula (not Welford) is used deliberately: it is
     replayable as six SQL SUMs by any engine, which is what the
     DuckDB oracle does.
+
+    Incomplete pairs (NULL x or y) are dropped first: the sums skip
+    NULLs but ``count`` didn't, so a NULL-bearing row inflated n and
+    corrupted every moment-derived quantity (r10 self-review — the
+    OLS contract is complete-case).
     """
     x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    df = df.filter(x.isNotNull() & y.isNotNull())
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.sum(x).alias("_sx"),
@@ -270,7 +276,14 @@ def chi_square_independence(
     cross join of the two margin relations. The final Σ is an
     aggregate over the grid — no data-sized work after the first
     shuffle.
+
+    Rows with a NULL category are dropped (complete-case): NULL
+    previously entered the contingency table as a category while
+    ``countDistinct`` excluded it from the dof margins — the reported
+    dof disagreed with the cell grid the statistic summed over (r10
+    self-review).
     """
+    df = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_obs"))
     ma = obs.groupBy(col_a).agg(F.sum("_obs").alias("_ra"))
     mb = obs.groupBy(col_b).agg(F.sum("_obs").alias("_cb"))
@@ -470,7 +483,12 @@ def mutual_information(
     contingency table; margins derive from that table; the final
     sums run over the catalog-sized grid. Degenerate single-level
     columns yield H = 0 and ``nmi`` null (0/0 guarded).
+
+    NULL categories are dropped (complete-case) for contract
+    uniformity with ``chi_square_independence`` — the two are
+    documented as companions over the same inputs (r10 self-review).
     """
+    df = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("_obs"))
     ma = obs.groupBy(col_a).agg(F.sum("_obs").alias("_ra"))
     mb = obs.groupBy(col_b).agg(F.sum("_obs").alias("_cb"))

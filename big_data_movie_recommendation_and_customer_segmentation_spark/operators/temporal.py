@@ -313,7 +313,13 @@ def decayed_counts(
     Decay is a pure column expression; scores at a different
     reference time T' are the returned scores × 0.5^((T'-T)/hl), so
     precomputed scores stay usable without a rescan.
+
+    NULL-timestamp events are dropped: they previously counted in
+    ``n_events`` while contributing NOTHING to ``decayed_count``
+    (``sum`` skips the NULL decay term), leaving the two output
+    columns describing different event sets (r10 self-review).
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     tmax = df.agg(F.max(F.col(ts_col)).alias("_tmax"))
     dt_hours = (
         F.col("_tmax").cast("double") - F.col(ts_col).cast("double")
