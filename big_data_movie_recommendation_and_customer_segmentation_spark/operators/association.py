@@ -43,10 +43,18 @@ def bounded_incidence(
     """Deduped (``_basket``, ``_item``) incidence with the basket-size
     governor applied and lineage checkpointed — the shared front end
     of pair mining (rules, co-occurrence graphs). See the module
-    docstring for the shuffle accounting."""
-    incidence = df.select(
-        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
-    ).distinct()
+    docstring for the shuffle accounting.
+
+    NULL baskets/items are dropped up front (complete-case): NULL
+    keys silently fall out of every equi-join anyway, but they
+    previously still inflated basket sizes (pushing real baskets
+    over the governor) and the basket total N that support divides
+    by (r10 self-review)."""
+    incidence = (
+        df.select(F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item"))
+        .filter(F.col("_basket").isNotNull() & F.col("_item").isNotNull())
+        .distinct()
+    )
     sizes = incidence.groupBy("_basket").agg(F.count("*").alias("_bsize"))
     bounded = (
         incidence.join(sizes, "_basket")

@@ -159,6 +159,11 @@ def decile_lift(
     window); per-bucket stats are one map-side-combined shuffle over
     ``n_buckets`` keys; base rate and the cumulative window operate
     on ``n_buckets`` rows.
+
+    Complete-case like ``binary_auc``: rows with a NULL score or
+    label are excluded — a NULL label previously inflated a bucket's
+    ``n`` while ``n_pos`` skipped it, deflating that bucket's
+    pos_rate and lift (r10 self-review).
     """
     from pyspark.sql import Window
 
@@ -166,7 +171,7 @@ def decile_lift(
 
     labeled = df.select(
         F.col(score_col).alias("_score"), F.col(label_col).cast("int").alias("_y")
-    )
+    ).filter(F.col("_score").isNotNull() & F.col("_y").isNotNull())
     bucketed = quantile_bucket(labeled, "_score", n_buckets, out_col="bucket")
     per = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"), F.sum("_y").alias("n_pos")

@@ -43,6 +43,12 @@ def target_encode_loo(
     r5) — pass a finer quantization or ``sum_round=None`` to encode
     the raw float sums.
 
+    Rows with a NULL target (inference-time rows scored through the
+    same encoder) have nothing to leave out: they get the smoothed
+    FULL category mean ``(sum_c + m·mu) / (n_c + m)`` instead of the
+    silent NULL the LOO arithmetic previously propagated (``sum_c −
+    NULL`` is NULL — r10 self-review). Labeled rows are unchanged.
+
     Cost: one map-side-combined keyed aggregate (|categories| rows,
     broadcast back) + one scalar aggregate for the prior. The encode
     itself is pure column math — no second data shuffle.
@@ -56,15 +62,17 @@ def target_encode_loo(
     )
     prior = df.agg((tsum / F.count(target_col)).alias("_mu"))
     joined = df.join(F.broadcast(stats), cat_col).crossJoin(F.broadcast(prior))
+    y = F.col(target_col).cast("double")
     denom = F.col("_n") - 1 + F.lit(prior_weight)
-    num = (
-        F.col("_sum")
-        - F.col(target_col).cast("double")
-        + F.lit(prior_weight) * F.col("_mu")
+    num = F.col("_sum") - y + F.lit(prior_weight) * F.col("_mu")
+    full_denom = F.col("_n") + F.lit(prior_weight)
+    full_num = F.col("_sum") + F.lit(prior_weight) * F.col("_mu")
+    encoded = F.when(y.isNotNull(), F.when(denom > 0, num / denom)).otherwise(
+        F.when(full_denom > 0, full_num / full_denom)
     )
-    return joined.withColumn(
-        out_col, F.round(F.when(denom > 0, num / denom), round_to)
-    ).drop("_sum", "_n", "_mu")
+    return joined.withColumn(out_col, F.round(encoded, round_to)).drop(
+        "_sum", "_n", "_mu"
+    )
 
 
 def woe_iv(
@@ -87,7 +95,14 @@ def woe_iv(
     positives carries large-negative WOE, not infinity). Output:
     per-level rows ``(level, n_pos, n_neg, woe, iv_term)`` plus the
     total IV under level = null.
+
+    NULL categories are dropped (complete-case, the same contract as
+    ``chi_square_independence``): the total row is keyed by
+    ``level = null``, so a genuine NULL category previously COLLIDED
+    with it — the output held two indistinguishable null-level rows
+    (r10 self-review).
     """
+    df = df.filter(F.col(cat_col).isNotNull())
     y = F.col(target_col).cast("long")
     lv = df.groupBy(F.col(cat_col).alias("level")).agg(
         F.sum(y).alias("n_pos"),

@@ -188,6 +188,12 @@ def quantile_bucket(
     under heavy ties (all tied values share a bucket) — the
     well-defined behavior for feature binning, where identical
     inputs must get identical features.
+
+    A NULL value gets a NULL bucket: every ladder comparison is
+    false on NULL, which previously dumped NULL rows silently into
+    bucket 1 with the lowest real values (r10 self-review) — for
+    feature binning, "value unknown" must stay visible as "bucket
+    unknown", not masquerade as the bottom decile.
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = list(
@@ -202,7 +208,9 @@ def quantile_bucket(
         cuts,
         F.lit(1),
     )
-    return df.withColumn(out_col, ladder)
+    return df.withColumn(
+        out_col, F.when(F.col(value_col).isNotNull(), ladder)
+    )
 
 
 def gini_coefficient(

@@ -39,6 +39,12 @@ def transition_matrix(
     |types|² rows, and the row-normalizing window runs over that
     catalog-sized table — effectively free.
     """
+    # complete-case on the event type: a NULL type mid-stream was
+    # HALF-counted — the (prev -> NULL) transition vanished via the
+    # _next filter while (NULL -> nextnext) survived as a NULL
+    # from_type row (r10 self-review). The stream of KNOWN events is
+    # the model's domain.
+    events = events.filter(F.col(type_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     pairs = (
         events.select(user_col, type_col, *order_cols)
@@ -75,6 +81,11 @@ def event_kgrams(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    # same complete-case contract as transition_matrix: the step
+    # filters below only check steps 2..k, so a NULL-type row
+    # previously survived as a k-gram whose FIRST step is NULL while
+    # any gram crossing it was dropped (r10 self-review)
+    events = events.filter(F.col(type_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     df = events.select(user_col, type_col, *order_cols).withColumns(
         {f"step_{i + 1}": F.lead(type_col, i).over(w) for i in range(1, k)}
@@ -114,6 +125,7 @@ def sequence_cross_entropy(
 
     Output: ``(user, n_transitions, cross_entropy_bits)``.
     """
+    events = events.filter(F.col(type_col).isNotNull())  # match the model's domain
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     pairs = (
         events.select(user_col, type_col, *order_cols)

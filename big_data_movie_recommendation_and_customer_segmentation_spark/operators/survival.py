@@ -43,7 +43,15 @@ def life_table(
     One shuffle builds the counts; ``n_at_risk`` is the group total
     minus the exclusive prefix of (events + censored) in duration
     order — a window over the already-tiny life table.
+
+    Subjects with a NULL duration or event flag are dropped
+    (complete-case): a NULL duration previously sorted FIRST (Spark
+    nulls-first) and its departure silently deflated every later
+    duration's risk set, while a NULL event flag fell out of both
+    the event and censored counts but still spawned a life-table row
+    (r10 self-review).
     """
+    df = df.filter(F.col(duration_col).isNotNull() & F.col(event_col).isNotNull())
     counts = df.groupBy(group_col, duration_col).agg(
         F.sum(F.col(event_col).cast("long")).alias("n_events"),
         F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("n_censored"),

@@ -105,3 +105,140 @@ def test_decayed_counts_drops_null_timestamps(spark):
     # skipped — the two columns described different event sets
     assert a == b
     assert a[0][1] == 5
+
+
+def test_kaplan_meier_drops_null_duration_and_event(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import survival as SV
+
+    clean = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 0), ("g", 3, 1), ("g", 3, 1)],
+        "g string, d int, e int",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([("g", None, 1), ("g", 2, None)], "g string, d int, e int")
+    )
+    a = _rows(SV.kaplan_meier(clean, "d", "e", "g"))
+    b = _rows(SV.kaplan_meier(dirty, "d", "e", "g"))
+    # a NULL duration previously sorted first and deflated every
+    # later risk set; a NULL event spawned a phantom life-table row
+    assert a == b
+    assert _rows(SV.nelson_aalen(clean, "d", "e", "g")) == _rows(
+        SV.nelson_aalen(dirty, "d", "e", "g")
+    )
+
+
+def test_quantile_bucket_null_value_gets_null_bucket(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.segmentation import (
+        quantile_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)] + [(None,)], "v double"
+    )
+    got = {r["v"]: r["bucket"] for r in quantile_bucket(df, "v", 2).collect()}
+    assert got[None] is None  # previously bucket 1
+    assert got[1.0] == 1 and got[10.0] == 2
+
+
+def test_decile_lift_is_complete_case(spark):
+    clean = spark.createDataFrame(
+        [(float(i), int(i % 3 == 0)) for i in range(30)], "s double, y int"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None, 1), (4.5, None)], "s double, y int")
+    )
+    a = _rows(EV.decile_lift(clean, "y", "s", n_buckets=3))
+    b = _rows(EV.decile_lift(dirty, "y", "s", n_buckets=3))
+    assert a == b
+
+
+def test_woe_iv_null_level_cannot_collide_with_total_row(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.features import woe_iv
+
+    clean = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0), ("b", 0)], "c string, y int"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None, 1), (None, 0)], "c string, y int")
+    )
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    assert rows(woe_iv(clean, "c", "y")) == rows(woe_iv(dirty, "c", "y"))
+    # exactly ONE null-level row: the total marker
+    nulls = [r for r in woe_iv(dirty, "c", "y").collect() if r["level"] is None]
+    assert len(nulls) == 1
+
+
+def test_target_encode_loo_null_target_gets_full_category_mean(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.features import (
+        target_encode_loo,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None)],
+        "c string, y double",
+    )
+    got = {
+        (r["c"], r["y"]): r["te_loo"]
+        for r in target_encode_loo(df, "c", "y", sum_round=None).collect()
+    }
+    # labeled rows: leave-one-out of the OTHER labeled rows
+    assert got[("a", 1.0)] == 3.0 and got[("a", 3.0)] == 1.0
+    # inference rows (NULL target): the full category mean, not NULL
+    assert got[("a", None)] == 2.0
+    assert got[("b", None)] == 10.0
+    # singleton labeled row with m=0: surfaced as null, unchanged
+    assert got[("b", 10.0)] is None
+
+
+def test_association_rules_ignore_null_baskets_and_items(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.association import (
+        association_rules,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a")], "b int, i string"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(1, None), (None, "a"), (None, None)], "b int, i string")
+    )
+    a = _rows(association_rules(clean, "b", "i", min_pair_count=1))
+    b = _rows(association_rules(dirty, "b", "i", min_pair_count=1))
+    # NULL keys previously inflated basket sizes and the basket total
+    # N that support divides by, while dropping from every join
+    assert a == b
+
+
+def test_sequence_ops_drop_null_event_types(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import sequence as SQ
+
+    clean = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (1, "x", 3), (1, "y", 4)],
+        "u int, t string, o int",
+    )
+    dirty = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (1, None, 3), (1, "x", 4), (1, "y", 5)],
+        "u int, t string, o int",
+    )
+    # with the NULL event removed the two streams are x,y,x,y — the
+    # transition matrix and k-grams must agree (previously the NULL
+    # half-counted: (y->NULL) vanished, (NULL->x) emitted a NULL row)
+    assert _rows(
+        SQ.transition_matrix(clean, user_col="u", type_col="t", order_cols=["o"])
+    ) == _rows(
+        SQ.transition_matrix(dirty, user_col="u", type_col="t", order_cols=["o"])
+    )
+    assert _rows(
+        SQ.event_kgrams(clean, user_col="u", type_col="t", order_cols=["o"], k=2, min_count=1)
+    ) == _rows(
+        SQ.event_kgrams(dirty, user_col="u", type_col="t", order_cols=["o"], k=2, min_count=1)
+    )
+    assert _rows(
+        SQ.sequence_cross_entropy(clean, user_col="u", type_col="t", order_cols=["o"])
+    ) == _rows(
+        SQ.sequence_cross_entropy(dirty, user_col="u", type_col="t", order_cols=["o"])
+    )
