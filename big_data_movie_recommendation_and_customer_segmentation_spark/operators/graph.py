@@ -48,7 +48,14 @@ def pagerank(
     still receives teleport + in-flow). Multi-edges count once —
     dedup upstream if the edge builder can emit duplicates.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # complete-case on endpoints: a NULL src/dst edge previously
+    # minted a phantom NULL node that inflated n_nodes and soaked up
+    # teleport mass while every equi-join ignored it (r10 self-review)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
     # Checkpoint the edge relation FIRST: every downstream consumer
     # (degrees, node set, and one join per iteration) re-derives the
     # whole upstream edge-builder pipeline otherwise — measured 15.9 s
@@ -134,7 +141,14 @@ def personalized_pagerank(
     output applies the same floor-based half-up at ``round_to``
     (string-based ``round()`` differs between engines at ties).
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # complete-case on endpoints: a NULL src/dst edge previously
+    # minted a phantom NULL node that inflated n_nodes and soaked up
+    # teleport mass while every equi-join ignored it (r10 self-review)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
     if checkpoint:
         e = e.localCheckpoint(eager=False)
     out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
@@ -219,6 +233,7 @@ def connected_components(
         .unionByName(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())  # no phantom NULL node
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -39,6 +39,11 @@ def rrf_fuse(
 
     ``fused_rank`` breaks score ties by ``id_col`` so the output
     order is total and replayable.
+
+    Rows with a NULL id or rank are dropped (complete-case): a NULL
+    rank previously counted in ``n_lists`` while its reciprocal
+    contribution vanished from ``rrf_score`` — the fused score and
+    the list count described different evidence (r10 self-review).
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranked list")
@@ -46,7 +51,7 @@ def rrf_fuse(
         df.select(
             F.col(id_col),
             (F.lit(1.0) / (F.lit(k0) + F.col(rank_col))).alias("_c"),
-        )
+        ).filter(F.col(id_col).isNotNull() & F.col("_c").isNotNull())
         for df in rankings
     ]
     unioned = reduce(DataFrame.unionByName, contribs)

@@ -264,7 +264,13 @@ def pair_rating_correlation(
     Output: user_a, user_b, n_common_rated, corr.
     Shuffles: two user-keyed joins (pairs side is small → broadcast)
     + one pair-keyed agg.
+
+    NULL-rating rows are dropped first (complete-case): they
+    previously counted in ``n_common_rated`` (letting a pair clear
+    ``min_common`` on unrated commons) while covar/stddev skipped
+    them (r10 self-review).
     """
+    ratings = ratings.filter(F.col(rating_col).isNotNull())
     r_a = ratings.select(
         F.col(user_col).alias("user_a"),
         F.col(item_col).alias("item"),
@@ -313,7 +319,12 @@ def pair_rating_correlation_exact(
     aggregation order, and the single final float expression is
     bit-reproducible across engines — the oracle-gated variant.
     Output: user_a, user_b, n_common_rated, corr (unrounded).
+
+    Complete-case on the rating, matching ``pair_rating_correlation``
+    — here a NULL additionally corrupted the exact moments (_n
+    counted the row the Σ-sums skipped).
     """
+    ratings = ratings.filter(F.col(rating_col).isNotNull())
     r_a = ratings.select(
         F.col(user_col).alias("user_a"),
         F.col(item_col).alias("_i"),

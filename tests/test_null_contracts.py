@@ -242,3 +242,64 @@ def test_sequence_ops_drop_null_event_types(spark):
     ) == _rows(
         SQ.sequence_cross_entropy(dirty, user_col="u", type_col="t", order_cols=["o"])
     )
+
+
+def test_pair_rating_correlation_complete_case(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import similarity as SM
+
+    clean = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (1, "c", 3.0),
+         (2, "a", 2.0), (2, "b", 4.0), (2, "c", 6.0)],
+        "u int, i string, r double",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(1, "d", None), (2, "d", None)], "u int, i string, r double")
+    )
+    pairs = spark.createDataFrame([(1, 2)], "user_a int, user_b int")
+    for fn in (SM.pair_rating_correlation, SM.pair_rating_correlation_exact):
+        a = _rows(fn(clean, pairs, "u", "i", "r"))
+        b = _rows(fn(dirty, pairs, "u", "i", "r"))
+        # the shared NULL-rated item previously inflated
+        # n_common_rated (and the exact variant's moment n)
+        assert a == b, fn.__name__
+        assert a[0][2] == 3  # n_common_rated counts RATED commons
+
+
+def test_rrf_fuse_drops_null_ranks(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.retrieval import rrf_fuse
+
+    l1 = spark.createDataFrame([("d1", 1), ("d2", 2)], "id string, rank int")
+    l2 = spark.createDataFrame([("d1", 2), ("d2", 1)], "id string, rank int")
+    l2_dirty = l2.unionByName(
+        spark.createDataFrame([("d1", None), (None, 3)], "id string, rank int")
+    )
+    a = _rows(rrf_fuse([l1, l2], "id", "rank"))
+    b = _rows(rrf_fuse([l1, l2_dirty], "id", "rank"))
+    # a NULL rank previously bumped n_lists without contributing to
+    # rrf_score
+    assert a == b
+    assert all(r[2] == 2 for r in a)  # n_lists
+
+
+def test_graph_ops_ignore_null_endpoint_edges(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import graph as G
+
+    clean = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5)], "src int, dst int"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(1, None), (None, 2), (None, None)], "src int, dst int")
+    )
+    # a NULL endpoint previously minted a phantom node: n_nodes grew,
+    # every rank's teleport share (1-d)/N shrank
+    assert _rows(G.pagerank(clean, checkpoint=False)) == _rows(
+        G.pagerank(dirty, checkpoint=False)
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    assert _rows(
+        G.personalized_pagerank(clean, seeds, checkpoint=False)
+    ) == _rows(G.personalized_pagerank(dirty, seeds, checkpoint=False))
+    assert _rows(G.connected_components(clean)) == _rows(
+        G.connected_components(dirty)
+    )
+    assert _rows(G.triangle_counts(clean)) == _rows(G.triangle_counts(dirty))
