@@ -79,7 +79,13 @@ def temperature_mix_plan(
 
     Output: group_col, n_docs, n_tokens, token_share, mix_weight
     [, sample_prob].
+
+    Complete-case: rows with a NULL group or weight are dropped —
+    ``n_docs`` previously counted docs whose token mass the Σ
+    skipped, and a NULL group minted a phantom mixture bucket (r10
+    self-review).
     """
+    df = df.filter(F.col(group_col).isNotNull() & F.col(weight_col).isNotNull())
     agg = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(weight_col).cast("long")).alias("n_tokens"),
@@ -118,9 +124,14 @@ def balanced_sample_by_group(
     tests/test_plans.py), so each task keeps at most N rows per group
     before the shuffle: groups far larger than N never materialize.
     Groups smaller than N pass through whole.
+
+    NULL-id rows are dropped: md5(NULL) is NULL, which sorts FIRST
+    under the ascending hash order — a NULL-id row previously stole
+    a sample slot in every group it appeared in (r10 self-review).
     """
     from .relational import per_group_topk
 
+    df = df.filter(F.col(id_col).isNotNull())
     order = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
     return per_group_topk(df, group_col, order, n_per_group)
 

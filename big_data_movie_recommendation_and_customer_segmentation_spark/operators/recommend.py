@@ -46,7 +46,14 @@ def popularity_scores(
     shuffle carries one row per item per map task.
 
     Output: item, n_ratings, score.
+
+    NULL-rating rows are dropped first: ``n_ratings`` previously
+    counted rows the Σrating skipped, silently deflating the damped
+    score below what ``avg`` (which ignores NULLs) computes at
+    bias=0 — breaking the documented S4a equivalence on NULL-bearing
+    input (r10 self-review).
     """
+    ratings = ratings.filter(F.col(rating_col).isNotNull())
     return (
         ratings.groupBy(F.col(item_col).alias("item"))
         .agg(

@@ -303,3 +303,57 @@ def test_graph_ops_ignore_null_endpoint_edges(spark):
         G.connected_components(dirty)
     )
     assert _rows(G.triangle_counts(clean)) == _rows(G.triangle_counts(dirty))
+
+
+def test_popularity_scores_null_rating_matches_avg_semantics(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.recommend import (
+        popularity_scores,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, 4.0), (1, 2.0), (2, 5.0)], "item int, r double"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(1, None), (2, None)], "item int, r double")
+    )
+    a = _rows(popularity_scores(clean, "item", "r"))
+    b = _rows(popularity_scores(dirty, "item", "r"))
+    # NULL ratings previously inflated the damping denominator
+    # (score = sum/(count+bias) with count including NULL rows)
+    assert a == b
+    assert dict((r[0], r[2]) for r in a) == {1: 3.0, 2: 5.0}  # == avg at bias=0
+
+
+def test_temperature_mix_plan_complete_case(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.corpus import (
+        temperature_mix_plan,
+    )
+
+    clean = spark.createDataFrame(
+        [("web", 100), ("web", 300), ("books", 400)], "src string, w int"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([("web", None), (None, 50)], "src string, w int")
+    )
+    a = _rows(temperature_mix_plan(clean, "src", "w"))
+    b = _rows(temperature_mix_plan(dirty, "src", "w"))
+    # NULL weights inflated n_docs; a NULL group minted a phantom
+    # mixture bucket that distorted every share
+    assert a == b
+
+
+def test_balanced_sample_null_id_cannot_steal_slots(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators.corpus import (
+        balanced_sample_by_group,
+    )
+
+    clean = spark.createDataFrame(
+        [("g", f"d{i}") for i in range(10)], "src string, doc_id string"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([("g", None)], "src string, doc_id string")
+    )
+    a = _rows(balanced_sample_by_group(clean, "src", 3, "doc_id"))
+    b = _rows(balanced_sample_by_group(dirty, "src", 3, "doc_id"))
+    # md5(NULL) sorted first and previously stole a sample slot
+    assert a == b and len(a) == 3
