@@ -196,11 +196,14 @@ def quantile_bucket(
     unknown", not masquerade as the bottom decile.
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = list(
-        df.select(
-            F.percentile(F.col(value_col).cast("double"), F.lit(probs)).alias("c")
-        ).first()["c"]
-    )
+    # percentile of an EMPTY (or all-NULL) relation is NULL — without
+    # the guard, list(None) crashed the empty-slice case a 100 TB
+    # pipeline routinely produces (r10 self-review). No cuts ⇒ every
+    # non-null value lands in bucket 1, NULLs stay NULL.
+    row = df.select(
+        F.percentile(F.col(value_col).cast("double"), F.lit(probs)).alias("c")
+    ).first()
+    cuts = list(row["c"]) if row is not None and row["c"] is not None else []
     from functools import reduce
 
     ladder = reduce(
