@@ -98,3 +98,43 @@ def test_statistical_operators_survive_empty_input(spark):
         spark.createDataFrame([], "ts timestamp, g string, v double"),
         "ts", ["g"], {"n": F.count(F.lit(1))},
     ).count() == 0
+
+
+def test_dedup_graph_and_vector_operators_survive_empty_input(spark):
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        association as AS,
+        dedup as DD,
+        graph as G,
+        recommend as RC,
+        similarity as SM,
+        splits as SP,
+        vectorops as VO,
+    )
+
+    e_doc = spark.createDataFrame([], "doc_id long, text string")
+    e_edge = spark.createDataFrame([], "src int, dst int")
+    e_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    e_ui = spark.createDataFrame([], "user long, item long")
+
+    assert DD.ngram_jaccard_pairs(e_doc, "doc_id", "text").count() == 0
+    assert DD.minhash_duplicate_pairs(spark, e_doc, "doc_id", "text").count() == 0
+    assert DD.simhash_duplicate_pairs(e_doc, "doc_id", "text").count() == 0
+    assert DD.dedup_representatives(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    ).count() == 0
+    assert DD.decontaminate(e_doc, e_doc, "doc_id", "text").count() == 0
+    assert G.pagerank(e_edge).count() == 0
+    assert G.connected_components(e_edge).count() == 0
+    assert G.triangle_counts(e_edge).count() == 0
+    probes = e_emb.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    assert VO.knn_bruteforce(e_emb, probes, k=5).count() == 0
+    assert SM.exact_jaccard_pairs(e_ui, "user", "item").count() == 0
+    assert SP.chronological_split(
+        spark.createDataFrame([], "user long, ts timestamp"), "user", "ts", "ts"
+    ).count() == 0
+    assert AS.association_rules(e_ui, "user", "item").count() == 0
+    assert RC.popularity_scores(
+        spark.createDataFrame([], "item long, r double"), "item", "r"
+    ).count() == 0
