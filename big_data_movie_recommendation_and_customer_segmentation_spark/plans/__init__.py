@@ -24,50 +24,49 @@ from . import queries_insights  # noqa: F401  (registers r5 analytics batch 3)
 # representative) + 21 rows for families that were never gated or
 # fell out of the r02 gate (VERDICT r2 asks #1/#4).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r10 rotation (VERDICT r9 ask #1): the 29 families whose
-    # driver evidence is age-1 (last gated r08) re-gate before they
-    # hit the 2-round freshness edge. The 21 anchor slots keep the
-    # flagship, perf-watched pair joins, vectorops/ANN block,
-    # streaming family block, and als_scoring_topk — with TWO
-    # near-sibling swaps (VERDICT r9 ask #2): the multimodal slot
-    # moves from media_image_features (hash-green r09) to
-    # media_audio_frames, and knn_bruteforce (hash-green r09) cedes
-    # its slot to video_frame_samples, giving the real WAV/AVI
-    # decode gates their first driver rows. Everything r09-gated and
-    # not re-listed is age-1 after this round and scheduled for the
-    # r11 rotation — the stable 29/21 two-phase cycle keeps every
-    # family within the 2-round window.
-    # -- tier 1: age-1 families, one representative each (29) --
-    "purchase_value_auc",                # auc
-    "bloom_filtered_order_revenue",      # bloom_join
-    "segment_acctbal_bootstrap_ci",      # bootstrap
-    "doc_bigram_collocations",           # collocations
-    "tfidf_top_terms",                   # corpus_ops
-    "events_kfold_summary",              # cv_splits
-    "ngram_decontaminated_docs",         # decontamination
-    "dedup_representatives",             # dedup_closure
-    "order_price_psi",                   # drift
-    "embedding_near_duplicates_deterministic",  # embedding_dedup
-    "orders_priority_target_encoding",   # feature_prep
-    "segment_priority_chisq",            # hypothesis_tests
-    "part_cosine_neighbors",             # item_item_cosine
-    "props_json_stats",                  # json_props
-    "kmeans_embedding_segments_det",     # kmeans
-    "purchase_value_lift",               # lift_gains
-    "token_shard_assignment",            # packing
-    "embedding_covariance",              # pca
-    "hybrid_doc_retrieval_rrf",          # rank_fusion
-    "ranking_metrics_summary",           # ranking_metrics
-    "rolling_order_spend",               # rolling_window
-    "customer_order_status_scd2",        # scd2
-    "weekday_revenue_seasonality",       # seasonality
-    "event_transition_matrix",           # sequence_mining
-    "simhash_duplicate_pairs",           # simhash_dedup (Py4J collapse re-gate)
-    "event_user_skew_report",            # skew_report
-    "part_skyline",                      # skyline
-    "customer_repurchase_survival",      # survival
-    "customer_user_cf_recommendations",  # user_cf
-    # -- age-0 anchors: flagship + perf-watched + edit-adjacent (21) --
+    # -- r11 rotation (VERDICT r10 ask #1): the THIRTY families whose
+    # driver evidence is age-1 (last gated r09 — the 29 scheduled
+    # tier-1 families PLUS knn, whose r10 anchor slot went to
+    # video_frame_samples) re-gate before they hit the 2-round
+    # freshness edge. Eleven of the reps rotate to never-yet-gated
+    # value-green siblings (GATE_COVERAGE.md '—' rows), earning first
+    # driver rows without losing family freshness. Anchors shrink to
+    # 20: video_frame_samples (first row landed r10) cedes its slot;
+    # multimodal stays fresh via media_audio_frames. Everything
+    # r10-gated and not re-listed is age-1 after this round and
+    # scheduled for the r12 rotation.
+    # -- tier 1: age-1 families, one representative each (30) --
+    "purchase_attribution_asof_tolerance",  # asof_join (first row)
+    "part_rules_wilson_ci",              # association (first row)
+    "bm25_doc_ranking",                  # bm25
+    "chronological_split_counts",        # chrono_split
+    "monthly_new_vs_returning_revenue",  # cohort (first row)
+    "order_part_sets",                   # collect_aggs
+    "doc_shuffle_shards",                # corpus_shuffle
+    "corr_qty_price_by_flag",            # correlation
+    "distinct_segments",                 # distinct
+    "daily_revenue_ewma",                # ewma (lagsum collapse re-gate)
+    "signup_click_purchase_funnel",      # funnel
+    "fuzzy_dedup_representatives",       # fuzzy_dedup (first row)
+    "daily_revenue_momentum",            # gapfill (first row)
+    "revenue_rollup_region_nation",      # grouping_sets
+    "segment_revenue",                   # joins
+    "knn_bruteforce",                    # knn (_checked_vec contract re-gate)
+    "order_year_status_pivot",           # pivot
+    "orders_quality_report",             # profiling (first row)
+    "part_price_deciles",                # quantiles (first row)
+    "customer_value_migration",          # rfm_pareto (first row)
+    "event_value_outliers",              # robust_stats (first row)
+    "random_pair_baseline_trials",       # sampling
+    "semantic_dedup_survivors",          # semantic_dedup
+    "event_type_cms_estimates",          # sketches (first row; cms NULL-key fix re-gate)
+    "salted_user_segment_stats",         # skew_join
+    "snapshot_merge_orders",             # snapshot_cdc (first row)
+    "sql_surface_top_customers",         # sql_surface
+    "doc_quality_scores",                # text_stats
+    "top_parts_by_price",                # topk
+    "doc_weighted_sample",               # weighted_sampling
+    # -- age-0 anchors: flagship + perf-watched + edit-adjacent (20) --
     "pricing_summary",                   # flagship scan/agg
     "top_similar_customer_pairs",        # set_similarity, drift-A/B subject
     "minhash_duplicate_pairs",           # minhash_dedup, drift-A/B subject
@@ -75,11 +74,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "candidates_unseen",                 # C3+C4, perf-watched
     "part_copurchase_pagerank",          # graph_centrality, perf-watched
     "als_scoring_topk",                  # als (+ serving parity pin)
-    "ivfadc_rerank_knn",                 # ann_rerank (vectorops edits)
-    "ivf_knn_deterministic",             # ivf (vectorops edits nearby)
-    "pq_adc_knn",                        # pq (_checked_vec edit re-gates)
-    "media_audio_frames",                # multimodal (real WAV decode, first row)
-    "video_frame_samples",               # multimodal (real AVI decode, first row)
+    "ivfadc_rerank_knn",                 # ann_rerank (vectorops edits re-gate)
+    "ivf_knn_deterministic",             # ivf (vectorops edits re-gate)
+    "pq_adc_knn",                        # pq (vectorops edits re-gate)
+    "media_audio_frames",                # multimodal (real WAV decode)
     "ann_hyperplane_neighbors",          # ann
     "events_session_interval_join",      # interval_join
     "purchase_click_attribution",        # streaming_join

@@ -124,42 +124,56 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r10 rotation (VERDICT r9 ask #1): every age-1 family (last
-    # gated r08) re-gates before its evidence hits the 2-round
-    # freshness edge; anchors keep the perf-watched and
-    # edit-adjacent families age-0
+    # r11 rotation (VERDICT r10 ask #1): every age-1 family (last
+    # gated r09, 30 of them incl. knn) re-gates before its evidence
+    # hits the 2-round freshness edge; anchors keep the perf-watched
+    # and edit-adjacent families age-0
     for must in (
-        # age-1 families re-gating (sample of the 29)
-        "purchase_value_auc",
-        "bloom_filtered_order_revenue",
-        "segment_acctbal_bootstrap_ci",
-        "tfidf_top_terms",
-        "ngram_decontaminated_docs",
-        "dedup_representatives",
-        "embedding_near_duplicates_deterministic",
-        "kmeans_embedding_segments_det",
-        "token_shard_assignment",
-        "embedding_covariance",
-        "ranking_metrics_summary",
-        "customer_order_status_scd2",
-        "simhash_duplicate_pairs",  # Py4J-collapse same-round re-gate
-        "part_skyline",
-        "customer_user_cf_recommendations",
+        # age-1 families re-gating (sample of the 30); eleven reps
+        # rotate to never-yet-gated value-green siblings
+        "purchase_attribution_asof_tolerance",
+        "part_rules_wilson_ci",
+        "monthly_new_vs_returning_revenue",
+        "fuzzy_dedup_representatives",
+        "daily_revenue_momentum",
+        "orders_quality_report",
+        "part_price_deciles",
+        "customer_value_migration",
+        "event_value_outliers",
+        "event_type_cms_estimates",  # cms NULL-key fix re-gate
+        "snapshot_merge_orders",
+        "daily_revenue_ewma",  # lagsum plan-build collapse re-gate
+        "knn_bruteforce",  # _checked_vec NULL-contract re-gate
+        "chronological_split_counts",
+        "segment_revenue",
+        "top_parts_by_price",
         # serving-parity-pinned ALS scoring oracle stays gated
         "als_scoring_topk",
         # edit-adjacent anchors (vectorops edits re-gate same round)
         "ivfadc_rerank_knn",
         "pq_adc_knn",
         "ivf_knn_deterministic",
-        # VERDICT r9 ask #2: the real WAV/AVI decode gates earn their
-        # first driver rows via near-sibling anchor swaps
+        # multimodal anchor (real WAV decode)
         "media_audio_frames",
-        "video_frame_samples",
     ):
         assert must in GATE_PRIORITY, must
-    # the displaced near-siblings are hash-green r09 (age 1 after
-    # r10) and scheduled for the r11 rotation
-    for displaced in ("media_image_features", "knn_bruteforce"):
+    # displaced: video_frame_samples earned its first row r10 and
+    # cedes its anchor slot to the 30-family tier 1; the r09 reps
+    # whose slots rotated to first-row siblings are hash-green r09
+    for displaced in (
+        "video_frame_samples",
+        "purchase_next_click_asof",
+        "part_association_rules",
+        "weekly_cohort_retention",
+        "fuzzy_duplicate_pairs",
+        "daily_orders_gapfill",
+        "orders_profile",
+        "segment_price_quantiles",
+        "customer_rfm_segments",
+        "priority_revenue_trend",
+        "kmv_distinct_customers",
+        "snapshot_diff_orders",
+    ):
         assert displaced not in GATE_PRIORITY, displaced
     # the rows-only ml-lib k-means variant must have ceded its slot
     # to the value-checked deterministic sibling (VERDICT r3 ask #3)
