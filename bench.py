@@ -128,7 +128,12 @@ def _next_round() -> int:
 
     explicit = os.environ.get("SPARK_GRAFT_ROUND")
     if explicit:
-        return int(explicit)
+        if not re.fullmatch(r"\d+", explicit.strip()):
+            raise SystemExit(
+                f"SPARK_GRAFT_ROUND must be a bare round number "
+                f"(e.g. 11), got {explicit!r}"
+            )
+        return int(explicit.strip())
 
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [

@@ -27,6 +27,8 @@ value), so the oracle SQL is the plain ``SUM() OVER (ORDER BY ...)``.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,14 +45,32 @@ def _bucket_expr(order_col: str, boundaries: list[float]):
     class collapsed for the minhash (r9) and simhash (r10)
     signature columns. ``repr(float)`` is the shortest round-trip
     decimal, so the parsed double literal is bit-identical to the
-    F.lit it replaces."""
+    F.lit it replaces.
+
+    Non-finite boundaries (approxQuantile returns inf/nan when the
+    order column contains them) have no ``{b!r}D`` spelling —
+    ``infD``/``nanD`` parse as column references and fail analysis —
+    so those terms fall back to the F.lit comparison the collapse
+    replaced (r10 advice). The fast path is untouched when every
+    boundary is finite, which is every boundary approxQuantile can
+    produce from finite data."""
     if not boundaries:
         return F.lit(0)
-    terms = " + ".join(
-        f"(CASE WHEN `{order_col}` >= {b!r}D THEN 1 ELSE 0 END)"
-        for b in boundaries
+    finite = [b for b in boundaries if math.isfinite(b)]
+    expr = (
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN `{order_col}` >= {b!r}D THEN 1 ELSE 0 END)"
+                for b in finite
+            )
+        )
+        if finite
+        else F.lit(0)
     )
-    return F.expr(terms)
+    for b in boundaries:
+        if not math.isfinite(b):
+            expr = expr + F.when(F.col(order_col) >= F.lit(b), 1).otherwise(0)
+    return expr
 
 
 def bucketed_running_sum(

@@ -107,6 +107,12 @@ def count_min_sketch(
     One aggregation: each input row explodes to ``depth`` (row,
     bucket) cells (array literal → explode, no UDF) and the keyed
     count is map-side combined. Estimates are ``cms_estimate``.
+
+    NULL keys are excluded up front (complete-case, the same contract
+    as ``kmv_distinct``): a NULL key's md5-derived bucket is NULL, so
+    it would store sketch cells no probe can ever equi-join back to —
+    dead rows that also desync the sketch from ``count(col)``
+    semantics (r11 advice).
     """
     key = F.col(key_col)
     cells = F.array(
@@ -116,7 +122,8 @@ def count_min_sketch(
         ]
     )
     return (
-        df.select(F.explode(cells).alias("_c"))
+        df.filter(key.isNotNull())
+        .select(F.explode(cells).alias("_c"))
         .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -145,6 +152,12 @@ def cms_estimate(
     every bucket is populated, so this changes nothing there (r10
     self-review).
 
+    NULL probe keys are dropped up front, mirroring the build side
+    (complete-case, the ``kmv_distinct`` contract): a NULL key's
+    buckets are NULL and never equi-join, so under the left join it
+    would surface as a spurious est_count=0 row for a key the sketch
+    by contract never stored (r11 advice).
+
     Output: key column + ``est_count``.
     """
     key = F.col(key_col)
@@ -154,7 +167,9 @@ def cms_estimate(
             for i in range(depth)
         ]
     )
-    probe = keys.select(key_col, F.explode(cells).alias("_c")).select(
+    probe = keys.filter(key.isNotNull()).select(
+        key_col, F.explode(cells).alias("_c")
+    ).select(
         key_col, F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket")
     )
     return (

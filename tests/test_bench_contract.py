@@ -112,6 +112,15 @@ def test_next_round_env_override_wins(monkeypatch):
     assert bench._next_round() == 42
     monkeypatch.delenv("SPARK_GRAFT_ROUND")
     assert bench._next_round() >= 1
+    # malformed values fail with a named, actionable error instead of
+    # an uncaught ValueError traceback (r11 advice)
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "r11")
+    with pytest.raises(SystemExit, match="SPARK_GRAFT_ROUND"):
+        bench._next_round()
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", " 7 ")
+    assert bench._next_round() == 7
 
 
 def test_gate_priority_is_the_first_50_queries():

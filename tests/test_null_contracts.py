@@ -357,3 +357,25 @@ def test_balanced_sample_null_id_cannot_steal_slots(spark):
     b = _rows(balanced_sample_by_group(dirty, "src", 3, "doc_id"))
     # md5(NULL) sorted first and previously stole a sample slot
     assert a == b and len(a) == 3
+
+
+def test_cms_null_keys_excluded_on_both_sides(spark):
+    """Complete-case CMS (r11 advice): NULL keys are dropped at build
+    (their NULL buckets are unprobeable dead state) and at probe (the
+    left join otherwise surfaces a spurious est_count=0 row for a key
+    the sketch by contract never stored)."""
+    clean = spark.createDataFrame(
+        [(f"k{i % 3}",) for i in range(30)], "key string"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None,)] * 4, "key string")
+    )
+    sk_clean = SK.count_min_sketch(clean, "key")
+    sk_dirty = SK.count_min_sketch(dirty, "key")
+    # build side: NULL keys store nothing (no bucket=NULL dead rows)
+    assert _rows(sk_clean) == _rows(sk_dirty)
+    assert sk_dirty.filter(F.col("bucket").isNull()).count() == 0
+    # probe side: NULL probe keys yield no row, not est_count=0
+    probes = spark.createDataFrame([("k0",), (None,)], "key string")
+    est = _rows(SK.cms_estimate(sk_dirty, probes, "key"))
+    assert est == [("k0", 10)]

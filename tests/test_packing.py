@@ -80,3 +80,38 @@ def test_no_single_partition_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan[:2000]
     assert "BroadcastExchange" in plan  # offsets join back by broadcast
+
+
+def test_bucket_expr_survives_nonfinite_boundaries(spark):
+    """approxQuantile returns inf/nan boundaries when the order column
+    contains them; repr()-spliced they render as unresolvable infD /
+    nanD column refs (r11 advice). Non-finite terms fall back to the
+    F.lit comparison; finite-only inputs keep the one-expr fast path."""
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("inf"),)], "x double"
+    )
+    for bounds in (
+        [1.5, float("inf")],
+        [float("-inf"), 1.5],
+        [1.5, float("nan")],
+        [float("inf")],
+    ):
+        got = df.withColumn("b", PK._bucket_expr("x", bounds)).collect()
+        # same semantics as the pure-lit spelling, row for row
+        ref = df.withColumn(
+            "b",
+            sum(
+                (F.when(F.col("x") >= F.lit(b), 1).otherwise(0) for b in bounds),
+                start=F.lit(0),
+            ),
+        ).collect()
+        assert got == ref, bounds
+
+
+def test_bucket_expr_finite_path_is_one_sql_expr(spark):
+    """Guard the collapse itself: all-finite boundaries must not
+    regress to a per-boundary Column chain."""
+    col = PK._bucket_expr("x", [0.5, 1.5, 2.5])
+    # the parsed add-tree prints as a single CASE WHEN chain
+    s = str(col)
+    assert "CASE WHEN" in s and "nanD" not in s and "infD" not in s
