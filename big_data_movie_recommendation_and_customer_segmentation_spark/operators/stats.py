@@ -386,17 +386,39 @@ def ewma_lagsum(
     silently rounded -0.1234565 to -0.123456 — r06 advisor finding);
     both engines evaluate the identical expression, so cross-engine
     equality is unaffected.
-    """
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
-    num: Column = F.lit(0.0)
-    den: Column = F.lit(0.0)
+    The numerator/denominator add-trees are SQL-parsed in TWO exprs
+    instead of a when()-chain built term-by-term: the per-term Column
+    construction cost ~4 Py4J round-trips each (~50 per plan build at
+    W=8) — the same plan-build chatter class collapsed for the
+    minhash (r9), simhash (r10), and packing-bucket (r10) columns.
+    The SQL text mirrors the oracle's ``_ewma_sql`` form literally
+    (CAST'd repr weight literals, leading 0.0 term, identical
+    left-to-right term order), so the FP quotient stays bit-for-bit
+    replayable; window functions inline their OVER clause because
+    F.expr has no named-WINDOW scope.
+    """
+    over = (
+        "OVER (PARTITION BY "
+        + ", ".join(f"`{g}`" for g in group_cols)
+        + " ORDER BY "
+        + ", ".join(f"`{o}`" for o in order_cols)
+        + ")"
+    )
+    num_terms, den_terms = [], []
     for i in range(window):
-        lag_v = F.lag(value_col, i).over(w) if i else F.col(value_col)
-        weight = (1.0 - alpha) ** i
-        num = num + F.when(lag_v.isNotNull(), F.lit(weight) * lag_v).otherwise(F.lit(0.0))
-        den = den + F.when(lag_v.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+        lag_v = f"`{value_col}`" if i == 0 else f"lag(`{value_col}`, {i}) {over}"
+        weight = f"CAST({(1.0 - alpha) ** i!r} AS DOUBLE)"
+        num_terms.append(
+            f"CASE WHEN {lag_v} IS NOT NULL THEN {weight} * {lag_v}"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        )
+        den_terms.append(
+            f"CASE WHEN {lag_v} IS NOT NULL THEN {weight}"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        )
+    num: Column = F.expr("(CAST(0.0 AS DOUBLE) + " + " + ".join(num_terms) + ")")
+    den: Column = F.expr("(CAST(0.0 AS DOUBLE) + " + " + ".join(den_terms) + ")")
     scale = float(10 ** round_to)
     q = num / den
     return df.withColumn(

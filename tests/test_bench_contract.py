@@ -248,6 +248,21 @@ def test_gate_coverage_every_registry_name_has_evidence():
         md = f.read()
     missing_rows = [q for q in names if f"| {q} |" not in md]
     assert not missing_rows, f"GATE_COVERAGE.md missing rows: {missing_rows}"
+    # and it was regenerated AFTER the newest driver artifact landed —
+    # the r10 table shipped stale at r09 (VERDICT r10 ask #6)
+    import glob
+    import re
+
+    newest = max(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(os.path.dirname(md_path), "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    )
+    m = re.search(r"latest driver round: r(\d+)", md)
+    assert m and int(m.group(1)) == newest, (
+        f"GATE_COVERAGE.md generated at r{m and m.group(1)} but newest "
+        f"artifact is r{newest:02d} — rerun tools/gate_coverage.py"
+    )
 
 
 def test_family_map_covers_the_whole_registry():
