@@ -1,0 +1,88 @@
+"""Survey driver-side plan-BUILD latency for the gate window.
+
+Four plan-build chatter collapses so far (minhash r09, simhash r10,
+packing-bucket r10, ewma r11) each came from the same defect class: a
+Python loop constructing O(terms) Column objects at ~4 Py4J
+round-trips each. This tool measures, for each gated query, the time
+to construct the DataFrame and force analysis (no execution), so the
+next offender is found by measurement instead of by reading code.
+
+PERF.md §Round 8 measured ~75% of pair-join "warm time" as driver-side
+plan build — at 100 TB the EXECUTION dominates, but in interactive /
+many-small-queries use the build cost is the floor, and it is pure
+driver-side Py4J chatter that no cluster size amortizes.
+
+    python tools/plan_build_survey.py [--reps 3] [--top 15] [--all]
+
+Prints per-query median build ms, slowest first. Medians over reps
+(first build per JVM pays codegen/warmup noise; reps>=3 and median
+damp it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--all", action="store_true", help="whole registry, not just the gate window")
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    )
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
+    from big_data_movie_recommendation_and_customer_segmentation_spark.plans import GATE_PRIORITY
+
+    spark = get_spark(app_name="plan-build-survey")
+    queries = entrymod.queries()
+    names = list(queries) if args.all else [n for n in GATE_PRIORITY if n in queries]
+
+    # warm the session (parquet footer caches, first-plan JIT)
+    queries[names[0]](spark, args.sf_dir)._jdf.queryExecution().analyzed()
+
+    # A big build time means one of two very different things:
+    #   jobs > 0 — the builder runs EAGER Spark work (approxQuantile
+    #     boundaries, a seeded fit, an eager checkpoint): legitimate
+    #     bounded driver-side compute, not a chatter defect;
+    #   jobs == 0 — pure Py4J/analysis chatter: the collapsible class.
+    tracker = spark.sparkContext.statusTracker()
+
+    def _n_jobs() -> int:
+        ids = tracker.getJobIdsForGroup(None)
+        return (max(ids) + 1) if ids else 0
+
+    rows = []
+    for name in names:
+        times = []
+        jobs = 0
+        for _ in range(args.reps):
+            j0 = _n_jobs()
+            t0 = time.perf_counter()
+            df = queries[name](spark, args.sf_dir)
+            df._jdf.queryExecution().analyzed()
+            times.append((time.perf_counter() - t0) * 1000)
+            jobs = _n_jobs() - j0
+        rows.append((statistics.median(times), jobs, name))
+    rows.sort(reverse=True)
+
+    total = sum(ms for ms, _, _ in rows)
+    print(f"# {len(rows)} queries, reps={args.reps}, total median build {total:.0f} ms")
+    print(f"# {'build ms':>9}  {'jobs':>4}  query   (jobs>0 = eager compute, not chatter)")
+    for ms, jobs, name in rows[: args.top]:
+        print(f"{ms:9.1f}  {jobs:4d}  {name}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
