@@ -85,13 +85,26 @@ def kmv_distinct(
     return sk.select(*groups, est.alias(est_col), "n_seen")
 
 
-def _cms_bucket(key, row_i: int, width: int):
-    """Deterministic CMS hash row: first 32 md5 bits of "i:key" mod
-    width — replayable by any engine, no salt state."""
-    h = F.md5(F.concat(F.lit(f"{row_i}:"), key.cast("string")))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(width)).cast(
-        "int"
+def _cms_cells_expr(key_col: str, depth: int, width: int):
+    """The depth (row, bucket) cells for one key as ONE SQL-parsed
+    array expr. Bucket = first 32 md5 bits of "i:key" mod width —
+    deterministic and replayable by any engine, no salt state.
+
+    SQL-parsed instead of per-row F.md5/F.conv/F.substring Column
+    chains (~30 Py4J round-trips per depth row, ×2 query sides) —
+    the same plan-build chatter class collapsed for the minhash
+    (r9), simhash/packing (r10), and ewma (r11) columns; the parsed
+    expression tree is identical (conv returns STRING, CAST BIGINT,
+    ``% width`` in long, CAST INT), so plans and values are
+    unchanged."""
+    key = f"CAST(`{key_col}` AS STRING)"
+    cells = ", ".join(
+        f"named_struct('row', {i}, 'bucket', CAST(CAST(conv(substring("
+        f"md5(concat('{i}:', {key})), 1, 8), 16, 10) AS BIGINT)"
+        f" % {width} AS INT))"
+        for i in range(depth)
     )
+    return F.expr(f"array({cells})")
 
 
 def count_min_sketch(
@@ -114,15 +127,9 @@ def count_min_sketch(
     dead rows that also desync the sketch from ``count(col)``
     semantics (r11 advice).
     """
-    key = F.col(key_col)
-    cells = F.array(
-        *[
-            F.struct(F.lit(i).alias("row"), _cms_bucket(key, i, width).alias("bucket"))
-            for i in range(depth)
-        ]
-    )
+    cells = _cms_cells_expr(key_col, depth, width)
     return (
-        df.filter(key.isNotNull())
+        df.filter(F.col(key_col).isNotNull())
         .select(F.explode(cells).alias("_c"))
         .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -160,14 +167,8 @@ def cms_estimate(
 
     Output: key column + ``est_count``.
     """
-    key = F.col(key_col)
-    cells = F.array(
-        *[
-            F.struct(F.lit(i).alias("row"), _cms_bucket(key, i, width).alias("bucket"))
-            for i in range(depth)
-        ]
-    )
-    probe = keys.filter(key.isNotNull()).select(
+    cells = _cms_cells_expr(key_col, depth, width)
+    probe = keys.filter(F.col(key_col).isNotNull()).select(
         key_col, F.explode(cells).alias("_c")
     ).select(
         key_col, F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket")
