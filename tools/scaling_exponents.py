@@ -82,6 +82,18 @@ def materialize(df) -> None:
 
 
 def main() -> None:
+    # --queries q1,q2,... : measure an ad-hoc list instead of the
+    # standing subjects (r11: scaling rows for rotation first-row
+    # queries). sf1 points are taken when every table the query loads
+    # exists under benchdata/sf1; the ivfadc lifecycle legs are
+    # skipped in this mode.
+    adhoc: list[str] | None = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+        adhoc = [q.strip() for q in sys.argv[2].split(",") if q.strip()]
+        unknown = [q for q in adhoc if q not in QUERY_REGISTRY]
+        if unknown:
+            raise SystemExit(f"not in registry: {unknown}")
+
     spark = get_spark(app_name="bdmrcs-scaling")
     import gc
 
@@ -95,10 +107,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    queries = list(QUERIES) + [q for q in sorted(SF1_QUERIES) if q not in QUERIES]
+    if adhoc is not None:
+        queries = adhoc
+        sf1_queries = _sf1_capable(spark, adhoc)
+        print(f"# sf1-capable: {sorted(sf1_queries)}", file=sys.stderr)
+    else:
+        queries = list(QUERIES) + [q for q in sorted(SF1_QUERIES) if q not in QUERIES]
+        sf1_queries = SF1_QUERIES
     results: dict[str, dict[str, float]] = {}
     for name in queries:
-        sfs = SFS + [1] if name in SF1_QUERIES and os.path.isdir(SF1_DIR) else SFS
+        sfs = SFS + [1] if name in sf1_queries and os.path.isdir(SF1_DIR) else SFS
         per_sf: dict[str, float] = {}
         for sf in sfs:
             sf_dir = _sf_dir(sf)
@@ -113,9 +131,26 @@ def main() -> None:
         results[name] = per_sf
         print(f"# {name}: {per_sf}", file=sys.stderr)
 
-    results.update(ivfadc_lifecycle_points(spark, clean))
+    if adhoc is None:
+        results.update(ivfadc_lifecycle_points(spark, clean))
     print(json.dumps(make_report(results), indent=1))
     spark.stop()
+
+
+def _sf1_capable(spark, names: list[str]) -> set[str]:
+    """Queries whose plan builds successfully against benchdata/sf1 —
+    i.e. every table they load exists there (sf1 carries only the
+    bench-relevant tables: orders/lineitem/documents/embeddings)."""
+    capable: set[str] = set()
+    if not os.path.isdir(SF1_DIR):
+        return capable
+    for name in names:
+        try:
+            QUERY_REGISTRY[name](spark, SF1_DIR)
+            capable.add(name)
+        except Exception:  # noqa: BLE001 — missing table → no sf1 point
+            pass
+    return capable
 
 
 def ivfadc_lifecycle_points(spark, clean) -> dict[str, dict[str, float]]:
