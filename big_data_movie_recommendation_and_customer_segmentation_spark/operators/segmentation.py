@@ -131,6 +131,15 @@ def revenue_pareto(
     as the bucketed prefix sum over ``-revenue_cents`` with the
     customer key as the in-bucket tiebreak — no SinglePartition
     exchange (see packing.py module docstring).
+
+    Domain note (r11 negative-domain sweep): customers who net
+    NEGATIVE (refunds exceed sales) are kept and sort to the tail;
+    cum_share can then overshoot 1 through the positive prefix before
+    descending back to exactly 1 — shares of the smaller NET total,
+    deterministic and exact. head_flag still means "needed to reach
+    ``threshold`` of net revenue". A zero or undefined net total
+    (empty input, refunds exactly cancelling sales) yields NULL
+    cum_share/head_flag instead of a divide-by-zero job failure.
     """
     rev = orders.groupBy(F.col(customer_col).alias("customer_id")).agg(
         F.round(F.sum(amount_col), 2).alias("revenue")
@@ -149,19 +158,28 @@ def revenue_pareto(
         tiebreak_cols=["customer_id"],
     ).drop("_neg_rev")
 
-    total_cents = run.agg(F.sum("revenue_cents")).first()[0]  # bounded scalar
+    # Bounded scalar; None on an empty relation (float(None) crashed
+    # the driver) and 0 when refunds exactly cancel sales — both have
+    # no defined revenue share, so try_divide yields NULL cum_share /
+    # head_flag instead of an ANSI divide-by-zero job failure (r11
+    # negative-domain sweep).
+    total_cents = run.agg(F.sum("revenue_cents")).first()[0] or 0
     return (
         run.withColumn(
             "cum_share",
-            F.round(F.col("_cum_cents") / F.lit(float(total_cents)), 6),
+            F.round(
+                F.try_divide(F.col("_cum_cents"), F.lit(float(total_cents))), 6
+            ),
         )
         .withColumn(
             "head_flag",
             # strictly-before-this-row share < threshold ⇒ this row is
             # still needed to reach the threshold.
             (
-                (F.col("_cum_cents") - F.col("revenue_cents"))
-                / F.lit(float(total_cents))
+                F.try_divide(
+                    F.col("_cum_cents") - F.col("revenue_cents"),
+                    F.lit(float(total_cents)),
+                )
                 < F.lit(threshold)
             ).cast("int"),
         )
@@ -228,6 +246,13 @@ def gini_coefficient(
     single-number inequality companion to the 80/20 Pareto curve
     (0 = everyone equal, →1 = one customer is the business).
 
+    Domain note (r11 negative-domain sweep): the [0, 1] reading
+    assumes non-negative net revenue per customer. Customers who net
+    NEGATIVE (refunds exceed sales) are kept — revenue is signed data
+    — and the exact signed identity can then leave [0, 1] (classical
+    Gini is undefined there; deterministic, not clamped). Zero or
+    undefined net total → NULL gini, never a divide-by-zero failure.
+
     Uses the identity ``G = (2·Σ_r C_r − (n+1)·T) / (n·T)`` where
     ``C_r`` is the cumulative revenue after the r-th largest customer
     and ``T`` the total — i.e. one aggregate over the SAME bucketed
@@ -260,9 +285,12 @@ def gini_coefficient(
         F.sum("revenue_cents").alias("_t"),
         F.sum("_cum_cents").alias("_s"),
     )
-    gini = (
-        (F.lit(2) * F.col("_s") - (F.col("_n") + 1) * F.col("_t")).cast("double")
-        / (F.col("_n") * F.col("_t")).cast("double")
+    # try_divide: zero NET revenue (refunds exactly cancel sales, or
+    # an empty relation) has no defined concentration — NULL, not an
+    # ANSI divide-by-zero job failure (r11 negative-domain sweep)
+    gini = F.try_divide(
+        (F.lit(2) * F.col("_s") - (F.col("_n") + 1) * F.col("_t")).cast("double"),
+        (F.col("_n") * F.col("_t")).cast("double"),
     )
     return agg.select(
         F.col("_n").alias("n_customers"),
