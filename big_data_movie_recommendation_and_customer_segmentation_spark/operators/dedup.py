@@ -400,6 +400,7 @@ def simhash_duplicate_pairs(
     n_bands: int = 4,
     bits: int = 64,
     base_hash: str = "xxhash64",
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -412,11 +413,26 @@ def simhash_duplicate_pairs(
     ``base_hash='md5'`` + ``bits=60`` makes the whole pipeline
     reproducible in the SQL oracle (see ``simhash``).
 
+    ``max_band_freq`` is the degenerate-content governor — the
+    simhash analog of ``max_shingle_freq`` (minhash/ngram) and
+    ``max_band_size`` (fuzzy): band VALUES shared by more than that
+    many docs are dropped from candidate generation, so a corpus with
+    millions of copies of one boilerplate template (identical
+    fingerprint ⇒ every band equal) can't turn the band join into an
+    N²-per-template pass. Pairs inside a dropped mega-bucket are the
+    documented recall loss — at that multiplicity they are exact
+    duplicates and belong to ``dedup_exact`` upstream, the same
+    layering contract the minhash governor documents. Default
+    ``None`` preserves the exact ungoverned plan. Empty/whitespace
+    docs never reach the join at all: zero tokens ⇒ no vote rows ⇒
+    no fingerprint (pinned in tests/test_degenerate_content_contracts).
+
     The signature relation feeds all ``2·n_bands`` join legs uncached:
     every leg reads the same doc-keyed aggregate, so ReuseExchange
     shares the one shuffle (a ``.cache()`` here leaked executor
     storage across repeated calls — grid sweeps, benchmarks — and
-    measured no faster at sf0.1; see PERF.md).
+    measured no faster at sf0.1; see PERF.md). The governor's
+    per-band frequency aggregate reads that same exchange.
     """
     sigs = simhash(df, id_col, text_col, bits=bits, base_hash=base_hash)
     band_bits = bits // n_bands
@@ -426,6 +442,15 @@ def simhash_duplicate_pairs(
         band = F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
         a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), band.alias("band"))
         bb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), band.alias("band"))
+        if max_band_freq is not None:
+            ok = (
+                sigs.groupBy(band.alias("band"))
+                .agg(F.count(F.lit(1)).alias("_bn"))
+                .filter(F.col("_bn") <= F.lit(int(max_band_freq)))
+                .select("band")
+            )
+            a = a.join(ok, "band")
+            bb = bb.join(ok, "band")
         cand = a.join(bb, "band").filter(F.col("doc_a") < F.col("doc_b")).drop("band")
         candidates = cand if candidates is None else candidates.unionByName(cand)
     out = (
