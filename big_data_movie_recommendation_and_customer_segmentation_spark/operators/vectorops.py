@@ -693,6 +693,7 @@ def embedding_near_duplicates_deterministic(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_key_freq: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs via the deterministic sign-LSH
     self-join (the oracle-checkable sibling of
@@ -700,8 +701,25 @@ def embedding_near_duplicates_deterministic(
     md5-derived hyperplane sign keys, candidates rescore with exact
     cosine, a < b dedup. Shuffle is keyed on (table, key) — cost
     tracks bucket collision density, never the N² pair space.
+
+    ``max_key_freq`` is the degenerate-content governor (the
+    embedding analog of simhash's ``max_band_freq``, SCALE.md §22):
+    N copies of one embedding — templated content through a
+    deterministic embedding model — share every (table, key) and
+    would emit C(N,2) candidates; buckets larger than the cap are
+    dropped from candidate generation. Mass-identical vectors belong
+    to exact dedup upstream (fingerprint the vector bytes). Default
+    ``None`` preserves the exact ungoverned plan.
     Output: id_a, id_b, cos_sim."""
     sig = hyperplane_signatures(df, id_col, vec_col, n_tables, bits_per_table, dim=dim)
+    if max_key_freq is not None:
+        ok = (
+            sig.groupBy("table_id", "key")
+            .agg(F.count(F.lit(1)).alias("_kn"))
+            .filter(F.col("_kn") <= F.lit(int(max_key_freq)))
+            .select("table_id", "key")
+        )
+        sig = sig.join(ok, ["table_id", "key"])
     a = sig.select(F.col(id_col).alias("id_a"), "table_id", "key")
     b = sig.select(F.col(id_col).alias("id_b"), "table_id", "key")
     cand = (
@@ -879,7 +897,11 @@ def semantic_dedup(
     ~N/5000 at corpus scale) so each cluster's pair block fits an
     executor, and raise ``iters`` only as codegen depth allows. No
     all-pairs path: cross-cluster near-dups are deliberately out of
-    scope (that is SemDeDup's recall/cost trade).
+    scope (that is SemDeDup's recall/cost trade). One input shape no
+    k fixes: millions of IDENTICAL embeddings (templated content
+    through a deterministic encoder) land in one cluster and square
+    there — exact-dedup the vectors upstream first, the same
+    layering contract as the text ladder's governors (SCALE.md §22).
 
     Output: ``id_col``, ``segment``, ``kept`` (true = survivor).
     """

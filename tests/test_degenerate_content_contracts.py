@@ -80,6 +80,37 @@ def test_simhash_band_governor_bounds_boilerplate_and_is_lossless_below_cap(spar
     assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, base.collect()))
 
 
+def test_embedding_lsh_key_governor_bounds_identical_vectors(spark):
+    """N identical embeddings share every sign-LSH (table, key) and
+    emit C(N,2) candidates ungoverned; max_key_freq drops the
+    mega-buckets and is pair-for-pair lossless below the cap."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import vectorops as VO
+
+    # the genuine pair points AWAY from the clique (sign-LSH keys of
+    # near-opposite vectors differ), so governing the clique's
+    # mega-buckets must not touch it
+    vec = [1.0, 0.0, 2.0, -1.0]
+    rows = [(i, vec) for i in range(10)] + [
+        (100, [-0.5, -0.1, -1.0, 0.4]),
+        (101, [-0.5, -0.11, -1.0, 0.41]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    base = VO.embedding_near_duplicates_deterministic(df, min_cosine=0.9, dim=4)
+    n_base = base.count()
+    assert n_base >= 45  # the identical clique pairs all emitted
+    governed = VO.embedding_near_duplicates_deterministic(
+        df, min_cosine=0.9, dim=4, max_key_freq=8
+    )
+    got = {(r["id_a"], r["id_b"]) for r in governed.collect()}
+    assert (100, 101) in got  # genuine near-dup survives
+    assert not {p for p in got if p[0] < 100 and p[1] < 100}  # clique governed away
+    # below the cap: identical output
+    loose = VO.embedding_near_duplicates_deterministic(
+        df, min_cosine=0.9, dim=4, max_key_freq=1000
+    )
+    assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, base.collect()))
+
+
 def test_fuzzy_empty_docs_pair_at_distance_zero_under_band_governor(spark):
     df = _docs(spark)
     pairs = DD.fuzzy_edit_pairs(df, "doc_id", "text", max_dist=2)
