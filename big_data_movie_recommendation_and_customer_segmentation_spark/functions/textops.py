@@ -191,6 +191,31 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(sh) > 0, sh).otherwise(F.array(F.array_join(tokens(norm), " ")))
 
 
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles → array<string>; the MinHash input
+    unit for scripts whitespace tokenization can't segment (CJK, Thai,
+    …) where ``word_shingles`` degrades to one whole-doc shingle and
+    near-dup detection collapses to exact-dup. Standard remedy in
+    web-scale dedup (e.g. Broder's original shingling is
+    character-based).
+
+    Same single-regex-pass shape as ``word_shingles`` — an
+    overlapping lookahead capture at every character position,
+    ``(?=(.{n}))`` with DOTALL so no codepoint terminates a window —
+    one codegen'd expression, no HOF lambdas. Documents shorter than
+    ``n`` chars yield their whole normalized text as one shingle
+    (empty docs ⇒ the universal ``''`` shingle — govern with
+    ``max_shingle_freq`` exactly like the word unit; SCALE.md §22).
+    DuckDB's RE2 has no lookahead, so the oracle spells the identical
+    set as ``list_transform(range(1, len(norm) - n + 2),
+    i -> substr(norm, i, n))`` (guarded by the short-doc CASE) —
+    verified shingle-set-identical in tests.
+    """
+    norm = normalized_text(text)
+    sh = F.regexp_extract_all(norm, F.lit(r"(?s)(?=(." + "{%d}" % n + r"))"), 1)
+    return F.when(F.size(sh) > 0, sh).otherwise(F.array(norm))
+
+
 def chunk_documents(
     df,
     id_col: str,

@@ -66,11 +66,24 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def _shingle_pairs(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingle_fn(unit: str):
+    """word_shingles / char_shingles by unit name. ``'char'`` is the
+    standard fallback for scripts whitespace can't segment (CJK,
+    Thai) where the word unit degrades to one whole-doc shingle and
+    near-dup collapses to exact-dup."""
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    return TX.word_shingles if unit == "word" else TX.char_shingles
+
+
+def _shingle_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int, unit: str = "word"
+) -> DataFrame:
     """(doc, shingle) exploded relation — the dedup analog of the
-    user×item rated relation."""
+    user×item rated relation. ``unit`` per ``_shingle_fn``."""
+    shingles = _shingle_fn(unit)
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(TX.word_shingles(text_col, n)).alias("shingle"))
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -85,8 +98,12 @@ def ngram_jaccard_pairs(
     prune_unique_shingles: bool = False,
     materialize_pairs: bool = False,
     hash_shingles: bool = False,
+    unit: str = "word",
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard near-dup pairs (ground truth).
+    """Exact n-gram Jaccard near-dup pairs (ground truth).
+
+    ``unit='char'`` shingles by character n-gram (default word) —
+    the standard fallback for unsegmented scripts; pick n≈5-8 chars.
 
     Reuses the distributed set-similarity join from user similarity —
     shingles are the items. ``max_shingle_freq`` prunes boilerplate
@@ -107,16 +124,17 @@ def ngram_jaccard_pairs(
         # hash BEFORE the distinct so even that first shuffle moves
         # 8-byte ints; the distinct then deduplicates at hash level
         # (mirrored in the oracle)
+        shingles = _shingle_fn(unit)
         pairs = (
             df.select(
                 F.col(id_col).alias("doc"),
-                F.explode(TX.word_shingles(text_col, n)).alias("_s"),
+                F.explode(shingles(text_col, n)).alias("_s"),
             )
             .select("doc", TX.shared_token_hash60(F.col("_s")).alias("shingle"))
             .distinct()
         )
     else:
-        pairs = _shingle_pairs(df, id_col, text_col, n)
+        pairs = _shingle_pairs(df, id_col, text_col, n, unit=unit)
     out = exact_jaccard_pairs(
         pairs, "doc", "shingle", threshold=threshold, max_item_freq=max_shingle_freq,
         prune_unique_items=prune_unique_shingles, materialize_pairs=materialize_pairs,
@@ -203,6 +221,7 @@ def minhash_duplicate_pairs(
     max_shingle_freq: int | None = None,
     base_hash: str = "xxhash64",
     materialize_pairs: bool = False,
+    unit: str = "word",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard rescore:
     shingle → minhash signature → banded candidate join → rescore.
@@ -232,7 +251,7 @@ def minhash_duplicate_pairs(
     leak in any long-lived session (measured at sf0.1: uncached is
     not slower; see PERF.md).
     """
-    pairs = _shingle_pairs(df, id_col, text_col, n)
+    pairs = _shingle_pairs(df, id_col, text_col, n, unit=unit)
     return minhash_set_pairs(
         pairs,
         threshold=threshold,
@@ -662,6 +681,7 @@ def ngram_containment_pairs(
     materialize_pairs: bool = False,
     hash_shingles: bool = False,
     round_to: int = 6,
+    unit: str = "word",
 ) -> DataFrame:
     """Asymmetric near-dup pairs by shingle CONTAINMENT:
     ``containment = |A∩B| / min(|A|, |B|)`` — flags a truncated or
@@ -681,7 +701,7 @@ def ngram_containment_pairs(
     out = ngram_jaccard_pairs(
         df, id_col, text_col, n=n, threshold=0.0,
         max_shingle_freq=max_shingle_freq, materialize_pairs=materialize_pairs,
-        hash_shingles=hash_shingles,
+        hash_shingles=hash_shingles, unit=unit,
     )
     containment = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
     return (
