@@ -115,6 +115,64 @@ def normalized_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+# Unicode-range classes for script detection. Java regex and RE2 both
+# accept literal \\uXXXX-range character classes, so the oracle can
+# replay the same counts. "cjk" deliberately covers Han + kana +
+# Hangul + CJK punctuation/fullwidth — the unsegmented-script signal
+# that routes a doc to the char shingle unit.
+SCRIPT_RANGES = {
+    "latin": r"[A-Za-zÀ-ɏ]",
+    "cjk": r"[　-ヿ㐀-䶿一-鿿가-힯＀-￯]",
+    "cyrillic": r"[Ѐ-ӿ]",
+    "arabic": r"[؀-ۿ]",
+    "digit": r"[0-9]",
+}
+SCRIPT_PRIORITY = ("latin", "cjk", "cyrillic", "arabic", "digit")
+UNSEGMENTED_SCRIPTS = ("cjk",)  # scripts whitespace tokenization can't split
+
+
+def script_shares(text: Column | str, round_to: int = 4) -> Column:
+    """Per-document script profile → struct of non-whitespace
+    character SHARES per ``SCRIPT_RANGES`` class plus ``other`` and
+    ``n_chars`` — the routing signal multilingual corpus prep needs
+    before tokenization decisions (which docs take the word vs char
+    shingle unit, which language buckets exist, …).
+
+    One ``regexp_count`` per class over the whitespace-stripped text
+    — pure codegen'd column algebra, map-local. All-whitespace/empty
+    docs yield n_chars=0 and NULL shares (try_divide), matching the
+    complete-case contract. SQL: the identical
+    ``len(regexp_extract_all(strip, range_re))``-style counts divide
+    the same way in DuckDB.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    strip = F.regexp_replace(c, r"\s+", "")
+    n = F.length(strip)
+    counts = {k: F.regexp_count(strip, F.lit(rng)) for k, rng in SCRIPT_RANGES.items()}
+    other = n - sum(counts.values())
+    fields = [
+        F.round(F.try_divide(counts[k], n), round_to).alias(k) for k in SCRIPT_PRIORITY
+    ]
+    fields.append(F.round(F.try_divide(other, n), round_to).alias("other"))
+    fields.append(n.alias("n_chars"))
+    return F.struct(*fields)
+
+
+def dominant_script(text: Column | str) -> Column:
+    """Argmax script class from ``script_shares`` ('und' for empty
+    docs; ties break by SCRIPT_PRIORITY order, same cascade shape as
+    ``lang_id``). ``dominant_script(t) IN UNSEGMENTED_SCRIPTS`` is
+    the routing predicate for the char shingle unit
+    (``dedup.*(unit='char')``)."""
+    s = script_shares(text)
+    shares = {k: s[k] for k in SCRIPT_PRIORITY + ("other",)}
+    best = F.greatest(*shares.values())
+    expr = F.lit("und")
+    for k in reversed(SCRIPT_PRIORITY + ("other",)):
+        expr = F.when(shares[k].isNotNull() & (shares[k] == best), F.lit(k)).otherwise(expr)
+    return expr
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic 128-bit content fingerprint: md5 of the
     normalized text. SQL: ``md5(...normalized...)`` (DuckDB md5
