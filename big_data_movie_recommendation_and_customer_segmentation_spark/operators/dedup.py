@@ -517,6 +517,7 @@ def ngram_decontaminate(
     text_col: str,
     n: int = 13,
     bench_text_col: str | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """N-gram-overlap decontamination (the GPT-3 appendix-C
     standard, Brown et al. 2020: 13-gram collision with an eval set):
@@ -532,15 +533,21 @@ def ngram_decontaminate(
     back into the anti-join. If a pathological benchmark flags a
     large fraction of the corpus, swap the final broadcast for a
     plain shuffled anti-join — correctness is unchanged.
+
+    ``unit='char'`` shingles by character n-gram (pick n≈20-30 chars
+    to mirror the 13-word standard) — required for unsegmented-script
+    eval sets (CJK) where a word 13-gram never exists and the word
+    unit silently checks whole-document equality only.
     """
     bt = bench_text_col or text_col
+    shingles = _shingle_fn(unit)
     bench_h = (
-        benchmark.select(F.explode(TX.word_shingles(bt, n)).alias("_s"))
+        benchmark.select(F.explode(shingles(bt, n)).alias("_s"))
         .select(TX.shared_token_hash60(F.col("_s")).alias("_bh"))
         .distinct()
     )
     flagged = (
-        corpus.select(F.col(id_col), F.explode(TX.word_shingles(text_col, n)).alias("_s"))
+        corpus.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("_s"))
         .select(id_col, TX.shared_token_hash60(F.col("_s")).alias("_h"))
         .join(F.broadcast(bench_h), F.col("_h") == F.col("_bh"), "left_semi")
         .select(id_col)

@@ -95,6 +95,28 @@ def test_char_unit_recovers_cjk_near_dups_word_unit_misses(spark):
     assert [(r["doc_a"], r["doc_b"]) for r in mh.collect()] == [("a", "b")]
 
 
+def test_char_unit_decontamination_catches_cjk_quote(spark):
+    """A CJK eval question quoted inside a larger corpus doc: the
+    word unit sees no shared 13-gram (unsegmented text has no word
+    n-grams), the char unit flags it."""
+    bench = spark.createDataFrame(
+        [("q1", "吾輩は猫である名前はまだ無い")], "qid string, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("d1", "前置きの文章。吾輩は猫である名前はまだ無い。後続の文章がここに続く"),
+            ("d2", "まったく無関係な別の文書でありこの中に引用は一切存在しないものとする"),
+        ],
+        "doc_id string, text string",
+    )
+    word_kept = DD.ngram_decontaminate(corpus, bench, "doc_id", "text", n=13)
+    assert {r["doc_id"] for r in word_kept.collect()} == {"d1", "d2"}  # miss
+    char_kept = DD.ngram_decontaminate(
+        corpus, bench, "doc_id", "text", n=13, unit="char"
+    )
+    assert {r["doc_id"] for r in char_kept.collect()} == {"d2"}  # d1 flagged
+
+
 def test_char_unit_rejects_unknown_unit(spark):
     df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
     import pytest
