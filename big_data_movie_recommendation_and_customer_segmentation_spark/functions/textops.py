@@ -121,7 +121,10 @@ def normalized_text(text: Column | str) -> Column:
 # Hangul + CJK punctuation/fullwidth — the unsegmented-script signal
 # that routes a doc to the char shingle unit.
 SCRIPT_RANGES = {
-    "latin": r"[A-Za-zÀ-ɏ]",
+    # À-Ö / Ø-ö / ø-ɏ skip the two non-letters in Latin-1 supplement,
+    # × (U+00D7) and ÷ (U+00F7), which would otherwise count as
+    # latin letters (r11 self-review)
+    "latin": r"[A-Za-zÀ-ÖØ-öø-ɏ]",
     "cjk": r"[　-ヿ㐀-䶿一-鿿가-힯＀-￯]",
     "cyrillic": r"[Ѐ-ӿ]",
     "arabic": r"[؀-ۿ]",
@@ -159,18 +162,31 @@ def script_shares(text: Column | str, round_to: int = 4) -> Column:
 
 
 def dominant_script(text: Column | str) -> Column:
-    """Argmax script class from ``script_shares`` ('und' for empty
-    docs; ties break by SCRIPT_PRIORITY order, same cascade shape as
-    ``lang_id``). ``dominant_script(t) IN UNSEGMENTED_SCRIPTS`` is
-    the routing predicate for the char shingle unit
-    (``dedup.*(unit='char')``)."""
-    s = script_shares(text)
-    shares = {k: s[k] for k in SCRIPT_PRIORITY + ("other",)}
-    best = F.greatest(*shares.values())
-    expr = F.lit("und")
-    for k in reversed(SCRIPT_PRIORITY + ("other",)):
-        expr = F.when(shares[k].isNotNull() & (shares[k] == best), F.lit(k)).otherwise(expr)
-    return expr
+    """Argmax script class by character count ('und' for empty docs;
+    ties break by SCRIPT_PRIORITY order, then 'other').
+    ``dominant_script(t) IN UNSEGMENTED_SCRIPTS`` is the routing
+    predicate for the char shingle unit (``dedup.*(unit='char')``).
+
+    Built as ONE counts array + ``array_position(array_max)`` +
+    ``element_at`` into a literal name array — the counts subtree
+    appears exactly twice in the plan (once under array_max, once
+    under array_position). The obvious when()-cascade over
+    ``script_shares(t)[k]`` copies the whole 5-regex struct at every
+    shares/greatest reference — measured 480 RegExpCount nodes and a
+    52k-char analyzed plan for ONE output column (r11 self-review);
+    this form carries 20. Argmax over counts ≡ argmax over shares
+    (same denominator), and ``array_position`` returns the FIRST
+    maximal index, which encodes the priority tiebreak."""
+    c = F.col(text) if isinstance(text, str) else text
+    strip = F.regexp_replace(c, r"\s+", "")
+    n = F.length(strip)
+    counts = [F.regexp_count(strip, F.lit(SCRIPT_RANGES[k])) for k in SCRIPT_PRIORITY]
+    arr = F.array(*counts, n - sum(counts))  # trailing 'other'
+    idx = F.array_position(arr, F.array_max(arr))
+    names = F.array(*[F.lit(nm) for nm in SCRIPT_PRIORITY + ("other",)])
+    return F.when(n == 0, F.lit("und")).otherwise(
+        F.coalesce(F.element_at(names, idx.cast("int")), F.lit("und"))
+    )
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -257,21 +273,31 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
     web-scale dedup (e.g. Broder's original shingling is
     character-based).
 
-    Same single-regex-pass shape as ``word_shingles`` — an
-    overlapping lookahead capture at every character position,
-    ``(?=(.{n}))`` with DOTALL so no codepoint terminates a window —
-    one codegen'd expression, no HOF lambdas. Documents shorter than
-    ``n`` chars yield their whole normalized text as one shingle
-    (empty docs ⇒ the universal ``''`` shingle — govern with
-    ``max_shingle_freq`` exactly like the word unit; SCALE.md §22).
-    DuckDB's RE2 has no lookahead, so the oracle spells the identical
-    set as ``list_transform(range(1, len(norm) - n + 2),
-    i -> substr(norm, i, n))`` (guarded by the short-doc CASE) —
-    verified shingle-set-identical in tests.
+    NOT the regex-lookahead shape ``word_shingles`` uses: Java's
+    Matcher advances zero-width matches by one UTF-16 code UNIT, so
+    ``(?s)(?=(.{n}))`` emits extra surrogate-corrupt shingles on any
+    non-BMP character (emoji, CJK Extension B ideographs — routine in
+    exactly the text this unit targets; found by r11 self-review,
+    executable repro in tests). Instead: ``transform(sequence(1,
+    greatest(length-n+1, 1)), i -> substring(norm, i, n))`` —
+    ``length``/``substring`` count CODEPOINTS, and the formulation is
+    literally the DuckDB oracle spelling (``list_transform(range(...),
+    i -> substr(...))``), so cross-engine shingle sets match by
+    construction. The HOF evaluates one interpreted ``substring`` per
+    character position — measured flat against the downstream
+    governed join at sf0.1 (SCALE.md §22b).
+
+    Documents shorter than ``n`` chars yield their whole normalized
+    text as one shingle (empty docs ⇒ the universal ``''`` shingle —
+    govern with ``max_shingle_freq`` exactly like the word unit;
+    SCALE.md §22).
     """
     norm = normalized_text(text)
-    sh = F.regexp_extract_all(norm, F.lit(r"(?s)(?=(." + "{%d}" % n + r"))"), 1)
-    return F.when(F.size(sh) > 0, sh).otherwise(F.array(norm))
+    n_chars = F.length(norm)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chars - F.lit(n - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, n),
+    )
 
 
 def chunk_documents(

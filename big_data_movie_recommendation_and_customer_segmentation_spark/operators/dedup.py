@@ -459,17 +459,22 @@ def simhash_duplicate_pairs(
     candidates = None
     for b in range(n_bands):
         band = F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
-        a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), band.alias("band"))
-        bb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), band.alias("band"))
+        leg = sigs
         if max_band_freq is not None:
+            # whitelist ONE side of the inner equi-join — filtering
+            # the shared leg relation before the a/b split excludes
+            # every mega-bucket pair with a single join instead of
+            # two (r11 self-review; same shape as the embedding
+            # governor in vectorops)
             ok = (
                 sigs.groupBy(band.alias("band"))
                 .agg(F.count(F.lit(1)).alias("_bn"))
                 .filter(F.col("_bn") <= F.lit(int(max_band_freq)))
                 .select("band")
             )
-            a = a.join(ok, "band")
-            bb = bb.join(ok, "band")
+            leg = sigs.withColumn("band", band).join(ok, "band").drop("band")
+        a = leg.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), band.alias("band"))
+        bb = leg.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), band.alias("band"))
         cand = a.join(bb, "band").filter(F.col("doc_a") < F.col("doc_b")).drop("band")
         candidates = cand if candidates is None else candidates.unionByName(cand)
     out = (

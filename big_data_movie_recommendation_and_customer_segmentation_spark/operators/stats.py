@@ -398,13 +398,18 @@ def ewma_lagsum(
     replayable; window functions inline their OVER clause because
     F.expr has no named-WINDOW scope.
     """
-    over = (
-        "OVER (PARTITION BY "
-        + ", ".join(f"`{g}`" for g in group_cols)
-        + " ORDER BY "
-        + ", ".join(f"`{o}`" for o in order_cols)
-        + ")"
+    # empty group_cols = one global series (the Window.partitionBy()
+    # form the SQL collapse replaced accepted it; emitting an empty
+    # PARTITION BY list is a parse error — r11 self-review). Empty
+    # order_cols never meant anything for a lag and now fails fast.
+    if not order_cols:
+        raise ValueError("ewma_lagsum requires at least one order column")
+    partition = (
+        "PARTITION BY " + ", ".join(f"`{g}`" for g in group_cols) + " "
+        if group_cols
+        else ""
     )
+    over = f"OVER ({partition}ORDER BY " + ", ".join(f"`{o}`" for o in order_cols) + ")"
     num_terms, den_terms = [], []
     for i in range(window):
         lag_v = f"`{value_col}`" if i == 0 else f"lag(`{value_col}`, {i}) {over}"

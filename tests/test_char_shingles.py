@@ -29,6 +29,13 @@ CASES = [
     "夏目漱石は明治の文豪である",
     "exact",  # len == n
     "línea acentuada über straße",
+    # non-BMP: surrogate pairs in UTF-16 — the r11 self-review found
+    # the regex-lookahead formulation emitted surrogate-corrupt extra
+    # shingles here (Java Matcher advances zero-width matches by one
+    # UTF-16 unit); Python strings are codepoint-indexed, so _naive
+    # is the ground truth
+    "a😀b😁c😂d",
+    "𠜎𠜱𠝹𠱓𠱸𠲖爨爩",  # CJK Extension B ideographs
 ]
 
 

@@ -117,6 +117,23 @@ def test_ewma_constant_series_is_constant(spark):
     assert all(r["ewma"] == pytest.approx(5.0, abs=1e-6) for r in out)
 
 
+def test_ewma_empty_group_cols_is_one_global_series(spark):
+    """The r11 SQL-collapse emitted 'PARTITION BY ' with no columns
+    for group_cols=[] — a parse error the Window.partitionBy() form
+    never had (r11 self-review). Ungrouped must equal grouped-by-a-
+    constant, and empty order_cols fails fast."""
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0]
+    df = spark.createDataFrame([("g", d, v) for d, v in _days(vals)],
+                               "g string, day timestamp, v double")
+    got = sorted(ST.ewma_lagsum(df, [], ["day"], "v", alpha=0.3, window=3).collect(),
+                 key=lambda r: r["day"])
+    want = sorted(ST.ewma_lagsum(df, ["g"], ["day"], "v", alpha=0.3, window=3).collect(),
+                  key=lambda r: r["day"])
+    assert [r["ewma"] for r in got] == [r["ewma"] for r in want]
+    with pytest.raises(ValueError, match="order column"):
+        ST.ewma_lagsum(df, ["g"], [], "v")
+
+
 def test_ewma_first_row_equals_value(spark):
     df = spark.createDataFrame([("g", d, v) for d, v in _days([7.0, 1.0])],
                                "g string, day timestamp, v double")

@@ -19,6 +19,7 @@ CASES = [
     ("empty", "", "und"),
     ("ws", "   \t ", "und"),
     ("mixed", "Tokyo 東京 2020", "latin"),  # 5 latin vs 2 cjk vs 4 digit
+    ("math", "5×3 7÷2", "digit"),  # × ÷ are NOT latin letters
 ]
 
 

@@ -1,5 +1,7 @@
 """Generic interleaved A/B for ONE query between HEAD and a baseline
-build (generalizes tools/ab_pairjoin_drift.py, VERDICT r10 ask #4).
+build (replaces the pair-join-specific tools/ab_pairjoin_drift.py,
+which produced AB_DRIFT_r08.json before being generalized and removed
+— three invocations of this tool reproduce it; VERDICT r10 ask #4).
 
 Cross-session bench numbers on this host carry ±15-25% noise (PERF.md
 §Round 8), so a per-query regression claim is only admissible from

@@ -88,7 +88,11 @@ def main() -> None:
     # exists under benchdata/sf1; the ivfadc lifecycle legs are
     # skipped in this mode.
     adhoc: list[str] | None = None
-    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+    if len(sys.argv) > 1 and sys.argv[1] == "--queries":
+        # a missing/empty list must fail fast, not silently fall
+        # through to the full multi-SF standing sweep (r11 self-review)
+        if len(sys.argv) < 3 or not sys.argv[2].strip():
+            raise SystemExit("usage: scaling_exponents.py --queries q1,q2,...")
         adhoc = [q.strip() for q in sys.argv[2].split(",") if q.strip()]
         unknown = [q for q in adhoc if q not in QUERY_REGISTRY]
         if unknown:
