@@ -125,7 +125,11 @@ SCRIPT_RANGES = {
     # × (U+00D7) and ÷ (U+00F7), which would otherwise count as
     # latin letters (r11 self-review)
     "latin": r"[A-Za-zÀ-ÖØ-öø-ɏ]",
-    "cjk": r"[　-ヿ㐀-䶿一-鿿가-힯＀-￯]",
+    # BMP CJK blocks + supplementary Han (Ext B–F, U+20000–U+2EBEF):
+    # non-BMP ideographs are routine in classical-Chinese corpora and
+    # both Java regex and RE2 accept literal non-BMP range endpoints
+    # (verified count-identical cross-engine)
+    "cjk": r"[　-ヿ㐀-䶿一-鿿가-힯＀-￯𠀀-𮯠]",
     "cyrillic": r"[Ѐ-ӿ]",
     "arabic": r"[؀-ۿ]",
     "digit": r"[0-9]",

@@ -20,6 +20,7 @@ CASES = [
     ("ws", "   \t ", "und"),
     ("mixed", "Tokyo 東京 2020", "latin"),  # 5 latin vs 2 cjk vs 4 digit
     ("math", "5×3 7÷2", "digit"),  # × ÷ are NOT latin letters
+    ("extb", "𠜎𠜱𠝹𠱓𠱸𠲖爨爩", "cjk"),  # supplementary Han counts as cjk
 ]
 
 
