@@ -1,0 +1,89 @@
+"""Property pins for char_shingles and script detection over
+ARBITRARY unicode (minus lone surrogates, which valid UTF-8 text
+cannot carry): the r11 self-review found the original formulation
+corrupted non-BMP text via Java's UTF-16 zero-width bump-along —
+exactly the class a fixed-case table misses and a generator finds.
+
+The naive reference windows the NORMALIZED text as returned by Spark
+itself, so the property pins the shingling step (codepoint windows,
+short-doc fallback) independent of lower()/whitespace semantics.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_movie_recommendation_and_customer_segmentation_spark.functions import textops as TX
+
+# full unicode incl. non-BMP; exclude surrogate category (not UTF-8)
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _naive(norm: str, n: int) -> list[str]:
+    if len(norm) < n:
+        return [norm]
+    return [norm[i : i + n] for i in range(len(norm) - n + 1)]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=texts)
+def test_char_shingles_equal_naive_codepoint_windows(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i int, t string"
+    )
+    rows = df.select(
+        "i",
+        TX.normalized_text("t").alias("norm"),
+        TX.char_shingles("t", 2).alias("s2"),
+        TX.char_shingles("t", 5).alias("s5"),
+    ).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r["s2"] == _naive(r["norm"], 2), repr(r["norm"])
+        assert r["s5"] == _naive(r["norm"], 5), repr(r["norm"])
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=texts)
+def test_script_detection_total_and_consistent(spark, docs):
+    """dominant_script is total over arbitrary unicode: always one of
+    the class names or 'und', 'und' exactly when the stripped text is
+    empty, and shares of non-empty docs sum to ~1."""
+    names = set(TX.SCRIPT_PRIORITY) | {"other", "und"}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "i int, t string"
+    )
+    rows = df.select(
+        TX.dominant_script("t").alias("d"),
+        TX.script_shares("t").alias("s"),
+        F.length(F.regexp_replace("t", r"\s+", "")).alias("n"),
+    ).collect()
+    for r in rows:
+        assert r["d"] in names
+        if r["n"] == 0:
+            assert r["d"] == "und"
+            assert r["s"]["latin"] is None
+        else:
+            assert r["d"] != "und"
+            total = sum(
+                r["s"][c]
+                for c in ("latin", "cjk", "cyrillic", "arabic", "digit", "other")
+            )
+            assert abs(total - 1.0) < 6e-4
