@@ -125,7 +125,7 @@ SCRIPT_RANGES = {
     # × (U+00D7) and ÷ (U+00F7), which would otherwise count as
     # latin letters (r11 self-review)
     "latin": r"[A-Za-zÀ-ÖØ-öø-ɏ]",
-    # BMP CJK blocks + supplementary Han (Ext B–F, U+20000–U+2EBEF):
+    # BMP CJK blocks + supplementary Han (Ext B–F, U+20000–U+2EBE0):
     # non-BMP ideographs are routine in classical-Chinese corpora and
     # both Java regex and RE2 accept literal non-BMP range endpoints
     # (verified count-identical cross-engine)
@@ -136,6 +136,19 @@ SCRIPT_RANGES = {
 }
 SCRIPT_PRIORITY = ("latin", "cjk", "cyrillic", "arabic", "digit")
 UNSEGMENTED_SCRIPTS = ("cjk",)  # scripts whitespace tokenization can't split
+
+
+def _script_counts(text: Column | str):
+    """(n_chars, ordered per-class counts incl. trailing 'other') over
+    the whitespace-stripped text — the shared construction behind
+    ``script_shares`` and ``dominant_script``, so the strip rule and
+    count semantics can never drift apart between the reported
+    profile and the routing predicate (r11 review)."""
+    c = F.col(text) if isinstance(text, str) else text
+    strip = F.regexp_replace(c, r"\s+", "")
+    n = F.length(strip)
+    counts = [F.regexp_count(strip, F.lit(SCRIPT_RANGES[k])) for k in SCRIPT_PRIORITY]
+    return n, counts + [n - sum(counts)]
 
 
 def script_shares(text: Column | str, round_to: int = 4) -> Column:
@@ -152,15 +165,12 @@ def script_shares(text: Column | str, round_to: int = 4) -> Column:
     ``len(regexp_extract_all(strip, range_re))``-style counts divide
     the same way in DuckDB.
     """
-    c = F.col(text) if isinstance(text, str) else text
-    strip = F.regexp_replace(c, r"\s+", "")
-    n = F.length(strip)
-    counts = {k: F.regexp_count(strip, F.lit(rng)) for k, rng in SCRIPT_RANGES.items()}
-    other = n - sum(counts.values())
+    n, counts = _script_counts(text)
+    names = SCRIPT_PRIORITY + ("other",)
     fields = [
-        F.round(F.try_divide(counts[k], n), round_to).alias(k) for k in SCRIPT_PRIORITY
+        F.round(F.try_divide(cnt, n), round_to).alias(k)
+        for k, cnt in zip(names, counts)
     ]
-    fields.append(F.round(F.try_divide(other, n), round_to).alias("other"))
     fields.append(n.alias("n_chars"))
     return F.struct(*fields)
 
@@ -178,14 +188,14 @@ def dominant_script(text: Column | str) -> Column:
     ``script_shares(t)[k]`` copies the whole 5-regex struct at every
     shares/greatest reference — measured 480 RegExpCount nodes and a
     52k-char analyzed plan for ONE output column (r11 self-review);
-    this form carries 20. Argmax over counts ≡ argmax over shares
-    (same denominator), and ``array_position`` returns the FIRST
-    maximal index, which encodes the priority tiebreak."""
-    c = F.col(text) if isinstance(text, str) else text
-    strip = F.regexp_replace(c, r"\s+", "")
-    n = F.length(strip)
-    counts = [F.regexp_count(strip, F.lit(SCRIPT_RANGES[k])) for k in SCRIPT_PRIORITY]
-    arr = F.array(*counts, n - sum(counts))  # trailing 'other'
+    this form carries 20. The argmax is over EXACT counts —
+    deliberately stricter than argmaxing the 4-dp-rounded shares
+    ``script_shares`` reports, which would tie (and fall to priority
+    order) on sub-0.5-dp count differences. ``array_position``
+    returns the FIRST maximal index, which encodes the priority
+    tiebreak for genuinely equal counts."""
+    n, counts = _script_counts(text)
+    arr = F.array(*counts)
     idx = F.array_position(arr, F.array_max(arr))
     names = F.array(*[F.lit(nm) for nm in SCRIPT_PRIORITY + ("other",)])
     return F.when(n == 0, F.lit("und")).otherwise(

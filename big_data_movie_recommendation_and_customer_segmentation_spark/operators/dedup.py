@@ -459,7 +459,7 @@ def simhash_duplicate_pairs(
     candidates = None
     for b in range(n_bands):
         band = F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
-        leg = sigs
+        leg = sigs.withColumn("band", band)
         if max_band_freq is not None:
             # whitelist ONE side of the inner equi-join — filtering
             # the shared leg relation before the a/b split excludes
@@ -467,14 +467,14 @@ def simhash_duplicate_pairs(
             # two (r11 self-review; same shape as the embedding
             # governor in vectorops)
             ok = (
-                sigs.groupBy(band.alias("band"))
+                leg.groupBy("band")
                 .agg(F.count(F.lit(1)).alias("_bn"))
                 .filter(F.col("_bn") <= F.lit(int(max_band_freq)))
                 .select("band")
             )
-            leg = sigs.withColumn("band", band).join(ok, "band").drop("band")
-        a = leg.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), band.alias("band"))
-        bb = leg.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), band.alias("band"))
+            leg = leg.join(ok, "band")
+        a = leg.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band")
+        bb = leg.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band")
         cand = a.join(bb, "band").filter(F.col("doc_a") < F.col("doc_b")).drop("band")
         candidates = cand if candidates is None else candidates.unionByName(cand)
     out = (
