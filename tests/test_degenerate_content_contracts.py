@@ -111,6 +111,61 @@ def test_embedding_lsh_key_governor_bounds_identical_vectors(spark):
     assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, base.collect()))
 
 
+def test_simhash_governor_subset_property_random_corpus(spark):
+    """Generative pin on the governor's two invariants over a mixed
+    random corpus: governed pairs ⊆ ungoverned pairs at ANY cap, and
+    equality once no band bucket exceeds the cap."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{j}" for j in range(40)]
+    rows = [(f"d{i}", " ".join(rng.choices(words, k=12))) for i in range(40)]
+    rows += [(f"t{i}", "fixed template text block") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    base = {tuple(r) for r in DD.simhash_duplicate_pairs(df, "doc_id", "text").collect()}
+    for cap in (2, 5, 6, 47):
+        gov = {
+            tuple(r)
+            for r in DD.simhash_duplicate_pairs(
+                df, "doc_id", "text", max_band_freq=cap
+            ).collect()
+        }
+        assert gov <= base, f"cap={cap} emitted pairs outside the ungoverned set"
+    # 47 = corpus size: no bucket can exceed it, so zero recall loss
+    full = {
+        tuple(r)
+        for r in DD.simhash_duplicate_pairs(
+            df, "doc_id", "text", max_band_freq=47
+        ).collect()
+    }
+    assert full == base
+
+
+def test_duplicate_doc_ids_merge_shingle_sets(spark):
+    """Two input rows with the SAME doc_id contribute the UNION of
+    their shingles (id = identity; the distinct in _shingle_pairs is
+    the merge). Pinned so a dedup-input change can't silently switch
+    to first-wins or row-multiplication semantics."""
+    df = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta"),
+            ("a", "epsilon zeta eta theta"),  # same id, disjoint text
+            ("b", "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id string, text string",
+    )
+    pairs = DD.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    rows = pairs.collect()
+    # a's merged 3-gram set ≠ b's (b has the cross-boundary 3-grams),
+    # but every one of a's shingles is in b's: containment 1.0
+    cont = DD.ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+    crows = cont.collect()
+    assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in crows] == [
+        ("a", "b", 1.0)
+    ]
+    assert rows == [] or all(r["jaccard"] < 1.0 for r in rows)
+
+
 def test_fuzzy_empty_docs_pair_at_distance_zero_under_band_governor(spark):
     df = _docs(spark)
     pairs = DD.fuzzy_edit_pairs(df, "doc_id", "text", max_dist=2)
