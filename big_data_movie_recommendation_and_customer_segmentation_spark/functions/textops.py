@@ -130,12 +130,25 @@ SCRIPT_RANGES = {
     # both Java regex and RE2 accept literal non-BMP range endpoints
     # (verified count-identical cross-engine)
     "cjk": r"[　-ヿ㐀-䶿一-鿿가-힯＀-￯𠀀-𮯠]",
+    # Southeast-Asian unsegmented scripts (r11 VERDICT gap: the
+    # char_shingles docstring promised Thai but no range existed, so
+    # Thai docs classified 'other' and never took the char route).
+    # Literal block-range endpoints — Java regex and DuckDB RE2 both
+    # accept them (RE2 has no \\uXXXX class syntax, so literals are
+    # the only cross-engine spelling).
+    "thai": "[฀-๿]",
+    "lao": "[຀-໿]",
+    "myanmar": "[က-႟]",
+    "khmer": "[ក-៿]",
     "cyrillic": r"[Ѐ-ӿ]",
     "arabic": r"[؀-ۿ]",
     "digit": r"[0-9]",
 }
-SCRIPT_PRIORITY = ("latin", "cjk", "cyrillic", "arabic", "digit")
-UNSEGMENTED_SCRIPTS = ("cjk",)  # scripts whitespace tokenization can't split
+SCRIPT_PRIORITY = (
+    "latin", "cjk", "thai", "lao", "myanmar", "khmer", "cyrillic", "arabic", "digit"
+)
+# scripts whitespace tokenization can't split → route to char shingles
+UNSEGMENTED_SCRIPTS = ("cjk", "thai", "lao", "myanmar", "khmer")
 
 
 def _script_counts(text: Column | str):
@@ -316,6 +329,42 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
         norm, F.lit(r"(?s)(?=(." + "{%d}" % n + r"))."), 1
     )
     return F.when(F.size(sh) > 0, sh).otherwise(F.array(norm))
+
+
+# Deterministic transliteration alphabets (single-codepoint, BMP-only
+# so Spark and DuckDB index identically): the test corpus ships no
+# unsegmented-script text, so script-routing queries derive a twin
+# corpus by mapping each token to one codepoint in a target block.
+HAN_ALPHABET: tuple[str, ...] = tuple(chr(0x4E00 + i) for i in range(64))
+THAI_ALPHABET: tuple[str, ...] = tuple(chr(0x0E01 + i) for i in range(40))
+
+
+def transliterate_tokens(text: Column | str, alphabet: tuple[str, ...]) -> Column:
+    """Deterministic token→single-codepoint transliteration: each
+    whitespace token of the normalized text maps to ONE character of
+    ``alphabet`` via the cross-engine token hash, concatenated with
+    no separator — producing unsegmented text whose character-level
+    near-dup structure mirrors the source's token-level structure
+    (token n-grams ↔ char n-grams, 1:1). This is the deterministic
+    twin-corpus generator behind the script-routing gate queries:
+    the synthetic testdata is Latin-only, so the char-shingle dedup
+    path would otherwise never see a non-trivial input in the gate.
+
+    Map-local column algebra (transform + element_at over a literal
+    array), no shuffle. SQL:
+    ``coalesce(array_to_string(list_transform(toks, t ->
+    list_extract([...alphabet...], 1 + ('0x' || substr(md5(t), 1, 8))::BIGINT % k)), ''), '')``
+    — the outer coalesce because DuckDB's array_to_string yields NULL
+    for an empty list where Spark's array_join yields ``''``.
+    """
+    toks = tokens(normalized_text(text))
+    k = len(alphabet)
+    arr = F.array(*[F.lit(ch) for ch in alphabet])
+    mapped = F.transform(
+        toks,
+        lambda t: F.element_at(arr, (shared_token_hash(t) % F.lit(k) + 1).cast("int")),
+    )
+    return F.array_join(mapped, "")
 
 
 def chunk_documents(

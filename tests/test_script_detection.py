@@ -21,6 +21,13 @@ CASES = [
     ("mixed", "Tokyo 東京 2020", "latin"),  # 5 latin vs 2 cjk vs 4 digit
     ("math", "5×3 7÷2", "digit"),  # × ÷ are NOT latin letters
     ("extb", "𠜎𠜱𠝹𠱓𠱸𠲖爨爩", "cjk"),  # supplementary Han counts as cjk
+    # Southeast-Asian unsegmented scripts (r11 VERDICT gap: Thai was
+    # a documented char_shingles target with no SCRIPT_RANGES class,
+    # so it classified 'other' and never took the char route)
+    ("th", "สวัสดีชาวโลกทั้งหลาย", "thai"),
+    ("lo", "ສະບາຍດີຊາວໂລກ", "lao"),
+    ("my", "မင်္ဂလာပါကမ္ဘာ", "myanmar"),
+    ("km", "សួស្តីពិភពលោក", "khmer"),
 ]
 
 
@@ -38,8 +45,9 @@ def test_dominant_script_and_shares(spark):
         assert rows[k]["script"] == want, f"{k}: got {rows[k]['script']}"
     # shares sum to 1 on non-empty docs; NULL on empty
     s = rows["mixed"]["s"]
-    total = sum(s[c] for c in ("latin", "cjk", "cyrillic", "arabic", "digit", "other"))
-    assert abs(total - 1.0) < 6e-4  # six 4-decimal-rounded shares
+    names = TX.SCRIPT_PRIORITY + ("other",)
+    total = sum(s[c] for c in names)
+    assert abs(total - 1.0) < len(names) * 1.1e-4  # 4-decimal-rounded shares
     assert rows["empty"]["s"]["latin"] is None
     assert rows["empty"]["s"]["n_chars"] == 0
 
@@ -89,6 +97,11 @@ def test_routing_predicate_feeds_char_unit(spark):
         ("ja2", "吾輩は犬である名前はまだ無いどこで生れたか"),
         ("en1", "the quick brown fox jumps over the lazy dog today"),
         ("en2", "the quick brown fox jumps over the lazy cat today"),
+        # Thai near-dup pair (one word differs): must take the char
+        # leg — the r11 gap left Thai on the word leg where each doc
+        # is a handful of unsegmented runs and the pair is missed
+        ("th1", "กาลครั้งหนึ่งนานมาแล้ว มีหมู่บ้านเล็กๆ อยู่กลางป่าใหญ่ ริมธารน้ำใส"),
+        ("th2", "กาลครั้งหนึ่งนานมาแล้ว มีหมู่บ้านเล็กๆ อยู่กลางป่าใหญ่ ริมธารน้ำเย็น"),
     ]
     df = spark.createDataFrame(rows, "doc_id string, text string")
     routed = df.withColumn(
@@ -100,5 +113,67 @@ def test_routing_predicate_feeds_char_unit(spark):
     word_leg = DD.ngram_jaccard_pairs(
         routed.filter("NOT unseg"), "doc_id", "text", n=3, threshold=0.3
     )
-    assert [(r["doc_a"], r["doc_b"]) for r in char_leg.collect()] == [("ja1", "ja2")]
+    assert sorted((r["doc_a"], r["doc_b"]) for r in char_leg.collect()) == [
+        ("ja1", "ja2"),
+        ("th1", "th2"),
+    ]
     assert [(r["doc_a"], r["doc_b"]) for r in word_leg.collect()] == [("en1", "en2")]
+
+
+def test_transliterate_tokens_matches_duckdb(spark):
+    """`textops.transliterate_tokens` — the deterministic twin-corpus
+    generator behind the script-routing gate queries (the synthetic
+    testdata is Latin-only) — replays exactly in DuckDB via the
+    documented list_transform/list_extract spelling, and the derived
+    text routes to the char unit."""
+    texts = [
+        "the quick   Brown fox", "hello hello world", "", "   ",
+        "key agg row scan slow fast table value part",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    sp = {
+        r["i"]: (r["han"], r["th"])
+        for r in df.select(
+            "i",
+            TX.transliterate_tokens("t", TX.HAN_ALPHABET).alias("han"),
+            TX.transliterate_tokens("t", TX.THAI_ALPHABET).alias("th"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") v(i, t)",
+        texts,
+    )
+
+    def lit_list(alpha):
+        return "[" + ", ".join(f"'{c}'" for c in alpha) + "]"
+
+    du = {
+        i: (han, th)
+        for i, han, th in con.execute(
+            f"""
+        WITH toks AS (
+          SELECT i, list_filter(regexp_split_to_array(
+                   trim(regexp_replace(lower(t), '\\s+', ' ', 'g')), '\\s+'),
+                   x -> x <> '') AS tk
+          FROM t
+        )
+        SELECT i,
+          coalesce(array_to_string(list_transform(tk, x -> list_extract(
+            {lit_list(TX.HAN_ALPHABET)},
+            (1 + ('0x' || substr(md5(x), 1, 8))::BIGINT % {len(TX.HAN_ALPHABET)})::INT)), ''), ''),
+          coalesce(array_to_string(list_transform(tk, x -> list_extract(
+            {lit_list(TX.THAI_ALPHABET)},
+            (1 + ('0x' || substr(md5(x), 1, 8))::BIGINT % {len(TX.THAI_ALPHABET)})::INT)), ''), '')
+        FROM toks
+        """
+        ).fetchall()
+    }
+    assert sp == du
+    # the Han twin of a non-empty doc routes to the char unit
+    routed = df.filter("t <> '' AND trim(t) <> ''").select(
+        TX.dominant_script(TX.transliterate_tokens("t", TX.HAN_ALPHABET)).alias("d")
+    )
+    assert {r["d"] for r in routed.collect()} == {"cjk"}
