@@ -151,20 +151,29 @@ SCRIPT_PRIORITY = (
 UNSEGMENTED_SCRIPTS = ("cjk", "thai", "lao", "myanmar", "khmer")
 
 
-def _script_counts(text: Column | str):
+def _script_counts(text: Column | str, *, pre_stripped: bool = False):
     """(n_chars, ordered per-class counts incl. trailing 'other') over
     the whitespace-stripped text — the shared construction behind
     ``script_shares`` and ``dominant_script``, so the strip rule and
     count semantics can never drift apart between the reported
-    profile and the routing predicate (r11 review)."""
+    profile and the routing predicate (r11 review).
+
+    ``pre_stripped=True`` skips the strip for input the caller has
+    already whitespace-stripped (stripping is idempotent, so values
+    are identical): the strip subexpression is re-evaluated under
+    EVERY count leg (~20 references after the argmax duplication),
+    so callers that materialize the stripped column once and set this
+    flag drop ~20 redundant regex passes per row from the plan."""
     c = F.col(text) if isinstance(text, str) else text
-    strip = F.regexp_replace(c, r"\s+", "")
+    strip = c if pre_stripped else F.regexp_replace(c, r"\s+", "")
     n = F.length(strip)
     counts = [F.regexp_count(strip, F.lit(SCRIPT_RANGES[k])) for k in SCRIPT_PRIORITY]
     return n, counts + [n - sum(counts)]
 
 
-def script_shares(text: Column | str, round_to: int = 4) -> Column:
+def script_shares(
+    text: Column | str, round_to: int = 4, *, pre_stripped: bool = False
+) -> Column:
     """Per-document script profile → struct of non-whitespace
     character SHARES per ``SCRIPT_RANGES`` class plus ``other`` and
     ``n_chars`` — the routing signal multilingual corpus prep needs
@@ -176,9 +185,10 @@ def script_shares(text: Column | str, round_to: int = 4) -> Column:
     docs yield n_chars=0 and NULL shares (try_divide), matching the
     complete-case contract. SQL: the identical
     ``len(regexp_extract_all(strip, range_re))``-style counts divide
-    the same way in DuckDB.
+    the same way in DuckDB. ``pre_stripped`` per ``_script_counts``
+    (identical values on pre-stripped input).
     """
-    n, counts = _script_counts(text)
+    n, counts = _script_counts(text, pre_stripped=pre_stripped)
     names = SCRIPT_PRIORITY + ("other",)
     fields = [
         F.round(F.try_divide(cnt, n), round_to).alias(k)
@@ -188,7 +198,7 @@ def script_shares(text: Column | str, round_to: int = 4) -> Column:
     return F.struct(*fields)
 
 
-def dominant_script(text: Column | str) -> Column:
+def dominant_script(text: Column | str, *, pre_stripped: bool = False) -> Column:
     """Argmax script class by character count ('und' for empty docs;
     ties break by SCRIPT_PRIORITY order, then 'other').
     ``dominant_script(t) IN UNSEGMENTED_SCRIPTS`` is the routing
@@ -206,13 +216,82 @@ def dominant_script(text: Column | str) -> Column:
     ``script_shares`` reports, which would tie (and fall to priority
     order) on sub-0.5-dp count differences. ``array_position``
     returns the FIRST maximal index, which encodes the priority
-    tiebreak for genuinely equal counts."""
-    n, counts = _script_counts(text)
+    tiebreak for genuinely equal counts. ``pre_stripped`` per
+    ``_script_counts`` (identical values on pre-stripped input)."""
+    n, counts = _script_counts(text, pre_stripped=pre_stripped)
     arr = F.array(*counts)
     idx = F.array_position(arr, F.array_max(arr))
     names = F.array(*[F.lit(nm) for nm in SCRIPT_PRIORITY + ("other",)])
     return F.when(n == 0, F.lit("und")).otherwise(
         F.coalesce(F.element_at(names, idx.cast("int")), F.lit("und"))
+    )
+
+
+# Encoding-quality signals (r12): the ingest-time QA battery for a
+# 100 TB crawl — decode damage shows up as replacement characters,
+# stray C0/C1 controls, and UTF-8-bytes-read-as-Latin-1/cp1252
+# mojibake. All three are one-regex-scan counts, cross-engine: Java
+# regex and DuckDB RE2 both accept \x{..} codepoint escapes (the
+# Latin-1 ranges must NOT be written as literal '€-¿' classes — cp1252
+# glyphs are not a contiguous Unicode range and RE2 rejects the
+# reversed endpoints).
+REPLACEMENT_CHAR_RE = "�"
+CONTROL_CHAR_RE = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]"
+# 'Ã' + continuation-byte-as-Latin-1 (UTF-8 read as Latin-1, e.g. Ã©),
+# 'â€' (UTF-8 punctuation read as cp1252, e.g. â€œ â€™), and stray
+# 'Â' + sign/space artifacts (Â½ Â° Â·)
+MOJIBAKE_RE = r"Ã[\x{80}-\x{BF}]|â€|Â[\x{A0}-\x{BF}]"
+
+
+def replacement_char_count(text: Column | str) -> Column:
+    """Count of U+FFFD replacement characters — each marks a byte
+    sequence some upstream decoder gave up on. SQL:
+    ``len(regexp_extract_all(t, '<U+FFFD>'))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(REPLACEMENT_CHAR_RE))
+
+
+def control_char_count(text: Column | str) -> Column:
+    """Count of C0/C1 control characters excluding \\t \\n \\r —
+    binary spill or charset damage in what should be text. SQL: the
+    identical ``\\x{..}``-escaped class under
+    ``len(regexp_extract_all(...))``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(CONTROL_CHAR_RE))
+
+
+def mojibake_count(text: Column | str) -> Column:
+    """Count of classic double-encoding signatures (UTF-8 bytes
+    decoded as Latin-1/cp1252): ``Ã``+continuation, ``â€``,
+    ``Â``+sign. SQL: identical pattern in RE2."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(MOJIBAKE_RE))
+
+
+def encoding_quality_score(text: Column | str, round_to: int = 4) -> Column:
+    """Composite encoding-health score in [0,1]:
+    ``1 − min(1, (4·repl + 2·moji + ctrl) / n_chars)`` — replacement
+    chars weighted heaviest (hard evidence of decode loss), mojibake
+    signatures next (recoverable but corrupt), raw controls least.
+    Empty docs ⇒ NULL via an explicit length guard (complete-case
+    contract) — try_divide alone is NOT enough, because both Spark's
+    and DuckDB's ``least`` SKIP null arguments, so
+    ``least(1.0, NULL)`` silently resolves to 1.0 and an empty doc
+    would score 0.0 instead of NULL. Fixed integer weights so Spark
+    and the SQL oracle compute bit-identical rationals before the
+    single rounding."""
+    c = F.col(text) if isinstance(text, str) else text
+    damage = (
+        F.lit(4) * replacement_char_count(c)
+        + F.lit(2) * mojibake_count(c)
+        + control_char_count(c)
+    )
+    return F.when(
+        F.length(c) > 0,
+        F.round(
+            F.lit(1.0) - F.least(F.lit(1.0), F.try_divide(damage, F.length(c))),
+            round_to,
+        ),
     )
 
 

@@ -18,55 +18,58 @@ from . import queries_ext  # noqa: F401  (registers extension queries)
 from . import queries_pipeline  # noqa: F401  (registers r5 pipeline queries)
 from . import queries_analytics  # noqa: F401  (registers r5 analytics batch 2)
 from . import queries_insights  # noqa: F401  (registers r5 analytics batch 3)
+from . import queries_script  # noqa: F401  (registers r12 script-routing queries)
 
 # The curated driver gate: 50 slots.
 # 29 core rows (every SURVEY §2 family that was green r02 keeps a
 # representative) + 21 rows for families that were never gated or
 # fell out of the r02 gate (VERDICT r2 asks #1/#4).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r11 rotation (VERDICT r10 ask #1): the THIRTY families whose
-    # driver evidence is age-1 (last gated r09 — the 29 scheduled
-    # tier-1 families PLUS knn, whose r10 anchor slot went to
-    # video_frame_samples) re-gate before they hit the 2-round
-    # freshness edge. Eleven of the reps rotate to never-yet-gated
-    # value-green siblings (GATE_COVERAGE.md '—' rows), earning first
-    # driver rows without losing family freshness. Anchors shrink to
-    # 20: video_frame_samples (first row landed r10) cedes its slot;
-    # multimodal stays fresh via media_audio_frames. Everything
-    # r10-gated and not re-listed is age-1 after this round and
-    # scheduled for the r12 rotation.
-    # -- tier 1: age-1 families, one representative each (30) --
-    "purchase_attribution_asof_tolerance",  # asof_join (first row)
-    "part_rules_wilson_ci",              # association (first row)
-    "bm25_doc_ranking",                  # bm25
-    "chronological_split_counts",        # chrono_split
-    "monthly_new_vs_returning_revenue",  # cohort (first row)
-    "order_part_sets",                   # collect_aggs
-    "doc_shuffle_shards",                # corpus_shuffle
-    "corr_qty_price_by_flag",            # correlation
-    "distinct_segments",                 # distinct
-    "daily_revenue_ewma",                # ewma (lagsum collapse re-gate)
-    "signup_click_purchase_funnel",      # funnel
-    "fuzzy_dedup_representatives",       # fuzzy_dedup (first row)
-    "daily_revenue_momentum",            # gapfill (first row)
-    "revenue_rollup_region_nation",      # grouping_sets
-    "segment_revenue",                   # joins
-    "knn_bruteforce",                    # knn (_checked_vec contract re-gate)
-    "order_year_status_pivot",           # pivot
-    "orders_quality_report",             # profiling (first row)
-    "part_price_deciles",                # quantiles (first row)
-    "customer_value_migration",          # rfm_pareto (first row)
-    "event_value_outliers",              # robust_stats (first row)
-    "random_pair_baseline_trials",       # sampling
-    "semantic_dedup_survivors",          # semantic_dedup
-    "event_type_cms_estimates",          # sketches (first row; cms NULL-key fix re-gate)
-    "salted_user_segment_stats",         # skew_join
-    "snapshot_merge_orders",             # snapshot_cdc (first row)
-    "sql_surface_top_customers",         # sql_surface
-    "doc_quality_scores",                # text_stats
-    "top_parts_by_price",                # topk
-    "doc_weighted_sample",               # weighted_sampling
-    # -- age-0 anchors: flagship + perf-watched + edit-adjacent (20) --
+    # -- r12 rotation (VERDICT r11 asks #2/#3): the 29 families whose
+    # driver evidence is age-1 (last gated r10) re-gate before the
+    # 2-round freshness edge, TEN of the reps rotating to
+    # never-yet-gated value-green siblings (first driver rows), PLUS
+    # three newly registered queries (registry 168→171, the VERDICT
+    # r11 "unfreeze by 2–3 slots" sanction): the two script-routing
+    # promotions and the r12 encoding-QA battery. Anchors shrink to
+    # 18: dedup_exact_survivors and training_corpus_manifest (both
+    # age 0 after r11) cede their slots; exact_dedup and
+    # corpus_pipeline rotate back r13. Everything r11-gated and not
+    # re-listed is age-1 after this round, scheduled for r13.
+    # -- tier 1: age-1 families (29) + new registrations (3) --
+    "purchase_value_auc",                # auc
+    "bloom_filtered_order_revenue",      # bloom_join
+    "segment_acctbal_bootstrap_ci",      # bootstrap
+    "source_term_keyness",               # collocations (first row)
+    "doc_chunks",                        # corpus_ops (oldest row r04)
+    "events_kfold_summary",              # cv_splits
+    "ngram_decontaminated_docs",         # decontamination (unit-aware-n edit re-gate)
+    "dedup_representatives",             # dedup_closure
+    "order_value_benford",               # drift (first row)
+    "embedding_near_duplicates_deterministic",  # embedding_dedup
+    "segment_urgency_woe_iv",            # feature_prep (first row)
+    "priority_spend_ttest",              # hypothesis_tests (first row)
+    "customer_item_cf_recommendations",  # item_item_cosine (first row)
+    "props_json_stats",                  # json_props
+    "kmeans_embedding_segments_det",     # kmeans
+    "purchase_value_lift",               # lift_gains
+    "token_shard_assignment",            # packing
+    "embedding_covariance",              # pca
+    "hybrid_doc_retrieval_rrf",          # rank_fusion
+    "recommendation_coverage_novelty",   # ranking_metrics (first row)
+    "rolling_order_spend",               # rolling_window
+    "customer_order_status_scd2",        # scd2
+    "daily_revenue_anomalies",           # seasonality (first row)
+    "frequent_event_paths",              # sequence_mining (first row)
+    "simhash_duplicate_pairs",           # simhash_dedup
+    "event_user_skew_report",            # skew_report
+    "part_skyline",                      # skyline
+    "customer_repurchase_hazard",        # survival (first row)
+    "customer_user_cf_recommendations",  # user_cf
+    "doc_script_profile",                # script_routing (NEW r12, first row)
+    "cjk_near_duplicate_pairs",          # script_routing (NEW r12, first row)
+    "doc_encoding_quality",              # text_stats (NEW r12 encoding-QA, first row)
+    # -- age-0 anchors: flagship + perf-watched + edit-adjacent (18) --
     "pricing_summary",                   # flagship scan/agg
     "top_similar_customer_pairs",        # set_similarity, drift-A/B subject
     "minhash_duplicate_pairs",           # minhash_dedup, drift-A/B subject
@@ -85,8 +88,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "sliding_window_events",             # streaming_sliding
     "session_windows_per_user",          # streaming_session
     "event_running_zscore",              # streaming_stateful
-    "training_corpus_manifest",          # corpus_pipeline
-    "dedup_exact_survivors",             # exact_dedup
 )
 
 

@@ -133,29 +133,31 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r11 rotation (VERDICT r10 ask #1): every age-1 family (last
-    # gated r09, 30 of them incl. knn) re-gates before its evidence
-    # hits the 2-round freshness edge; anchors keep the perf-watched
-    # and edit-adjacent families age-0
+    # r12 rotation (VERDICT r11 asks #2/#3): every age-1 family (last
+    # gated r10, 29 of them) re-gates before its evidence hits the
+    # 2-round freshness edge, plus the two newly registered
+    # script-routing queries (registry 168→170, VERDICT-sanctioned);
+    # anchors keep the perf-watched and edit-adjacent families age-0
     for must in (
-        # age-1 families re-gating (sample of the 30); eleven reps
+        # age-1 families re-gating (sample of the 29); ten reps
         # rotate to never-yet-gated value-green siblings
-        "purchase_attribution_asof_tolerance",
-        "part_rules_wilson_ci",
-        "monthly_new_vs_returning_revenue",
-        "fuzzy_dedup_representatives",
-        "daily_revenue_momentum",
-        "orders_quality_report",
-        "part_price_deciles",
-        "customer_value_migration",
-        "event_value_outliers",
-        "event_type_cms_estimates",  # cms NULL-key fix re-gate
-        "snapshot_merge_orders",
-        "daily_revenue_ewma",  # lagsum plan-build collapse re-gate
-        "knn_bruteforce",  # _checked_vec NULL-contract re-gate
-        "chronological_split_counts",
-        "segment_revenue",
-        "top_parts_by_price",
+        "purchase_value_auc",
+        "source_term_keyness",
+        "order_value_benford",
+        "segment_urgency_woe_iv",
+        "priority_spend_ttest",
+        "customer_item_cf_recommendations",
+        "recommendation_coverage_novelty",
+        "daily_revenue_anomalies",
+        "frequent_event_paths",
+        "customer_repurchase_hazard",
+        "simhash_duplicate_pairs",
+        "ngram_decontaminated_docs",  # unit-aware-n edit re-gate
+        "kmeans_embedding_segments_det",
+        # the r12 new registrations (first rows)
+        "doc_script_profile",
+        "cjk_near_duplicate_pairs",
+        "doc_encoding_quality",
         # serving-parity-pinned ALS scoring oracle stays gated
         "als_scoring_topk",
         # edit-adjacent anchors (vectorops edits re-gate same round)
@@ -166,22 +168,23 @@ def test_gate_priority_is_the_first_50_queries():
         "media_audio_frames",
     ):
         assert must in GATE_PRIORITY, must
-    # displaced: video_frame_samples earned its first row r10 and
-    # cedes its anchor slot to the 30-family tier 1; the r09 reps
-    # whose slots rotated to first-row siblings are hash-green r09
+    # displaced: dedup_exact_survivors and training_corpus_manifest
+    # (both age 0 after r11) cede their anchor slots to the 32-entry
+    # tier 1; the r10 reps whose slots rotated to first-row siblings
+    # are hash-green r10
     for displaced in (
-        "video_frame_samples",
-        "purchase_next_click_asof",
-        "part_association_rules",
-        "weekly_cohort_retention",
-        "fuzzy_duplicate_pairs",
-        "daily_orders_gapfill",
-        "orders_profile",
-        "segment_price_quantiles",
-        "customer_rfm_segments",
-        "priority_revenue_trend",
-        "kmv_distinct_customers",
-        "snapshot_diff_orders",
+        "dedup_exact_survivors",
+        "training_corpus_manifest",
+        "doc_bigram_collocations",
+        "order_price_psi",
+        "orders_priority_target_encoding",
+        "segment_priority_chisq",
+        "part_cosine_neighbors",
+        "ranking_metrics_summary",
+        "weekday_revenue_seasonality",
+        "event_transition_matrix",
+        "customer_repurchase_survival",
+        "tfidf_top_terms",
     ):
         assert displaced not in GATE_PRIORITY, displaced
     # the rows-only ml-lib k-means variant must have ceded its slot

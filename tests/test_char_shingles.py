@@ -130,3 +130,38 @@ def test_char_unit_rejects_unknown_unit(spark):
 
     with pytest.raises(ValueError, match="unit"):
         DD.ngram_jaccard_pairs(df, "doc_id", "text", unit="byte").count()
+
+
+def test_decontaminate_default_n_is_unit_aware(spark):
+    """ADVICE r12: `ngram_decontaminate` used the 13-WORD standard as
+    the default even when unit='char', silently over-flagging the
+    corpus with weak 13-char collisions. The default is now unit-aware
+    (13 word / 25 char); a shared 13-char-but-not-25-char run must NOT
+    flag under the char default but MUST flag when n=13 is explicit."""
+    shared13 = "一二三四五六七八九十甲乙丙"  # exactly 13 chars
+    assert len(shared13) == 13
+    bench = spark.createDataFrame(
+        [("q1", shared13 + "丁戊己庚辛壬癸子丑寅卯辰巳")], "qid string, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("d1", "前置きの文章がここにある" + shared13 + "後続の別内容が続いていく"),
+            ("d2", "まったく無関係な別の文書でありこの中に引用は存在しないとする"),
+        ],
+        "doc_id string, text string",
+    )
+    # char default (n=25): the 13-char collision is below the window
+    kept_default = DD.ngram_decontaminate(corpus, bench, "doc_id", "text", unit="char")
+    assert {r["doc_id"] for r in kept_default.collect()} == {"d1", "d2"}
+    # explicit n=13 still flags (override honored)
+    kept_13 = DD.ngram_decontaminate(corpus, bench, "doc_id", "text", n=13, unit="char")
+    assert {r["doc_id"] for r in kept_13.collect()} == {"d2"}
+    # word default unchanged: 13-word collision flags
+    w = " ".join(f"w{i}" for i in range(13))
+    bench_w = spark.createDataFrame([("q1", w + " tail")], "qid string, text string")
+    corpus_w = spark.createDataFrame(
+        [("d1", "lead " + w + " trail"), ("d2", "nothing shared here at all")],
+        "doc_id string, text string",
+    )
+    kept_w = DD.ngram_decontaminate(corpus_w, bench_w, "doc_id", "text")
+    assert {r["doc_id"] for r in kept_w.collect()} == {"d2"}

@@ -177,3 +177,25 @@ def test_transliterate_tokens_matches_duckdb(spark):
         TX.dominant_script(TX.transliterate_tokens("t", TX.HAN_ALPHABET)).alias("d")
     )
     assert {r["d"] for r in routed.collect()} == {"cjk"}
+
+
+def test_pre_stripped_dominant_script_is_value_identical(spark):
+    """`dominant_script(st, pre_stripped=True)` over a materialized
+    whitespace-stripped column computes the same values as the
+    self-stripping form (stripping is idempotent) — the plan-size
+    contract behind doc_script_profile's single-strip Project."""
+    df = spark.createDataFrame([(k, t) for k, t, _ in CASES], "k string, t string")
+    both = df.select(
+        "k",
+        TX.dominant_script("t").alias("d_full"),
+        TX.dominant_script(
+            F.regexp_replace("t", r"\s+", ""), pre_stripped=True
+        ).alias("d_pre"),
+        TX.script_shares("t").alias("s_full"),
+        TX.script_shares(
+            F.regexp_replace("t", r"\s+", ""), pre_stripped=True
+        ).alias("s_pre"),
+    ).collect()
+    for r in both:
+        assert r["d_full"] == r["d_pre"], r["k"]
+        assert r["s_full"] == r["s_pre"], r["k"]

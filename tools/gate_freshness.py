@@ -54,7 +54,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "kmeans": ("kmeans_customer_segments", "kmeans_embedding_segments_det"),
     "text_stats": ("doc_quality_scores", "doc_token_stats", "doc_bpe_token_stats",
                    "lang_id_distribution", "doc_scrub_stats", "doc_repetition_stats",
-                   "doc_heuristic_filter", "doc_rolling_fingerprints"),
+                   "doc_heuristic_filter", "doc_rolling_fingerprints",
+                   "doc_encoding_quality"),
     "corpus_ops": ("doc_unigram_logprob", "source_mix_plan", "doc_sample_by_lang",
                    "doc_chunks", "doc_balanced_by_source", "tfidf_top_terms"),
     "packing": ("token_shard_assignment",),
@@ -144,6 +145,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "feature_prep": ("orders_priority_target_encoding",
                      "segment_urgency_woe_iv"),
     "drift": ("order_price_psi", "order_value_benford"),
+    # -- registered r12 (script-routing promotion, VERDICT r11 ask #3) --
+    "script_routing": ("doc_script_profile", "cjk_near_duplicate_pairs"),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
