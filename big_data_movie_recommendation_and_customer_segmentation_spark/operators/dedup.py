@@ -520,7 +520,7 @@ def ngram_decontaminate(
     benchmark: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 13,
+    n: int | None = None,
     bench_text_col: str | None = None,
     unit: str = "word",
 ) -> DataFrame:
@@ -539,11 +539,19 @@ def ngram_decontaminate(
     large fraction of the corpus, swap the final broadcast for a
     plain shuffled anti-join — correctness is unchanged.
 
-    ``unit='char'`` shingles by character n-gram (pick n≈20-30 chars
-    to mirror the 13-word standard) — required for unsegmented-script
-    eval sets (CJK) where a word 13-gram never exists and the word
-    unit silently checks whole-document equality only.
+    ``unit='char'`` shingles by character n-gram — required for
+    unsegmented-script eval sets (CJK, Thai) where a word 13-gram
+    never exists and the word unit silently checks whole-document
+    equality only.
+
+    ``n`` defaults by unit — 13 for ``'word'`` (the GPT-3 standard),
+    25 for ``'char'`` (≈ the 13-word window at typical CJK content
+    density) — because carrying the word-scale 13 over to the char
+    unit silently over-flags the corpus with weak 13-char collisions
+    (ADVICE r12). Pass ``n`` explicitly to override either.
     """
+    if n is None:
+        n = 13 if unit == "word" else 25
     bt = bench_text_col or text_col
     shingles = _shingle_fn(unit)
     bench_h = (

@@ -137,9 +137,12 @@ def revenue_pareto(
     cum_share can then overshoot 1 through the positive prefix before
     descending back to exactly 1 — shares of the smaller NET total,
     deterministic and exact. head_flag still means "needed to reach
-    ``threshold`` of net revenue". A zero or undefined net total
-    (empty input, refunds exactly cancelling sales) yields NULL
-    cum_share/head_flag instead of a divide-by-zero job failure.
+    ``threshold`` of net revenue". A NON-POSITIVE net total — zero or
+    undefined (empty input, refunds exactly cancelling sales), or
+    NEGATIVE (refunds exceed sales overall, where "share of revenue"
+    flips sign and the ``< threshold`` reading of head_flag inverts)
+    — yields NULL cum_share/head_flag instead of a divide-by-zero job
+    failure or a misleading negative share (r11 sweep + ADVICE r12).
     """
     rev = orders.groupBy(F.col(customer_col).alias("customer_id")).agg(
         F.round(F.sum(amount_col), 2).alias("revenue")
@@ -159,27 +162,28 @@ def revenue_pareto(
     ).drop("_neg_rev")
 
     # Bounded scalar; None on an empty relation (float(None) crashed
-    # the driver) and 0 when refunds exactly cancel sales — both have
-    # no defined revenue share, so try_divide yields NULL cum_share /
-    # head_flag instead of an ANSI divide-by-zero job failure (r11
-    # negative-domain sweep).
+    # the driver), 0 when refunds exactly cancel sales, negative when
+    # refunds exceed sales — none of those define a revenue share
+    # (and a negative denominator would flip cum_share's sign and
+    # invert head_flag's '< threshold' reading — ADVICE r12), so the
+    # denominator is NULL unless total > 0; try_divide then yields
+    # NULL cum_share / head_flag instead of an ANSI divide-by-zero
+    # job failure or a misleading negative share.
     total_cents = run.agg(F.sum("revenue_cents")).first()[0] or 0
+    denom = (
+        F.lit(float(total_cents)) if total_cents > 0 else F.lit(None).cast("double")
+    )
     return (
         run.withColumn(
             "cum_share",
-            F.round(
-                F.try_divide(F.col("_cum_cents"), F.lit(float(total_cents))), 6
-            ),
+            F.round(F.try_divide(F.col("_cum_cents"), denom), 6),
         )
         .withColumn(
             "head_flag",
             # strictly-before-this-row share < threshold ⇒ this row is
             # still needed to reach the threshold.
             (
-                F.try_divide(
-                    F.col("_cum_cents") - F.col("revenue_cents"),
-                    F.lit(float(total_cents)),
-                )
+                F.try_divide(F.col("_cum_cents") - F.col("revenue_cents"), denom)
                 < F.lit(threshold)
             ).cast("int"),
         )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textops import shared_token_hash60
+from ..sqlutil import quote_ident
 from .relational import per_group_topk
 
 # 2^60: the hash space size of shared_token_hash60, exactly
@@ -96,8 +97,9 @@ def _cms_cells_expr(key_col: str, depth: int, width: int):
     (r9), simhash/packing (r10), and ewma (r11) columns; the parsed
     expression tree is identical (conv returns STRING, CAST BIGINT,
     ``% width`` in long, CAST INT), so plans and values are
-    unchanged."""
-    key = f"CAST(`{key_col}` AS STRING)"
+    unchanged. ``key_col`` goes through ``quote_ident`` (ADVICE r12:
+    raw backtick-wrapping broke on names containing a backtick)."""
+    key = f"CAST({quote_ident(key_col)} AS STRING)"
     cells = ", ".join(
         f"named_struct('row', {i}, 'bucket', CAST(CAST(conv(substring("
         f"md5(concat('{i}:', {key})), 1, 8), 16, 10) AS BIGINT)"

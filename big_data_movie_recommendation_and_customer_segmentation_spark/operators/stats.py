@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sqlutil import quote_ident
+
 
 def group_linear_trend(
     df: DataFrame,
@@ -332,8 +334,8 @@ def winsorized_stats(
     the plan shape is unchanged.
     """
     pct = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, {lower})").alias("_plo"),
-        F.expr(f"percentile({value_col}, {upper})").alias("_phi"),
+        F.expr(f"percentile({quote_ident(value_col)}, {lower})").alias("_plo"),
+        F.expr(f"percentile({quote_ident(value_col)}, {upper})").alias("_phi"),
     )
     clipped = df.join(F.broadcast(pct), group_col).withColumn(
         "_wv", F.least(F.greatest(F.col(value_col), F.col("_plo")), F.col("_phi"))
@@ -405,14 +407,14 @@ def ewma_lagsum(
     if not order_cols:
         raise ValueError("ewma_lagsum requires at least one order column")
     partition = (
-        "PARTITION BY " + ", ".join(f"`{g}`" for g in group_cols) + " "
+        "PARTITION BY " + ", ".join(quote_ident(g) for g in group_cols) + " "
         if group_cols
         else ""
     )
-    over = f"OVER ({partition}ORDER BY " + ", ".join(f"`{o}`" for o in order_cols) + ")"
+    over = f"OVER ({partition}ORDER BY " + ", ".join(quote_ident(o) for o in order_cols) + ")"
     num_terms, den_terms = [], []
     for i in range(window):
-        lag_v = f"`{value_col}`" if i == 0 else f"lag(`{value_col}`, {i}) {over}"
+        lag_v = quote_ident(value_col) if i == 0 else f"lag({quote_ident(value_col)}, {i}) {over}"
         weight = f"CAST({(1.0 - alpha) ** i!r} AS DOUBLE)"
         num_terms.append(
             f"CASE WHEN {lag_v} IS NOT NULL THEN {weight} * {lag_v}"

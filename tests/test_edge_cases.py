@@ -133,3 +133,52 @@ def test_decontaminate_matches_on_content_not_id(spark):
     out = DD.decontaminate(corpus, bench, "id", "text").collect()
     # 1 and 3 normalize to the benchmark fingerprint despite different ids/case
     assert {r.id for r in out} == {2}
+
+
+def test_sql_collapse_sites_escape_backtick_column_names(spark):
+    """ADVICE r12: the plan-build SQL collapses (_cms_cells_expr,
+    ewma_lagsum, winsorize percentiles) interpolate column names into
+    SQL text; a name containing a backtick used to break parsing or
+    INJECT expression text. quote_ident doubles embedded backticks,
+    so the generated SQL refers to the literal column name: it binds
+    when the column exists, and an injection-shaped name fails to
+    RESOLVE (loud AnalysisException) instead of silently evaluating
+    smuggled expression text. (Backtick names remain unusable through
+    the engine's plain F.col(...) surface — Spark itself parses them
+    — so end-to-end operator support is explicitly NOT the contract;
+    non-injection is.)"""
+    import pytest
+    from pyspark.sql.types import DoubleType, IntegerType, StringType, StructField, StructType
+    from pyspark.sql.utils import AnalysisException
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import sketches as SK
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import stats as ST
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sqlutil import quote_ident
+
+    assert quote_ident("plain") == "`plain`"
+    assert quote_ident("we`ird") == "`we``ird`"
+    with pytest.raises(TypeError):
+        quote_ident(F.col("x"))
+
+    # _cms_cells_expr binds a backtick-bearing name to the literal column
+    weird = "k`ey"
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], StructType([StructField(weird, StringType())])
+    )
+    cells = df.select(F.explode(SK._cms_cells_expr(weird, 2, 8)).alias("c"))
+    assert cells.count() == 6  # 3 rows × depth 2, buckets resolved from the column
+
+    # ewma_lagsum end-to-end with a backtick-bearing value column
+    # (its collapse has no plain-F.col sites on value_col)
+    vals = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)],
+        StructType([StructField("t", IntegerType()), StructField("va`l", DoubleType())]),
+    )
+    out = ST.ewma_lagsum(vals, [], ["t"], "va`l", alpha=0.5, window=2).collect()
+    assert [r["ewma"] for r in out] == [1.0, pytest.approx(5.0 / 3), pytest.approx(8.0 / 3)]
+
+    # injection-shaped name: refers to a (nonexistent) literal column,
+    # never evaluates the smuggled text
+    inj = "t` + 99 AS `x"
+    with pytest.raises(AnalysisException):
+        vals.select(F.explode(SK._cms_cells_expr(inj, 2, 8))).collect()

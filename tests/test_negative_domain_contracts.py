@@ -73,6 +73,23 @@ def test_pareto_zero_total_and_empty_yield_null_shares(spark):
     assert SG.revenue_pareto(empty, "cust", "amt").collect() == []
 
 
+def test_pareto_negative_total_yields_null_shares(spark):
+    """ADVICE r12: a NEGATIVE net total (refunds exceed sales
+    overall) flips cum_share's sign and inverts head_flag's
+    '< threshold' reading — misleading rather than undefined. The
+    contract now NULLs cum_share/head_flag for any total <= 0; the
+    rows themselves (customer, net revenue) are all kept."""
+    neg = spark.createDataFrame(
+        [("a", 30.0), ("b", -50.0), ("c", -20.0)], "cust string, amt double"
+    )
+    rows = SG.revenue_pareto(neg, "cust", "amt").collect()
+    assert len(rows) == 3
+    assert all(r["cum_share"] is None and r["head_flag"] is None for r in rows)
+    assert {r["customer_id"]: r["revenue"] for r in rows} == {
+        "a": 30.0, "b": -50.0, "c": -20.0,
+    }
+
+
 def test_kaplan_meier_negative_duration_is_earliest_event(spark):
     """Clock skew can put an event before its origin; a negative
     duration is just the earliest time point — the curve stays
