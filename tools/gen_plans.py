@@ -45,6 +45,9 @@ NOTES = {
     "customer_item_cf_recommendations": "Item-kNN CF: governed cosine-neighbor subtree (checkpoint boundary), item-keyed history join, anti-join seen, WindowGroupLimit top-n.",
     "customer_repurchase_survival": "Kaplan-Meier: first/second-order window, one life-table agg, per-segment prefix windows on the tiny table.",
     "als_scoring_topk": "ALS serving algebra (r08): bounded 50-user side BROADCAST against the distributed item-factor relation, 8-term dot product in codegen, WindowGroupLimit top-5; recommendForUserSubset pinned row-for-row to this plan by tests/test_als_serving.py.",
+    "doc_script_profile": "Script routing (r12): derived-text and stripped-text each materialized in ONE Project (CollapseProject keeps expensive multiply-referenced exprs), pre_stripped argmax — 4 regex-replace nodes total where the naive form carried ~25; one shuffle on the tiny script key.",
+    "cjk_near_duplicate_pairs": "Char-unit dedup scale path (r12): transliteration + routing predicate map-local, codepoint-safe consuming-regex shingles, 60-bit hashed shingle keys through the governed self-join (checkpoint boundary) — same shape as ngram_duplicate_pairs.",
+    "doc_encoding_quality": "Encoding QA (r12): three one-regex-scan damage counts per doc, map-local; integer partial aggregates into a 4-value leg key — the scan dominates at any scale.",
 }
 
 
