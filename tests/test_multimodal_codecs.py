@@ -2158,7 +2158,12 @@ def _packbits_encode(row: bytes) -> bytes:
             i += run
             continue
         start = i
-        while i < n and (i - start) < 128:
+        # bound at 127 so a final 2-byte step tops out at span 128
+        # (control byte 127): the old `< 128` bound let a 2-byte step
+        # overshoot to span 129 → control byte 0x80, the PackBits
+        # NO-OP — the decoder (correctly) skipped it and every byte
+        # after shifted (hypothesis seed 1296902063, 21-byte rows)
+        while i < n and (i - start) < 127:
             nxt = 1
             while i + nxt < n and row[i + nxt] == row[i] and nxt < 3:
                 nxt += 1
