@@ -88,6 +88,42 @@ def _shingle_pairs(
     )
 
 
+def route_by_script(
+    df: DataFrame,
+    text_col: str,
+    *,
+    out_col: str = "dominant_script",
+    materialize: bool = True,
+) -> DataFrame:
+    """Attach the dominant-script routing column, computed ONCE.
+
+    The routing predicate is the branch point of a multilingual dedup
+    pipeline: docs whose dominant script is in
+    ``textops.UNSEGMENTED_SCRIPTS`` take the char shingle unit, the
+    rest the word unit. Spelling the predicate inline as
+    ``filter(dominant_script(derived_text) ...)`` is a plan trap:
+    predicate pushdown substitutes the text-derivation alias into the
+    predicate, and the argmax references its counts subtree ~20×, so
+    an expensive derivation (e.g. transliteration — transform + md5
+    per token) re-evaluates under every count leg (measured 10.4 s
+    for the inlined filter vs 0.6 s for the derivation itself at
+    sf0.1, single input partition). The lazy localCheckpoint after
+    the one-shot projection pins the routing decision as DATA — the
+    same per-consumer-re-derivation tradeoff as ``materialize_pairs``
+    and the shape a 100 TB pipeline wants anyway: the routing column
+    is computed once and persisted, then every downstream leg (char
+    unit, word unit, per-script stats) filters on materialized state
+    instead of re-deriving the profile. ``materialize=False`` (or the
+    global materialization kill-switch) keeps the pure-lineage form.
+    """
+    routed = df.withColumn(out_col, TX.dominant_script(text_col))
+    from .similarity import materialization_enabled
+
+    if materialize and materialization_enabled():
+        routed = routed.localCheckpoint(eager=False)
+    return routed
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -194,12 +194,19 @@ def cjk_near_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (25 pairs at sf0.01, 256 at sf0.1). Same scale shape as
     ``ngram_duplicate_pairs``: 8-byte hashed shingle keys through
     every shuffle, ``max_shingle_freq`` governor against boilerplate
-    blowup — banded/capped, never all-pairs."""
+    blowup — banded/capped, never all-pairs. Routing goes through
+    ``dedup.route_by_script`` (one-shot materialized routing column)
+    rather than an inline filter, which predicate pushdown would
+    re-inline ~20× per row (see its docstring; 23.7→~7 s at sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
     twin = d.select(
         "doc_id", TX.transliterate_tokens("text", TX.HAN_ALPHABET).alias("text")
     )
-    routed = twin.filter(TX.dominant_script("text").isin(*TX.UNSEGMENTED_SCRIPTS))
+    routed = (
+        DD.route_by_script(twin, "text")
+        .filter(F.col("dominant_script").isin(*TX.UNSEGMENTED_SCRIPTS))
+        .drop("dominant_script")
+    )
     out = DD.ngram_jaccard_pairs(
         routed, "doc_id", "text", n=5, threshold=0.5,
         max_shingle_freq=MAX_SHINGLE_FREQ, materialize_pairs=True,
