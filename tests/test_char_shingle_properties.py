@@ -87,3 +87,48 @@ def test_script_detection_total_and_consistent(spark, docs):
                 for c in ("latin", "cjk", "cyrillic", "arabic", "digit", "other")
             )
             assert abs(total - 1.0) < 6e-4
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=texts)
+def test_transliterate_and_encoding_properties(spark, texts):
+    """r12 additions over arbitrary unicode: transliterate_tokens
+    emits exactly one alphabet codepoint per whitespace token (so the
+    twin corpus preserves token-level structure 1:1), and the
+    encoding-quality score stays in [0,1] (NULL only for empty docs),
+    with the three damage counts never exceeding what the doc can
+    hold."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    rows = df.select(
+        "i",
+        "t",
+        F.size(TX.tokens(TX.normalized_text("t"))).alias("n_tok"),
+        TX.transliterate_tokens("t", TX.HAN_ALPHABET).alias("xlit"),
+        TX.replacement_char_count("t").alias("repl"),
+        TX.control_char_count("t").alias("ctrl"),
+        TX.mojibake_count("t").alias("moji"),
+        TX.encoding_quality_score("t").alias("q"),
+        F.length("t").alias("n_chars"),
+    ).collect()
+    han = set(TX.HAN_ALPHABET)
+    for r in rows:
+        # one codepoint per token, all from the alphabet
+        assert len(r["xlit"]) == r["n_tok"], (r["t"], r["xlit"])
+        assert set(r["xlit"]) <= han
+        # counts bounded by document size
+        assert 0 <= r["repl"] <= r["n_chars"]
+        assert 0 <= r["ctrl"] <= r["n_chars"]
+        # every mojibake signature consumes exactly 2 chars and
+        # regexp_count matches are non-overlapping
+        assert 0 <= 2 * r["moji"] <= r["n_chars"]
+        # score contract
+        if r["n_chars"] == 0:
+            assert r["q"] is None
+        else:
+            assert 0.0 <= r["q"] <= 1.0
