@@ -32,6 +32,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sqlutil import quote_ident
+
 
 def _bucket_expr(order_col: str, boundaries: list[float]):
     """Bucket index for ``order_col`` given sorted range boundaries:
@@ -53,14 +55,16 @@ def _bucket_expr(order_col: str, boundaries: list[float]):
     so those terms fall back to the F.lit comparison the collapse
     replaced (r10 advice). The fast path is untouched when every
     boundary is finite, which is every boundary approxQuantile can
-    produce from finite data."""
+    produce from finite data. ``order_col`` goes through
+    ``quote_ident`` like the other SQL collapse sites (r12
+    self-review: this site was missed by the first ADVICE pass)."""
     if not boundaries:
         return F.lit(0)
     finite = [b for b in boundaries if math.isfinite(b)]
     expr = (
         F.expr(
             " + ".join(
-                f"(CASE WHEN `{order_col}` >= {b!r}D THEN 1 ELSE 0 END)"
+                f"(CASE WHEN {quote_ident(order_col)} >= {b!r}D THEN 1 ELSE 0 END)"
                 for b in finite
             )
         )

@@ -135,8 +135,9 @@ def test_gate_priority_is_the_first_50_queries():
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
     # r12 rotation (VERDICT r11 asks #2/#3): every age-1 family (last
     # gated r10, 29 of them) re-gates before its evidence hits the
-    # 2-round freshness edge, plus the two newly registered
-    # script-routing queries (registry 168→170, VERDICT-sanctioned);
+    # 2-round freshness edge, plus the three newly registered
+    # queries (registry 168→171, the VERDICT-sanctioned unfreeze:
+    # two script-routing promotions + the encoding-QA battery);
     # anchors keep the perf-watched and edit-adjacent families age-0
     for must in (
         # age-1 families re-gating (sample of the 29); ten reps
