@@ -222,7 +222,12 @@ def dominant_script(text: Column | str, *, pre_stripped: bool = False) -> Column
     arr = F.array(*counts)
     idx = F.array_position(arr, F.array_max(arr))
     names = F.array(*[F.lit(nm) for nm in SCRIPT_PRIORITY + ("other",)])
-    return F.when(n == 0, F.lit("und")).otherwise(
+    # NULL text must class as 'und' like empty text (no chars, no
+    # signal): a plain `n == 0` guard is NULL for NULL n and falls
+    # through to the argmax, where the all-NULL counts array resolved
+    # to 'other' — a signal class for a row with no signal (r12
+    # NULL-contract sweep). isNull is checked explicitly.
+    return F.when(n.isNull() | (n == 0), F.lit("und")).otherwise(
         F.coalesce(F.element_at(names, idx.cast("int")), F.lit("und"))
     )
 

@@ -52,15 +52,17 @@ def _script_count_sql(cls: str, st: str = "st") -> str:
 def _dominant_sql(st: str = "st") -> str:
     """DuckDB twin of ``textops.dominant_script``: counts array →
     first-max argmax into the priority-ordered name array ('und' for
-    empty). list_indexof returns the FIRST maximal index, matching
-    Spark's array_position tiebreak."""
+    NULL/empty — the NULL leg and the trailing coalesce mirror the
+    Spark function's NULL-contract guards). list_indexof returns the
+    FIRST maximal index, matching Spark's array_position tiebreak."""
     cnts = ", ".join(_script_count_sql(c, st) for c in TX.SCRIPT_PRIORITY)
     total = " + ".join(_script_count_sql(c, st) for c in TX.SCRIPT_PRIORITY)
     arr = f"[{cnts}, len({st}) - ({total})]"
     names = "[" + ", ".join(f"'{n}'" for n in _SCRIPT_NAMES) + "]"
     return (
-        f"CASE WHEN len({st}) = 0 THEN 'und' ELSE "
-        f"list_extract({names}, list_indexof({arr}, list_aggregate({arr}, 'max')))"
+        f"CASE WHEN {st} IS NULL OR len({st}) = 0 THEN 'und' ELSE "
+        f"coalesce(list_extract({names}, "
+        f"list_indexof({arr}, list_aggregate({arr}, 'max'))), 'und')"
         " END"
     )
 

@@ -379,3 +379,78 @@ def test_cms_null_keys_excluded_on_both_sides(spark):
     probes = spark.createDataFrame([("k0",), (None,)], "key string")
     est = _rows(SK.cms_estimate(sk_dirty, probes, "key"))
     assert est == [("k0", 10)]
+
+
+def test_script_and_encoding_functions_null_text(spark):
+    """NULL text contracts for the r12 additions: dominant_script
+    falls to 'und' (the same class as empty — no chars, no signal),
+    script_shares yields NULL shares with NULL n_chars,
+    transliterate_tokens yields NULL (tokens(NULL) is NULL, not []),
+    and the encoding signals/score are NULL — complete-case, never a
+    job failure."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.functions import textops as TX
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([("a", None), ("b", "hello world")], "k string, t string")
+    rows = {
+        r["k"]: r
+        for r in df.select(
+            "k",
+            TX.dominant_script("t").alias("dom"),
+            TX.script_shares("t").alias("s"),
+            TX.transliterate_tokens("t", TX.HAN_ALPHABET).alias("xlit"),
+            TX.replacement_char_count("t").alias("repl"),
+            TX.encoding_quality_score("t").alias("q"),
+        ).collect()
+    }
+    assert rows["a"]["dom"] == "und"
+    assert rows["a"]["s"]["latin"] is None and rows["a"]["s"]["n_chars"] is None
+    assert rows["a"]["xlit"] is None
+    assert rows["a"]["repl"] is None
+    assert rows["a"]["q"] is None
+    assert rows["b"]["dom"] == "latin" and rows["b"]["q"] == 1.0
+    # route_by_script: the NULL-text doc lands in the 'und' (word) leg,
+    # both materialize settings
+    for mat in (True, False):
+        routed = DD.route_by_script(df, "t", materialize=mat)
+        got = {(r["k"], r["dominant_script"]) for r in routed.collect()}
+        assert got == {("a", "und"), ("b", "latin")}
+    # empty relation survives end-to-end
+    empty = spark.createDataFrame([], "k string, t string")
+    assert DD.route_by_script(empty, "t").collect() == []
+
+
+def test_dominant_script_null_parity_with_oracle_spelling(spark):
+    """The oracle's _dominant_sql mirrors the Spark NULL guard: both
+    engines class NULL and empty text as 'und'."""
+    import duckdb
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.functions import textops as TX
+    from big_data_movie_recommendation_and_customer_segmentation_spark.plans.queries_script import _dominant_sql
+
+    rows = [("n", None), ("e", ""), ("w", "   "), ("x", "hello"), ("j", "吾輩")]
+    df = spark.createDataFrame(rows, "k string, t string")
+    strip = F.regexp_replace("t", r"\s+", "")
+    sp = {
+        r["k"]: r["d"]
+        for r in df.select(
+            "k", TX.dominant_script(strip, pre_stripped=True).alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in rows)
+        + ") v(k, t)",
+        [x for row in rows for x in row],
+    )
+    du = {
+        k: d
+        for k, d in con.execute(
+            f"""
+        WITH s AS (SELECT k, regexp_replace(t, '\\s+', '', 'g') AS st FROM t)
+        SELECT k, {_dominant_sql()} FROM s
+        """
+        ).fetchall()
+    }
+    assert sp == du == {"n": "und", "e": "und", "w": "und", "x": "latin", "j": "cjk"}
