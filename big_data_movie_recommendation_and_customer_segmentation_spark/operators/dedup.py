@@ -300,6 +300,26 @@ def minhash_duplicate_pairs(
     )
 
 
+def banded_signature_rows(sig: DataFrame, num_perm: int, band_rows: int) -> DataFrame:
+    """Melt a signature relation (doc, h0..h{num_perm-1}) into LSH
+    band rows (doc, band_id, v0..v{band_rows-1}) — one ``stack``
+    projection, map-local. The band join key is the RAW value tuple
+    (band_id, v0, v1, …): same shuffle cost as a hash of the tuple
+    (multi-column hash partitioning), zero collision risk, and a SQL
+    oracle can reproduce the candidate set by joining the same tuple.
+    Shared by the in-session pair miner (``minhash_set_pairs``) and
+    the persisted band index (``dedup_index``), so both store/join
+    the identical spelling."""
+    n_bands = num_perm // band_rows
+    v_cols = ", ".join(f"v{r}" for r in range(band_rows))
+    stack_args = ", ".join(
+        f"{b}, " + ", ".join(f"h{b * band_rows + r}" for r in range(band_rows))
+        for b in range(n_bands)
+    )
+    stack_expr = f"stack({n_bands}, {stack_args}) as (band_id, {v_cols})"
+    return sig.selectExpr("doc", stack_expr)
+
+
 def minhash_set_pairs(
     pairs: DataFrame,
     threshold: float = 0.8,
@@ -346,14 +366,7 @@ def minhash_set_pairs(
     # partitioning), zero collision risk, and the SQL oracle can
     # reproduce the candidate set exactly by joining on the same
     # tuple.
-    n_bands = num_perm // band_rows
-    v_cols = ", ".join(f"v{r}" for r in range(band_rows))
-    stack_args = ", ".join(
-        f"{b}, " + ", ".join(f"h{b * band_rows + r}" for r in range(band_rows))
-        for b in range(n_bands)
-    )
-    stack_expr = f"stack({n_bands}, {stack_args}) as (band_id, {v_cols})"
-    melted = sig.selectExpr("doc", stack_expr)
+    melted = banded_signature_rows(sig, num_perm, band_rows)
 
     join_keys = ["band_id"] + [f"v{r}" for r in range(band_rows)]
     cand = (

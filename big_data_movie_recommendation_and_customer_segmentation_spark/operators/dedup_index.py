@@ -1,0 +1,484 @@
+"""Incremental dedup: a persisted MinHash band index.
+
+The batch miners in ``dedup`` answer "which pairs inside THIS
+relation are near-duplicates" — the right shape for a one-shot corpus
+build, and the reference's own shape (its dedup state lives in
+driver-session datasketch objects rebuilt per run). A 100 TB corpus
+is not deduplicated that way: the retained corpus is deduplicated
+ONCE, its signatures/band rows are persisted as an index, and every
+incoming batch (a daily crawl slice, ~0.1% of corpus size) is checked
+AGAINST the index — recomputing signatures over the full corpus per
+batch would re-read 100 TB daily for a question whose answer only
+needs the (tiny) band table.
+
+Layout under ``{path}/`` — same store-derived-params discipline as
+the IVFADC index (``vectorops.build_ivfadc_index``):
+
+- ``bands/``  (doc, v0..v{r-1}) hive-partitioned by ``band_id`` —
+  the LSH candidate structure. Partitioning by band makes a
+  reduced-recall probe (``bands_to_probe``) a partition-pruned scan,
+  and per-band health stats / rewrites partition-local.
+- ``sigs/``   (doc, h0..h{p-1}) — signatures, for the zero-corpus-IO
+  estimate rescore.
+- ``meta/``   one row: every signature-affecting knob (num_perm,
+  band_rows, seed, base_hash, n, unit, max_shingle_freq). Queries and
+  upserts derive parameters FROM THE INDEX; a caller can't silently
+  mix signature spaces.
+- ``hot_shingles/`` (only when governed) — the shingles whose
+  corpus document-frequency exceeded ``max_shingle_freq`` at
+  build/compact time. Governor state is part of the index: a batch
+  doc must drop the SAME boilerplate shingles the corpus side
+  dropped, or its signature lives in a different space and every
+  band comparison is garbage.
+- ``tombstones/`` (tomb_id) — logical deletes, applied by queries,
+  reclaimed by ``compact_minhash_index``.
+
+Shuffle/scale notes: the query-side join broadcasts the BATCH's band
+rows against the stored band table — the corpus side never shuffles
+(its scan is also band-pruned under ``bands_to_probe``). Rescore
+touches only candidate docs (broadcast semi-joins), so query cost
+tracks candidate density, not index size. Compaction is the one
+full-rewrite operation: unlike IVFADC cells, the band layout spreads
+every doc across ALL band partitions, so there is no partition-local
+delete — schedule it by tombstone ratio, not per delete batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _shingle_pairs, banded_signature_rows, minhash_signatures
+from .similarity import materialization_enabled
+from .vectorops import _hadoop_delete, _hadoop_fs
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint behind the global materialization
+    kill-switch (SPARK_GRAFT_NO_MATERIALIZE — plan tooling and plan
+    asserts need the un-truncated lineage)."""
+    return df.localCheckpoint(eager=False) if materialization_enabled() else df
+
+
+def _read_meta(spark: SparkSession, path: str):
+    return spark.read.parquet(f"{path}/meta").collect()[0]
+
+
+def _hot_shingles(spark: SparkSession, path: str) -> DataFrame | None:
+    fs, hpath = _hadoop_fs(spark, f"{path}/hot_shingles")
+    if fs.exists(hpath):
+        return spark.read.parquet(f"{path}/hot_shingles")
+    return None
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    fs, hpath = _hadoop_fs(spark, f"{path}/tombstones")
+    if fs.exists(hpath):
+        return spark.read.parquet(f"{path}/tombstones")
+    return None
+
+
+def _governed_shingles(
+    docs: DataFrame, id_col: str, text_col: str, meta, hot: DataFrame | None
+) -> DataFrame:
+    """(doc, shingle) relation in the INDEX's signature space: the
+    index's shingle unit/width, minus its frozen hot-shingle set."""
+    pairs = _shingle_pairs(docs, id_col, text_col, meta.n, unit=meta.unit)
+    if hot is not None:
+        pairs = pairs.join(F.broadcast(hot), "shingle", "left_anti")
+    return pairs
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    band_rows: int = 2,
+    seed: int = 42,
+    base_hash: str = "xxhash64",
+    unit: str = "word",
+    max_shingle_freq: int | None = None,
+) -> None:
+    """Materialize the MinHash band index for ``corpus`` at ``path``.
+
+    One pass over the corpus text: shingle → (optional) governor →
+    signatures, written once to ``sigs/`` and then band-melted from
+    the STORED signatures (the melt re-reads parquet instead of
+    re-running the shingle/agg pipeline — an index build is a chain
+    of materializations, not a lineage tree). A rebuild is a new
+    index generation: stale tombstones are dropped (same rule as
+    ``build_ivfadc_index`` — a tombstone must not outlive the
+    generation it was issued against).
+
+    ``max_shingle_freq`` is the boilerplate governor from the batch
+    miners; here the dropped hot set is PERSISTED so later batches
+    and upserts hash in the identical signature space.
+    """
+    spark = corpus.sparkSession
+    pairs = _shingle_pairs(corpus, id_col, text_col, n, unit=unit)
+    if max_shingle_freq is not None:
+        (
+            pairs.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq)
+            .select("shingle")
+            .write.mode("overwrite")
+            .parquet(f"{path}/hot_shingles")
+        )
+        hot = spark.read.parquet(f"{path}/hot_shingles")
+        pairs = pairs.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        _hadoop_delete(spark, f"{path}/hot_shingles")
+
+    minhash_signatures(
+        pairs, num_perm=num_perm, seed=seed, base_hash=base_hash
+    ).write.mode("overwrite").parquet(f"{path}/sigs")
+
+    stored_sig = spark.read.parquet(f"{path}/sigs")
+    (
+        banded_signature_rows(stored_sig, num_perm, band_rows)
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(f"{path}/bands")
+    )
+
+    spark.createDataFrame(
+        [(num_perm, band_rows, seed, base_hash, n, unit, max_shingle_freq)],
+        "num_perm int, band_rows int, seed int, base_hash string, "
+        "n int, unit string, max_shingle_freq int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    _hadoop_delete(spark, f"{path}/tombstones")
+
+
+def minhash_index_dedup(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    rescore: str = "estimate",
+    corpus_docs: DataFrame | None = None,
+    bands_to_probe: int | None = None,
+    broadcast_batch: bool = True,
+    exclude_id_eq: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW batch and the indexed
+    corpus, without recomputing anything corpus-side.
+
+    The batch's shingles/signatures/band rows are computed with the
+    index's OWN frozen parameters and governor state (meta +
+    hot_shingles — never caller-supplied knobs), then its band rows
+    are broadcast against the stored band table: the corpus side is
+    a pruned parquet scan plus a broadcast hash join — NO shuffle of
+    corpus data, which is the entire point at 100 TB.
+
+    ``rescore``:
+
+    - ``'estimate'`` (default): join the candidates' STORED
+      signatures with the batch's — ``jaccard_est`` is the agreeing
+      fraction of the ``num_perm`` components (the unbiased MinHash
+      estimator, Broder 1997; σ ≈ √(j(1−j)/p) ≈ 0.09 at p=32,
+      j=0.5). Zero reads of corpus text. Output: new_id, corpus_id,
+      n_agree, jaccard_est.
+    - ``'exact'``: true Jaccard over shingle sets, rebuilt ONLY for
+      candidate docs (requires ``corpus_docs`` — the candidate ids
+      are broadcast-semi-joined into it, so the text scan is pushed
+      to the candidate set). Output: new_id, corpus_id, n_common,
+      n_new, n_corpus, jaccard — the same contract as
+      ``minhash_duplicate_pairs`` restricted to cross pairs
+      (equivalence-tested).
+
+    ``bands_to_probe``: probe only bands 0..k-1 — a partition-pruned
+    scan of ``bands/`` (PartitionFilters, asserted in tests). Recall
+    at threshold j falls from 1−(1−j^r)^B to 1−(1−j^r)^k: the
+    standard LSH cost/recall knob for low-stakes screening passes.
+
+    ``exclude_id_eq`` drops candidates whose corpus id equals the
+    batch id (re-crawled docs trivially match themselves).
+    Tombstoned corpus docs never surface.
+    """
+    if rescore not in ("estimate", "exact"):
+        raise ValueError(f"rescore must be 'estimate' or 'exact', got {rescore!r}")
+    if rescore == "exact" and corpus_docs is None:
+        raise ValueError("rescore='exact' needs corpus_docs (candidate text re-read)")
+    meta = _read_meta(spark, path)
+    hot = _hot_shingles(spark, path)
+
+    batch_pairs = _governed_shingles(new_docs, id_col, text_col, meta, hot)
+    # feeds the batch band rows AND (per rescore path) sigs/sets —
+    # one lazy materialization instead of re-deriving the explode
+    batch_pairs = _pin(batch_pairs)
+    batch_sig = _pin(
+        minhash_signatures(
+            batch_pairs, num_perm=meta.num_perm, seed=meta.seed, base_hash=meta.base_hash
+        )
+    )
+    batch_bands = banded_signature_rows(batch_sig, meta.num_perm, meta.band_rows)
+
+    stored_bands = spark.read.parquet(f"{path}/bands")
+    if bands_to_probe is not None:
+        stored_bands = stored_bands.filter(F.col("band_id") < bands_to_probe)
+        batch_bands = batch_bands.filter(F.col("band_id") < bands_to_probe)
+
+    join_keys = ["band_id"] + [f"v{r}" for r in range(meta.band_rows)]
+    probe = batch_bands.withColumnRenamed("doc", "new_id")
+    if broadcast_batch:
+        probe = F.broadcast(probe)
+    cand = (
+        stored_bands.withColumnRenamed("doc", "corpus_id")
+        .join(probe, join_keys)
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    if exclude_id_eq:
+        cand = cand.filter(F.col("new_id") != F.col("corpus_id"))
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        cand = cand.join(
+            F.broadcast(tomb.withColumnRenamed("tomb_id", "corpus_id")),
+            "corpus_id",
+            "left_anti",
+        )
+    # cand feeds the id lists and the rescore join — tiny by the LSH
+    # property, and re-deriving it would rerun the band join
+    cand = _pin(cand)
+
+    if rescore == "estimate":
+        stored_sig = spark.read.parquet(f"{path}/sigs")
+        corpus_side = stored_sig.join(
+            F.broadcast(cand.select(F.col("corpus_id").alias("doc")).distinct()),
+            "doc",
+            "left_semi",
+        ).select(
+            F.col("doc").alias("corpus_id"),
+            *[F.col(f"h{i}").alias(f"_c{i}") for i in range(meta.num_perm)],
+        )
+        new_side = batch_sig.select(
+            F.col("doc").alias("new_id"),
+            *[F.col(f"h{i}").alias(f"_n{i}") for i in range(meta.num_perm)],
+        )
+        n_agree = sum(
+            F.when(F.col(f"_c{i}") == F.col(f"_n{i}"), 1).otherwise(0)
+            for i in range(meta.num_perm)
+        )
+        return (
+            cand.join(F.broadcast(new_side), "new_id")
+            .join(corpus_side, "corpus_id")
+            .select(
+                "new_id",
+                "corpus_id",
+                n_agree.alias("n_agree"),
+                (n_agree / F.lit(float(meta.num_perm))).alias("jaccard_est"),
+            )
+            .filter(F.col("jaccard_est") >= threshold)
+        )
+
+    # exact rescore: shingle sets only for candidate docs, both sides
+    corpus_ids = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    corpus_sets = (
+        _governed_shingles(
+            corpus_docs.join(F.broadcast(corpus_ids), id_col, "left_semi"),
+            id_col,
+            text_col,
+            meta,
+            hot,
+        )
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("_ic"))
+        .select(F.col("doc").alias("corpus_id"), "_ic")
+    )
+    new_ids = cand.select(F.col("new_id").alias("doc")).distinct()
+    new_sets = (
+        batch_pairs.join(F.broadcast(new_ids), "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("_in"))
+        .select(F.col("doc").alias("new_id"), "_in")
+    )
+    inter = F.size(F.array_intersect("_in", "_ic"))
+    return (
+        cand.join(F.broadcast(new_sets), "new_id")
+        .join(corpus_sets, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            inter.alias("n_common"),
+            F.size("_in").alias("n_new"),
+            F.size("_ic").alias("n_corpus"),
+            (inter / (F.size("_in") + F.size("_ic") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def upsert_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Admit accepted batch docs into the index: signatures/band rows
+    computed with the index's frozen parameters + governor state,
+    APPENDED to ``sigs/`` and ``bands/`` — O(batch) I/O, no corpus
+    rewrite (appending to a band partition adds a file; it does not
+    rewrite the partition).
+
+    Id semantics (insert-or-restore, never in-place update): a batch
+    id already physically present in the index is NOT re-appended —
+    its rows are already there; if it was tombstoned, the tombstone
+    is cleared, restoring the stored rows (the delete→re-admit cycle
+    of a doc whose content is unchanged). CHANGING a stored doc's
+    content requires delete → ``compact_minhash_index`` → upsert:
+    band rows live in every band partition, so an in-place update
+    would be a full-index rewrite hidden inside an "upsert" — the
+    index makes that cost explicit instead. Returns
+    ``{"inserted": n, "restored": n}``.
+    """
+    spark = new_docs.sparkSession
+    meta = _read_meta(spark, path)
+    hot = _hot_shingles(spark, path)
+
+    batch_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
+    present = spark.read.parquet(f"{path}/sigs").select("doc").join(
+        F.broadcast(batch_ids), "doc", "left_semi"
+    )
+    # bounded by the batch size; pinned because it feeds the anti-join,
+    # the restore rewrite, and both counts
+    present = present.localCheckpoint(eager=True)
+    to_insert = new_docs.join(
+        present.withColumnRenamed("doc", id_col), id_col, "left_anti"
+    )
+
+    pairs = _governed_shingles(to_insert, id_col, text_col, meta, hot)
+    sig = _pin(
+        minhash_signatures(
+            pairs, num_perm=meta.num_perm, seed=meta.seed, base_hash=meta.base_hash
+        )
+    )
+    sig.write.mode("append").parquet(f"{path}/sigs")
+    (
+        banded_signature_rows(sig, meta.num_perm, meta.band_rows)
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(f"{path}/bands")
+    )
+
+    n_restored = 0
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        doomed = tomb.join(
+            F.broadcast(batch_ids.withColumnRenamed("doc", "tomb_id")),
+            "tomb_id",
+            "left_semi",
+        )
+        n_restored = doomed.count()
+        if n_restored:
+            kept = tomb.join(doomed, "tomb_id", "left_anti").localCheckpoint(eager=True)
+            if kept.count() > 0:
+                kept.write.mode("overwrite").parquet(f"{path}/tombstones")
+            else:
+                _hadoop_delete(spark, f"{path}/tombstones")
+    n_present = present.count()
+    return {
+        "inserted": batch_ids.count() - n_present,
+        "restored": n_restored,
+    }
+
+
+def delete_from_minhash_index(
+    delete_ids: DataFrame, path: str, *, id_col: str = "doc_id"
+) -> None:
+    """Logically delete docs by appending tombstones — O(batch) I/O,
+    applied by every query immediately, reclaimed by compaction.
+    Same churn-friendly split as the IVFADC delete lifecycle."""
+    (
+        delete_ids.select(F.col(id_col).alias("tomb_id"))
+        .distinct()
+        .write.mode("append")
+        .parquet(f"{path}/tombstones")
+    )
+
+
+def compact_minhash_index(path: str, spark: SparkSession | None = None) -> int:
+    """Physically remove tombstoned docs and drop the tombstone
+    table. Returns the number of DOCS removed.
+
+    Unlike IVFADC compaction (rewrites only affected cell
+    partitions), every doc has a row in EVERY band partition, so
+    this is a full rewrite of ``sigs/`` and ``bands/`` — run it on a
+    tombstone-ratio cadence, not per delete. The rewrite streams
+    through a sibling generation directory and swaps via FileSystem
+    rename (two atomic moves per table) — nothing index-sized is
+    pinned in executor storage, and a reader never observes a
+    half-rewritten table at a stable path."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    tomb = _tombstones(spark, path)
+    if tomb is None:
+        return 0
+    tomb_docs = tomb.withColumnRenamed("tomb_id", "doc")
+    sigs = spark.read.parquet(f"{path}/sigs")
+    removed = sigs.join(tomb_docs, "doc", "left_semi").count()
+    if removed:
+        emptied = removed == sigs.count()
+        fs, _ = _hadoop_fs(spark, path)
+        Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        for table, part_cols in (("sigs", ()), ("bands", ("band_id",))):
+            kept = spark.read.parquet(f"{path}/{table}").join(
+                tomb_docs, "doc", "left_anti"
+            )
+            tmp = f"{path}/{table}__compact"
+            if emptied and part_cols:
+                # a partitioned write of zero rows leaves no
+                # schema-bearing file; pin one empty partition so the
+                # table stays readable (same edge as IVFADC compact)
+                kept.limit(0).drop(*part_cols).write.mode("overwrite").parquet(
+                    f"{tmp}/{part_cols[0]}=0"
+                )
+            else:
+                writer = kept.write.mode("overwrite")
+                if part_cols:
+                    writer = writer.partitionBy(*part_cols)
+                writer.parquet(tmp)
+            _hadoop_delete(spark, f"{path}/{table}")
+            fs.rename(Path(tmp), Path(f"{path}/{table}"))
+    _hadoop_delete(spark, f"{path}/tombstones")
+    return removed
+
+
+def minhash_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-band health report: rows, docs, distinct buckets, and the
+    largest bucket — the governor dashboard. ``max_bucket`` is the
+    candidate-join hot-key bound: a bucket of size s on the corpus
+    side contributes s candidates PER MATCHING BATCH ROW, so a
+    growing max_bucket (boilerplate drifting past the frozen
+    hot-shingle set) is the signal to rebuild with a tighter
+    ``max_shingle_freq``. One aggregate over the band table; no text
+    is read. Output: band_id, n_docs, n_buckets, max_bucket (live
+    docs only — tombstoned rows are excluded, so the report reflects
+    what queries can actually hit; a doc has exactly one row per
+    band, so bucket size IS its doc count)."""
+    meta = _read_meta(spark, path)
+    bands = spark.read.parquet(f"{path}/bands")
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        bands = bands.join(
+            F.broadcast(tomb.withColumnRenamed("tomb_id", "doc")), "doc", "left_anti"
+        )
+    v_cols = [f"v{r}" for r in range(meta.band_rows)]
+    buckets = bands.groupBy("band_id", *v_cols).agg(F.count(F.lit(1)).alias("_sz"))
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.sum("_sz").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("_sz").alias("max_bucket"),
+        )
+        .select("band_id", "n_docs", "n_buckets", "max_bucket")
+    )

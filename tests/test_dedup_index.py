@@ -1,0 +1,321 @@
+"""Persisted MinHash band index (incremental dedup lifecycle).
+
+A new batch checked against a stored corpus index must (a) reproduce
+the in-session batch miner's cross pairs exactly under the exact
+rescore, (b) reproduce a DuckDB-recomputed signature-agreement
+estimate bit-for-bit under the md5 base hash, (c) prune the band
+scan under ``bands_to_probe`` (PartitionFilters), and (d) honor the
+delete → restore → compact lifecycle with parameters and governor
+state derived from the index, never the caller."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators import dedup as DD
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+    dedup_index as DI,
+)
+from big_data_movie_recommendation_and_customer_segmentation_spark.sources import load_table
+
+THRESH = 0.5
+
+
+def _split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d, d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, tmp_path_factory):
+    """Read-only index over the even-id half (xxhash64, ungoverned) —
+    shared by the non-mutating tests; mutating tests build their own."""
+    d, old, new = _split(spark, sf_dir)
+    path = str(tmp_path_factory.mktemp("mhidx") / "idx")
+    DI.build_minhash_index(old, path, n=3, num_perm=32, band_rows=2, seed=42)
+    return path, d, old, new
+
+
+def _norm_pairs(rows):
+    return {
+        (min(r[0], r[1]), max(r[0], r[1]), r.n_common, round(r.jaccard, 6))
+        for r in rows
+    }
+
+
+def test_exact_rescore_matches_batch_miner_cross_pairs(spark, built):
+    """Index dedup (exact rescore) == the batch miner over old∪new,
+    restricted to pairs crossing the split: signatures are per-doc,
+    so a split corpus and a joint corpus band identically."""
+    path, d, old, new = built
+    got = DI.minhash_index_dedup(
+        spark, path, new, threshold=THRESH, rescore="exact", corpus_docs=old
+    ).collect()
+    full = DD.minhash_duplicate_pairs(
+        spark, d, "doc_id", "text", n=3, threshold=THRESH,
+        num_perm=32, band_rows=2, seed=42,
+    ).collect()
+    want = {
+        (r.doc_a, r.doc_b, r.n_common, round(r.jaccard, 6))
+        for r in full
+        if (r.doc_a % 2) != (r.doc_b % 2)
+    }
+    assert len(got) > 0  # testdata plants cross near-dups at every SF
+    assert _norm_pairs(got) == want
+    # the exact contract also carries per-side set sizes
+    assert all(r.n_new > 0 and r.n_corpus > 0 for r in got)
+
+
+def test_estimate_rescore_matches_duckdb_signature_agreement(
+    spark, sf_dir, tmp_path, duck
+):
+    """md5 base hash ⇒ the WHOLE estimate path (base hash → seeded
+    universal-hash signatures → banded cross candidates → agreement
+    fraction) is recomputable in DuckDB and must agree bit-for-bit."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.plans.queries_ext import (
+        _MH_SIG_COLS,
+        _NTOKS,
+    )
+
+    d, old, new = _split(spark, sf_dir)
+    path = str(tmp_path / "mh_md5")
+    DI.build_minhash_index(
+        old, path, n=3, num_perm=32, band_rows=2, seed=42, base_hash="md5"
+    )
+    got = {
+        (r.new_id, r.corpus_id, r.n_agree)
+        for r in DI.minhash_index_dedup(
+            spark, path, new, threshold=0.4, rescore="estimate"
+        ).collect()
+    }
+
+    bands_sql = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_id, h{2 * b} AS v0, h{2 * b + 1} AS v1 FROM sig"
+        for b in range(16)
+    )
+    agree_sql = " + ".join(f"(a.h{i} = b.h{i})::INT" for i in range(32))
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"""
+    WITH t AS (SELECT doc_id, {_NTOKS} AS toks FROM documents),
+    sh_str AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM t
+    ),
+    hashed AS (
+      SELECT DISTINCT doc_id,
+             (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS h
+      FROM sh_str
+    ),
+    sig AS (SELECT doc_id, {_MH_SIG_COLS} FROM hashed GROUP BY doc_id),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM bands n JOIN bands c
+        ON n.band_id = c.band_id AND n.v0 = c.v0 AND n.v1 = c.v1
+      WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    )
+    SELECT new_id, corpus_id, {agree_sql} AS n_agree
+    FROM cand JOIN sig a ON a.doc_id = new_id JOIN sig b ON b.doc_id = corpus_id
+    WHERE ({agree_sql}) / 32.0 >= 0.4
+    """
+        ).fetchall()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_bands_to_probe_prunes_partitions_and_bounds_recall(
+    spark, built, monkeypatch
+):
+    path, d, old, new = built
+    # materialization boundaries print as Scan ExistingRDD and hide
+    # the band scan; disable them for the plan assert (same reason
+    # tools/gen_plans.py sets this)
+    monkeypatch.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
+    probed = DI.minhash_index_dedup(
+        spark, path, new, threshold=THRESH, rescore="exact", corpus_docs=old,
+        bands_to_probe=4,
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    part_filters = [s.split("]")[0] for s in plan.split("PartitionFilters: ")[1:]]
+    assert any("band_id" in pf for pf in part_filters), part_filters
+    monkeypatch.delenv("SPARK_GRAFT_NO_MATERIALIZE")
+
+    full = DI.minhash_index_dedup(
+        spark, path, new, threshold=THRESH, rescore="exact", corpus_docs=old
+    )
+    sub = {(r.new_id, r.corpus_id) for r in probed.collect()}
+    sup = {(r.new_id, r.corpus_id) for r in full.collect()}
+    assert sub <= sup  # fewer bands only ever lowers recall
+
+
+def test_delete_restore_compact_lifecycle(spark, sf_dir, tmp_path):
+    d, old, new = _split(spark, sf_dir)
+    path = str(tmp_path / "mh_life")
+    DI.build_minhash_index(old, path, n=3, num_perm=32, band_rows=2, seed=42)
+
+    base = {
+        (r.new_id, r.corpus_id)
+        for r in DI.minhash_index_dedup(
+            spark, path, new, threshold=THRESH, rescore="exact", corpus_docs=old
+        ).collect()
+    }
+    victim = sorted(base)[0][1]  # a corpus doc involved in a pair
+
+    DI.delete_from_minhash_index(
+        spark.createDataFrame([(victim,)], "doc_id long"), path
+    )
+    after_del = {
+        (r.new_id, r.corpus_id)
+        for r in DI.minhash_index_dedup(
+            spark, path, new, threshold=THRESH, rescore="exact", corpus_docs=old
+        ).collect()
+    }
+    assert after_del == {p for p in base if p[1] != victim}
+
+    # re-admitting the unchanged doc clears its tombstone (restore)
+    res = DI.upsert_minhash_index(old.filter(F.col("doc_id") == victim), path)
+    assert res == {"inserted": 0, "restored": 1}
+    restored = {
+        (r.new_id, r.corpus_id)
+        for r in DI.minhash_index_dedup(
+            spark, path, new, threshold=THRESH, rescore="exact", corpus_docs=old
+        ).collect()
+    }
+    assert restored == base
+
+    # delete again, compact: physically gone, tombstones dropped
+    DI.delete_from_minhash_index(
+        spark.createDataFrame([(victim,)], "doc_id long"), path
+    )
+    n_before = spark.read.parquet(f"{path}/sigs").count()
+    assert DI.compact_minhash_index(path, spark) == 1
+    assert spark.read.parquet(f"{path}/sigs").count() == n_before - 1
+    assert DI._tombstones(spark, path) is None
+    after_compact = {
+        (r.new_id, r.corpus_id)
+        for r in DI.minhash_index_dedup(
+            spark, path, new, threshold=THRESH, rescore="exact", corpus_docs=old
+        ).collect()
+    }
+    assert after_compact == after_del
+
+
+def test_upsert_equals_joint_build(spark, sf_dir, tmp_path):
+    """build(old) + upsert(new) must hold the same signature rows as
+    build(old ∪ new) — the incremental path lands in the identical
+    signature space (frozen meta params), so the stored state
+    converges to the one-shot build's."""
+    d, old, new = _split(spark, sf_dir)
+    inc, joint = str(tmp_path / "inc"), str(tmp_path / "joint")
+    DI.build_minhash_index(old, inc, n=3, num_perm=32, band_rows=2, seed=42)
+    res = DI.upsert_minhash_index(new, inc)
+    assert res["restored"] == 0 and res["inserted"] == new.count()
+    # idempotent: re-upserting the same batch appends nothing
+    assert DI.upsert_minhash_index(new, inc) == {"inserted": 0, "restored": 0}
+
+    DI.build_minhash_index(d, joint, n=3, num_perm=32, band_rows=2, seed=42)
+    cols = spark.read.parquet(f"{joint}/sigs").columns
+    got = {tuple(r) for r in spark.read.parquet(f"{inc}/sigs").select(cols).collect()}
+    want = {tuple(r) for r in spark.read.parquet(f"{joint}/sigs").select(cols).collect()}
+    assert got == want
+    gb = {tuple(r) for r in spark.read.parquet(f"{inc}/bands").select("doc", "band_id", "v0", "v1").collect()}
+    wb = {tuple(r) for r in spark.read.parquet(f"{joint}/bands").select("doc", "band_id", "v0", "v1").collect()}
+    assert gb == wb
+
+
+def test_governor_state_is_part_of_the_index(spark, tmp_path):
+    """A governed index persists its hot-shingle set, and the batch
+    side drops the SAME shingles: a batch doc identical to a corpus
+    doc must estimate jaccard 1.0 (same governed signature space),
+    and a doc made ENTIRELY of boilerplate vanishes from the index's
+    view instead of becoming a hot band key."""
+    boiler = "subscribe to our newsletter for updates today"
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler} unique content piece number {i} alpha beta") for i in range(10)]
+        + [(100, "a genuinely distinct document about sparrows and rivers flowing")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "gov")
+    DI.build_minhash_index(
+        corpus, path, n=3, num_perm=32, band_rows=2, seed=42, max_shingle_freq=5
+    )
+    hot = DI._hot_shingles(spark, path)
+    assert hot is not None and hot.count() > 0
+
+    batch = spark.createDataFrame(
+        [
+            (200, "a genuinely distinct document about sparrows and rivers flowing"),
+            (201, boiler),  # pure boilerplate: every shingle is hot
+        ],
+        "doc_id long, text string",
+    )
+    got = DI.minhash_index_dedup(spark, path, batch, threshold=0.9, rescore="estimate")
+    rows = got.collect()
+    assert {(r.new_id, r.corpus_id) for r in rows} == {(200, 100)}
+    assert rows[0].jaccard_est == 1.0  # identical governed shingle sets
+
+
+def test_empty_batch_and_self_id_exclusion(spark, built):
+    path, d, old, new = built
+    empty = new.limit(0)
+    assert (
+        DI.minhash_index_dedup(spark, path, empty, rescore="exact", corpus_docs=old)
+        .count()
+        == 0
+    )
+    assert DI.minhash_index_dedup(spark, path, empty, rescore="estimate").count() == 0
+    # a re-crawl of an indexed doc id must not match itself…
+    recrawl = old.limit(5)
+    self_pairs = (
+        DI.minhash_index_dedup(spark, path, recrawl, threshold=0.99, rescore="estimate")
+        .filter(F.col("new_id") == F.col("corpus_id"))
+        .count()
+    )
+    assert self_pairs == 0
+    # …but with exclude_id_eq=False it trivially does (est == 1.0)
+    self_hits = DI.minhash_index_dedup(
+        spark, path, recrawl, threshold=0.99, rescore="estimate", exclude_id_eq=False
+    ).filter(F.col("new_id") == F.col("corpus_id"))
+    assert self_hits.count() == 5
+
+
+def test_rescore_validation_and_stats(spark, built):
+    path, d, old, new = built
+    with pytest.raises(ValueError, match="rescore"):
+        DI.minhash_index_dedup(spark, path, new, rescore="nope")
+    with pytest.raises(ValueError, match="corpus_docs"):
+        DI.minhash_index_dedup(spark, path, new, rescore="exact")
+
+    stats = DI.minhash_index_stats(spark, path)
+    rows = {r.band_id: r for r in stats.collect()}
+    n_old = old.count()
+    assert set(rows) == set(range(16))  # 32 perms / 2 rows per band
+    for r in rows.values():
+        assert r.n_docs == n_old  # one row per live doc per band
+        assert 1 <= r.max_bucket <= n_old
+        assert r.n_buckets <= n_old
+
+
+def test_compact_to_empty_keeps_tables_readable(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [(1, "one tiny document here"), (2, "another tiny document there")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_empty")
+    DI.build_minhash_index(corpus, path, n=3, num_perm=32, band_rows=2, seed=42)
+    DI.delete_from_minhash_index(corpus.select("doc_id"), path)
+    assert DI.compact_minhash_index(path, spark) == 2
+    assert spark.read.parquet(f"{path}/sigs").count() == 0
+    assert spark.read.parquet(f"{path}/bands").count() == 0
+    batch = spark.createDataFrame([(9, "one tiny document here")], "doc_id long, text string")
+    assert DI.minhash_index_dedup(spark, path, batch, rescore="estimate").count() == 0
+    # and the emptied index accepts new docs again
+    assert DI.upsert_minhash_index(batch, path)["inserted"] == 1
