@@ -1982,3 +1982,67 @@ def compact_ivfadc_index(path: str, spark=None, *, id_col: str | None = None) ->
             )
     _hadoop_delete(spark, f"{path}/tombstones")
     return removed
+
+
+def semantic_index_dedup(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    corpus_vectors: DataFrame,
+    *,
+    min_cosine: float = 0.9,
+    k_candidates: int = 10,
+    n_probe_cells: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id_eq: bool = True,
+) -> DataFrame:
+    """Semantic near-duplicates between a NEW embedding batch and the
+    corpus behind a stored IVFADC index — the embedding twin of
+    ``dedup_index.minhash_index_dedup``: the one-time index pays the
+    corpus pass; each batch is routed/scored against 8-byte-per-
+    vector PQ state (cell-partition-pruned scan, broadcast ADC
+    tables, tombstones honored — all inherited from
+    ``ivfadc_index_search``), then the surviving candidates are
+    rescored with EXACT cosine by re-reading only the candidate
+    corpus vectors (broadcast semi-join into ``corpus_vectors`` — at
+    100 TB the raw-vector scan is candidate-bounded, not corpus-
+    bounded; the same candidate-text discipline as the MinHash
+    index's exact rescore).
+
+    Recall contract (the SemDeDup-style trade, explicit): a corpus
+    near-dup is missed only if it quantizes outside the probe's
+    ``n_probe_cells`` nearest cells or below rank ``k_candidates`` —
+    both knobs monotone in recall. Identical/near-identical vectors
+    route to the same cell by construction, so exact re-uploads are
+    always caught. Output: new_id, corpus_id, cos_sim (≥
+    ``min_cosine``), deterministic for the deterministic index
+    construction.
+    """
+    probes = new_vectors.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    cand = ivfadc_index_search(
+        spark,
+        path,
+        probes,
+        k_neighbors=k_candidates,
+        n_probe_cells=n_probe_cells,
+        id_col=id_col,
+        exclude_id_eq_probe=exclude_id_eq,
+    ).select(F.col("probe_id").alias("new_id"), F.col(id_col).alias("corpus_id"))
+
+    corpus_cand = corpus_vectors.join(
+        F.broadcast(cand.select(F.col("corpus_id").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    ).select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_vc"))
+    new_side = new_vectors.select(
+        F.col(id_col).alias("new_id"), F.col(vec_col).alias("_vn")
+    )
+    return (
+        cand.join(F.broadcast(new_side), "new_id")
+        .join(corpus_cand, "corpus_id")
+        .select("new_id", "corpus_id", V.cosine("_vn", "_vc").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
