@@ -25,8 +25,10 @@ the IVFADC index (``vectorops.build_ivfadc_index``):
   upserts derive parameters FROM THE INDEX; a caller can't silently
   mix signature spaces.
 - ``hot_shingles/`` (only when governed) — the shingles whose
-  corpus document-frequency exceeded ``max_shingle_freq`` at
-  build/compact time. Governor state is part of the index: a batch
+  corpus document-frequency exceeded ``max_shingle_freq`` at BUILD
+  time (frozen until a rebuild; compaction does not recompute it —
+  watch ``minhash_index_stats.max_bucket`` for drift). Governor
+  state is part of the index: a batch
   doc must drop the SAME boilerplate shingles the corpus side
   dropped, or its signature lives in a different space and every
   band comparison is garbage.
@@ -95,7 +97,7 @@ def build_minhash_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 3,
+    n: int | None = None,
     num_perm: int = 32,
     band_rows: int = 2,
     seed: int = 42,
@@ -117,7 +119,14 @@ def build_minhash_index(
     ``max_shingle_freq`` is the boilerplate governor from the batch
     miners; here the dropped hot set is PERSISTED so later batches
     and upserts hash in the identical signature space.
+
+    ``n`` defaults by unit — 3 for ``'word'``, 5 for ``'char'`` (the
+    miners' per-unit conventions; carrying a word-scale n to the
+    char unit degrades the shingle space — same rationale as
+    ``ngram_decontaminate``'s unit-aware default, ADVICE r12).
     """
+    if n is None:
+        n = 3 if unit == "word" else 5
     spark = corpus.sparkSession
     pairs = _shingle_pairs(corpus, id_col, text_col, n, unit=unit)
     if max_shingle_freq is not None:
@@ -361,13 +370,20 @@ def upsert_minhash_index(
             pairs, num_perm=meta.num_perm, seed=meta.seed, base_hash=meta.base_hash
         )
     )
-    sig.write.mode("append").parquet(f"{path}/sigs")
+    # bands BEFORE sigs: presence (and therefore re-upsert skipping)
+    # is judged from sigs, so a crash between the two appends must
+    # leave the doc ABSENT from sigs — the retry then re-appends
+    # both, and a duplicated band row is harmless (the query's
+    # candidate set is distinct()). The reverse order would strand
+    # docs present in sigs but bandless: invisible to queries, yet
+    # skipped by every future upsert.
     (
         banded_signature_rows(sig, meta.num_perm, meta.band_rows)
         .write.mode("append")
         .partitionBy("band_id")
         .parquet(f"{path}/bands")
     )
+    sig.write.mode("append").parquet(f"{path}/sigs")
 
     n_restored = 0
     tomb = _tombstones(spark, path)

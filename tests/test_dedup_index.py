@@ -319,3 +319,55 @@ def test_compact_to_empty_keeps_tables_readable(spark, tmp_path):
     assert DI.minhash_index_dedup(spark, path, batch, rescore="estimate").count() == 0
     # and the emptied index accepts new docs again
     assert DI.upsert_minhash_index(batch, path)["inserted"] == 1
+
+
+def test_aborted_upsert_retry_is_recoverable(spark, tmp_path):
+    """Crash contract: upsert appends bands BEFORE sigs, so an abort
+    between the two leaves the doc absent from sigs — the retry
+    re-admits it (re-appending both), and the duplicated band rows
+    are harmless because the query's candidate set is distinct()."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_abort")
+    DI.build_minhash_index(corpus, path, n=3, num_perm=32, band_rows=2, seed=42)
+
+    batch = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    # simulate the aborted first attempt: band rows landed, sigs did not
+    meta = DI._read_meta(spark, path)
+    pairs = DI._governed_shingles(batch, "doc_id", "text", meta, None)
+    sig = DD.minhash_signatures(
+        pairs, num_perm=meta.num_perm, seed=meta.seed, base_hash=meta.base_hash
+    )
+    DD.banded_signature_rows(sig, meta.num_perm, meta.band_rows).write.mode(
+        "append"
+    ).partitionBy("band_id").parquet(f"{path}/bands")
+
+    # retry: doc 2 is absent from sigs, so it re-inserts cleanly
+    assert DI.upsert_minhash_index(batch, path) == {"inserted": 1, "restored": 0}
+    probe = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    got = DI.minhash_index_dedup(spark, path, probe, threshold=0.9, rescore="estimate")
+    rows = got.collect()
+    # one row per (new, corpus) pair despite duplicated band rows
+    assert sorted((r.new_id, r.corpus_id, r.jaccard_est) for r in rows) == [
+        (3, 1, 1.0),
+        (3, 2, 1.0),
+    ]
+
+
+def test_build_n_defaults_by_unit(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    pw, pc = str(tmp_path / "w"), str(tmp_path / "c")
+    DI.build_minhash_index(docs, pw)
+    DI.build_minhash_index(docs, pc, unit="char")
+    assert DI._read_meta(spark, pw).n == 3
+    assert DI._read_meta(spark, pc).n == 5
