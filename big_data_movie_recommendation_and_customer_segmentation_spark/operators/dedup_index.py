@@ -154,6 +154,23 @@ def build_minhash_index(
         .partitionBy("band_id")
         .parquet(f"{path}/bands")
     )
+    # An EMPTY corpus (the normal starting state of a streaming
+    # near-dedup gate) writes zero band rows, and a partitioned write
+    # of zero rows leaves no schema-bearing file — the first query
+    # would then wedge on schema inference (the exact failure class
+    # dedup_append_writer's committed-glob probe fixed, r10). Pin one
+    # empty partition so the empty index is readable; the first
+    # upsert appends real partitions beside it.
+    fs, _ = _hadoop_fs(spark, path)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    have = fs.globStatus(Path(f"{path}/bands/band_id=*/*.parquet"))
+    if have is None or len(have) == 0:
+        (
+            banded_signature_rows(stored_sig.limit(0), num_perm, band_rows)
+            .drop("band_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/bands/band_id=0")
+        )
 
     spark.createDataFrame(
         [(num_perm, band_rows, seed, base_hash, n, unit, max_shingle_freq)],

@@ -182,3 +182,94 @@ def dedup_append_writer(path: str, id_col: str):
         idempotent_epoch_writer(path)(survivors, batch_id)
 
     return write_batch
+
+
+def near_dedup_gate_writer(
+    out_path: str,
+    index_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    within_batch: bool = True,
+):
+    """Return a ``foreachBatch`` function implementing CROSS-BATCH
+    NEAR-dup admission against a persisted MinHash band index
+    (``operators.dedup_index``): each micro-batch is (1) screened
+    against the index — any doc with a near-dup already ADMITTED to
+    the corpus is dropped, (2) optionally near-dedup'd within itself
+    (drop every doc with a lower-id near-dup batch-mate — the
+    SemDeDup one-pass rule), (3) its survivors written under their
+    own ``_epoch`` partition AND upserted into the index, so the
+    NEXT batch screens against them. The streaming completion of the
+    incremental-dedup story: exact membership is
+    ``dedup_append_writer``; this is the same contract at
+    near-duplicate granularity.
+
+    Signature space: every leg (cross-batch screen, within-batch
+    pairs, upsert) derives its parameters and governor state from the
+    INDEX — one frozen space for the stream's whole lifetime. The
+    cross-batch leg uses the estimate rescore (stored-signature
+    agreement: a stream cannot re-read corpus text); the within-batch
+    leg rescores exactly (its text is in hand).
+
+    Idempotence under at-least-once replay: the epoch overwrite
+    replaces the batch's own previous output; the upsert skips ids
+    already present; a survivor re-screened after its own upsert
+    matches only ITSELF in the index, which the query's id-equality
+    exclusion drops. Replay after a crash at ANY point between the
+    two writes converges to the same committed state (the upsert's
+    bands-before-sigs ordering makes its own partial state
+    re-admittable).
+
+    100 TB shape: per batch, the index side is a broadcast-probed
+    band scan + candidate-bounded signature reads — no corpus
+    re-read, no corpus shuffle; the index grows by exactly the
+    admitted survivors.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from ..operators import dedup as DD
+        from ..operators import dedup_index as DI
+
+        hits = DI.minhash_index_dedup(
+            spark,
+            index_path,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            rescore="estimate",
+        )
+        flagged = hits.select(F.col("new_id").alias(id_col)).distinct()
+        fresh = batch_df.join(F.broadcast(flagged), id_col, "left_anti")
+
+        if within_batch:
+            meta = DI._read_meta(spark, index_path)
+            rel = DI._governed_shingles(
+                fresh, id_col, text_col, meta, DI._hot_shingles(spark, index_path)
+            )
+            pairs = DD.minhash_set_pairs(
+                rel,
+                threshold=threshold,
+                num_perm=meta.num_perm,
+                band_rows=meta.band_rows,
+                seed=meta.seed,
+                base_hash=meta.base_hash,
+            )
+            # doc_a < doc_b by construction: doc_b is the loser
+            losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+            fresh = fresh.join(F.broadcast(losers), id_col, "left_anti")
+
+        # survivors feed the epoch write AND the upsert; eager pin so
+        # the screen runs once and both writes see identical rows
+        fresh = fresh.localCheckpoint(eager=True)
+        # output first (the sink contract), index second — replay
+        # converges either way, but a reader of out_path must never
+        # see docs the index doesn't know about for longer than one
+        # retry window
+        idempotent_epoch_writer(out_path)(fresh, batch_id)
+        DI.upsert_minhash_index(fresh, index_path, id_col=id_col, text_col=text_col)
+
+    return write_batch
