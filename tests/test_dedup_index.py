@@ -371,3 +371,18 @@ def test_build_n_defaults_by_unit(spark, tmp_path):
     DI.build_minhash_index(docs, pc, unit="char")
     assert DI._read_meta(spark, pw).n == 3
     assert DI._read_meta(spark, pc).n == 5
+
+
+def test_estimate_plan_joins_are_all_broadcast(spark, built, monkeypatch):
+    """The 100 TB contract of the query path: the stored band and
+    signature tables are only ever probed by BROADCAST joins (batch
+    side broadcast) — a SortMergeJoin/ShuffledHashJoin here would
+    shuffle corpus-sized state per batch."""
+    path, d, old, new = built
+    monkeypatch.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
+    q = DI.minhash_index_dedup(spark, path, new, threshold=THRESH, rescore="estimate")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.delenv("SPARK_GRAFT_NO_MATERIALIZE")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
