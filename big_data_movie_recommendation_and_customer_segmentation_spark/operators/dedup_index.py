@@ -84,11 +84,34 @@ def _governed_shingles(
     docs: DataFrame, id_col: str, text_col: str, meta, hot: DataFrame | None
 ) -> DataFrame:
     """(doc, shingle) relation in the INDEX's signature space: the
-    index's shingle unit/width, minus its frozen hot-shingle set."""
-    pairs = _shingle_pairs(docs, id_col, text_col, meta.n, unit=meta.unit)
+    index's shingle unit/width (or, for a set-input index built with
+    ``item_col``, the raw item column), minus its frozen hot set."""
+    if meta.unit == "items":
+        pairs = docs.select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("shingle")
+        ).distinct()
+    else:
+        pairs = _shingle_pairs(docs, id_col, text_col, meta.n, unit=meta.unit)
     if hot is not None:
         pairs = pairs.join(F.broadcast(hot), "shingle", "left_anti")
     return pairs
+
+
+def _input_col(meta, text_col: str, item_col: str | None) -> str:
+    """Resolve the batch-side input column and REFUSE a mode mix: a
+    set-input index (meta.unit == 'items') must be probed with
+    ``item_col``; a text index must not be."""
+    if meta.unit == "items":
+        if item_col is None:
+            raise ValueError(
+                "this index was built with item_col (set input); pass item_col"
+            )
+        return item_col
+    if item_col is not None:
+        raise ValueError(
+            f"this index was built over text (unit={meta.unit!r}); drop item_col"
+        )
+    return text_col
 
 
 def build_minhash_index(
@@ -104,6 +127,7 @@ def build_minhash_index(
     base_hash: str = "xxhash64",
     unit: str = "word",
     max_shingle_freq: int | None = None,
+    item_col: str | None = None,
 ) -> None:
     """Materialize the MinHash band index for ``corpus`` at ``path``.
 
@@ -124,11 +148,28 @@ def build_minhash_index(
     miners' per-unit conventions; carrying a word-scale n to the
     char unit degrades the shingle space — same rationale as
     ``ngram_decontaminate``'s unit-aware default, ADVICE r12).
+
+    ``item_col`` switches the index to SET input: ``corpus`` is a
+    (id, item) relation — e.g. (customer, part) purchase sets, the
+    reference's S1 "similar users" shape (top_100_pairs.py:54-94) —
+    indexed exactly as ``minhash_set_pairs`` mines it in-session, so
+    entity-similarity screening of NEW entities against an existing
+    population becomes an index probe instead of a recompute. Items
+    are hashed as-is (cast non-string items to string when building
+    with the md5 oracle hash); ``n``/``unit`` are recorded as
+    (NULL, 'items') and every query/upsert derives the mode from
+    meta — the two input shapes cannot be silently mixed.
     """
-    if n is None:
-        n = 3 if unit == "word" else 5
+    if item_col is not None:
+        unit, n = "items", None
+        pairs = corpus.select(
+            F.col(id_col).alias("doc"), F.col(item_col).alias("shingle")
+        ).distinct()
+    else:
+        if n is None:
+            n = 3 if unit == "word" else 5
+        pairs = _shingle_pairs(corpus, id_col, text_col, n, unit=unit)
     spark = corpus.sparkSession
-    pairs = _shingle_pairs(corpus, id_col, text_col, n, unit=unit)
     if max_shingle_freq is not None:
         (
             pairs.groupBy("shingle")
@@ -193,6 +234,7 @@ def minhash_index_dedup(
     bands_to_probe: int | None = None,
     broadcast_batch: bool = True,
     exclude_id_eq: bool = True,
+    item_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW batch and the indexed
     corpus, without recomputing anything corpus-side.
@@ -234,9 +276,10 @@ def minhash_index_dedup(
     if rescore == "exact" and corpus_docs is None:
         raise ValueError("rescore='exact' needs corpus_docs (candidate text re-read)")
     meta = _read_meta(spark, path)
+    in_col = _input_col(meta, text_col, item_col)
     hot = _hot_shingles(spark, path)
 
-    batch_pairs = _governed_shingles(new_docs, id_col, text_col, meta, hot)
+    batch_pairs = _governed_shingles(new_docs, id_col, in_col, meta, hot)
     # feeds the batch band rows AND (per rescore path) sigs/sets —
     # one lazy materialization instead of re-deriving the explode
     batch_pairs = _pin(batch_pairs)
@@ -311,7 +354,7 @@ def minhash_index_dedup(
         _governed_shingles(
             corpus_docs.join(F.broadcast(corpus_ids), id_col, "left_semi"),
             id_col,
-            text_col,
+            in_col,
             meta,
             hot,
         )
@@ -348,6 +391,7 @@ def upsert_minhash_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    item_col: str | None = None,
 ) -> dict[str, int]:
     """Admit accepted batch docs into the index: signatures/band rows
     computed with the index's frozen parameters + governor state,
@@ -368,6 +412,7 @@ def upsert_minhash_index(
     """
     spark = new_docs.sparkSession
     meta = _read_meta(spark, path)
+    in_col = _input_col(meta, text_col, item_col)
     hot = _hot_shingles(spark, path)
 
     batch_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
@@ -381,7 +426,7 @@ def upsert_minhash_index(
         present.withColumnRenamed("doc", id_col), id_col, "left_anti"
     )
 
-    pairs = _governed_shingles(to_insert, id_col, text_col, meta, hot)
+    pairs = _governed_shingles(to_insert, id_col, in_col, meta, hot)
     sig = _pin(
         minhash_signatures(
             pairs, num_perm=meta.num_perm, seed=meta.seed, base_hash=meta.base_hash

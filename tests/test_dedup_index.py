@@ -386,3 +386,59 @@ def test_estimate_plan_joins_are_all_broadcast(spark, built, monkeypatch):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_set_input_index_matches_set_miner_cross_pairs(spark, sf_dir, tmp_path):
+    """A set-input index (item_col) over co-purchase sets — the
+    reference's S1 "similar users" shape — must reproduce
+    ``minhash_set_pairs``'s cross pairs for a new-entity batch, with
+    the mode recorded in meta so text/set probes can't be mixed."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", F.col("l_partkey").cast("string").alias("part"))
+        .distinct()
+    )
+    old = cp.filter(F.col("o_custkey") % 2 == 0)
+    new = cp.filter(F.col("o_custkey") % 2 == 1)
+    path = str(tmp_path / "mh_sets")
+    DI.build_minhash_index(
+        old, path, id_col="o_custkey", item_col="part",
+        num_perm=32, band_rows=2, seed=42,
+    )
+    assert DI._read_meta(spark, path).unit == "items"
+
+    got = {
+        (r.new_id, r.corpus_id, r.n_common, round(r.jaccard, 6))
+        for r in DI.minhash_index_dedup(
+            spark, path, new, id_col="o_custkey", item_col="part",
+            threshold=0.05, rescore="exact", corpus_docs=old,
+        ).collect()
+    }
+    sets = cp.select(F.col("o_custkey").alias("doc"), F.col("part").alias("shingle"))
+    full = DD.minhash_set_pairs(
+        sets, threshold=0.05, num_perm=32, band_rows=2, seed=42
+    ).collect()
+    want = {
+        ((r.doc_a if r.doc_a % 2 else r.doc_b), (r.doc_b if r.doc_a % 2 else r.doc_a),
+         r.n_common, round(r.jaccard, 6))
+        for r in full
+        if (r.doc_a % 2) != (r.doc_b % 2)
+    }
+    assert len(got) > 0
+    assert got == want
+
+    # mode mixing is refused in both directions
+    with pytest.raises(ValueError, match="item_col"):
+        DI.minhash_index_dedup(spark, path, new, id_col="o_custkey")
+    text_path = str(tmp_path / "mh_text")
+    DI.build_minhash_index(
+        spark.createDataFrame([(1, "a b c d")], "doc_id long, text string"), text_path
+    )
+    with pytest.raises(ValueError, match="text"):
+        DI.minhash_index_dedup(
+            spark, text_path,
+            spark.createDataFrame([(2, "x")], "doc_id long, it string"),
+            item_col="it",
+        )
