@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from .dedup import _shingle_pairs, banded_signature_rows, minhash_signatures
 from .similarity import materialization_enabled
-from .vectorops import _hadoop_delete, _hadoop_fs
+from .vectorops import _hadoop_delete, _hadoop_fs, pin_empty_partition
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -112,6 +112,15 @@ def _input_col(meta, text_col: str, item_col: str | None) -> str:
             f"this index was built over text (unit={meta.unit!r}); drop item_col"
         )
     return text_col
+
+
+def load_index_state(spark: SparkSession, path: str):
+    """One round-trip read of the index's frozen parameters and
+    governor state — ``(meta, hot_shingles-or-None)``. Callers that
+    probe the same index repeatedly (the streaming gate: screen +
+    within-batch leg + upsert per micro-batch) pass this via
+    ``index_state`` instead of paying the meta/hot reads per leg."""
+    return _read_meta(spark, path), _hot_shingles(spark, path)
 
 
 def build_minhash_index(
@@ -206,11 +215,10 @@ def build_minhash_index(
     Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     have = fs.globStatus(Path(f"{path}/bands/band_id=*/*.parquet"))
     if have is None or len(have) == 0:
-        (
-            banded_signature_rows(stored_sig.limit(0), num_perm, band_rows)
-            .drop("band_id")
-            .write.mode("overwrite")
-            .parquet(f"{path}/bands/band_id=0")
+        pin_empty_partition(
+            banded_signature_rows(stored_sig, num_perm, band_rows),
+            f"{path}/bands",
+            "band_id",
         )
 
     spark.createDataFrame(
@@ -235,6 +243,7 @@ def minhash_index_dedup(
     broadcast_batch: bool = True,
     exclude_id_eq: bool = True,
     item_col: str | None = None,
+    index_state: tuple | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW batch and the indexed
     corpus, without recomputing anything corpus-side.
@@ -275,9 +284,8 @@ def minhash_index_dedup(
         raise ValueError(f"rescore must be 'estimate' or 'exact', got {rescore!r}")
     if rescore == "exact" and corpus_docs is None:
         raise ValueError("rescore='exact' needs corpus_docs (candidate text re-read)")
-    meta = _read_meta(spark, path)
+    meta, hot = index_state if index_state is not None else load_index_state(spark, path)
     in_col = _input_col(meta, text_col, item_col)
-    hot = _hot_shingles(spark, path)
 
     batch_pairs = _governed_shingles(new_docs, id_col, in_col, meta, hot)
     # feeds the batch band rows AND (per rescore path) sigs/sets —
@@ -392,6 +400,7 @@ def upsert_minhash_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     item_col: str | None = None,
+    index_state: tuple | None = None,
 ) -> dict[str, int]:
     """Admit accepted batch docs into the index: signatures/band rows
     computed with the index's frozen parameters + governor state,
@@ -411,11 +420,15 @@ def upsert_minhash_index(
     ``{"inserted": n, "restored": n}``.
     """
     spark = new_docs.sparkSession
-    meta = _read_meta(spark, path)
+    meta, hot = index_state if index_state is not None else load_index_state(spark, path)
     in_col = _input_col(meta, text_col, item_col)
-    hot = _hot_shingles(spark, path)
 
-    batch_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
+    # batch-sized; pinned once — it feeds the presence probe, the
+    # tombstone clears, and the final count (r12 review: three
+    # re-derivations per upsert on the job-latency-bound gate path)
+    batch_ids = new_docs.select(F.col(id_col).alias("doc")).distinct().localCheckpoint(
+        eager=True
+    )
     present = spark.read.parquet(f"{path}/sigs").select("doc").join(
         F.broadcast(batch_ids), "doc", "left_semi"
     )
@@ -450,14 +463,26 @@ def upsert_minhash_index(
     n_restored = 0
     tomb = _tombstones(spark, path)
     if tomb is not None:
-        doomed = tomb.join(
+        # EVERY upserted id's tombstone must clear — including a
+        # tombstoned-but-absent id we just INSERTED (e.g. deleted,
+        # compacted away, then re-admitted): leaving its tombstone
+        # would shield the freshly appended rows from every query
+        # (r12 review). "restored" counts only the tombstoned ∧
+        # physically-present ids, whose STORED rows come back into
+        # view — a tombstoned-absent id is a plain insert, counted
+        # once under "inserted".
+        batch_tombs = tomb.join(
             F.broadcast(batch_ids.withColumnRenamed("doc", "tomb_id")),
             "tomb_id",
             "left_semi",
-        )
-        n_restored = doomed.count()
-        if n_restored:
-            kept = tomb.join(doomed, "tomb_id", "left_anti").localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
+        n_restored = batch_tombs.join(
+            present.withColumnRenamed("doc", "tomb_id"), "tomb_id", "left_semi"
+        ).count()
+        if batch_tombs.count():
+            kept = tomb.join(batch_tombs, "tomb_id", "left_anti").localCheckpoint(
+                eager=True
+            )
             if kept.count() > 0:
                 kept.write.mode("overwrite").parquet(f"{path}/tombstones")
             else:
@@ -483,6 +508,53 @@ def delete_from_minhash_index(
     )
 
 
+def _rename_or_raise(spark, src: str, dst: str) -> None:
+    fs, _ = _hadoop_fs(spark, src)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    # Hadoop rename reports failure via its RETURN VALUE, not an
+    # exception (r12 review: the unchecked call could silently leave
+    # the table missing at the stable path)
+    if not fs.rename(Path(src), Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _swap_in(spark, tmp: str, live: str) -> None:
+    """Swap ``tmp`` into place at ``live`` without a window where the
+    stable path is deleted-but-unreplaced: set the live table ASIDE
+    (rename, not delete), move the new one in, then drop the
+    set-aside. A crash at any point leaves either the old or the new
+    complete table recoverable (``_recover_compaction``)."""
+    old = f"{live}__old"
+    _hadoop_delete(spark, old)  # stale set-aside from a crashed attempt
+    _rename_or_raise(spark, live, old)
+    try:
+        _rename_or_raise(spark, tmp, live)
+    except Exception:
+        fs, _ = _hadoop_fs(spark, live)
+        Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        fs.rename(Path(old), Path(live))  # best-effort restore
+        raise
+    _hadoop_delete(spark, old)
+
+
+def _recover_compaction(spark, path: str) -> None:
+    """Self-heal a crash inside a prior ``_swap_in``: if a live table
+    is missing, reinstate whichever complete copy exists — the
+    finished rewrite (``__compact`` with its _SUCCESS marker wins: it
+    is the newer state) else the set-aside ``__old``."""
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs, _ = _hadoop_fs(spark, path)
+    for table in ("bands", "sigs"):
+        live = f"{path}/{table}"
+        if fs.exists(Path(live)):
+            continue
+        tmp, old = f"{live}__compact", f"{live}__old"
+        if fs.exists(Path(f"{tmp}/_SUCCESS")):
+            _rename_or_raise(spark, tmp, live)
+        elif fs.exists(Path(old)):
+            _rename_or_raise(spark, old, live)
+
+
 def compact_minhash_index(path: str, spark: SparkSession | None = None) -> int:
     """Physically remove tombstoned docs and drop the tombstone
     table. Returns the number of DOCS removed.
@@ -490,13 +562,23 @@ def compact_minhash_index(path: str, spark: SparkSession | None = None) -> int:
     Unlike IVFADC compaction (rewrites only affected cell
     partitions), every doc has a row in EVERY band partition, so
     this is a full rewrite of ``sigs/`` and ``bands/`` — run it on a
-    tombstone-ratio cadence, not per delete. The rewrite streams
-    through a sibling generation directory and swaps via FileSystem
-    rename (two atomic moves per table) — nothing index-sized is
-    pinned in executor storage, and a reader never observes a
-    half-rewritten table at a stable path."""
+    tombstone-ratio cadence, not per delete. Each table's rewrite
+    streams into a sibling directory and is swapped in by rename
+    (``_swap_in`` — the live table is set aside, never
+    deleted-before-replaced), so nothing index-sized is pinned in
+    executor storage and readers always find a complete table at the
+    stable path.
+
+    Crash safety (r12 review): re-running compact after a crash at
+    ANY point converges. ``bands`` swaps FIRST and the work-to-do
+    probe reads ``sigs`` (swapped LAST), so a crash between the two
+    swaps leaves the probe positive and the retry rewrites both
+    (re-rewriting already-clean bands is a no-op); tombstones are
+    dropped only after both swaps. A crash INSIDE a swap is healed
+    on entry by ``_recover_compaction``."""
     if spark is None:
         spark = SparkSession.getActiveSession()
+    _recover_compaction(spark, path)
     tomb = _tombstones(spark, path)
     if tomb is None:
         return 0
@@ -505,27 +587,22 @@ def compact_minhash_index(path: str, spark: SparkSession | None = None) -> int:
     removed = sigs.join(tomb_docs, "doc", "left_semi").count()
     if removed:
         emptied = removed == sigs.count()
-        fs, _ = _hadoop_fs(spark, path)
-        Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-        for table, part_cols in (("sigs", ()), ("bands", ("band_id",))):
+        for table, part_col in (("bands", "band_id"), ("sigs", None)):
             kept = spark.read.parquet(f"{path}/{table}").join(
                 tomb_docs, "doc", "left_anti"
             )
             tmp = f"{path}/{table}__compact"
-            if emptied and part_cols:
+            if emptied and part_col:
                 # a partitioned write of zero rows leaves no
                 # schema-bearing file; pin one empty partition so the
                 # table stays readable (same edge as IVFADC compact)
-                kept.limit(0).drop(*part_cols).write.mode("overwrite").parquet(
-                    f"{tmp}/{part_cols[0]}=0"
-                )
+                pin_empty_partition(kept, tmp, part_col)
             else:
                 writer = kept.write.mode("overwrite")
-                if part_cols:
-                    writer = writer.partitionBy(*part_cols)
+                if part_col:
+                    writer = writer.partitionBy(part_col)
                 writer.parquet(tmp)
-            _hadoop_delete(spark, f"{path}/{table}")
-            fs.rename(Path(tmp), Path(f"{path}/{table}"))
+            _swap_in(spark, tmp, f"{path}/{table}")
     _hadoop_delete(spark, f"{path}/tombstones")
     return removed
 
@@ -539,9 +616,11 @@ def minhash_index_stats(spark: SparkSession, path: str) -> DataFrame:
     hot-shingle set) is the signal to rebuild with a tighter
     ``max_shingle_freq``. One aggregate over the band table; no text
     is read. Output: band_id, n_docs, n_buckets, max_bucket (live
-    docs only — tombstoned rows are excluded, so the report reflects
-    what queries can actually hit; a doc has exactly one row per
-    band, so bucket size IS its doc count)."""
+    docs only — tombstoned rows are excluded, and rows are counted
+    DISTINCT per (band, bucket, doc): a retried upsert legitimately
+    leaves duplicated band rows (its crash contract), which must not
+    inflate the dashboard into spurious rebuild alarms — r12
+    review)."""
     meta = _read_meta(spark, path)
     bands = spark.read.parquet(f"{path}/bands")
     tomb = _tombstones(spark, path)
@@ -550,7 +629,12 @@ def minhash_index_stats(spark: SparkSession, path: str) -> DataFrame:
             F.broadcast(tomb.withColumnRenamed("tomb_id", "doc")), "doc", "left_anti"
         )
     v_cols = [f"v{r}" for r in range(meta.band_rows)]
-    buckets = bands.groupBy("band_id", *v_cols).agg(F.count(F.lit(1)).alias("_sz"))
+    buckets = (
+        bands.select("doc", "band_id", *v_cols)
+        .distinct()
+        .groupBy("band_id", *v_cols)
+        .agg(F.count(F.lit(1)).alias("_sz"))
+    )
     return (
         buckets.groupBy("band_id")
         .agg(

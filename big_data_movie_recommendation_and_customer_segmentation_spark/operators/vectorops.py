@@ -1870,6 +1870,18 @@ def _hadoop_delete(spark, path: str) -> None:
         fs.delete(hpath, True)
 
 
+def pin_empty_partition(df: DataFrame, path: str, part_col: str) -> None:
+    """Write a schema-bearing EMPTY partition ``{path}/{part_col}=0``:
+    a hive-partitioned write of zero rows leaves no parquet file at
+    all, so the next read of ``path`` fails schema inference. Every
+    index layout that can legitimately empty out (IVFADC codes,
+    MinHash bands) pins its schema through this one helper (r12
+    review: three hand-rolled copies drifted)."""
+    df.limit(0).drop(part_col).write.mode("overwrite").parquet(
+        f"{path}/{part_col}=0"
+    )
+
+
 def _index_tombstones(spark, path: str):
     """The index's tombstone table (one ``tomb_id`` column) or None.
     Goes through the Hadoop FileSystem API so existence checks work on
@@ -1975,11 +1987,8 @@ def compact_ivfadc_index(path: str, spark=None, *, id_col: str | None = None) ->
         for cell in set(affected) - surviving:
             _hadoop_delete(spark, f"{path}/codes/cell={cell}")
         if not surviving and set(affected) == all_cells:
-            # fully emptied: write one empty schema-bearing partition
-            # (cell=0) so partition discovery still finds the schema
-            keep.limit(0).drop("cell").write.mode("overwrite").parquet(
-                f"{path}/codes/cell=0"
-            )
+            # fully emptied: keep partition discovery alive
+            pin_empty_partition(keep, f"{path}/codes", "cell")
     _hadoop_delete(spark, f"{path}/tombstones")
     return removed
 

@@ -215,12 +215,28 @@ def near_dedup_gate_writer(
 
     Idempotence under at-least-once replay: the epoch overwrite
     replaces the batch's own previous output; the upsert skips ids
-    already present; a survivor re-screened after its own upsert
-    matches only ITSELF in the index, which the query's id-equality
-    exclusion drops. Replay after a crash at ANY point between the
-    two writes converges to the same committed state (the upsert's
-    bands-before-sigs ordering makes its own partial state
-    re-admittable).
+    already present; and the cross-batch screen IGNORES hits whose
+    corpus id is in the current batch — on a replay the batch's own
+    survivors are already in the index and would otherwise
+    estimate-match each other, retro-dropping docs the first attempt
+    admitted (same-batch pairs are the within-batch leg's decision,
+    made with the exact rescore, and replaying that leg repeats the
+    identical decision). Replay after a crash at ANY point between
+    the two writes therefore converges to the same committed state
+    (the upsert's bands-before-sigs ordering makes its own partial
+    state re-admittable). One documented edge: re-USING an admitted
+    doc's id for different content makes that id's pairs the
+    within-batch leg's call rather than the screen's — id reuse with
+    changed content is outside the upsert contract anyway
+    (delete → compact → re-admit).
+
+    Admission requires visibility: a doc whose GOVERNED shingle set
+    is empty (pure boilerplate under the index's hot-shingle
+    governor, null/whitespace text) produces no signature state, so
+    the index could never screen its future copies — each would be
+    admitted again, forever. The gate refuses such docs instead
+    (boilerplate belongs to exact dedup upstream — the ladder's
+    layering contract).
 
     100 TB shape: per batch, the index side is a broadcast-probed
     band scan + candidate-bounded signature reads — no corpus
@@ -233,6 +249,13 @@ def near_dedup_gate_writer(
         from ..operators import dedup as DD
         from ..operators import dedup_index as DI
 
+        # index parameters + governor state read ONCE per batch and
+        # threaded through all three legs (r12 review: per-leg
+        # meta/hot reads on the job-latency-bound gate path)
+        state = DI.load_index_state(spark, index_path)
+        meta, hot = state
+        batch_ids = batch_df.select(F.col(id_col)).distinct()
+
         hits = DI.minhash_index_dedup(
             spark,
             index_path,
@@ -241,15 +264,30 @@ def near_dedup_gate_writer(
             text_col=text_col,
             threshold=threshold,
             rescore="estimate",
+            index_state=state,
         )
-        flagged = hits.select(F.col("new_id").alias(id_col)).distinct()
+        # replay idempotence: drop hits against the batch's OWN ids
+        # (see docstring — the within-batch leg owns same-batch pairs)
+        flagged = (
+            hits.join(
+                F.broadcast(batch_ids.withColumnRenamed(id_col, "corpus_id")),
+                "corpus_id",
+                "left_anti",
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
         fresh = batch_df.join(F.broadcast(flagged), id_col, "left_anti")
 
+        # visibility gate: only docs with a non-empty GOVERNED shingle
+        # set are admissible (see docstring); rel also feeds the
+        # within-batch pair miner, so derive it once
+        rel = DI._governed_shingles(fresh, id_col, text_col, meta, hot)
+        rel = rel.localCheckpoint(eager=False)
+        visible = rel.select(F.col("doc").alias(id_col)).distinct()
+        fresh = fresh.join(F.broadcast(visible), id_col, "left_semi")
+
         if within_batch:
-            meta = DI._read_meta(spark, index_path)
-            rel = DI._governed_shingles(
-                fresh, id_col, text_col, meta, DI._hot_shingles(spark, index_path)
-            )
             pairs = DD.minhash_set_pairs(
                 rel,
                 threshold=threshold,
@@ -270,6 +308,8 @@ def near_dedup_gate_writer(
         # see docs the index doesn't know about for longer than one
         # retry window
         idempotent_epoch_writer(out_path)(fresh, batch_id)
-        DI.upsert_minhash_index(fresh, index_path, id_col=id_col, text_col=text_col)
+        DI.upsert_minhash_index(
+            fresh, index_path, id_col=id_col, text_col=text_col, index_state=state
+        )
 
     return write_batch

@@ -442,3 +442,98 @@ def test_set_input_index_matches_set_miner_cross_pairs(spark, sf_dir, tmp_path):
             spark.createDataFrame([(2, "x")], "doc_id long, it string"),
             item_col="it",
         )
+
+
+def test_upsert_of_tombstoned_absent_id_clears_tombstone(spark, tmp_path):
+    """A tombstoned id whose rows were already compacted away is a
+    plain INSERT (restored=0) — and its stale tombstone must clear,
+    or the freshly appended rows stay invisible to every query."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_reinsert")
+    DI.build_minhash_index(corpus, path, n=3, num_perm=32, band_rows=2, seed=42)
+    DI.delete_from_minhash_index(spark.createDataFrame([(1,)], "doc_id long"), path)
+    assert DI.compact_minhash_index(path, spark) == 1
+    # doc 1 is physically gone; tombstone it AGAIN (a late delete of
+    # an absent id is a harmless no-op tombstone) then re-admit it
+    DI.delete_from_minhash_index(spark.createDataFrame([(1,)], "doc_id long"), path)
+    res = DI.upsert_minhash_index(corpus.filter(F.col("doc_id") == 1), path)
+    assert res == {"inserted": 1, "restored": 0}
+    assert DI._tombstones(spark, path) is None
+    probe = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    got = DI.minhash_index_dedup(spark, path, probe, threshold=0.9, rescore="estimate")
+    assert [(r.new_id, r.corpus_id) for r in got.collect()] == [(9, 1)]
+
+
+def test_compact_retry_converges_after_partial_swap(spark, tmp_path):
+    """Crash contract: bands swaps FIRST, the work-to-do probe reads
+    sigs (swapped LAST) — a retry after a crash between the two swaps
+    must still rewrite both tables, not no-op and drop tombstones
+    over unshielded band rows."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_crash")
+    DI.build_minhash_index(corpus, path, n=3, num_perm=32, band_rows=2, seed=42)
+    DI.delete_from_minhash_index(spark.createDataFrame([(1,)], "doc_id long"), path)
+
+    # simulate the first attempt crashing AFTER the bands swap: bands
+    # already clean, sigs still dirty, tombstones intact
+    clean_bands = spark.read.parquet(f"{path}/bands").filter(F.col("doc") != 1)
+    clean_bands.write.mode("overwrite").partitionBy("band_id").parquet(
+        f"{path}/bands__compact"
+    )
+    DI._swap_in(spark, f"{path}/bands__compact", f"{path}/bands")
+    assert spark.read.parquet(f"{path}/bands").filter(F.col("doc") == 1).count() == 0
+    assert spark.read.parquet(f"{path}/sigs").filter(F.col("doc") == 1).count() == 1
+
+    # retry: must report the doc removed and clean BOTH tables
+    assert DI.compact_minhash_index(path, spark) == 1
+    assert spark.read.parquet(f"{path}/sigs").filter(F.col("doc") == 1).count() == 0
+    assert spark.read.parquet(f"{path}/bands").filter(F.col("doc") == 1).count() == 0
+    assert DI._tombstones(spark, path) is None
+    # exact rescore must not resurrect the deleted doc
+    probe = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    got = DI.minhash_index_dedup(
+        spark, path, probe, threshold=0.9, rescore="exact", corpus_docs=corpus
+    )
+    assert got.count() == 0
+
+
+def test_recover_compaction_heals_missing_live_table(spark, tmp_path):
+    """A crash INSIDE a swap (live table set aside, replacement not
+    yet in place) self-heals on the next compact entry."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_heal")
+    DI.build_minhash_index(corpus, path, n=3, num_perm=32, band_rows=2, seed=42)
+    fs, _ = DI._hadoop_fs(spark, path)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    # simulate: live sigs renamed aside, crash before the rename-in
+    assert fs.rename(Path(f"{path}/sigs"), Path(f"{path}/sigs__old"))
+    assert DI.compact_minhash_index(path, spark) == 0  # heals, then no tombstones
+    assert spark.read.parquet(f"{path}/sigs").count() == 1
+
+
+def test_stats_ignore_retry_duplicated_band_rows(spark, tmp_path):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_dupstats")
+    DI.build_minhash_index(corpus, path, n=3, num_perm=32, band_rows=2, seed=42)
+    before = {r.band_id: (r.n_docs, r.max_bucket) for r in DI.minhash_index_stats(spark, path).collect()}
+    # simulate a retried upsert's duplicated band append
+    spark.read.parquet(f"{path}/bands").filter(F.col("doc") == 1).write.mode(
+        "append"
+    ).partitionBy("band_id").parquet(f"{path}/bands")
+    after = {r.band_id: (r.n_docs, r.max_bucket) for r in DI.minhash_index_stats(spark, path).collect()}
+    assert after == before

@@ -105,3 +105,46 @@ def test_gate_through_real_streaming_engine(spark, tmp_path):
     # admitted doc 1) is screened out cross-batch
     assert admitted == {1, 2, 4}
     assert spark.read.parquet(out).select("_epoch").distinct().count() >= 2
+
+
+def test_replay_does_not_retro_drop_same_batch_survivors(spark, tmp_path):
+    """r12 review finding: after a crash-replay the batch's own
+    survivors are already in the index — the cross-batch screen must
+    ignore same-batch corpus hits, or docs admitted by the first
+    attempt are permanently dropped from the rewritten epoch."""
+    idx = _empty_index(spark, tmp_path)
+    out = str(tmp_path / "out")
+    # within_batch=False: both identical docs are admitted by design
+    # (no within-batch leg); the replay must admit them again
+    write = SK.near_dedup_gate_writer(out, idx, threshold=0.5, within_batch=False)
+    batch = spark.createDataFrame([(1, A), (2, A)], DOC)
+    write(batch, 0)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    write(batch, 0)  # at-least-once redelivery
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+
+def test_gate_refuses_invisible_docs(spark, tmp_path):
+    """A doc whose governed shingle set is empty can never be
+    screened by the index — admitting it would let identical copies
+    through every future batch. The gate refuses it."""
+    boiler = "subscribe to our newsletter for updates today"
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler} unique content piece number {i} alpha beta") for i in range(10)],
+        DOC,
+    )
+    idx = str(tmp_path / "gov_idx")
+    DI.build_minhash_index(
+        corpus, idx, n=3, num_perm=32, band_rows=2, seed=42, max_shingle_freq=5
+    )
+    out = str(tmp_path / "out")
+    write = SK.near_dedup_gate_writer(out, idx, threshold=0.5)
+    write(spark.createDataFrame([(100, boiler), (101, C)], DOC), 0)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {101}
+    # a later copy of the boilerplate is refused again, not duplicated
+    write(spark.createDataFrame([(102, boiler)], DOC), 1)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {101}
+    # the index holds exactly the admitted membership
+    assert {r.doc for r in spark.read.parquet(f"{idx}/sigs").select("doc").collect()} == {
+        101
+    } | set(range(10))

@@ -68,10 +68,18 @@ def main() -> None:
         corpus = docs.filter(F.col("doc_id") % 100 != 0).localCheckpoint()
         batch = docs.filter(F.col("doc_id") % 100 == 0).localCheckpoint()
         # the sharper 100 TB shape: a FIXED 50-doc batch against a
-        # growing corpus — per-batch query cost should be ~flat
-        fixed = docs.filter(
-            (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 5000)
-        ).localCheckpoint()
+        # growing corpus — per-batch query cost should be ~flat.
+        # Deterministic 50 docs at EVERY SF (r12 review: the earlier
+        # doc_id<5000 spelling yielded only 5 docs at sf0.01, mixing
+        # batch-size scaling into the published slope), re-id'd so the
+        # probe never self-matches corpus ids.
+        fixed = (
+            docs.filter(F.col("doc_id") % 10 == 5)
+            .orderBy("doc_id")
+            .limit(50)
+            .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+            .localCheckpoint()
+        )
         path = f"/tmp/mhidx_scale_sf{sf}"
         builds, ests, exacts, recomputes, fixeds = [], [], [], [], []
         for _ in range(REPS):
