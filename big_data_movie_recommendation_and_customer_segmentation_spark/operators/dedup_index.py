@@ -393,6 +393,87 @@ def minhash_index_dedup(
     )
 
 
+def minhash_index_screen(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    within_batch: bool = True,
+    item_col: str | None = None,
+    index_state: tuple | None = None,
+) -> DataFrame:
+    """SURVIVORS of a batch screened against the indexed corpus —
+    the admission decision shared by batch pipelines and the
+    streaming gate (``streaming.sinks.near_dedup_gate_writer`` is
+    this + an epoch write + an upsert). Three filters, in order:
+
+    1. cross-corpus: docs with a near-dup already IN the index are
+       dropped (estimate rescore; hits against the batch's own ids
+       are ignored — same-batch pairs are filter 3's decision, and
+       under at-least-once replay the batch's survivors are already
+       in the index and must not retro-drop each other);
+    2. visibility: docs whose governed shingle set is empty (pure
+       boilerplate under the hot-shingle governor, null text) are
+       dropped — the index could never screen their future copies
+       (exact dedup owns them, per the ladder's layering contract);
+    3. within-batch (optional): of each near-dup pair inside the
+       batch, the higher id is dropped (the SemDeDup one-pass rule,
+       exact rescore — text in hand).
+
+    Returns the surviving rows of ``new_docs`` (all columns).
+    Deterministic; admitting the result via ``upsert_minhash_index``
+    makes the next batch screen against it.
+    """
+    meta, hot = index_state if index_state is not None else load_index_state(spark, path)
+    in_col = _input_col(meta, text_col, item_col)
+    batch_ids = new_docs.select(F.col(id_col)).distinct()
+
+    hits = minhash_index_dedup(
+        spark,
+        path,
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        rescore="estimate",
+        item_col=item_col,
+        index_state=(meta, hot),
+    )
+    flagged = (
+        hits.join(
+            F.broadcast(batch_ids.withColumnRenamed(id_col, "corpus_id")),
+            "corpus_id",
+            "left_anti",
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    fresh = new_docs.join(F.broadcast(flagged), id_col, "left_anti")
+
+    rel = _pin(_governed_shingles(fresh, id_col, in_col, meta, hot))
+    visible = rel.select(F.col("doc").alias(id_col)).distinct()
+    fresh = fresh.join(F.broadcast(visible), id_col, "left_semi")
+
+    if within_batch:
+        from .dedup import minhash_set_pairs
+
+        pairs = minhash_set_pairs(
+            rel,
+            threshold=threshold,
+            num_perm=meta.num_perm,
+            band_rows=meta.band_rows,
+            seed=meta.seed,
+            base_hash=meta.base_hash,
+        )
+        # doc_a < doc_b by construction: doc_b is the loser
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        fresh = fresh.join(F.broadcast(losers), id_col, "left_anti")
+    return fresh
+
+
 def upsert_minhash_index(
     new_docs: DataFrame,
     path: str,

@@ -246,60 +246,24 @@ def near_dedup_gate_writer(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        from ..operators import dedup as DD
         from ..operators import dedup_index as DI
 
         # index parameters + governor state read ONCE per batch and
-        # threaded through all three legs (r12 review: per-leg
-        # meta/hot reads on the job-latency-bound gate path)
+        # threaded through both legs (r12 review: per-leg meta/hot
+        # reads on the job-latency-bound gate path)
         state = DI.load_index_state(spark, index_path)
-        meta, hot = state
-        batch_ids = batch_df.select(F.col(id_col)).distinct()
-
-        hits = DI.minhash_index_dedup(
+        # the admission decision is the shared batch operator — the
+        # gate adds only the epoch write and the upsert
+        fresh = DI.minhash_index_screen(
             spark,
             index_path,
             batch_df,
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
-            rescore="estimate",
+            within_batch=within_batch,
             index_state=state,
         )
-        # replay idempotence: drop hits against the batch's OWN ids
-        # (see docstring — the within-batch leg owns same-batch pairs)
-        flagged = (
-            hits.join(
-                F.broadcast(batch_ids.withColumnRenamed(id_col, "corpus_id")),
-                "corpus_id",
-                "left_anti",
-            )
-            .select(F.col("new_id").alias(id_col))
-            .distinct()
-        )
-        fresh = batch_df.join(F.broadcast(flagged), id_col, "left_anti")
-
-        # visibility gate: only docs with a non-empty GOVERNED shingle
-        # set are admissible (see docstring); rel also feeds the
-        # within-batch pair miner, so derive it once
-        rel = DI._governed_shingles(fresh, id_col, text_col, meta, hot)
-        rel = rel.localCheckpoint(eager=False)
-        visible = rel.select(F.col("doc").alias(id_col)).distinct()
-        fresh = fresh.join(F.broadcast(visible), id_col, "left_semi")
-
-        if within_batch:
-            pairs = DD.minhash_set_pairs(
-                rel,
-                threshold=threshold,
-                num_perm=meta.num_perm,
-                band_rows=meta.band_rows,
-                seed=meta.seed,
-                base_hash=meta.base_hash,
-            )
-            # doc_a < doc_b by construction: doc_b is the loser
-            losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-            fresh = fresh.join(F.broadcast(losers), id_col, "left_anti")
-
         # survivors feed the epoch write AND the upsert; eager pin so
         # the screen runs once and both writes see identical rows
         fresh = fresh.localCheckpoint(eager=True)

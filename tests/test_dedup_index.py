@@ -537,3 +537,33 @@ def test_stats_ignore_retry_duplicated_band_rows(spark, tmp_path):
     ).partitionBy("band_id").parquet(f"{path}/bands")
     after = {r.band_id: (r.n_docs, r.max_bucket) for r in DI.minhash_index_stats(spark, path).collect()}
     assert after == before
+
+
+def test_screen_is_the_gate_admission_decision(spark, built):
+    """minhash_index_screen (batch API) = cross-corpus drop +
+    visibility + within-batch SemDeDup rule, and its survivors carry
+    all original columns."""
+    path, d, old, new = built
+    surv = DI.minhash_index_screen(
+        spark, path, new, threshold=THRESH, within_batch=False
+    )
+    assert surv.columns == new.columns
+    kept = {r.doc_id for r in surv.select("doc_id").collect()}
+    hits = {
+        r.new_id
+        for r in DI.minhash_index_dedup(
+            spark, path, new, threshold=THRESH, rescore="estimate"
+        ).collect()
+    }
+    all_new = {r.doc_id for r in new.select("doc_id").collect()}
+    assert kept == all_new - hits  # ungoverned index: every doc visible
+
+    # within_batch=True additionally drops the higher id of each
+    # within-batch near-dup pair
+    surv_wb = {
+        r.doc_id
+        for r in DI.minhash_index_screen(
+            spark, path, new, threshold=THRESH, within_batch=True
+        ).select("doc_id").collect()
+    }
+    assert surv_wb <= kept
