@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import textops as TX
+from .dedup_index import _pin
 
 
 def kgram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -126,7 +127,11 @@ def repeated_span_pairs(
             f"window ({window}) must be <= k ({k}): the exactness contract "
             "needs chained seeds' verified k-grams to overlap or touch"
         )
-    sel = winnow(kgram_hashes(df, id_col, text_col, k), window)
+    # sel feeds BOTH sides of the seed self-join (and the governor's
+    # frequency pass): one lazy materialization instead of re-running
+    # the per-position explode + winnow per consumer — the same
+    # measured tradeoff as materialize_pairs in the set miners
+    sel = _pin(winnow(kgram_hashes(df, id_col, text_col, k), window))
     if max_hash_freq is not None:
         hot = (
             sel.groupBy("h")
@@ -138,7 +143,8 @@ def repeated_span_pairs(
 
     a = sel.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
     b = sel.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "h")
-    cand = (
+    # cand feeds the doc list and the verification join
+    cand = _pin(
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "pos_a", "pos_b")
