@@ -244,6 +244,7 @@ def minhash_index_dedup(
     exclude_id_eq: bool = True,
     item_col: str | None = None,
     index_state: tuple | None = None,
+    batch_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW batch and the indexed
     corpus, without recomputing anything corpus-side.
@@ -287,9 +288,13 @@ def minhash_index_dedup(
     meta, hot = index_state if index_state is not None else load_index_state(spark, path)
     in_col = _input_col(meta, text_col, item_col)
 
-    batch_pairs = _governed_shingles(new_docs, id_col, in_col, meta, hot)
-    # feeds the batch band rows AND (per rescore path) sigs/sets —
-    # one lazy materialization instead of re-deriving the explode
+    if batch_pairs is None:
+        batch_pairs = _governed_shingles(new_docs, id_col, in_col, meta, hot)
+    # else: caller pre-derived the governed (doc, shingle) relation in
+    # THIS index's signature space (minhash_index_screen shares one
+    # relation across its legs — r12 review: the screen shingled the
+    # batch twice). It feeds the batch band rows AND (per rescore
+    # path) sigs/sets — one lazy materialization either way.
     batch_pairs = _pin(batch_pairs)
     batch_sig = _pin(
         minhash_signatures(
@@ -431,6 +436,11 @@ def minhash_index_screen(
     in_col = _input_col(meta, text_col, item_col)
     batch_ids = new_docs.select(F.col(id_col)).distinct()
 
+    # ONE governed shingle relation for all three legs (r12 review:
+    # the screen previously shingled the batch twice — once inside
+    # the cross-corpus query, again for visibility/within-batch)
+    rel = _pin(_governed_shingles(new_docs, id_col, in_col, meta, hot))
+
     hits = minhash_index_dedup(
         spark,
         path,
@@ -441,6 +451,7 @@ def minhash_index_screen(
         rescore="estimate",
         item_col=item_col,
         index_state=(meta, hot),
+        batch_pairs=rel,
     )
     flagged = (
         hits.join(
@@ -453,15 +464,20 @@ def minhash_index_screen(
     )
     fresh = new_docs.join(F.broadcast(flagged), id_col, "left_anti")
 
-    rel = _pin(_governed_shingles(fresh, id_col, in_col, meta, hot))
     visible = rel.select(F.col("doc").alias(id_col)).distinct()
     fresh = fresh.join(F.broadcast(visible), id_col, "left_semi")
 
     if within_batch:
         from .dedup import minhash_set_pairs
 
+        # restrict the shared relation to survivors — the within-batch
+        # decision must not see docs the cross-corpus screen dropped
         pairs = minhash_set_pairs(
-            rel,
+            rel.join(
+                F.broadcast(fresh.select(F.col(id_col).alias("doc")).distinct()),
+                "doc",
+                "left_semi",
+            ),
             threshold=threshold,
             num_perm=meta.num_perm,
             band_rows=meta.band_rows,

@@ -43,9 +43,17 @@ alignment — that content belongs to the repetition filters /
 exact-dedup upstream (``textops.repetition_stats``), the ladder's
 usual layering contract.
 
-Scale shape: the per-position explode is the big intermediate
-(|chars| rows), but it is map-local and immediately winnowed to
-~2/(window+1) density before the only shuffle (seed hash join);
+Scale shape: the per-position relation (|chars| rows) is shuffled
+ONCE — the winnowing window's hash-partition on doc — then reduced
+to ~2/(window+1) density before the seed join. A fully map-local
+alternative exists (``winnowed_fingerprints``: per-doc hash array +
+per-window struct-min in one projection, zero shuffle,
+value-identical by test) but measured 7× SLOWER end-to-end at sf1
+(64 s vs 9 s — the per-position HOF aggregate evaluates
+interpretively and project-collapsing multiplies the hash
+transform), so the window form is the production path and the
+array form is the documented fallback for bandwidth-starved
+clusters where one |chars|-row shuffle dominates;
 ``max_hash_freq`` drops boilerplate fingerprints (licenses shared by
 half the corpus) before they become C(N,2) seed pairs — the same
 degenerate-content governor as the rest of the dedup ladder. Chain
@@ -60,6 +68,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import textops as TX
+from ..sqlutil import quote_ident
 from .dedup_index import _pin
 
 
@@ -100,6 +109,44 @@ def winnow(hashes: DataFrame, window: int) -> DataFrame:
     )
 
 
+def winnowed_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int
+) -> DataFrame:
+    """Map-local winnowing: per document, build the k-gram hash
+    array and take each window's (h, pos)-minimum inside ONE
+    projection — zero shuffle (the window-function spelling in
+    ``winnow`` hash-partitions the |chars|-row relation on doc
+    before selecting). Value-identical to ``winnow(kgram_hashes())``
+    — pinned by ``tests/test_substring_dedup.py``.
+
+    NOT the production path: measured 7× slower end-to-end at sf1
+    (the O(n·window) per-position ``aggregate`` lambdas evaluate
+    interpretively, and project-collapsing re-inlines the hash
+    transform under its references — the same HOF-vs-engine lesson
+    as char_shingles, PERF.md r11). Kept as the documented fallback
+    for deployments where one |chars|-row shuffle is the binding
+    constraint; per-doc memory is the hash array (16 bytes/char),
+    which is why documents are chunked upstream."""
+    q = quote_ident(text_col)
+    n_pos = f"greatest(length({q}) - {k} + 1, 0)"
+    harr = (
+        f"transform(sequence(1, {n_pos}), p -> named_struct("
+        f"'h', cast(conv(substring(md5(substring({q}, p, {k})), 1, 15), 16, 10) as bigint), "
+        f"'pos', p))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(_harr)), "
+        f"i -> aggregate(slice(_harr, i, {window}), element_at(_harr, i), "
+        f"(acc, x) -> if(x.h < acc.h or (x.h = acc.h and x.pos < acc.pos), x, acc))))"
+    )
+    return (
+        df.filter(F.expr(n_pos) >= 1)
+        .select(F.col(id_col).alias("doc"), F.expr(harr).alias("_harr"))
+        .select("doc", F.explode(F.expr(sel)).alias("_s"))
+        .select("doc", F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
+    )
+
+
 def repeated_span_pairs(
     df: DataFrame,
     id_col: str,
@@ -130,7 +177,9 @@ def repeated_span_pairs(
     # sel feeds BOTH sides of the seed self-join (and the governor's
     # frequency pass): one lazy materialization instead of re-running
     # the per-position explode + winnow per consumer — the same
-    # measured tradeoff as materialize_pairs in the set miners
+    # measured tradeoff as materialize_pairs in the set miners.
+    # Window form, not winnowed_fingerprints: measured 7× faster at
+    # sf1 (see module docstring).
     sel = _pin(winnow(kgram_hashes(df, id_col, text_col, k), window))
     if max_hash_freq is not None:
         hot = (
@@ -212,29 +261,41 @@ def mask_repeated_spans(
     collapse via the interval-union trick) and removed back-to-front
     so earlier cuts don't shift later offsets. Output: ``df`` plus
     ``mask_col`` (docs with nothing to cut pass through verbatim).
+    The ``__mask_*`` column names are reserved working columns.
+
+    Policy caveat (r12 review): the cut decision is PAIR-LOCAL. If a
+    doc is the designated keeper of passage Q for one pair but loses
+    an OVERLAPPING region as the victim of a different pair, no
+    intact copy of Q survives. ``mask_conflicts`` detects exactly
+    those inputs — run it first and resolve (e.g. drop the
+    conflicting span, or re-run detection on the masked output)
+    when the one-copy guarantee must hold globally.
 
     Column-op implementation: per doc, collect the sorted [start,
     end) interval list (bounded: spans per doc, not corpus-sized),
     merge with ``aggregate`` over the sorted array, then rebuild the
     kept text with a second ``aggregate`` that concatenates the
-    inter-interval segments. Cuts are codepoint-exact.
+    inter-interval segments. Cuts are codepoint-exact; offsets are
+    cast to int (a Spark string holds < 2³¹ codepoints by
+    construction, so wider offsets are caller bugs surfaced here).
     """
+    qt = quote_ident(text_col)
     victim = (
         spans.select(
-            F.col("doc_b" if keep_lowest_doc else "doc_a").alias("doc"),
-            F.col("start_b" if keep_lowest_doc else "start_a").alias("s"),
+            F.col("doc_b" if keep_lowest_doc else "doc_a").alias("__mask_doc"),
+            F.col("start_b" if keep_lowest_doc else "start_a").cast("int").alias("s"),
             (
                 F.col("start_b" if keep_lowest_doc else "start_a") + F.col("length")
-            ).alias("e"),
+            ).cast("int").alias("e"),
         )
-        .groupBy("doc")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_iv"))
+        .groupBy("__mask_doc")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__mask_iv"))
     )
     # merge overlapping intervals, then cut segments between them
     merged = F.expr(
         """
         aggregate(
-          _iv,
+          __mask_iv,
           cast(array() as array<struct<s:int,e:int>>),
           (acc, x) -> case
             when size(acc) = 0 then array(x)
@@ -249,21 +310,46 @@ def mask_repeated_spans(
         f"""
         concat(
           aggregate(
-            _merged,
+            __mask_merged,
             named_struct('acc', '', 'cur', 1),
             (st, x) -> named_struct(
-              'acc', concat(st.acc, substring({text_col}, st.cur, x.s - st.cur)),
+              'acc', concat(st.acc, substring({qt}, st.cur, x.s - st.cur)),
               'cur', cast(x.e as int)),
-            st -> concat(st.acc, substring({text_col}, st.cur,
-                                           length({text_col}) - st.cur + 1))))
+            st -> concat(st.acc, substring({qt}, st.cur,
+                                           length({qt}) - st.cur + 1))))
         """
     )
     return (
-        df.join(victim, F.col(id_col) == F.col("doc"), "left")
-        .withColumn("_merged", merged)
+        df.join(victim, F.col(id_col) == F.col("__mask_doc"), "left")
+        .withColumn("__mask_merged", merged)
         .withColumn(
             mask_col,
-            F.when(F.col("_merged").isNull(), F.col(text_col)).otherwise(rebuilt),
+            F.when(F.col("__mask_merged").isNull(), F.col(text_col)).otherwise(rebuilt),
         )
-        .drop("doc", "_iv", "_merged")
+        .drop("__mask_doc", "__mask_iv", "__mask_merged")
+    )
+
+
+def mask_conflicts(spans: DataFrame, *, keep_lowest_doc: bool = True) -> DataFrame:
+    """The inputs on which ``mask_repeated_spans``'s pair-local
+    keep-one-copy guarantee can fail: rows where a doc's KEEPER copy
+    of a span overlaps a region the same doc loses as the VICTIM of
+    a different pair. Empty output ⇒ the masked corpus retains at
+    least one intact copy of every reported passage. Output: doc,
+    keep_start, keep_len, cut_start, cut_len."""
+    ka, kb = ("doc_a", "doc_b") if keep_lowest_doc else ("doc_b", "doc_a")
+    sa, sb = ("start_a", "start_b") if keep_lowest_doc else ("start_b", "start_a")
+    keep = spans.select(
+        F.col(ka).alias("doc"),
+        F.col(sa).alias("keep_start"),
+        F.col("length").alias("keep_len"),
+    )
+    cut = spans.select(
+        F.col(kb).alias("doc"),
+        F.col(sb).alias("cut_start"),
+        F.col("length").alias("cut_len"),
+    )
+    return keep.join(cut, "doc").filter(
+        (F.col("keep_start") < F.col("cut_start") + F.col("cut_len"))
+        & (F.col("cut_start") < F.col("keep_start") + F.col("keep_len"))
     )

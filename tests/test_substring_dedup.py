@@ -146,3 +146,53 @@ def test_short_and_empty_docs_yield_nothing(spark):
     )
     assert SS.repeated_span_pairs(d, "doc_id", "text").count() == 0
     assert SS.repeated_span_pairs(d.limit(0), "doc_id", "text").count() == 0
+
+
+def test_maplocal_winnowing_matches_relational_form_and_never_shuffles(
+    spark, sf_dir,
+):
+    """The production selection (winnowed_fingerprints: per-doc
+    arrays, one projection) must be value-identical to the
+    oracle-spelled window-function form AND shuffle-free — the
+    |chars|-row per-position relation must never cross an Exchange
+    (r12 review: the window form hash-partitions it on doc)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    k, w = 25, 12
+    fast = SS.winnowed_fingerprints(d, "doc_id", "text", k, w)
+    slow = SS.winnow(SS.kgram_hashes(d, "doc_id", "text", k), w)
+    assert {tuple(r) for r in fast.collect()} == {tuple(r) for r in slow.collect()}
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_mask_quotes_identifiers_and_preserves_caller_columns(spark):
+    """r12 review: the mask SQL must route the text column through
+    quote_ident (awkward names parse, no injection), use reserved
+    __mask_* working names, and never drop caller data columns."""
+    d = spark.createDataFrame(
+        [(7, "abcdefghijklmnop", "keep-me")],
+        ["doc_id", "the text", "doc"],  # awkward text name + a 'doc' data column
+    )
+    spans = spark.createDataFrame(
+        [(1, 7, 1, 3, 6)], "doc_a long, doc_b long, start_a long, start_b long, length long",
+    )  # long-typed offsets: must cast, not crash
+    out = SS.mask_repeated_spans(d, spans, "doc_id", "the text").collect()[0]
+    assert out.masked_text == "ab" + "ijklmnop"
+    assert out["doc"] == "keep-me"  # caller's 'doc' column survives
+
+
+def test_mask_conflicts_detects_overlapping_keeper_cuts(spark):
+    # doc 2 keeps Q for pair (2,3) but loses an overlapping region as
+    # the victim of pair (1,2): the one-copy guarantee can fail
+    spans = spark.createDataFrame(
+        [(1, 2, 5, 10, 20), (2, 3, 25, 40, 20)],
+        "doc_a long, doc_b long, start_a long, start_b long, length long",
+    )
+    conf = SS.mask_conflicts(spans).collect()
+    assert len(conf) == 1 and conf[0].doc == 2
+    # disjoint regions in the shared doc: no conflict
+    spans_ok = spark.createDataFrame(
+        [(1, 2, 5, 10, 20), (2, 3, 31, 40, 20)],
+        "doc_a long, doc_b long, start_a long, start_b long, length long",
+    )
+    assert SS.mask_conflicts(spans_ok).count() == 0
