@@ -156,12 +156,21 @@ def repeated_span_pairs(
     window: int = 12,
     min_len: int = 50,
     max_hash_freq: int | None = None,
+    include_within_doc: bool = False,
 ) -> DataFrame:
     """Verified common substrings of length ≥ ``min_len`` across
     document pairs. Output: doc_a < doc_b, start_a, start_b, length
     (1-based codepoint positions into the RAW text; the span is
     ``substring(text, start, length)`` on either side — exact
     equality guaranteed, see module docstring).
+
+    ``include_within_doc`` also reports a document's INTERNAL repeats
+    (doc_a == doc_b, start_a < start_b — the self-repetition half of
+    the Lee et al. dedup): same seeds, same verification, same
+    chaining, with the self-position (and self-overlap-free) pairing
+    rule. Periodic content (period < k) produces one span per
+    alignment offset — the repetition filters upstream are the right
+    tool for that input, as ever.
 
     ``max_hash_freq``: fingerprints selected in more than this many
     documents are dropped before the seed join (boilerplate
@@ -192,11 +201,15 @@ def repeated_span_pairs(
 
     a = sel.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
     b = sel.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "h")
+    pairing = (
+        (F.col("doc_a") < F.col("doc_b"))
+        | ((F.col("doc_a") == F.col("doc_b")) & (F.col("pos_a") < F.col("pos_b")))
+        if include_within_doc
+        else F.col("doc_a") < F.col("doc_b")
+    )
     # cand feeds the doc list and the verification join
     cand = _pin(
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a", "pos_b")
+        a.join(b, "h").filter(pairing).select("doc_a", "doc_b", "pos_a", "pos_b")
     )
 
     # verify every seed by exact k-gram equality: hash collisions and

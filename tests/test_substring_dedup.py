@@ -196,3 +196,24 @@ def test_mask_conflicts_detects_overlapping_keeper_cuts(spark):
         "doc_a long, doc_b long, start_a long, start_b long, length long",
     )
     assert SS.mask_conflicts(spans_ok).count() == 0
+
+
+def test_within_doc_repeats_reported_when_asked(spark):
+    body = "An internally repeated passage that is long enough for detection here."
+    d = spark.createDataFrame(
+        [(1, body + " middle filler words between copies. " + body)],
+        "doc_id long, text string",
+    )
+    off = SS.repeated_span_pairs(d, "doc_id", "text", min_len=50)
+    assert off.count() == 0  # cross-doc only by default
+    on = SS.repeated_span_pairs(
+        d, "doc_id", "text", min_len=50, include_within_doc=True
+    ).collect()
+    assert len(on) == 1
+    r = on[0]
+    assert r.doc_a == r.doc_b == 1 and r.start_a < r.start_b
+    t = d.collect()[0].text
+    assert (
+        t[r.start_a - 1 : r.start_a - 1 + r.length]
+        == t[r.start_b - 1 : r.start_b - 1 + r.length]
+    )
