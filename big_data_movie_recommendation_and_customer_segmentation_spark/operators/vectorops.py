@@ -2040,6 +2040,12 @@ def semantic_index_dedup(
         id_col=id_col,
         exclude_id_eq_probe=exclude_id_eq,
     ).select(F.col("probe_id").alias("new_id"), F.col(id_col).alias("corpus_id"))
+    # cand feeds the candidate-id semi-join AND the rescore join: one
+    # lazy materialization instead of running the whole ADC search
+    # twice (same multi-consumer discipline as the MinHash index)
+    from .dedup_index import _pin
+
+    cand = _pin(cand)
 
     corpus_cand = corpus_vectors.join(
         F.broadcast(cand.select(F.col("corpus_id").alias(id_col)).distinct()),

@@ -217,3 +217,15 @@ def test_within_doc_repeats_reported_when_asked(spark):
         t[r.start_a - 1 : r.start_a - 1 + r.length]
         == t[r.start_b - 1 : r.start_b - 1 + r.length]
     )
+
+
+def test_masking_converges_under_redetection(spark):
+    """The end-to-end dedup property: after cutting detected spans,
+    re-running detection on the masked corpus finds nothing at the
+    same min_len (only sub-threshold residue can remain)."""
+    d = _planted(spark)
+    spans = SS.repeated_span_pairs(d, "doc_id", "text", min_len=50)
+    masked = SS.mask_repeated_spans(d, spans, "doc_id", "text").select(
+        "doc_id", F.col("masked_text").alias("text")
+    )
+    assert SS.repeated_span_pairs(masked, "doc_id", "text", min_len=50).count() == 0
