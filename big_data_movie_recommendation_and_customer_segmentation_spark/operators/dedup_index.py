@@ -93,7 +93,10 @@ def _governed_shingles(
     else:
         pairs = _shingle_pairs(docs, id_col, text_col, meta.n, unit=meta.unit)
     if hot is not None:
-        pairs = pairs.join(F.broadcast(hot), "shingle", "left_anti")
+        # no broadcast hint: the hot set is usually tiny but is
+        # corpus-dependent (a boilerplate-heavy corpus can make it
+        # large) — let AQE pick, same as the batch miners' governors
+        pairs = pairs.join(hot, "shingle", "left_anti")
     return pairs
 
 
@@ -189,7 +192,7 @@ def build_minhash_index(
             .parquet(f"{path}/hot_shingles")
         )
         hot = spark.read.parquet(f"{path}/hot_shingles")
-        pairs = pairs.join(F.broadcast(hot), "shingle", "left_anti")
+        pairs = pairs.join(hot, "shingle", "left_anti")  # AQE-sized, as above
     else:
         _hadoop_delete(spark, f"{path}/hot_shingles")
 

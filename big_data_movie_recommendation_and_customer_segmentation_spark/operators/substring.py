@@ -197,7 +197,9 @@ def repeated_span_pairs(
             .filter(F.col("_df") > max_hash_freq)
             .select("h")
         )
-        sel = sel.join(F.broadcast(hot), "h", "left_anti")
+        # no broadcast hint — corpus-dependent size, AQE decides
+        # (same treatment as the set miners' governors)
+        sel = sel.join(hot, "h", "left_anti")
 
     a = sel.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "h")
     b = sel.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "h")
