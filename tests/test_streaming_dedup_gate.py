@@ -148,3 +148,56 @@ def test_gate_refuses_invisible_docs(spark, tmp_path):
     assert {r.doc for r in spark.read.parquet(f"{idx}/sigs").select("doc").collect()} == {
         101
     } | set(range(10))
+
+
+def test_gate_checkpoint_restart_resumes_and_screens_prior_admissions(spark, tmp_path):
+    """Stop/restart semantics: a second availableNow run on the SAME
+    checkpoint must process only files added since the first run, and
+    its batches must screen against everything the first run
+    admitted (the index is the cross-run state)."""
+    idx = _empty_index(spark, tmp_path)
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(DOC)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                SK.near_dedup_gate_writer(out, idx, threshold=0.5)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame([(1, A), (2, B)], DOC).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    run()
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}
+    epochs_after_first = spark.read.parquet(out).select("_epoch").distinct().count()
+
+    # new files arrive while the stream is DOWN: a near-dup of an
+    # admitted doc and a fresh one
+    spark.createDataFrame([(3, A2), (4, C)], DOC).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    run()  # restart from the same checkpoint
+    final = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert final == {1, 2, 4}  # 3 screened against run-1's admission of 1
+    # the restart did not re-deliver f1 (no epoch churn for old data)
+    assert (
+        spark.read.parquet(out).select("_epoch").distinct().count()
+        == epochs_after_first + 1
+    )
+    assert {r.doc for r in spark.read.parquet(f"{idx}/sigs").select("doc").collect()} == {
+        1, 2, 4,
+    }
