@@ -252,8 +252,13 @@ def test_gate_coverage_every_registry_name_has_evidence():
         md = f.read()
     missing_rows = [q for q in names if f"| {q} |" not in md]
     assert not missing_rows, f"GATE_COVERAGE.md missing rows: {missing_rows}"
-    # and it was regenerated AFTER the newest driver artifact landed —
-    # the r10 table shipped stale at r09 (VERDICT r10 ask #6)
+    # and it was regenerated from a recent driver artifact — the r10
+    # table shipped stale at r09 (VERDICT r10 ask #6). Allow a stamp
+    # exactly ONE round behind the newest artifact on disk: the driver
+    # drops CORRECTNESS_r{N}.json AFTER the round's final commit, so a
+    # table regenerated at round-start (stamp rN-1) is the freshest
+    # state a committed tree can ever reach at round close (VERDICT
+    # r12 ask #3a — the == form failed structurally every round).
     import glob
     import re
 
@@ -263,9 +268,10 @@ def test_gate_coverage_every_registry_name_has_evidence():
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     )
     m = re.search(r"latest driver round: r(\d+)", md)
-    assert m and int(m.group(1)) == newest, (
+    assert m and int(m.group(1)) >= newest - 1, (
         f"GATE_COVERAGE.md generated at r{m and m.group(1)} but newest "
-        f"artifact is r{newest:02d} — rerun tools/gate_coverage.py"
+        f"artifact is r{newest:02d} (more than one round stale) — rerun "
+        f"tools/gate_coverage.py"
     )
 
 
