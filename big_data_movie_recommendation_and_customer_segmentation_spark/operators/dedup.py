@@ -309,7 +309,21 @@ def banded_signature_rows(sig: DataFrame, num_perm: int, band_rows: int) -> Data
     oracle can reproduce the candidate set by joining the same tuple.
     Shared by the in-session pair miner (``minhash_set_pairs``) and
     the persisted band index (``dedup_index``), so both store/join
-    the identical spelling."""
+    the identical spelling.
+
+    ``num_perm`` must be an exact multiple of ``band_rows``: a
+    remainder would silently drop the trailing hash columns from the
+    banding (n_bands = num_perm // band_rows), quietly lowering LSH
+    recall relative to the requested num_perm — and
+    ``build_minhash_index`` persists these knobs into meta, freezing
+    the mismatch into the index (ADVICE r13: refuse, don't truncate).
+    """
+    if num_perm % band_rows != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a multiple of band_rows "
+            f"({band_rows}): a remainder would silently drop "
+            f"{num_perm % band_rows} trailing hash column(s) from the banding"
+        )
     n_bands = num_perm // band_rows
     v_cols = ", ".join(f"v{r}" for r in range(band_rows))
     stack_args = ", ".join(

@@ -55,6 +55,15 @@ from .similarity import materialization_enabled
 from .vectorops import _hadoop_delete, _hadoop_fs, pin_empty_partition
 
 
+def _maybe_bcast(df: DataFrame, flag: bool) -> DataFrame:
+    """Broadcast hint gated on the caller's ``broadcast_batch`` flag:
+    a batch declared too large to broadcast must stay unhinted on
+    EVERY batch-sized join side, not just the band probe (ADVICE r13
+    — the rescore legs used to force-broadcast unconditionally).
+    With the hint absent, AQE picks the strategy."""
+    return F.broadcast(df) if flag else df
+
+
 def _pin(df: DataFrame) -> DataFrame:
     """Lazy localCheckpoint behind the global materialization
     kill-switch (SPARK_GRAFT_NO_MATERIALIZE — plan tooling and plan
@@ -63,6 +72,9 @@ def _pin(df: DataFrame) -> DataFrame:
 
 
 def _read_meta(spark: SparkSession, path: str):
+    """Driver-side ``.collect()`` bounded by construction: ``meta/``
+    holds exactly ONE row (the frozen knob tuple ``build`` writes) at
+    any corpus scale — O(1), not O(index)."""
     return spark.read.parquet(f"{path}/meta").collect()[0]
 
 
@@ -122,7 +134,15 @@ def load_index_state(spark: SparkSession, path: str):
     governor state — ``(meta, hot_shingles-or-None)``. Callers that
     probe the same index repeatedly (the streaming gate: screen +
     within-batch leg + upsert per micro-batch) pass this via
-    ``index_state`` instead of paying the meta/hot reads per leg."""
+    ``index_state`` instead of paying the meta/hot reads per leg.
+
+    Entry also self-heals a crash inside a prior rebuild's
+    whole-index swap (``_recover_build``) or a prior table-level
+    rename-swap (``_recover_compaction`` — compaction's bands/sigs,
+    upsert's tombstone restore) — a handful of existence probes,
+    negligible next to any Spark job."""
+    _recover_build(spark, path)
+    _recover_compaction(spark, path)
     return _read_meta(spark, path), _hot_shingles(spark, path)
 
 
@@ -172,6 +192,14 @@ def build_minhash_index(
     (NULL, 'items') and every query/upsert derives the mode from
     meta — the two input shapes cannot be silently mixed.
     """
+    if num_perm % band_rows != 0:
+        # fail BEFORE any corpus pass: banded_signature_rows would
+        # raise the same error, but only after the signature write
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a multiple of band_rows "
+            f"({band_rows}) — the index would band on fewer permutations "
+            f"than sigs store, silently lowering LSH recall"
+        )
     if item_col is not None:
         unit, n = "items", None
         pairs = corpus.select(
@@ -182,6 +210,19 @@ def build_minhash_index(
             n = 3 if unit == "word" else 5
         pairs = _shingle_pairs(corpus, id_col, text_col, n, unit=unit)
     spark = corpus.sparkSession
+    _recover_build(spark, path)
+    # Stage the whole generation into a sibling directory and swap it
+    # in as a unit (ADVICE r13, medium): writing hot_shingles → sigs →
+    # bands → meta sequentially AT the live path means a crash
+    # mid-rebuild leaves mixed-generation state (new sigs under old
+    # meta/bands) that queries consume silently — exactly the
+    # signature-space mixing the derive-params-from-meta design
+    # exists to prevent. A crash anywhere before the swap leaves the
+    # live index untouched; a crash inside the swap is healed on the
+    # next entry (_recover_build: meta/_SUCCESS, written last, marks
+    # the build complete).
+    tmp = f"{path}__build"
+    _hadoop_delete(spark, tmp)
     if max_shingle_freq is not None:
         (
             pairs.groupBy("shingle")
@@ -189,23 +230,21 @@ def build_minhash_index(
             .filter(F.col("_df") > max_shingle_freq)
             .select("shingle")
             .write.mode("overwrite")
-            .parquet(f"{path}/hot_shingles")
+            .parquet(f"{tmp}/hot_shingles")
         )
-        hot = spark.read.parquet(f"{path}/hot_shingles")
+        hot = spark.read.parquet(f"{tmp}/hot_shingles")
         pairs = pairs.join(hot, "shingle", "left_anti")  # AQE-sized, as above
-    else:
-        _hadoop_delete(spark, f"{path}/hot_shingles")
 
     minhash_signatures(
         pairs, num_perm=num_perm, seed=seed, base_hash=base_hash
-    ).write.mode("overwrite").parquet(f"{path}/sigs")
+    ).write.mode("overwrite").parquet(f"{tmp}/sigs")
 
-    stored_sig = spark.read.parquet(f"{path}/sigs")
+    stored_sig = spark.read.parquet(f"{tmp}/sigs")
     (
         banded_signature_rows(stored_sig, num_perm, band_rows)
         .write.mode("overwrite")
         .partitionBy("band_id")
-        .parquet(f"{path}/bands")
+        .parquet(f"{tmp}/bands")
     )
     # An EMPTY corpus (the normal starting state of a streaming
     # near-dedup gate) writes zero band rows, and a partitioned write
@@ -216,20 +255,24 @@ def build_minhash_index(
     # upsert appends real partitions beside it.
     fs, _ = _hadoop_fs(spark, path)
     Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-    have = fs.globStatus(Path(f"{path}/bands/band_id=*/*.parquet"))
+    have = fs.globStatus(Path(f"{tmp}/bands/band_id=*/*.parquet"))
     if have is None or len(have) == 0:
         pin_empty_partition(
             banded_signature_rows(stored_sig, num_perm, band_rows),
-            f"{path}/bands",
+            f"{tmp}/bands",
             "band_id",
         )
 
+    # meta LAST: its _SUCCESS marker is the build-complete flag
+    # _recover_build trusts. Stale tombstones are dropped simply by
+    # not existing in the new generation directory (a tombstone must
+    # not outlive the generation it was issued against).
     spark.createDataFrame(
         [(num_perm, band_rows, seed, base_hash, n, unit, max_shingle_freq)],
         "num_perm int, band_rows int, seed int, base_hash string, "
         "n int, unit string, max_shingle_freq int",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
-    _hadoop_delete(spark, f"{path}/tombstones")
+    ).write.mode("overwrite").parquet(f"{tmp}/meta")
+    _swap_index_dir(spark, tmp, path)
 
 
 def minhash_index_dedup(
@@ -283,6 +326,12 @@ def minhash_index_dedup(
     ``exclude_id_eq`` drops candidates whose corpus id equals the
     batch id (re-crawled docs trivially match themselves).
     Tombstoned corpus docs never surface.
+
+    ``broadcast_batch=False`` declares the batch too large to
+    broadcast: the hint is dropped from EVERY batch-sized join side —
+    the band probe AND the rescore legs (new_side/new_sets) — and AQE
+    picks the strategy (ADVICE r13: the rescore used to
+    force-broadcast regardless).
     """
     if rescore not in ("estimate", "exact"):
         raise ValueError(f"rescore must be 'estimate' or 'exact', got {rescore!r}")
@@ -353,7 +402,7 @@ def minhash_index_dedup(
             for i in range(meta.num_perm)
         )
         return (
-            cand.join(F.broadcast(new_side), "new_id")
+            cand.join(_maybe_bcast(new_side, broadcast_batch), "new_id")
             .join(corpus_side, "corpus_id")
             .select(
                 "new_id",
@@ -387,7 +436,7 @@ def minhash_index_dedup(
     )
     inter = F.size(F.array_intersect("_in", "_ic"))
     return (
-        cand.join(F.broadcast(new_sets), "new_id")
+        cand.join(_maybe_bcast(new_sets, broadcast_batch), "new_id")
         .join(corpus_sets, "corpus_id")
         .select(
             "new_id",
@@ -412,6 +461,7 @@ def minhash_index_screen(
     within_batch: bool = True,
     item_col: str | None = None,
     index_state: tuple | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """SURVIVORS of a batch screened against the indexed corpus —
     the admission decision shared by batch pipelines and the
@@ -433,7 +483,11 @@ def minhash_index_screen(
 
     Returns the surviving rows of ``new_docs`` (all columns).
     Deterministic; admitting the result via ``upsert_minhash_index``
-    makes the next batch screen against it.
+    makes the next batch screen against it. ``broadcast_batch=False``
+    drops the broadcast hints on every batch-derived join side
+    (flagged/visible/loser id lists and the probe inside the
+    cross-corpus query), letting AQE decide — same contract as
+    ``minhash_index_dedup``.
     """
     meta, hot = index_state if index_state is not None else load_index_state(spark, path)
     in_col = _input_col(meta, text_col, item_col)
@@ -455,20 +509,23 @@ def minhash_index_screen(
         item_col=item_col,
         index_state=(meta, hot),
         batch_pairs=rel,
+        broadcast_batch=broadcast_batch,
     )
     flagged = (
         hits.join(
-            F.broadcast(batch_ids.withColumnRenamed(id_col, "corpus_id")),
+            _maybe_bcast(
+                batch_ids.withColumnRenamed(id_col, "corpus_id"), broadcast_batch
+            ),
             "corpus_id",
             "left_anti",
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )
-    fresh = new_docs.join(F.broadcast(flagged), id_col, "left_anti")
+    fresh = new_docs.join(_maybe_bcast(flagged, broadcast_batch), id_col, "left_anti")
 
     visible = rel.select(F.col("doc").alias(id_col)).distinct()
-    fresh = fresh.join(F.broadcast(visible), id_col, "left_semi")
+    fresh = fresh.join(_maybe_bcast(visible, broadcast_batch), id_col, "left_semi")
 
     if within_batch:
         from .dedup import minhash_set_pairs
@@ -477,7 +534,10 @@ def minhash_index_screen(
         # decision must not see docs the cross-corpus screen dropped
         pairs = minhash_set_pairs(
             rel.join(
-                F.broadcast(fresh.select(F.col(id_col).alias("doc")).distinct()),
+                _maybe_bcast(
+                    fresh.select(F.col(id_col).alias("doc")).distinct(),
+                    broadcast_batch,
+                ),
                 "doc",
                 "left_semi",
             ),
@@ -489,7 +549,7 @@ def minhash_index_screen(
         )
         # doc_a < doc_b by construction: doc_b is the loser
         losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        fresh = fresh.join(F.broadcast(losers), id_col, "left_anti")
+        fresh = fresh.join(_maybe_bcast(losers, broadcast_batch), id_col, "left_anti")
     return fresh
 
 
@@ -584,9 +644,18 @@ def upsert_minhash_index(
                 eager=True
             )
             if kept.count() > 0:
-                kept.write.mode("overwrite").parquet(f"{path}/tombstones")
+                # NOT a plain overwrite (ADVICE r13): Spark overwrite
+                # deletes the target before committing, so a crash
+                # mid-write could lose tombstones for UNRELATED docs,
+                # silently resurrecting deleted corpus docs. Write to
+                # a sibling temp table and rename-swap, the same
+                # discipline compaction uses.
+                tmp = f"{path}/tombstones__restore"
+                _hadoop_delete(spark, tmp)
+                kept.write.parquet(tmp)
+                _swap_in(spark, tmp, f"{path}/tombstones")
             else:
-                _hadoop_delete(spark, f"{path}/tombstones")
+                _drop_tombstones(spark, path)
     n_present = present.count()
     return {
         "inserted": batch_ids.count() - n_present,
@@ -637,22 +706,84 @@ def _swap_in(spark, tmp: str, live: str) -> None:
     _hadoop_delete(spark, old)
 
 
+def _swap_index_dir(spark, tmp: str, live: str) -> None:
+    """Whole-index ``_swap_in``: a rebuild over an existing index
+    swaps the finished generation directory in as a UNIT, so readers
+    never see new sigs under old meta/bands (ADVICE r13). Tolerates
+    an absent live directory (first-ever build). A crash at any point
+    leaves a complete generation recoverable (``_recover_build``)."""
+    fs, _ = _hadoop_fs(spark, live)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    old = f"{live}__old"
+    _hadoop_delete(spark, old)  # stale set-aside from a crashed attempt
+    if fs.exists(Path(live)):
+        _rename_or_raise(spark, live, old)
+    try:
+        _rename_or_raise(spark, tmp, live)
+    except Exception:
+        if fs.exists(Path(old)):
+            fs.rename(Path(old), Path(live))  # best-effort restore
+        raise
+    _hadoop_delete(spark, old)
+
+
+def _recover_build(spark, path: str) -> None:
+    """Self-heal a crash inside a prior rebuild's whole-index swap
+    (``_swap_index_dir``): if the index directory is missing,
+    reinstate whichever complete generation exists — the finished
+    build (``{path}__build`` with its ``meta/_SUCCESS`` marker,
+    written last, wins: it is the newer generation) else the
+    set-aside ``{path}__old``. No-op (a few existence probes) when
+    the index is healthy."""
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs, _ = _hadoop_fs(spark, path)
+    if fs.exists(Path(path)):
+        return
+    build, old = f"{path}__build", f"{path}__old"
+    if fs.exists(Path(f"{build}/meta/_SUCCESS")):
+        _rename_or_raise(spark, build, path)
+        _hadoop_delete(spark, old)
+    elif fs.exists(Path(old)):
+        _rename_or_raise(spark, old, path)
+
+
 def _recover_compaction(spark, path: str) -> None:
     """Self-heal a crash inside a prior ``_swap_in``: if a live table
     is missing, reinstate whichever complete copy exists — the
-    finished rewrite (``__compact`` with its _SUCCESS marker wins: it
-    is the newer state) else the set-aside ``__old``."""
+    finished rewrite (``__compact``/``__restore`` with its _SUCCESS
+    marker wins: it is the newer state) else the set-aside ``__old``.
+    Covers compaction's bands/sigs rewrites AND upsert's
+    tombstone-restore swap (ADVICE r13); an absent tombstone table
+    with no swap debris is the normal no-tombstones state, untouched."""
     Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
     fs, _ = _hadoop_fs(spark, path)
-    for table in ("bands", "sigs"):
+    for table, tmp_suffix in (
+        ("bands", "__compact"),
+        ("sigs", "__compact"),
+        ("tombstones", "__restore"),
+    ):
         live = f"{path}/{table}"
         if fs.exists(Path(live)):
             continue
-        tmp, old = f"{live}__compact", f"{live}__old"
+        tmp, old = f"{live}{tmp_suffix}", f"{live}__old"
         if fs.exists(Path(f"{tmp}/_SUCCESS")):
             _rename_or_raise(spark, tmp, live)
+            # the set-aside is now an obsolete generation — drop it,
+            # or a later swap/heal could rename INTO it (Hadoop local
+            # rename nests src inside an existing dst dir)
+            _hadoop_delete(spark, old)
         elif fs.exists(Path(old)):
             _rename_or_raise(spark, old, live)
+
+
+def _drop_tombstones(spark, path: str) -> None:
+    """Remove the tombstone table AND any swap debris from a crashed
+    tombstone-restore (``__restore``/``__old``): a stale complete
+    ``__restore`` left beside a legitimately-absent live table would
+    otherwise be resurrected by ``_recover_compaction`` as if it were
+    the newer state."""
+    for suffix in ("", "__restore", "__old"):
+        _hadoop_delete(spark, f"{path}/tombstones{suffix}")
 
 
 def compact_minhash_index(path: str, spark: SparkSession | None = None) -> int:
@@ -678,6 +809,7 @@ def compact_minhash_index(path: str, spark: SparkSession | None = None) -> int:
     on entry by ``_recover_compaction``."""
     if spark is None:
         spark = SparkSession.getActiveSession()
+    _recover_build(spark, path)
     _recover_compaction(spark, path)
     tomb = _tombstones(spark, path)
     if tomb is None:
@@ -703,7 +835,7 @@ def compact_minhash_index(path: str, spark: SparkSession | None = None) -> int:
                     writer = writer.partitionBy(part_col)
                 writer.parquet(tmp)
             _swap_in(spark, tmp, f"{path}/{table}")
-    _hadoop_delete(spark, f"{path}/tombstones")
+    _drop_tombstones(spark, path)
     return removed
 
 
@@ -721,6 +853,8 @@ def minhash_index_stats(spark: SparkSession, path: str) -> DataFrame:
     leaves duplicated band rows (its crash contract), which must not
     inflate the dashboard into spurious rebuild alarms — r12
     review)."""
+    _recover_build(spark, path)
+    _recover_compaction(spark, path)
     meta = _read_meta(spark, path)
     bands = spark.read.parquet(f"{path}/bands")
     tomb = _tombstones(spark, path)

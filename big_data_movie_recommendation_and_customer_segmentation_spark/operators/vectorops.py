@@ -1420,6 +1420,8 @@ def ivfadc_index_search(
     probe_cells = _nearest_cells(
         probes, centroids, probe_id_col, probe_vec_col, n_probe_cells
     )
+    # driver-side collect bounded by O(n_cells) — distinct cell ids,
+    # never vectors/codes; n_cells is a build knob (~√N), not data-sized
     wanted = [r.cell for r in probe_cells.select("cell").distinct().collect()]
     codes = spark.read.parquet(f"{path}/codes").filter(F.col("cell").isin(wanted))
     # logically-deleted ids (delete_from_ivfadc_index) stop ranking
@@ -1821,6 +1823,8 @@ def upsert_ivfadc_index(
         .select("cell")
         .distinct()
     )
+    # driver-side collect bounded by O(n_cells) — distinct cell ids
+    # only (a build knob, ~√N); the codes themselves never collect
     cells = [
         r.cell
         for r in new_rows.select("cell").unionByName(prior_cells).distinct().collect()
@@ -1968,6 +1972,8 @@ def compact_ivfadc_index(path: str, spark=None, *, id_col: str | None = None) ->
         id_col = next(c for c in codes.columns if c not in ("codes", "cell"))
     tomb_as_id = tomb.withColumnRenamed("tomb_id", id_col)
     doomed = codes.join(tomb_as_id, id_col, "left_semi")
+    # driver-side collects bounded by O(n_cells) — distinct cell ids
+    # only (a build knob, ~√N), never the code rows being compacted
     affected = [r.cell for r in doomed.select("cell").distinct().collect()]
     all_cells = {r.cell for r in codes.select("cell").distinct().collect()}
     removed = doomed.count()

@@ -567,3 +567,195 @@ def test_screen_is_the_gate_admission_decision(spark, built):
         ).select("doc_id").collect()
     }
     assert surv_wb <= kept
+
+
+# ---- ADVICE r13 regressions -------------------------------------------------
+
+
+def test_band_rows_must_divide_num_perm(spark, tmp_path):
+    """A num_perm that band_rows does not divide is refused, not
+    silently truncated to fewer bands than the sigs store (which
+    would quietly lower LSH recall and freeze the mismatch into a
+    persisted index's meta)."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "bad_knobs")
+    with pytest.raises(ValueError, match="multiple of band_rows"):
+        DI.build_minhash_index(corpus, path, num_perm=33, band_rows=2)
+    # fail-fast: nothing was written (no half-built generation)
+    fs, hpath = DI._hadoop_fs(spark, path)
+    assert not fs.exists(hpath)
+    sig = spark.createDataFrame([(1, 10, 11, 12)], "doc long, h0 long, h1 long, h2 long")
+    with pytest.raises(ValueError, match="multiple of band_rows"):
+        DD.banded_signature_rows(sig, 3, 2)
+
+
+def test_rebuild_crash_before_swap_leaves_live_generation_intact(spark, tmp_path):
+    """A rebuild stages everything into {path}__build — a crash at ANY
+    point before the swap leaves the live index fully readable at its
+    old generation, and the next build clears the debris."""
+    gen1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    gen2 = spark.createDataFrame(
+        [(2, "totally unrelated words over here now")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_gen")
+    DI.build_minhash_index(gen1, path, n=3, num_perm=32, band_rows=2, seed=42)
+    # simulate a second build crashing mid-stage: partial __build
+    # (sigs written, no meta yet)
+    spark.read.parquet(f"{path}/sigs").write.parquet(f"{path}__build/sigs")
+    meta, hot = DI.load_index_state(spark, path)
+    assert meta.num_perm == 32 and hot is None  # live generation untouched
+    assert spark.read.parquet(f"{path}/sigs").select("doc").first().doc == 1
+    # the next full rebuild clears the debris and swaps cleanly
+    DI.build_minhash_index(gen2, path, n=3, num_perm=32, band_rows=2, seed=42)
+    fs, _ = DI._hadoop_fs(spark, path)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    assert not fs.exists(Path(f"{path}__build"))
+    assert not fs.exists(Path(f"{path}__old"))
+    assert {r.doc for r in spark.read.parquet(f"{path}/sigs").collect()} == {2}
+
+
+def test_rebuild_crash_inside_swap_heals_on_next_entry(spark, tmp_path):
+    """A crash INSIDE the whole-index swap self-heals at the next
+    load: the finished build (meta/_SUCCESS present) wins as the
+    newer generation; with no finished build, the set-aside old
+    generation is reinstated."""
+    gen1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    gen2 = spark.createDataFrame(
+        [(2, "totally unrelated words over here now")], "doc_id long, text string"
+    )
+    fs, _ = DI._hadoop_fs(spark, str(tmp_path))
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+
+    # case A: live set aside, no finished build -> old gen restored
+    pa = str(tmp_path / "heal_a")
+    DI.build_minhash_index(gen1, pa, n=3, num_perm=32, band_rows=2, seed=42)
+    assert fs.rename(Path(pa), Path(f"{pa}__old"))
+    meta, _ = DI.load_index_state(spark, pa)
+    assert meta.num_perm == 32
+    assert {r.doc for r in spark.read.parquet(f"{pa}/sigs").collect()} == {1}
+
+    # case B: live set aside AND a complete __build exists -> build wins
+    pb = str(tmp_path / "heal_b")
+    DI.build_minhash_index(gen1, pb, n=3, num_perm=32, band_rows=2, seed=42)
+    staged = str(tmp_path / "staged")
+    DI.build_minhash_index(gen2, staged, n=3, num_perm=16, band_rows=2, seed=7)
+    assert fs.rename(Path(pb), Path(f"{pb}__old"))
+    assert fs.rename(Path(staged), Path(f"{pb}__build"))
+    meta, _ = DI.load_index_state(spark, pb)
+    assert meta.num_perm == 16  # the newer generation
+    assert {r.doc for r in spark.read.parquet(f"{pb}/sigs").collect()} == {2}
+    assert not fs.exists(Path(f"{pb}__old"))
+
+
+def test_tombstone_restore_crash_heals_without_losing_unrelated_tombstones(
+    spark, tmp_path
+):
+    """Upsert's tombstone-restore is a rename-swap, not a plain
+    overwrite: a crash inside the swap self-heals on the next index
+    load, and tombstones for UNRELATED docs survive (the plain
+    overwrite could lose them, silently resurrecting deleted docs)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated words over here now"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_tomb")
+    DI.build_minhash_index(corpus, path, n=3, num_perm=32, band_rows=2, seed=42)
+    DI.delete_from_minhash_index(
+        spark.createDataFrame([(1,), (2,)], "doc_id long"), path
+    )
+    fs, _ = DI._hadoop_fs(spark, path)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+
+    # crash after the restore write, live table set aside, rename-in
+    # not yet done: the complete __restore (doc 2 kept) must win
+    spark.createDataFrame([(2,)], "tomb_id long").write.parquet(
+        f"{path}/tombstones__restore"
+    )
+    assert fs.rename(Path(f"{path}/tombstones"), Path(f"{path}/tombstones__old"))
+    DI.load_index_state(spark, path)  # heals on entry
+    tomb = DI._tombstones(spark, path)
+    assert tomb is not None and {r.tomb_id for r in tomb.collect()} == {2}
+
+    # crash BEFORE the restore write finished (no _SUCCESS-complete
+    # replacement): the set-aside old table is reinstated
+    DI._hadoop_delete(spark, f"{path}/tombstones__restore")
+    assert fs.rename(Path(f"{path}/tombstones"), Path(f"{path}/tombstones__old"))
+    DI.load_index_state(spark, path)
+    tomb = DI._tombstones(spark, path)
+    assert tomb is not None and {r.tomb_id for r in tomb.collect()} == {2}
+
+
+def test_full_restore_leaves_no_resurrectable_tombstone_debris(spark, tmp_path):
+    """When an upsert restores the LAST tombstones (kept == 0), any
+    swap debris is dropped too — a stale complete __restore beside a
+    legitimately-absent live table must not be 'healed' back into
+    existence later."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_debris")
+    DI.build_minhash_index(corpus, path, n=3, num_perm=32, band_rows=2, seed=42)
+    DI.delete_from_minhash_index(spark.createDataFrame([(1,)], "doc_id long"), path)
+    # stale debris from an imagined earlier crashed restore
+    spark.createDataFrame([(1,)], "tomb_id long").write.parquet(
+        f"{path}/tombstones__restore"
+    )
+    got = DI.upsert_minhash_index(
+        corpus.filter(F.col("doc_id") == 1), path, id_col="doc_id", text_col="text"
+    )
+    assert got == {"inserted": 0, "restored": 1}
+    assert DI._tombstones(spark, path) is None
+    DI.load_index_state(spark, path)  # recovery must NOT resurrect debris
+    assert DI._tombstones(spark, path) is None
+
+
+def test_broadcast_batch_false_unhints_batch_sides_and_matches(spark, built):
+    """broadcast_batch=False must be honored on EVERY batch-sized join
+    side — band probe AND rescore legs AND the screen's id lists —
+    with identical results (the hint only changes strategy). The
+    r12 form force-broadcast the rescore sides regardless."""
+    path, d, old, new = built
+
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    est_t = DI.minhash_index_dedup(spark, path, new, threshold=THRESH)
+    est_f = DI.minhash_index_dedup(
+        spark, path, new, threshold=THRESH, broadcast_batch=False
+    )
+    key = lambda rows: {(r.new_id, r.corpus_id, r.n_agree) for r in rows}
+    assert key(est_f.collect()) == key(est_t.collect())
+    assert hints(est_f) < hints(est_t)
+
+    ex_t = DI.minhash_index_dedup(
+        spark, path, new, threshold=THRESH, rescore="exact", corpus_docs=old
+    )
+    ex_f = DI.minhash_index_dedup(
+        spark,
+        path,
+        new,
+        threshold=THRESH,
+        rescore="exact",
+        corpus_docs=old,
+        broadcast_batch=False,
+    )
+    kex = lambda rows: {(r.new_id, r.corpus_id, r.n_common) for r in rows}
+    assert kex(ex_f.collect()) == kex(ex_t.collect())
+    assert hints(ex_f) < hints(ex_t)
+
+    s_t = DI.minhash_index_screen(spark, path, new, threshold=THRESH)
+    s_f = DI.minhash_index_screen(
+        spark, path, new, threshold=THRESH, broadcast_batch=False
+    )
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
+    assert ids(s_f) == ids(s_t)
+    assert hints(s_f) < hints(s_t)
