@@ -133,59 +133,54 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r12 rotation (VERDICT r11 asks #2/#3): every age-1 family (last
-    # gated r10, 29 of them) re-gates before its evidence hits the
-    # 2-round freshness edge, plus the three newly registered
-    # queries (registry 168→171, the VERDICT-sanctioned unfreeze:
-    # two script-routing promotions + the encoding-QA battery);
-    # anchors keep the perf-watched and edit-adjacent families age-0
+    # r13 rotation (VERDICT r12 asks #1/#3/#5): every age-1 family
+    # (last gated r11, 31 of them) re-gates before its evidence hits
+    # the 2-round freshness edge — four reps rotating to never-gated
+    # value-green siblings — plus the three newly registered queries
+    # (registry 171→174, the VERDICT-sanctioned unfreeze: the
+    # persisted dedup index probe, its screen twin, and the
+    # substring-span pipeline); anchors keep the flagship,
+    # perf-watched, and edit-adjacent families age-0
     for must in (
-        # age-1 families re-gating (sample of the 29); ten reps
+        # age-1 families re-gating (sample of the 31); four reps
         # rotate to never-yet-gated value-green siblings
-        "purchase_value_auc",
-        "source_term_keyness",
-        "order_value_benford",
-        "segment_urgency_woe_iv",
-        "priority_spend_ttest",
-        "customer_item_cf_recommendations",
-        "recommendation_coverage_novelty",
-        "daily_revenue_anomalies",
-        "frequent_event_paths",
-        "customer_repurchase_hazard",
-        "simhash_duplicate_pairs",
-        "ngram_decontaminated_docs",  # unit-aware-n edit re-gate
-        "kmeans_embedding_segments_det",
-        # the r12 new registrations (first rows)
-        "doc_script_profile",
-        "cjk_near_duplicate_pairs",
-        "doc_encoding_quality",
+        "purchase_attribution_asof_tolerance",
+        "bm25_doc_ranking",
+        "training_corpus_manifest",  # corpus_pipeline rotates back (r12 plan)
+        "duplicate_chunks",          # exact_dedup first row
+        "orders_profile_incremental",  # profiling first row
+        "customer_revenue_gini",     # rfm_pareto first row
+        "event_value_histogram",     # robust_stats first row
+        "semantic_dedup_survivors",
+        "salted_user_segment_stats",
+        "knn_bruteforce",
+        "daily_revenue_ewma",
+        # the r13 new registrations (first rows, VERDICT r12 #1/#5)
+        "incremental_dedup_pairs",
+        "index_screen_admissions",
+        "repeated_substring_spans",
         # serving-parity-pinned ALS scoring oracle stays gated
         "als_scoring_topk",
-        # edit-adjacent anchors (vectorops edits re-gate same round)
-        "ivfadc_rerank_knn",
-        "pq_adc_knn",
-        "ivf_knn_deterministic",
+        # edit-adjacent anchor: banded_signature_rows validation edit
+        "minhash_duplicate_pairs",
         # multimodal anchor (real WAV decode)
         "media_audio_frames",
     ):
         assert must in GATE_PRIORITY, must
-    # displaced: dedup_exact_survivors and training_corpus_manifest
-    # (both age 0 after r11) cede their anchor slots to the 32-entry
-    # tier 1; the r10 reps whose slots rotated to first-row siblings
-    # are hash-green r10
+    # displaced: ivf_knn_deterministic and pq_adc_knn (both age 0
+    # after r12; this round's vectorops edit was comment-only) cede
+    # their anchor slots to the 34-entry tier 1; the r11 reps whose
+    # slots rotated to first-row siblings are hash-green r11
     for displaced in (
-        "dedup_exact_survivors",
-        "training_corpus_manifest",
-        "doc_bigram_collocations",
-        "order_price_psi",
-        "orders_priority_target_encoding",
-        "segment_priority_chisq",
-        "part_cosine_neighbors",
-        "ranking_metrics_summary",
-        "weekday_revenue_seasonality",
-        "event_transition_matrix",
-        "customer_repurchase_survival",
-        "tfidf_top_terms",
+        "ivf_knn_deterministic",
+        "pq_adc_knn",
+        "dedup_exact_survivors",      # exact_dedup slot → duplicate_chunks
+        "orders_quality_report",      # profiling slot → orders_profile_incremental
+        "customer_value_migration",   # rfm_pareto slot → customer_revenue_gini
+        "event_value_outliers",       # robust_stats slot → event_value_histogram
+        "purchase_value_auc",         # r12-gated, age-1, scheduled r14
+        "doc_script_profile",
+        "kmeans_embedding_segments_det",
     ):
         assert displaced not in GATE_PRIORITY, displaced
     # the rows-only ml-lib k-means variant must have ceded its slot

@@ -147,6 +147,10 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "drift": ("order_price_psi", "order_value_benford"),
     # -- registered r12 (script-routing promotion, VERDICT r11 ask #3) --
     "script_routing": ("doc_script_profile", "cjk_near_duplicate_pairs"),
+    # -- registered r13 (dedup-index + substring promotion, VERDICT
+    # r12 asks #1/#5) --
+    "incremental_dedup": ("incremental_dedup_pairs", "index_screen_admissions"),
+    "substring_dedup": ("repeated_substring_spans",),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -204,6 +208,9 @@ NEW_IN_ROUND: dict[str, int] = {
     "bootstrap": 5,
     "feature_prep": 5,
     "drift": 5,
+    "script_routing": 12,
+    "incremental_dedup": 13,
+    "substring_dedup": 13,
 }
 
 

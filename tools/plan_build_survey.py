@@ -13,15 +13,20 @@ many-small-queries use the build cost is the floor, and it is pure
 driver-side Py4J chatter that no cluster size amortizes.
 
     python tools/plan_build_survey.py [--reps 3] [--top 15] [--all]
+    python tools/plan_build_survey.py --json PLANBUILD_r13.json
 
 Prints per-query median build ms, slowest first. Medians over reps
 (first build per JVM pays codegen/warmup noise; reps>=3 and median
-damp it).
+damp it). ``--json`` additionally writes the per-round artifact
+(VERDICT r12 ask #2): import wall + session start + per-query build
+ms/jobs, so round-over-round session-constant drift is diffed from
+committed numbers instead of re-adjudicated from bench one-shots.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import statistics
 import sys
@@ -35,16 +40,25 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--all", action="store_true", help="whole registry, not just the gate window")
+    ap.add_argument("--json", default=None, help="write the per-round JSON artifact here")
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     )
     args = ap.parse_args()
 
+    # Session-constant costs the bench's one-shot leg pays per fresh
+    # session: package import (registry construction, GATE_PRIORITY
+    # reorder) and JVM/session start. Measured here once each.
+    t0 = time.perf_counter()
     import __spark_entry__ as entrymod
+    import_wall_ms = (time.perf_counter() - t0) * 1000
+
     from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
     from big_data_movie_recommendation_and_customer_segmentation_spark.plans import GATE_PRIORITY
 
+    t0 = time.perf_counter()
     spark = get_spark(app_name="plan-build-survey")
+    session_start_ms = (time.perf_counter() - t0) * 1000
     queries = entrymod.queries()
     names = list(queries) if args.all else [n for n in GATE_PRIORITY if n in queries]
 
@@ -77,10 +91,32 @@ def main() -> int:
     rows.sort(reverse=True)
 
     total = sum(ms for ms, _, _ in rows)
+    print(f"# import {import_wall_ms:.0f} ms, session start {session_start_ms:.0f} ms")
     print(f"# {len(rows)} queries, reps={args.reps}, total median build {total:.0f} ms")
     print(f"# {'build ms':>9}  {'jobs':>4}  query   (jobs>0 = eager compute, not chatter)")
     for ms, jobs, name in rows[: args.top]:
         print(f"{ms:9.1f}  {jobs:4d}  {name}")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "import_wall_ms": round(import_wall_ms, 1),
+                    "session_start_ms": round(session_start_ms, 1),
+                    "total_build_ms": round(total, 1),
+                    "reps": args.reps,
+                    "sf_dir": args.sf_dir,
+                    "window": "all" if args.all else "gate",
+                    "n_queries": len(rows),
+                    "queries": {
+                        name: {"build_ms": round(ms, 1), "jobs": jobs}
+                        for ms, jobs, name in rows
+                    },
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.json}")
     return 0
 
 
