@@ -40,6 +40,11 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--all", action="store_true", help="whole registry, not just the gate window")
+    ap.add_argument(
+        "--headline",
+        action="store_true",
+        help="survey bench.HEADLINE (frozen at r01) — the cross-round drift comparator",
+    )
     ap.add_argument("--json", default=None, help="write the per-round JSON artifact here")
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -60,7 +65,14 @@ def main() -> int:
     spark = get_spark(app_name="plan-build-survey")
     session_start_ms = (time.perf_counter() - t0) * 1000
     queries = entrymod.queries()
-    names = list(queries) if args.all else [n for n in GATE_PRIORITY if n in queries]
+    if args.headline:
+        from bench import HEADLINE
+
+        names = [n for n in HEADLINE if n in queries]
+    elif args.all:
+        names = list(queries)
+    else:
+        names = [n for n in GATE_PRIORITY if n in queries]
 
     # warm the session (parquet footer caches, first-plan JIT)
     queries[names[0]](spark, args.sf_dir)._jdf.queryExecution().analyzed()
@@ -105,7 +117,7 @@ def main() -> int:
                     "total_build_ms": round(total, 1),
                     "reps": args.reps,
                     "sf_dir": args.sf_dir,
-                    "window": "all" if args.all else "gate",
+                    "window": "headline" if args.headline else ("all" if args.all else "gate"),
                     "n_queries": len(rows),
                     "queries": {
                         name: {"build_ms": round(ms, 1), "jobs": jobs}
