@@ -1,0 +1,367 @@
+"""Model-based text classification & targeted data selection.
+
+Two published techniques every LLM training pipeline runs between
+dedup and packing, absent from the reference (its pipeline stops at
+similarity/ALS — top_100_pairs.py / movie_recommendation.py):
+
+- **Hashed-n-gram Naive Bayes** (feature hashing: Weinberger et al.
+  2009; multinomial NB: McCallum & Nigam 1998) — the fasttext/CCNet
+  -style model-based filter: train a classifier on a labeled seed
+  (language id, quality labels), score the corpus, route/filter by
+  predicted class. Linear models over hashed n-grams are the
+  standard web-scale choice precisely because they distribute as
+  pure aggregations.
+- **DSIR** (Data Selection via Importance Resampling, Xie et al.
+  2023): weight every raw document by the log-likelihood ratio of a
+  target domain vs the raw corpus under a bag-of-hashed-n-grams
+  model, then resample ∝ exp(weight) — Gumbel-top-k makes the
+  resample deterministic, seeded, and SQL-replayable (the same
+  hash-derived-uniform discipline as ``corpus.weighted_sample``).
+
+Scale shape (the reason these fit 100 TB):
+
+- The feature space is FIXED at ``num_buckets`` (hashing trick), so
+  every model/distribution table is bounded — broadcast-sized — no
+  matter the corpus: no driver-held vocabulary, no vocabulary pass
+  (the CountVectorizer trap ``minhash_signatures`` documents).
+- Fit/weight legs are one explode + one partial-aggregated groupBy
+  (map-side combine on (label/bucket)); scoring is a broadcast hash
+  join of corpus features against the bounded model and one
+  doc-keyed sum. Nothing corpus-sized rides a shuffle wider than the
+  (doc, bucket) feature relation.
+- Selection is a distributed top-k (per-partition heaps via
+  orderBy+limit → TakeOrderedAndProject), never a global sort.
+
+``base_hash='md5'`` swaps xxhash64 for the shared md5-prefix
+primitive so every step — bucketing, counts, smoothing, log scores,
+Gumbel keys — is reproducible in DuckDB SQL (the dedup ladder's
+oracle discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _base_shingle_hash, _shingle_fn
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_buckets: int = 4096,
+    n: int = 1,
+    unit: str = "word",
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """(doc, bucket, tf) term-frequency features: word/char n-grams
+    of the normalized text (the dedup ladder's shingle spelling,
+    duplicates KEPT — multinomial counts, unlike the miners' set
+    semantics), hashed into a fixed ``num_buckets`` space. One
+    explode + one partially-aggregated groupBy; the output is the
+    only corpus-sized relation the classifiers ever shuffle."""
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    shingles = _shingle_fn(unit)
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, n)).alias("_g"),
+    )
+    bucket = F.pmod(_base_shingle_hash(base_hash)("_g"), F.lit(num_buckets))
+    return (
+        grams.select("doc", bucket.alias("bucket"))
+        .groupBy("doc", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def fit_nb_classifier(
+    labeled: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    num_buckets: int = 4096,
+    n: int = 1,
+    unit: str = "word",
+    base_hash: str = "xxhash64",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Multinomial Naive Bayes over hashed n-gram counts.
+
+    Returns ``(cond, label_stats)``:
+
+    - ``cond``: (label, bucket, n_tok, log_cond) — observed buckets
+      only, ``log_cond = ln((n_tok + α) / (n_tok_total + α·B))``.
+      Bounded by labels × num_buckets regardless of corpus size.
+    - ``label_stats``: (label, n_docs, n_tok_total, log_prior,
+      log_unseen) — one row per label; ``log_unseen`` is the
+      smoothed conditional for buckets the label never saw
+      (``ln(α / (n_tok_total + α·B))``), so scoring needs no dense
+      label × bucket completion table.
+
+    Everything is two aggregations over the feature relation — no
+    iterations, no driver-side state; the closed form is what makes
+    the whole fit SQL-reproducible (unlike LR/fasttext SGD).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive (Laplace smoothing), got {alpha}")
+    feats = hashed_ngram_features(
+        labeled.select(F.col(id_col), F.col(text_col), F.col(label_col)),
+        id_col,
+        text_col,
+        num_buckets=num_buckets,
+        n=n,
+        unit=unit,
+        base_hash=base_hash,
+    )
+    lab = labeled.select(
+        F.col(id_col).alias("doc"), F.col(label_col).alias("label")
+    ).distinct()
+    tagged = feats.join(lab, "doc")
+
+    totals = (
+        tagged.groupBy("label")
+        .agg(F.sum("tf").alias("n_tok_total"))
+    )
+    n_all = labeled.count()  # bounded driver scalar: one count, O(1) result
+    label_stats = (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(totals, "label")
+        .select(
+            "label",
+            "n_docs",
+            "n_tok_total",
+            F.log(F.col("n_docs") / F.lit(float(n_all))).alias("log_prior"),
+            F.log(
+                F.lit(float(alpha))
+                / (F.col("n_tok_total") + F.lit(float(alpha * num_buckets)))
+            ).alias("log_unseen"),
+        )
+    )
+    cond = (
+        tagged.groupBy("label", "bucket")
+        .agg(F.sum("tf").alias("n_tok"))
+        .join(F.broadcast(totals), "label")
+        .select(
+            "label",
+            "bucket",
+            "n_tok",
+            F.log(
+                (F.col("n_tok") + F.lit(float(alpha)))
+                / (F.col("n_tok_total") + F.lit(float(alpha * num_buckets)))
+            ).alias("log_cond"),
+        )
+    )
+    return cond, label_stats
+
+
+def nb_classify(
+    docs: DataFrame,
+    cond: DataFrame,
+    label_stats: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_buckets: int = 4096,
+    n: int = 1,
+    unit: str = "word",
+    base_hash: str = "xxhash64",
+    keep_scores: bool = False,
+) -> DataFrame:
+    """Argmax-label NB scoring: per (doc, label),
+    ``log_prior + Σ_buckets tf · log_cond`` with ``log_unseen``
+    substituted for buckets the label never saw.
+
+    Plan shape: corpus features BROADCAST-cross the (tiny) label
+    list, broadcast-left-join the bounded model, ONE doc-keyed
+    aggregate, and a per-doc window over ≤ n_labels rows for the
+    deterministic argmax (score desc, label asc — ties break to the
+    lexically first label, the same rule the oracle replays). The
+    model tables must be fit with the SAME num_buckets/n/unit/
+    base_hash — pass the knobs you fit with.
+
+    Output: (doc, label) — plus (log_score, n_feat) under
+    ``keep_scores`` (routing thresholds want the margin)."""
+    feats = hashed_ngram_features(
+        docs, id_col, text_col,
+        num_buckets=num_buckets, n=n, unit=unit, base_hash=base_hash,
+    )
+    labels = label_stats.select("label", "log_prior", "log_unseen")
+    dense = feats.crossJoin(F.broadcast(labels))
+    scored = (
+        dense.join(F.broadcast(cond.select("label", "bucket", "log_cond")),
+                   ["label", "bucket"], "left")
+        .withColumn("_lc", F.coalesce(F.col("log_cond"), F.col("log_unseen")))
+        .groupBy("doc", "label", "log_prior")
+        .agg(
+            F.sum(F.col("tf") * F.col("_lc")).alias("_ll"),
+            F.sum("tf").alias("n_feat"),
+        )
+        .select(
+            "doc",
+            "label",
+            (F.col("log_prior") + F.col("_ll")).alias("log_score"),
+            "n_feat",
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("log_score").desc(), F.col("label").asc()
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    cols = ["doc", "label"] + (["log_score", "n_feat"] if keep_scores else [])
+    return best.select(*cols)
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str,
+    *,
+    num_buckets: int = 4096,
+    n: int = 2,
+    unit: str = "word",
+    base_hash: str = "xxhash64",
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, log_ratio) — the DSIR importance model:
+    ``ln(p̂_target(b) / p̂_raw(b))`` over hashed n-gram unigram
+    distributions, Laplace-smoothed with ``alpha`` so buckets unseen
+    on either side stay finite. Bounded at ``num_buckets`` rows —
+    broadcast-sized at any corpus scale (the hashing trick is the
+    whole reason DSIR runs on web-scale raw sets)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive (Laplace smoothing), got {alpha}")
+
+    def dist(df: DataFrame, name: str) -> DataFrame:
+        feats = hashed_ngram_features(
+            df, id_col, text_col,
+            num_buckets=num_buckets, n=n, unit=unit, base_hash=base_hash,
+        )
+        return feats.groupBy("bucket").agg(F.sum("tf").alias(name))
+
+    t, r = dist(target, "n_t"), dist(raw, "n_r")
+    joined = t.join(r, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_t", F.lit(0)).alias("n_t"),
+        F.coalesce("n_r", F.lit(0)).alias("n_r"),
+    )
+    # totals are single-row aggregates joined back by broadcast —
+    # never collected, never a SinglePartition window
+    tot = joined.agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
+    )
+    aB = float(alpha * num_buckets)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_t",
+            "n_r",
+            (
+                F.log((F.col("n_t") + F.lit(float(alpha))) / (F.col("tot_t") + F.lit(aB)))
+                - F.log((F.col("n_r") + F.lit(float(alpha))) / (F.col("tot_r") + F.lit(aB)))
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_buckets: int = 4096,
+    n: int = 2,
+    unit: str = "word",
+    base_hash: str = "xxhash64",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-raw-document DSIR log importance weight:
+    ``Σ_b tf_doc(b) · log_ratio(b)`` (the bag-of-hashed-n-grams
+    log-likelihood ratio of target vs raw). Output: (doc,
+    log_weight, n_feat) — ``n_feat`` (the doc's token mass) lets
+    callers length-normalize, the documented DSIR variant for
+    length-skewed corpora.
+
+    Plan: features broadcast-join the bounded ratio table, one
+    doc-keyed sum. Raw text is read once."""
+    ratios = dsir_log_ratios(
+        target, raw, text_col,
+        num_buckets=num_buckets, n=n, unit=unit,
+        base_hash=base_hash, alpha=alpha, id_col=id_col,
+    )
+    feats = hashed_ngram_features(
+        raw, id_col, text_col,
+        num_buckets=num_buckets, n=n, unit=unit, base_hash=base_hash,
+    )
+    return (
+        feats.join(F.broadcast(ratios.select("bucket", "log_ratio")), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.sum(F.col("tf") * F.col("log_ratio")).alias("log_weight"),
+            F.sum("tf").alias("n_feat"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    *,
+    seed: str = "",
+    num_buckets: int = 4096,
+    n: int = 2,
+    unit: str = "word",
+    base_hash: str = "xxhash64",
+    alpha: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR resampling, deterministic: sample ``k`` raw docs without
+    replacement with probability ∝ exp(log_weight) via Gumbel-top-k
+    (Vieira 2014) — ``key = log_weight − ln(−ln(u))`` with
+    u ∈ (0, 1) derived from ``md5(seed ‖ doc)``, top-k keys win.
+    Exactly the ``corpus.weighted_sample`` discipline (A-ES there,
+    Gumbel here: A-ES needs linear weights, which would overflow
+    exp(log_weight); Gumbel stays in log space), so the draw is
+    reproducible bit-for-bit and SQL-replayable, and changing
+    ``seed`` redraws.
+
+    Scale: per-doc key column + orderBy/limit (distributed top-k,
+    TakeOrderedAndProject). Output: (doc, log_weight, n_feat,
+    sample_key, sample_rank)."""
+    weights = dsir_importance_weights(
+        raw, target, id_col, text_col,
+        num_buckets=num_buckets, n=n, unit=unit,
+        base_hash=base_hash, alpha=alpha,
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col("doc").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    # (0, 1) OPEN on both ends: u→1 would send −ln(−ln u) to +inf
+    # (the A-ES half-open (0,1] is fine for u^(1/w), not for Gumbel)
+    u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.col("log_weight") - F.log(-F.log(u))
+    ranked = (
+        weights.withColumn("_key", key)
+        .orderBy(F.col("_key").desc(), F.col("doc").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("_key").desc(), F.col("doc").asc())
+    return (
+        ranked.withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("sample_key", F.round(F.col("_key"), round_to))
+        .drop("_key")
+    )

@@ -48,6 +48,8 @@ NOTES = {
     "doc_script_profile": "Script routing (r12): derived-text and stripped-text each materialized in ONE Project (CollapseProject keeps expensive multiply-referenced exprs), pre_stripped argmax — 4 regex-replace nodes total where the naive form carried ~25; one shuffle on the tiny script key.",
     "cjk_near_duplicate_pairs": "Char-unit dedup scale path (r12): transliteration + routing predicate map-local, codepoint-safe consuming-regex shingles, 60-bit hashed shingle keys through the governed self-join (checkpoint boundary) — same shape as ngram_duplicate_pairs.",
     "doc_encoding_quality": "Encoding QA (r12): three one-regex-scan damage counts per doc, map-local; integer partial aggregates into a 4-value leg key — the scan dominates at any scale.",
+    "incremental_dedup_pairs": "Persisted-index probe (r13): the BATCH's band rows broadcast against the stored band table (corpus side is a parquet scan + BroadcastHashJoin — zero corpus shuffle), candidate ids broadcast-semi into stored sigs, 32-way agreement sum in codegen. Index size never rides a shuffle; query cost tracks candidate density.",
+    "repeated_substring_spans": "Substring dedup (r13): per-position k-gram hash explode, doc-keyed winnow window (one Exchange on doc), 60-bit fingerprint self-join, exact k-gram verify against the two doc texts, same-diagonal chain windows keyed by (doc_a, doc_b, diag) — no SinglePartition anywhere.",
 }
 
 
