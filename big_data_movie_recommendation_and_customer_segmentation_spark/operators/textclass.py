@@ -40,9 +40,10 @@ oracle discipline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import textops as TX
 from .dedup import _base_shingle_hash, _shingle_fn
 
 
@@ -364,4 +365,169 @@ def dsir_select(
         ranked.withColumn("sample_rank", F.row_number().over(w))
         .withColumn("sample_key", F.round(F.col("_key"), round_to))
         .drop("_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram LM perplexity (Stupid Backoff) — the CCNet-style fluency filter
+# --------------------------------------------------------------------------
+
+
+def _transition_rel(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, prev, w) ordered token transitions of the normalized
+    text — built from array slices (zip of toks[0:n-1] with
+    toks[1:n]), so there is no short-doc fallback semantics to
+    mirror: docs with <2 tokens simply emit no transitions (their
+    fluency is a unigram question — ``doc_unigram_logprob`` owns it).
+    Map-local explode; duplicates kept (an LM scores occurrences)."""
+    toks = TX.tokens(TX.normalized_text(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(pairs).alias("_t"))
+        .select(
+            "doc",
+            F.col("_t").getField("0").alias("prev"),
+            F.col("_t").getField("1").alias("w"),
+        )
+    )
+
+
+def _bucket(col: str | Column, num_buckets: int, base_hash: str) -> Column:
+    return F.pmod(_base_shingle_hash(base_hash)(col), F.lit(num_buckets))
+
+
+def fit_bigram_lm(
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_buckets: int = 65536,
+    base_hash: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Hashed bigram language model over a reference corpus — the
+    count tables of Stupid Backoff (Brants et al. 2007, the LM
+    scheme DESIGNED for distributed count-based training: no
+    discounting pass, no normalization join, just counts).
+
+    Returns ``(uni, bi, n_tokens)``:
+
+    - ``uni``: (bucket, c) hashed unigram occurrence counts,
+    - ``bi``:  (bucket, c) hashed ``prev‖space‖w`` bigram counts,
+    - ``n_tokens``: total reference token occurrences (driver
+      scalar — one aggregate row, O(1)).
+
+    Both tables are bounded at ``num_buckets`` rows (hashing trick)
+    — broadcast-sized at any reference-corpus scale; collisions
+    conflate counts, the standard randomized-LM trade (Talbot &
+    Osborne 2007). Two aggregations, no iterations."""
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    toks = ref.select(
+        F.explode(TX.tokens(TX.normalized_text(text_col))).alias("_w")
+    )
+    uni = (
+        toks.select(_bucket("_w", num_buckets, base_hash).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    trans = _transition_rel(ref, id_col, text_col)
+    bi = (
+        trans.select(
+            _bucket(
+                F.concat_ws(" ", "prev", "w"), num_buckets, base_hash
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = toks.count()
+    return uni, bi, n_tokens
+
+
+def lm_score_docs(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    n_tokens: int,
+    id_col: str,
+    text_col: str,
+    *,
+    num_buckets: int = 65536,
+    base_hash: str = "xxhash64",
+    backoff: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document Stupid Backoff fluency score against a fitted
+    reference LM:
+
+        s(w | prev) = c(prev,w) / c(prev)            if both counted
+                    = λ · (c(w) + 1) / (N + B)       otherwise
+
+    (λ = ``backoff`` = 0.4 per Brants; the unseen leg Laplace-floors
+    the unigram so a fully-OOV token scores finite instead of
+    ln 0 = −inf — the one deviation from the paper, documented
+    because a quality FILTER must rank garbage, not NaN on it).
+
+    Output: (doc, n_transitions, avg_logprob, ppl) where
+    ``ppl = exp(−avg_logprob)`` — the CCNet-style filter key (high
+    perplexity ⇒ out-of-domain / disfluent; threshold or bucket it).
+    Docs with <2 tokens emit NO row (no transitions to score — the
+    caller left-joins and routes them by the unigram/exact ladder).
+
+    Plan: one transition explode, three broadcast joins against the
+    bounded count tables, one doc-keyed aggregate. The corpus never
+    shuffles wider than its own transition relation."""
+    trans = _transition_rel(docs, id_col, text_col).select(
+        "doc",
+        _bucket(F.concat_ws(" ", "prev", "w"), num_buckets, base_hash).alias("_bb"),
+        _bucket("prev", num_buckets, base_hash).alias("_bp"),
+        _bucket("w", num_buckets, base_hash).alias("_bw"),
+    )
+    scored = (
+        trans.join(
+            F.broadcast(bi.select(F.col("bucket").alias("_bb"), F.col("c").alias("_cb"))),
+            "_bb",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("bucket").alias("_bp"), F.col("c").alias("_cp"))),
+            "_bp",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("bucket").alias("_bw"), F.col("c").alias("_cw"))),
+            "_bw",
+            "left",
+        )
+        .withColumn(
+            "_lp",
+            F.when(
+                F.col("_cb").isNotNull() & F.col("_cp").isNotNull(),
+                F.log(F.col("_cb") / F.col("_cp")),
+            ).otherwise(
+                F.log(
+                    F.lit(float(backoff))
+                    * (F.coalesce(F.col("_cw"), F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(n_tokens + num_buckets))
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.avg("_lp").alias("_avg"),
+        )
+        .select(
+            "doc",
+            "n_transitions",
+            F.round(F.col("_avg"), round_to).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_avg")), round_to).alias("ppl"),
+        )
     )

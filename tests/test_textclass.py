@@ -335,3 +335,121 @@ def test_plan_shapes(spark, sf_dir):
     splan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in splan
     assert "CartesianProduct" not in splan
+
+
+# ---- Stupid Backoff bigram LM perplexity ----------------------------------
+
+
+def test_lm_perplexity_matches_duckdb(spark, sf_dir, duck):
+    """Full Stupid Backoff pipeline — hashed unigram/bigram counts on
+    the even-id reference, per-transition backoff scoring of odd-id
+    docs — replayed in SQL (md5 buckets) to 1e-6 rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    uni, bi, n_tok = TC.fit_bigram_lm(
+        ref, "doc_id", "text", num_buckets=B, base_hash="md5"
+    )
+    got = {
+        (r.doc, r.n_transitions, r.avg_logprob, r.ppl)
+        for r in TC.lm_score_docs(
+            test, uni, bi, n_tok, "doc_id", "text", num_buckets=B, base_hash="md5"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"""
+    WITH ref AS (SELECT doc_id, {_NTOKS} AS toks FROM documents WHERE doc_id % 2 = 0),
+    ref_uni AS (
+      SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % {B} AS bucket, count(*) AS c
+      FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY 1
+    ),
+    ref_tr AS (
+      SELECT toks[i] AS prev, toks[i+1] AS w
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM ref)
+    ),
+    ref_bi AS (
+      SELECT ('0x' || substr(md5(prev || ' ' || w), 1, 15))::BIGINT % {B} AS bucket,
+             count(*) AS c
+      FROM ref_tr GROUP BY 1
+    ),
+    n_tok AS (SELECT sum(len(toks)) AS n FROM ref),
+    te AS (SELECT doc_id, {_NTOKS} AS toks FROM documents WHERE doc_id % 2 = 1),
+    te_tr AS (
+      SELECT doc_id, toks[i] AS prev, toks[i+1] AS w
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM te)
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CASE WHEN b.c IS NOT NULL AND p.c IS NOT NULL
+                  THEN ln(b.c * 1.0 / p.c)
+                  ELSE ln(0.4 * (coalesce(u.c, 0) + 1.0)
+                          / ((SELECT n FROM n_tok) + {B}))
+             END AS lp
+      FROM te_tr t
+      LEFT JOIN ref_bi b
+        ON b.bucket = ('0x' || substr(md5(t.prev || ' ' || t.w), 1, 15))::BIGINT % {B}
+      LEFT JOIN ref_uni p
+        ON p.bucket = ('0x' || substr(md5(t.prev), 1, 15))::BIGINT % {B}
+      LEFT JOIN ref_uni u
+        ON u.bucket = ('0x' || substr(md5(t.w), 1, 15))::BIGINT % {B}
+    )
+    SELECT doc_id, count(*) AS n_transitions,
+           round(avg(lp), 6) AS avg_logprob,
+           round(exp(-avg(lp)), 6) AS ppl
+    FROM scored GROUP BY doc_id
+    """
+        ).fetchall()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_lm_ppl_separates_in_domain_from_out_of_domain(spark):
+    """The filter's point: docs over the reference vocabulary (with
+    its transition structure) must score lower perplexity than docs
+    from a disjoint vocabulary — and the OOV leg stays finite (the
+    Laplace-floored backoff), so garbage RANKS instead of NaN-ing."""
+    d = _two_vocab_corpus(spark)
+    ref = d.filter(F.col("lang") == "good")
+    uni, bi, n_tok = TC.fit_bigram_lm(ref, "doc_id", "text", num_buckets=B)
+    scored = TC.lm_score_docs(d, uni, bi, n_tok, "doc_id", "text", num_buckets=B)
+    by_class = {
+        r.lang: r.m
+        for r in scored.join(
+            d.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+        )
+        .groupBy("lang")
+        .agg(F.avg("ppl").alias("m"))
+        .collect()
+    }
+    assert by_class["good"] < by_class["bad"]
+    import math
+
+    assert all(
+        math.isfinite(r.ppl) for r in scored.collect()
+    ), "OOV docs must score finite perplexity"
+
+
+def test_lm_short_doc_contract_and_plan_shape(spark):
+    """Docs with <2 tokens emit NO row (no transitions — unigram
+    scoring owns them, doc_unigram_logprob); the scoring plan joins
+    the bounded count tables by BROADCAST only."""
+    ref = spark.createDataFrame(
+        [(1, "aa bb cc aa bb")], "doc_id long, text string"
+    )
+    uni, bi, n_tok = TC.fit_bigram_lm(ref, "doc_id", "text", num_buckets=B)
+    probe = spark.createDataFrame(
+        [(10, "aa bb aa"), (11, "single"), (12, ""), (13, None)],
+        "doc_id long, text string",
+    )
+    scored = TC.lm_score_docs(probe, uni, bi, n_tok, "doc_id", "text", num_buckets=B)
+    rows = {r.doc: r for r in scored.collect()}
+    assert set(rows) == {10}
+    assert rows[10].n_transitions == 2
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError, match="num_buckets"):
+        TC.fit_bigram_lm(ref, "doc_id", "text", num_buckets=-1)

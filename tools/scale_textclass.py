@@ -53,9 +53,23 @@ def dsir_leg(spark, path: str) -> int:
     return TC.dsir_select(d, target, "doc_id", "text", 100, seed="s", num_buckets=B).count()
 
 
+def lm_leg(spark, path: str) -> int:
+    d = spark.read.parquet(path)
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    uni, bi, n_tok = TC.fit_bigram_lm(ref, "doc_id", "text", num_buckets=B)
+    return TC.lm_score_docs(
+        test, uni, bi, n_tok, "doc_id", "text", num_buckets=B
+    ).count()
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-textclass")
-    legs = {"nb_fit_classify": nb_leg, "dsir_weights_select": dsir_leg}
+    legs = {
+        "nb_fit_classify": nb_leg,
+        "dsir_weights_select": dsir_leg,
+        "lm_fit_score": lm_leg,
+    }
     out: dict = {"num_buckets": B, "points": {}, "slopes": {}}
     for name, fn in legs.items():
         per_sf = {}
