@@ -531,3 +531,42 @@ def lm_score_docs(
             F.round(F.exp(-F.col("_avg")), round_to).alias("ppl"),
         )
     )
+
+
+def save_bigram_lm(
+    uni: DataFrame,
+    bi: DataFrame,
+    n_tokens: int,
+    path: str,
+    *,
+    num_buckets: int,
+    base_hash: str = "xxhash64",
+) -> None:
+    """Persist a fitted Stupid Backoff LM at ``path`` (``uni/``,
+    ``bi/``, ``meta/``) — meta written LAST records every
+    score-affecting knob (num_buckets, base_hash, n_tokens), so
+    scoring derives parameters FROM THE MODEL and a caller cannot
+    silently mix bucket spaces (the ``dedup_index`` meta discipline).
+    The store is write-once (refit = rebuild): both tables are
+    bounded at ``num_buckets`` rows, so a rebuild is cheap and
+    there is no incremental lifecycle to make crash-safe."""
+    spark = uni.sparkSession
+    uni.write.mode("overwrite").parquet(f"{path}/uni")
+    bi.write.mode("overwrite").parquet(f"{path}/bi")
+    spark.createDataFrame(
+        [(int(num_buckets), base_hash, int(n_tokens))],
+        "num_buckets int, base_hash string, n_tokens long",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_bigram_lm(spark, path: str):
+    """Load a persisted LM: ``(uni, bi, meta_row)`` — the count
+    tables lazily (bounded reads; pin them yourself for a
+    many-batch consumer) and the one-row meta collected driver-side
+    (O(1) by construction)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return (
+        spark.read.parquet(f"{path}/uni"),
+        spark.read.parquet(f"{path}/bi"),
+        meta,
+    )

@@ -277,3 +277,92 @@ def near_dedup_gate_writer(
         )
 
     return write_batch
+
+
+def lm_quality_gate_writer(
+    out_path: str,
+    model_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ppl: float = 1000.0,
+    reject_path: str | None = None,
+    backoff: float = 0.4,
+):
+    """Return a ``foreachBatch`` function implementing MODEL-BASED
+    quality admission (the CCNet perplexity filter as a stream): each
+    micro-batch is scored against a persisted Stupid Backoff LM
+    (``operators.textclass.save_bigram_lm``), docs with
+    ``ppl <= max_ppl`` are written under their own ``_epoch``
+    partition (original columns + ``ppl`` — downstream wants the
+    margin), the rest go to ``reject_path`` (if given) with a
+    ``reject_reason`` audit column.
+
+    The model is FROZEN for the stream's lifetime: knobs
+    (num_buckets, base_hash, n_tokens) derive from the model's meta —
+    never the caller — and the bounded count tables are eagerly
+    pinned ONCE at writer construction, so per-batch cost is the
+    batch's own transition explode + broadcast joins (no model
+    re-read, no state that grows: unlike the near-dedup gate there is
+    no upsert, which is what makes this gate trivially idempotent
+    under at-least-once replay — scoring is a pure function of
+    (model, batch), and the epoch overwrite replaces the batch's own
+    previous output).
+
+    Unjudgeable docs (<2 tokens: no transitions to score) are
+    REFUSED, not admitted — the admitted corpus stays fully scored,
+    and the ladder's layering contract routes short docs through the
+    unigram/exact legs upstream (the near-dedup gate's
+    invisible-doc rule, one tier up).
+    """
+    from pyspark.sql import SparkSession
+
+    from ..operators import textclass as TC
+
+    spark = SparkSession.getActiveSession()
+    uni, bi, meta = TC.load_bigram_lm(spark, model_path)
+    # bounded tables (≤ num_buckets rows) pinned once for the whole
+    # stream — every batch broadcasts them without re-reading parquet
+    uni = uni.localCheckpoint(eager=True)
+    bi = bi.localCheckpoint(eager=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = TC.lm_score_docs(
+            batch_df,
+            uni,
+            bi,
+            meta.n_tokens,
+            id_col,
+            text_col,
+            num_buckets=meta.num_buckets,
+            base_hash=meta.base_hash,
+            backoff=backoff,
+        ).withColumnRenamed("doc", id_col)
+        # one scoring job feeds the admit and reject writes
+        scored = scored.localCheckpoint(eager=True)
+        admitted = batch_df.join(
+            F.broadcast(
+                scored.filter(F.col("ppl") <= max_ppl).select(id_col, "ppl")
+            ),
+            id_col,
+        )
+        idempotent_epoch_writer(out_path)(admitted, batch_id)
+        if reject_path is not None:
+            rejected = (
+                batch_df.join(
+                    F.broadcast(scored.select(id_col, "ppl", "n_transitions")),
+                    id_col,
+                    "left",
+                )
+                .filter(F.col("ppl").isNull() | (F.col("ppl") > max_ppl))
+                .withColumn(
+                    "reject_reason",
+                    F.when(F.col("ppl").isNull(), F.lit("too_short")).otherwise(
+                        F.lit("high_ppl")
+                    ),
+                )
+                .drop("n_transitions")
+            )
+            idempotent_epoch_writer(reject_path)(rejected, batch_id)
+
+    return write_batch

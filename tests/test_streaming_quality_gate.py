@@ -1,0 +1,113 @@
+"""Streaming LM quality gate (``sinks.lm_quality_gate_writer``):
+model-based perplexity admission with a frozen persisted LM — the
+CCNet filter as a stream. Stateless across batches (no index to
+mutate), so replay idempotence is structural; the tests pin the
+routing (admit / high_ppl / too_short), the epoch layout, and the
+real-engine path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+    textclass as TC,
+)
+from big_data_movie_recommendation_and_customer_segmentation_spark.streaming import (
+    sinks as SK,
+)
+
+DOC = "doc_id long, text string"
+B = 512
+GOOD = [
+    "alpha beta gamma delta epsilon alpha beta gamma delta epsilon",
+    "beta gamma delta epsilon alpha beta gamma delta epsilon alpha",
+    "gamma delta epsilon alpha beta gamma delta epsilon alpha beta",
+]
+BAD = "zzz qqq xxx www yyy zzz qqq xxx www yyy vvv"
+
+
+def _model(spark, tmp_path, name="lm"):
+    ref = spark.createDataFrame(list(enumerate(GOOD)), DOC)
+    uni, bi, n = TC.fit_bigram_lm(ref, "doc_id", "text", num_buckets=B)
+    path = str(tmp_path / name)
+    TC.save_bigram_lm(uni, bi, n, path, num_buckets=B)
+    return path
+
+
+def test_gate_routes_admit_reject_and_short(spark, tmp_path):
+    model = _model(spark, tmp_path)
+    out, rej = str(tmp_path / "out"), str(tmp_path / "rej")
+    # calibrate the threshold from the model itself: in-domain docs
+    # score low ppl, OOV docs score near the backoff floor
+    write = SK.lm_quality_gate_writer(
+        out, model, max_ppl=50.0, reject_path=rej
+    )
+    batch = spark.createDataFrame(
+        [(10, GOOD[0]), (11, BAD), (12, "single"), (13, None)], DOC
+    )
+    write(batch, 0)
+    admitted = spark.read.parquet(out)
+    assert {r.doc_id for r in admitted.collect()} == {10}
+    assert "ppl" in admitted.columns  # margin kept for downstream
+    rejected = {r.doc_id: r.reject_reason for r in spark.read.parquet(rej).collect()}
+    assert rejected == {11: "high_ppl", 12: "too_short", 13: "too_short"}
+
+    # at-least-once replay: same committed state, no duplicate rows
+    write(batch, 0)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {10}
+    assert spark.read.parquet(out).count() == 1
+    assert spark.read.parquet(rej).count() == 3
+
+
+def test_gate_knobs_derive_from_model_meta(spark, tmp_path):
+    """The writer must score with the MODEL's num_buckets/base_hash
+    (meta), not defaults: an md5/B-bucket model scored with the
+    default 65536/xxhash64 space would mis-bucket every transition
+    and admit garbage."""
+    ref = spark.createDataFrame(list(enumerate(GOOD)), DOC)
+    uni, bi, n = TC.fit_bigram_lm(ref, "doc_id", "text", num_buckets=B, base_hash="md5")
+    path = str(tmp_path / "lm_md5")
+    TC.save_bigram_lm(uni, bi, n, path, num_buckets=B, base_hash="md5")
+    out = str(tmp_path / "out")
+    SK.lm_quality_gate_writer(out, path, max_ppl=50.0)(
+        spark.createDataFrame([(1, GOOD[1]), (2, BAD)], DOC), 0
+    )
+    got = {r.doc_id: r.ppl for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1}
+    # and the attached ppl equals the direct batch operator's
+    direct = TC.lm_score_docs(
+        spark.createDataFrame([(1, GOOD[1])], DOC),
+        uni, bi, n, "doc_id", "text", num_buckets=B, base_hash="md5",
+    ).first()
+    assert got[1] == direct.ppl
+
+
+def test_gate_through_real_streaming_engine(spark, tmp_path):
+    model = _model(spark, tmp_path)
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, GOOD[0]), (2, BAD)], DOC).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame([(3, GOOD[2]), (4, "x")], DOC).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    out, rej = str(tmp_path / "gate_out"), str(tmp_path / "gate_rej")
+    stream = (
+        spark.readStream.schema(DOC)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            SK.lm_quality_gate_writer(out, model, max_ppl=50.0, reject_path=rej)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+    rejected = {r.doc_id: r.reject_reason for r in spark.read.parquet(rej).collect()}
+    assert rejected == {2: "high_ppl", 4: "too_short"}
+    assert spark.read.parquet(out).select("_epoch").distinct().count() == 2
