@@ -453,3 +453,38 @@ def test_lm_short_doc_contract_and_plan_shape(spark):
     assert "CartesianProduct" not in plan
     with pytest.raises(ValueError, match="num_buckets"):
         TC.fit_bigram_lm(ref, "doc_id", "text", num_buckets=-1)
+
+
+def test_dsir_target_equals_raw_gives_exactly_zero_weights(spark):
+    """Exactness pin: with target == raw, every bucket has n_t == n_r
+    and tot_t == tot_r, so log_ratio is EXACTLY 0.0 (identical ln
+    arguments, not approximately-cancelled FP) and every doc's
+    log_weight is exactly 0.0 — selection degrades to the pure
+    Gumbel draw (uniform sampling), the documented DSIR limit."""
+    d = _two_vocab_corpus(spark, n_per_class=10)
+    w = TC.dsir_importance_weights(d, d, "doc_id", "text", num_buckets=B)
+    vals = {r.log_weight for r in w.collect()}
+    assert vals == {0.0}
+
+
+def test_nb_emits_exactly_one_row_per_doc_and_finite_scores(spark):
+    """Totality pin: every input doc (including empty/null text via
+    the whole-text fallback feature) classifies to exactly one row
+    with a finite score — a filter that silently drops or NaNs rows
+    corrupts the corpus it routes."""
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "aa bb cc", "x"), (2, "dd ee ff", "y")],
+        "doc_id long, text string, lang string",
+    )
+    cond, stats = TC.fit_nb_classifier(train, "doc_id", "text", "lang", num_buckets=B)
+    probe = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([None, "", " ", "aa", "zz yy xx ww", "aa dd"])],
+        "doc_id long, text string",
+    )
+    rows = TC.nb_classify(
+        probe, cond, stats, "doc_id", "text", num_buckets=B, keep_scores=True
+    ).collect()
+    assert sorted(r.doc for r in rows) == list(range(6))
+    assert all(math.isfinite(r.log_score) for r in rows)
