@@ -70,6 +70,14 @@ def hashed_ngram_features(
         F.col(id_col).alias("doc"),
         F.explode(shingles(text_col, n)).alias("_g"),
     )
+    # NULL text's whole-text fallback gram is NULL, and the two base
+    # hashes disagree on NULL (xxhash64 returns its seed constant,
+    # md5 returns NULL → the doc silently vanishes under the oracle
+    # hash only — r13 self-review). Coalesce to '' so null text ≡
+    # empty text under BOTH hashes: one contract, every doc
+    # featurizes. (Separate projection: explode cannot nest inside
+    # coalesce.)
+    grams = grams.select("doc", F.coalesce(F.col("_g"), F.lit("")).alias("_g"))
     bucket = F.pmod(_base_shingle_hash(base_hash)("_g"), F.lit(num_buckets))
     return (
         grams.select("doc", bucket.alias("bucket"))
@@ -127,7 +135,11 @@ def fit_nb_classifier(
         tagged.groupBy("label")
         .agg(F.sum("tf").alias("n_tok_total"))
     )
-    n_all = labeled.count()  # bounded driver scalar: one count, O(1) result
+    # priors denominator = the same relation the numerators count
+    # (distinct (doc, label) rows), NOT raw labeled.count(): a seed
+    # with duplicate rows would otherwise inflate the denominator and
+    # skew every prior (r13 self-review). Driver scalar, O(1) result.
+    n_all = lab.count()
     label_stats = (
         lab.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -293,7 +305,13 @@ def dsir_importance_weights(
     length-skewed corpora.
 
     Plan: features broadcast-join the bounded ratio table, one
-    doc-keyed sum. Raw text is read once."""
+    doc-keyed sum. Raw text is read once.
+
+    Contract: TOTAL over raw docs — null and empty text share the ''
+    whole-text fallback gram (one real bucket under either base
+    hash), so every doc gets a weight row; content-free docs weigh
+    identically and the caller's upstream filters (exact dedup,
+    heuristics) remain the right place to drop them."""
     ratios = dsir_log_ratios(
         target, raw, text_col,
         num_buckets=num_buckets, n=n, unit=unit,

@@ -39,12 +39,14 @@ def _gram_sql(n: int) -> str:
 
 
 def _feat_sql(n: int, where: str, extra_cols: str = "") -> str:
-    """(doc_id[, extra], bucket, tf) hashed-ngram features."""
+    """(doc_id[, extra], bucket, tf) hashed-ngram features. The
+    coalesce mirrors the engine's null-text contract: the whole-text
+    fallback gram of NULL text normalizes to ''."""
     return f"""
     t AS (SELECT doc_id{extra_cols}, {_NTOKS} AS toks FROM documents {where}),
     g AS (SELECT doc_id{extra_cols}, unnest({_gram_sql(n)}) AS g FROM t),
     f AS (SELECT doc_id{extra_cols},
-                 ('0x' || substr(md5(g), 1, 15))::BIGINT % {B} AS bucket,
+                 ('0x' || substr(md5(coalesce(g, '')), 1, 15))::BIGINT % {B} AS bucket,
                  count(*) AS tf
           FROM g GROUP BY ALL)
     """
@@ -488,3 +490,43 @@ def test_nb_emits_exactly_one_row_per_doc_and_finite_scores(spark):
     ).collect()
     assert sorted(r.doc for r in rows) == list(range(6))
     assert all(math.isfinite(r.log_score) for r in rows)
+
+
+def test_priors_immune_to_duplicate_seed_rows(spark):
+    """r13 self-review regression: a labeled seed with DUPLICATE rows
+    must produce the same priors/model as its deduplicated form — the
+    priors denominator counts distinct (doc, label) pairs, not raw
+    rows (raw count() inflated the denominator and skewed every
+    prior)."""
+    base = [(1, "aa bb cc", "x"), (2, "dd ee ff", "y"), (3, "aa bb dd", "x")]
+    clean = spark.createDataFrame(base, "doc_id long, text string, lang string")
+    dirty = spark.createDataFrame(base + base, "doc_id long, text string, lang string")
+    _, stats_c = TC.fit_nb_classifier(clean, "doc_id", "text", "lang", num_buckets=B)
+    _, stats_d = TC.fit_nb_classifier(dirty, "doc_id", "text", "lang", num_buckets=B)
+    pc = {r.label: round(r.log_prior, 9) for r in stats_c.collect()}
+    pd_ = {r.label: round(r.log_prior, 9) for r in stats_d.collect()}
+    assert pc == pd_
+    import math
+
+    assert pc["x"] == round(math.log(2 / 3), 9)
+
+
+def test_featurization_is_total_and_hash_agnostic_on_null_text(spark):
+    """r13 self-review regression: a null-text doc's fallback gram
+    was NULL, which xxhash64 buckets (seed constant) but md5 drops —
+    the doc silently vanished from weights under the ORACLE hash
+    only. Pinned contract: null ≡ empty text ('' gram) under BOTH
+    hashes; featurization (and therefore DSIR weighting and NB
+    classification) is total over raw docs."""
+    d = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    for bh in ("xxhash64", "md5"):
+        f = TC.hashed_ngram_features(d, "doc_id", "text", num_buckets=B, n=2, base_hash=bh)
+        rows = {r.doc: (r.bucket, r.tf) for r in f.collect()}
+        assert set(rows) == {1, 2, 3}, bh
+        assert rows[2] == rows[3], f"null and empty text must featurize alike ({bh})"
+        w = TC.dsir_importance_weights(
+            d, d.filter("doc_id = 1"), "doc_id", "text", num_buckets=B, base_hash=bh
+        )
+        assert {r.doc for r in w.collect()} == {1, 2, 3}, bh
