@@ -565,23 +565,39 @@ def save_bigram_lm(
     score-affecting knob (num_buckets, base_hash, n_tokens), so
     scoring derives parameters FROM THE MODEL and a caller cannot
     silently mix bucket spaces (the ``dedup_index`` meta discipline).
-    The store is write-once (refit = rebuild): both tables are
-    bounded at ``num_buckets`` rows, so a rebuild is cheap and
-    there is no incremental lifecycle to make crash-safe."""
+
+    Refit-at-the-same-path stages the whole generation into a
+    sibling ``{path}__build`` directory and swaps it in as a unit
+    (``dedup_index._swap_index_dir`` — the same crash-safety class
+    as the band-index rebuild, ADVICE r13: a crash mid-refit must
+    never leave new counts under an old meta). A crash inside the
+    swap self-heals at the next load."""
+    from .dedup_index import _hadoop_delete, _recover_build, _swap_index_dir
+
     spark = uni.sparkSession
-    uni.write.mode("overwrite").parquet(f"{path}/uni")
-    bi.write.mode("overwrite").parquet(f"{path}/bi")
+    _recover_build(spark, path)
+    tmp = f"{path}__build"
+    _hadoop_delete(spark, tmp)
+    uni.write.mode("overwrite").parquet(f"{tmp}/uni")
+    bi.write.mode("overwrite").parquet(f"{tmp}/bi")
+    # meta LAST: its _SUCCESS marker is the build-complete flag
+    # _recover_build trusts (shared layout with the band index)
     spark.createDataFrame(
         [(int(num_buckets), base_hash, int(n_tokens))],
         "num_buckets int, base_hash string, n_tokens long",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{tmp}/meta")
+    _swap_index_dir(spark, tmp, path)
 
 
 def load_bigram_lm(spark, path: str):
     """Load a persisted LM: ``(uni, bi, meta_row)`` — the count
     tables lazily (bounded reads; pin them yourself for a
     many-batch consumer) and the one-row meta collected driver-side
-    (O(1) by construction)."""
+    (O(1) by construction). Entry self-heals a crash inside a prior
+    refit's whole-store swap."""
+    from .dedup_index import _recover_build
+
+    _recover_build(spark, path)
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     return (
         spark.read.parquet(f"{path}/uni"),

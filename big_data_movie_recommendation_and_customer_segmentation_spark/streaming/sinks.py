@@ -313,13 +313,21 @@ def lm_quality_gate_writer(
     REFUSED, not admitted — the admitted corpus stays fully scored,
     and the ladder's layering contract routes short docs through the
     unigram/exact legs upstream (the near-dedup gate's
-    invisible-doc rule, one tier up).
+    invisible-doc rule, one tier up). Id uniqueness within a batch is
+    likewise upstream's contract (compose ``dedup_append_writer``
+    before this gate): duplicate ids pool their transitions into ONE
+    score applied to every duplicate row.
     """
     from pyspark.sql import SparkSession
 
     from ..operators import textclass as TC
 
     spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "lm_quality_gate_writer loads the frozen model at construction "
+            "time — build the writer with an active SparkSession"
+        )
     uni, bi, meta = TC.load_bigram_lm(spark, model_path)
     # bounded tables (≤ num_buckets rows) pinned once for the whole
     # stream — every batch broadcasts them without re-reading parquet

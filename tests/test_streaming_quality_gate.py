@@ -111,3 +111,34 @@ def test_gate_through_real_streaming_engine(spark, tmp_path):
     rejected = {r.doc_id: r.reject_reason for r in spark.read.parquet(rej).collect()}
     assert rejected == {2: "high_ppl", 4: "too_short"}
     assert spark.read.parquet(out).select("_epoch").distinct().count() == 2
+
+
+def test_model_refit_crash_safety(spark, tmp_path):
+    """A refit at the same path stages into {path}__build and swaps
+    whole — a crash inside the swap self-heals at the next load, and
+    a crash before the swap leaves the old generation intact (the
+    band-index rebuild contract, shared machinery)."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        dedup_index as DI,
+    )
+
+    ref1 = spark.createDataFrame([(1, GOOD[0])], DOC)
+    ref2 = spark.createDataFrame([(2, BAD)], DOC)
+    path = str(tmp_path / "lm_gen")
+    u1, b1, n1 = TC.fit_bigram_lm(ref1, "doc_id", "text", num_buckets=B)
+    TC.save_bigram_lm(u1, b1, n1, path, num_buckets=B)
+    # crash BEFORE the swap: partial __build (uni only, no meta)
+    u2, b2, n2 = TC.fit_bigram_lm(ref2, "doc_id", "text", num_buckets=B)
+    u2.write.parquet(f"{path}__build/uni")
+    _, _, meta = TC.load_bigram_lm(spark, path)
+    assert meta.n_tokens == n1  # old generation intact
+    # a clean refit clears the debris and swaps
+    TC.save_bigram_lm(u2, b2, n2, path, num_buckets=B)
+    _, _, meta = TC.load_bigram_lm(spark, path)
+    assert meta.n_tokens == n2
+    # crash INSIDE the swap: store set aside, no finished build
+    fs, _ = DI._hadoop_fs(spark, path)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    assert fs.rename(Path(path), Path(f"{path}__old"))
+    _, _, meta = TC.load_bigram_lm(spark, path)  # heals on entry
+    assert meta.n_tokens == n2
