@@ -157,6 +157,7 @@ def write_detail_sidecar(
     path: str | None = None,
     oneshot_reps: dict[str, list[float]] | None = None,
     oneshot_median: dict[str, float] | None = None,
+    tier3: dict[str, float] | None = None,
 ) -> str:
     """Commit-ready per-round sidecar (VERDICT r4 ask #3): the driver
     keeps only ~2000 chars of bench stdout, so the full per-query
@@ -179,6 +180,12 @@ def write_detail_sidecar(
         "warm_median_total": round(sum(warm_median.values()), 3),
         "extended_queries_wall": round(sum(extended.values()), 3),
     }
+    if tier3:
+        # r13 incremental/substring tier: its OWN total — folding it
+        # into extended_queries_wall would shift that frozen-at-debut
+        # cross-round series
+        payload["index_tier_queries"] = tier3
+        payload["index_tier_wall"] = round(sum(tier3.values()), 3)
     if oneshot_reps is not None:
         # full per-(query, fresh-JVM-rep) record behind the median
         payload["queries_oneshot_reps"] = oneshot_reps
@@ -204,6 +211,7 @@ def format_output(
     extended: dict[str, float] | None = None,
     oneshot_median: dict[str, float] | None = None,
     oneshot_sessions: int = 1,
+    tier3: dict[str, float] | None = None,
 ) -> list[str]:
     """Emit per-query detail lines FIRST and a compact headline line
     LAST.
@@ -237,12 +245,15 @@ def format_output(
     }
     if extended:
         final["extended_queries_wall"] = round(sum(extended.values()), 3)
+    if tier3:
+        final["index_tier_wall"] = round(sum(tier3.values()), 3)
     return [
         json.dumps({"queries": timings}),
         json.dumps({"queries_warm": warm, "warm_total": round(sum(warm.values()), 3)}),
         json.dumps({"queries_warm_median": warm_median}),
         json.dumps({"queries_oneshot_median": oneshot_median}),
         json.dumps({"queries_extended": extended}),
+        json.dumps({"queries_index_tier": tier3 or {}}),
         json.dumps(final),
     ]
 
@@ -429,6 +440,52 @@ def main() -> None:
         # leaks a materialized index directory (r06 advisor finding)
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # r13 incremental/substring dedup tier: the persisted MinHash band
+    # index lifecycle a 100 TB corpus actually runs (build once, probe
+    # per batch) plus the winnowed-span pipeline. Recorded under its
+    # OWN total (`index_tier_wall`) so `extended_queries_wall` stays a
+    # frozen-at-debut cross-round series.
+    tier3: dict[str, float] = {}
+    mh_dir = tempfile.mkdtemp(prefix="bench_mhidx_")
+    try:
+        from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+            dedup_index as _DI,
+        )
+        from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+            substring as _SS,
+        )
+        from big_data_movie_recommendation_and_customer_segmentation_spark.sources.io import (
+            load_table as _load,
+        )
+        from pyspark.sql import functions as _F
+
+        docs = _load(spark, sf_dir, "documents")
+        corpus = docs.filter(_F.col("doc_id") % 2 == 0)
+        batch = docs.filter(_F.col("doc_id") % 2 == 1)
+        mh_path = os.path.join(mh_dir, "idx")
+        clean_block_manager()
+        t0 = time.perf_counter()
+        _DI.build_minhash_index(corpus, mh_path, n=3, num_perm=32, band_rows=2, seed=42)
+        tier3["mh_index_build"] = round(time.perf_counter() - t0, 3)
+        clean_block_manager()
+        t0 = time.perf_counter()
+        materialize(
+            _DI.minhash_index_dedup(
+                spark, mh_path, batch, threshold=0.5, rescore="estimate"
+            )
+        )
+        tier3["mh_index_query"] = round(time.perf_counter() - t0, 3)
+        clean_block_manager()
+        t0 = time.perf_counter()
+        materialize(
+            _SS.repeated_span_pairs(docs, "doc_id", "text", k=25, window=12, min_len=50)
+        )
+        tier3["substring_spans"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # bench must never die on the optional tier
+        print(f"# mh index tier bench skipped: {exc}", file=sys.stderr)
+    finally:
+        shutil.rmtree(mh_dir, ignore_errors=True)
+
     # Only the driver's scale (sf0.1) writes the committed sidecar —
     # an sf0.01 smoke run must not clobber the round's cross-round
     # comparable record (it did once in r5; see PERF.md).
@@ -436,10 +493,12 @@ def main() -> None:
         write_detail_sidecar(
             timings, warm, warm_median, extended, sf,
             oneshot_reps=oneshot_reps, oneshot_median=oneshot_median,
+            tier3=tier3,
         )
     for line in format_output(
         timings, warm, warm_median, sf, extended,
         oneshot_median=oneshot_median, oneshot_sessions=len(oneshot_runs),
+        tier3=tier3,
     ):
         print(line)
     spark.stop()
