@@ -668,7 +668,16 @@ def delete_from_minhash_index(
 ) -> None:
     """Logically delete docs by appending tombstones — O(batch) I/O,
     applied by every query immediately, reclaimed by compaction.
-    Same churn-friendly split as the IVFADC delete lifecycle."""
+    Same churn-friendly split as the IVFADC delete lifecycle.
+
+    Entry heals pending swaps first (r13 review): appending to a
+    tombstone table whose live copy is set aside mid-restore would
+    create a FRESH table that permanently masks the heal —
+    ``_recover_compaction`` would see live-present and never
+    reinstate the ``__restore`` holding every unrelated tombstone."""
+    spark = delete_ids.sparkSession
+    _recover_build(spark, path)
+    _recover_compaction(spark, path)
     (
         delete_ids.select(F.col(id_col).alias("tomb_id"))
         .distinct()
@@ -781,8 +790,10 @@ def _drop_tombstones(spark, path: str) -> None:
     tombstone-restore (``__restore``/``__old``): a stale complete
     ``__restore`` left beside a legitimately-absent live table would
     otherwise be resurrected by ``_recover_compaction`` as if it were
-    the newer state."""
-    for suffix in ("", "__restore", "__old"):
+    the newer state. Debris is deleted BEFORE the live table (r13
+    review): the reverse order, crashed between the two deletes,
+    leaves exactly that live-absent + complete-``__restore`` state."""
+    for suffix in ("__restore", "__old", ""):
         _hadoop_delete(spark, f"{path}/tombstones{suffix}")
 
 

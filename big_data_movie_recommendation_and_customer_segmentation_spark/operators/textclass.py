@@ -117,8 +117,13 @@ def fit_nb_classifier(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be positive (Laplace smoothing), got {alpha}")
+    # distinct BEFORE featurizing (r13 review): a seed with duplicate
+    # rows must fit the same model as its deduplicated form — raw
+    # rows would double-count the duplicated doc's tokens into
+    # n_tok/log_cond even with the priors denominator fixed
+    seed = labeled.select(F.col(id_col), F.col(text_col), F.col(label_col)).distinct()
     feats = hashed_ngram_features(
-        labeled.select(F.col(id_col), F.col(text_col), F.col(label_col)),
+        seed,
         id_col,
         text_col,
         num_buckets=num_buckets,
@@ -126,7 +131,7 @@ def fit_nb_classifier(
         unit=unit,
         base_hash=base_hash,
     )
-    lab = labeled.select(
+    lab = seed.select(
         F.col(id_col).alias("doc"), F.col(label_col).alias("label")
     ).distinct()
     tagged = feats.join(lab, "doc")
@@ -231,6 +236,37 @@ def nb_classify(
     return best.select(*cols)
 
 
+def _ratio_table(
+    tdist: DataFrame, rdist: DataFrame, num_buckets: int, alpha: float
+) -> DataFrame:
+    """(bucket, n_t, n_r, log_ratio) from per-side bucket
+    distributions: Laplace-smoothed ``ln(p̂_target / p̂_raw)``.
+    Bounded at ``num_buckets`` rows. Totals are single-row aggregates
+    joined back by broadcast — never collected, never a
+    SinglePartition window."""
+    joined = tdist.join(rdist, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_t", F.lit(0)).alias("n_t"),
+        F.coalesce("n_r", F.lit(0)).alias("n_r"),
+    )
+    tot = joined.agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
+    )
+    aB = float(alpha * num_buckets)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_t",
+            "n_r",
+            (
+                F.log((F.col("n_t") + F.lit(float(alpha))) / (F.col("tot_t") + F.lit(aB)))
+                - F.log((F.col("n_r") + F.lit(float(alpha))) / (F.col("tot_r") + F.lit(aB)))
+            ).alias("log_ratio"),
+        )
+    )
+
+
 def dsir_log_ratios(
     target: DataFrame,
     raw: DataFrame,
@@ -259,30 +295,7 @@ def dsir_log_ratios(
         )
         return feats.groupBy("bucket").agg(F.sum("tf").alias(name))
 
-    t, r = dist(target, "n_t"), dist(raw, "n_r")
-    joined = t.join(r, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("n_t", F.lit(0)).alias("n_t"),
-        F.coalesce("n_r", F.lit(0)).alias("n_r"),
-    )
-    # totals are single-row aggregates joined back by broadcast —
-    # never collected, never a SinglePartition window
-    tot = joined.agg(
-        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
-    )
-    aB = float(alpha * num_buckets)
-    return (
-        joined.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            "n_t",
-            "n_r",
-            (
-                F.log((F.col("n_t") + F.lit(float(alpha))) / (F.col("tot_t") + F.lit(aB)))
-                - F.log((F.col("n_r") + F.lit(float(alpha))) / (F.col("tot_r") + F.lit(aB)))
-            ).alias("log_ratio"),
-        )
-    )
+    return _ratio_table(dist(target, "n_t"), dist(raw, "n_r"), num_buckets, alpha)
 
 
 def dsir_importance_weights(
@@ -305,22 +318,35 @@ def dsir_importance_weights(
     length-skewed corpora.
 
     Plan: features broadcast-join the bounded ratio table, one
-    doc-keyed sum. Raw text is read once.
+    doc-keyed sum. Raw text is featurized ONCE — the raw-side bucket
+    distribution re-aggregates the same feature relation.
 
     Contract: TOTAL over raw docs — null and empty text share the ''
     whole-text fallback gram (one real bucket under either base
     hash), so every doc gets a weight row; content-free docs weigh
     identically and the caller's upstream filters (exact dedup,
     heuristics) remain the right place to drop them."""
-    ratios = dsir_log_ratios(
-        target, raw, text_col,
-        num_buckets=num_buckets, n=n, unit=unit,
-        base_hash=base_hash, alpha=alpha, id_col=id_col,
-    )
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive (Laplace smoothing), got {alpha}")
+    # ONE featurization of the raw corpus (r13 review: routing the
+    # ratio build through dsir_log_ratios re-featurized raw a second
+    # time): the raw bucket distribution is a re-aggregation of the
+    # same per-doc feature relation, so both consumers hang off one
+    # shuffled (doc, bucket) aggregate (ReuseExchange shares the scan)
     feats = hashed_ngram_features(
         raw, id_col, text_col,
         num_buckets=num_buckets, n=n, unit=unit, base_hash=base_hash,
     )
+    rdist = feats.groupBy("bucket").agg(F.sum("tf").alias("n_r"))
+    tdist = (
+        hashed_ngram_features(
+            target, id_col, text_col,
+            num_buckets=num_buckets, n=n, unit=unit, base_hash=base_hash,
+        )
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("n_t"))
+    )
+    ratios = _ratio_table(tdist, rdist, num_buckets, alpha)
     return (
         feats.join(F.broadcast(ratios.select("bucket", "log_ratio")), "bucket")
         .groupBy("doc")
@@ -463,7 +489,11 @@ def fit_bigram_lm(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_tokens = toks.count()
+    # total token mass from the BOUNDED uni table (every occurrence
+    # lands in exactly one bucket), not a third full-corpus pass
+    # (r13 review: toks.count() re-scanned the reference after the
+    # two count aggregations already had the answer)
+    n_tokens = int(uni.agg(F.sum("c")).first()[0] or 0)
     return uni, bi, n_tokens
 
 

@@ -20,6 +20,8 @@ would.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,8 +70,20 @@ def _split_corpus(spark: SparkSession, sf_dir: str):
 
 
 def _build_md5_index(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
+    """Build (or rebuild) the gate's index at a DETERMINISTIC path
+    keyed by (pid, sf_dir) — not a fresh mkdtemp per call, which
+    leaked a full index directory per invocation across driver-gate
+    runs, plan surveys, and bench smokes (r13 review; the r06 class).
+    Repeat calls in one process overwrite in place (the rebuild is a
+    staged whole-directory swap), so disk usage is bounded at one
+    index per (process, sf). The path cannot be deleted eagerly: the
+    returned query reads it lazily at collect time."""
     old, new = _split_corpus(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="spark_graft_mhidx_") + "/idx"
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mhidx_{os.getpid()}_{key}"
+    )
+    path = base + "/idx"
     DI.build_minhash_index(
         old, path, n=3, num_perm=32, band_rows=2, seed=42, base_hash="md5"
     )

@@ -759,3 +759,34 @@ def test_broadcast_batch_false_unhints_batch_sides_and_matches(spark, built):
     ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
     assert ids(s_f) == ids(s_t)
     assert hints(s_f) < hints(s_t)
+
+
+def test_delete_heals_pending_restore_before_appending(spark, tmp_path):
+    """r13 review: delete_from_minhash_index must heal a crashed
+    tombstone-restore BEFORE appending — a plain append would create
+    a fresh live table that permanently masks the __restore holding
+    every unrelated tombstone (deleted docs would silently
+    resurface)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated words over here now"),
+            (3, "yet another distinct document body text"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_delheal")
+    DI.build_minhash_index(corpus, path, n=3, num_perm=32, band_rows=2, seed=42)
+    DI.delete_from_minhash_index(spark.createDataFrame([(1,)], "doc_id long"), path)
+    # crash inside a restore swap: live set aside, complete __restore
+    # (still holding doc 1's tombstone) waiting to be renamed in
+    fs, _ = DI._hadoop_fs(spark, path)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    spark.read.parquet(f"{path}/tombstones").write.parquet(
+        f"{path}/tombstones__restore"
+    )
+    assert fs.rename(Path(f"{path}/tombstones"), Path(f"{path}/tombstones__old"))
+    # the next operation is a DELETE of doc 2
+    DI.delete_from_minhash_index(spark.createDataFrame([(2,)], "doc_id long"), path)
+    tomb = {r.tomb_id for r in DI._tombstones(spark, path).collect()}
+    assert tomb == {1, 2}, "healed restore must survive the append"
