@@ -501,14 +501,20 @@ def test_priors_immune_to_duplicate_seed_rows(spark):
     base = [(1, "aa bb cc", "x"), (2, "dd ee ff", "y"), (3, "aa bb dd", "x")]
     clean = spark.createDataFrame(base, "doc_id long, text string, lang string")
     dirty = spark.createDataFrame(base + base, "doc_id long, text string, lang string")
-    _, stats_c = TC.fit_nb_classifier(clean, "doc_id", "text", "lang", num_buckets=B)
-    _, stats_d = TC.fit_nb_classifier(dirty, "doc_id", "text", "lang", num_buckets=B)
+    cond_c, stats_c = TC.fit_nb_classifier(clean, "doc_id", "text", "lang", num_buckets=B)
+    cond_d, stats_d = TC.fit_nb_classifier(dirty, "doc_id", "text", "lang", num_buckets=B)
     pc = {r.label: round(r.log_prior, 9) for r in stats_c.collect()}
     pd_ = {r.label: round(r.log_prior, 9) for r in stats_d.collect()}
     assert pc == pd_
     import math
 
     assert pc["x"] == round(math.log(2 / 3), 9)
+    # ... and the CONDITIONAL model too (r13 review: featurizing raw
+    # rows double-counted the duplicated doc's tokens into n_tok/
+    # log_cond even with the priors denominator fixed)
+    mc = {(r.label, r.bucket): r.n_tok for r in cond_c.collect()}
+    md = {(r.label, r.bucket): r.n_tok for r in cond_d.collect()}
+    assert mc == md
 
 
 def test_featurization_is_total_and_hash_agnostic_on_null_text(spark):
