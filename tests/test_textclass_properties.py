@@ -132,3 +132,60 @@ def test_dsir_weights_match_pure_python_reference(spark, texts):
         lw, nf = got[i]
         assert nf == n_feat
         assert abs(lw - want) <= 1e-9 * max(1.0, abs(want)), (i, lw, want)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_texts)
+def test_lm_scores_match_pure_python_reference(spark, texts):
+    """Fit Stupid Backoff on even docs, score odd docs: per-doc
+    (n_transitions, avg_logprob) must match a pure-Python reference
+    to 1e-9 relative — and docs with <2 tokens must emit no row."""
+    rows = list(enumerate(texts))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = d.filter("doc_id % 2 = 0")
+    test = d.filter("doc_id % 2 = 1")
+    uni, bi, n_tok = TC.fit_bigram_lm(ref, "doc_id", "text", num_buckets=B, base_hash="md5")
+    got = {
+        r.doc: (r.n_transitions, r.avg_logprob)
+        for r in TC.lm_score_docs(
+            test, uni, bi, n_tok, "doc_id", "text", num_buckets=B, base_hash="md5"
+        ).collect()
+    }
+
+    uni_c, bi_c = Counter(), Counter()
+    n_ref = 0
+    for i, t in enumerate(texts):
+        if i % 2 == 0:
+            toks = t.split()
+            n_ref += len(toks)
+            for w in toks:
+                uni_c[_bucket(w)] += 1
+            for a, b_ in zip(toks, toks[1:]):
+                bi_c[_bucket(a + " " + b_)] += 1
+    assert n_tok == n_ref
+
+    expect = {}
+    for i, t in enumerate(texts):
+        if i % 2 == 0:
+            continue
+        toks = t.split()
+        if len(toks) < 2:
+            continue
+        lps = []
+        for a, b_ in zip(toks, toks[1:]):
+            cb = bi_c.get(_bucket(a + " " + b_))
+            cp = uni_c.get(_bucket(a))
+            if cb is not None and cp is not None:
+                lps.append(math.log(cb / cp))
+            else:
+                lps.append(math.log(0.4 * (uni_c.get(_bucket(b_), 0) + 1.0) / (n_ref + B)))
+        expect[i] = (len(lps), sum(lps) / len(lps))
+    assert set(got) == set(expect)
+    for i, (nt, avg) in expect.items():
+        gnt, gavg = got[i]
+        assert gnt == nt
+        assert abs(gavg - round(avg, 6)) <= 2e-6, (i, gavg, avg)
