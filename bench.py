@@ -103,6 +103,49 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration_probe(spark) -> float:
+    """Fixed-work host-speed control (VERDICT r13 ask #2): a constant
+    synthetic sort-aggregate-join over ``spark.range`` data — pinned
+    row counts, pinned input partitioning, zero disk reads — timed
+    FIRST in every bench session. Identical code + identical data
+    every round means the only variable is the host, so every stamp
+    carries its own day factor: PERF.md reads
+    ``calib_wall / CALIB_BASELINE`` and reports a host-normalized
+    view mechanically instead of re-litigating elevated stamps with
+    after-the-fact A/Bs (two rounds running: r12's drift probe,
+    r13's +35% identical-code check).
+
+    The shape intentionally samples the three machine paths the
+    headline queries stress: a shuffle join (1M-row build side — too
+    big to broadcast by estimate, so sort-merge/shuffled-hash), a
+    wide-key aggregation (map-side partial combine), and a global
+    sort. One-shot semantics (first jobs in the session) so the
+    number includes codegen compile, same as the one-shot legs it
+    normalizes."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    fact = spark.range(0, 20_000_000, 1, 32).select(
+        (F.col("id") % 1_000_003).alias("k"),
+        ((F.col("id") * 2654435761) % 1_000_000_007).alias("v"),
+    )
+    dim = spark.range(0, 1_000_000, 1, 32).select(
+        (F.col("id") % 1_000_003).alias("k"),
+        (F.col("id") % 97).alias("w"),
+    )
+    materialize(
+        fact.join(dim, "k")
+        .groupBy((F.col("v") % 8192).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("w").alias("s"),
+            F.avg("v").alias("m"),
+        )
+        .orderBy("g")
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def _next_round() -> int:
     """Round number for the sidecar stamp.
 
@@ -158,6 +201,8 @@ def write_detail_sidecar(
     oneshot_reps: dict[str, list[float]] | None = None,
     oneshot_median: dict[str, float] | None = None,
     tier3: dict[str, float] | None = None,
+    calib_wall: float | None = None,
+    calib_walls: list[float] | None = None,
 ) -> str:
     """Commit-ready per-round sidecar (VERDICT r4 ask #3): the driver
     keeps only ~2000 chars of bench stdout, so the full per-query
@@ -186,6 +231,15 @@ def write_detail_sidecar(
         # cross-round series
         payload["index_tier_queries"] = tier3
         payload["index_tier_wall"] = round(sum(tier3.values()), 3)
+    if calib_wall is not None:
+        # fixed-work host control (VERDICT r13 ask #2): one value per
+        # session this run spawned, parent's last — read against
+        # BASELINE.md's calib pin for the day's host factor
+        payload["calib_wall"] = calib_wall
+        payload["calib_walls"] = calib_walls or [calib_wall]
+        payload["calib_wall_median"] = round(
+            statistics.median(calib_walls or [calib_wall]), 3
+        )
     if oneshot_reps is not None:
         # full per-(query, fresh-JVM-rep) record behind the median
         payload["queries_oneshot_reps"] = oneshot_reps
@@ -212,6 +266,7 @@ def format_output(
     oneshot_median: dict[str, float] | None = None,
     oneshot_sessions: int = 1,
     tier3: dict[str, float] | None = None,
+    calib_wall: float | None = None,
 ) -> list[str]:
     """Emit per-query detail lines FIRST and a compact headline line
     LAST.
@@ -247,6 +302,8 @@ def format_output(
         final["extended_queries_wall"] = round(sum(extended.values()), 3)
     if tier3:
         final["index_tier_wall"] = round(sum(tier3.values()), 3)
+    if calib_wall is not None:
+        final["calib_wall"] = calib_wall
     return [
         json.dumps({"queries": timings}),
         json.dumps({"queries_warm": warm, "warm_total": round(sum(warm.values()), 3)}),
@@ -299,9 +356,10 @@ def run_child_oneshot(sf_dir: str) -> None:
     median across children + its own pass (codegen caches are static
     per JVM, so a genuinely cold one-shot needs a new process)."""
     spark = get_spark(app_name="bdmrcs-bench-child")
+    calib = calibration_probe(spark)  # FIRST: host control before any query
     names = [n for n in HEADLINE if n in QUERY_REGISTRY]
     _warmup(spark, sf_dir, names)
-    print(json.dumps({"queries": one_shot_pass(spark, sf_dir, names)}))
+    print(json.dumps({"queries": one_shot_pass(spark, sf_dir, names), "calib": calib}))
     spark.stop()
 
 
@@ -341,7 +399,7 @@ def _spawn_child_oneshots(sf_dir: str, n_children: int) -> list[dict[str, float]
                 file=sys.stderr,
             )
             continue
-        results.append(json.loads(line)["queries"])
+        results.append(json.loads(line))
     return results
 
 
@@ -358,9 +416,15 @@ def main() -> None:
     # Fresh-JVM one-shot reps FIRST (children), then this session's
     # full pass — sequential so only one JVM ever holds the cores.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    child_runs = _spawn_child_oneshots(sf_dir, reps - 1)
+    child_payloads = _spawn_child_oneshots(sf_dir, reps - 1)
+    child_runs = [p["queries"] for p in child_payloads]
 
     spark = get_spark(app_name="bdmrcs-bench")
+    # Host control FIRST (VERDICT r13 ask #2): fixed synthetic work,
+    # zero disk — calib_wall / BASELINE.md's calib pin is the day's
+    # host factor, so an elevated stamp self-adjudicates.
+    calib_wall = calibration_probe(spark)
+    calib_walls = [p["calib"] for p in child_payloads if "calib" in p] + [calib_wall]
     names = [n for n in HEADLINE if n in QUERY_REGISTRY]
     _warmup(spark, sf_dir, names)
 
@@ -493,12 +557,12 @@ def main() -> None:
         write_detail_sidecar(
             timings, warm, warm_median, extended, sf,
             oneshot_reps=oneshot_reps, oneshot_median=oneshot_median,
-            tier3=tier3,
+            tier3=tier3, calib_wall=calib_wall, calib_walls=calib_walls,
         )
     for line in format_output(
         timings, warm, warm_median, sf, extended,
         oneshot_median=oneshot_median, oneshot_sessions=len(oneshot_runs),
-        tier3=tier3,
+        tier3=tier3, calib_wall=calib_wall,
     ):
         print(line)
     spark.stop()

@@ -47,6 +47,9 @@ delete — schedule it by tombstone ratio, not per delete batch.
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,11 +67,57 @@ def _maybe_bcast(df: DataFrame, flag: bool) -> DataFrame:
     return F.broadcast(df) if flag else df
 
 
+_PIN_TRACK = threading.local()
+
+
 def _pin(df: DataFrame) -> DataFrame:
     """Lazy localCheckpoint behind the global materialization
     kill-switch (SPARK_GRAFT_NO_MATERIALIZE — plan tooling and plan
-    asserts need the un-truncated lineage)."""
-    return df.localCheckpoint(eager=False) if materialization_enabled() else df
+    asserts need the un-truncated lineage). When a ``track_pins``
+    scope is active on this thread, the pin is registered for
+    release at scope exit (ADVICE r14)."""
+    if not materialization_enabled():
+        return df
+    out = df.localCheckpoint(eager=False)
+    scope = getattr(_PIN_TRACK, "active", None)
+    if scope is not None:
+        scope.append(out)
+    return out
+
+
+def _release_pin(df: DataFrame) -> None:
+    """Release the block-manager storage behind ONE localCheckpoint
+    (ADVICE r14): the checkpointed RDD lives inside the DataFrame's
+    LogicalRDD plan node, out of ``DataFrame.unpersist()``'s reach —
+    a per-batch caller that never releases accumulates one pinned
+    RDD per call for the process's lifetime. No-op for un-pinned
+    plans (materialization kill-switch). The DataFrame must not be
+    re-evaluated afterwards (truncated lineage cannot recompute)."""
+    jplan = df._jdf.queryExecution().analyzed()
+    if jplan.getClass().getName().endswith(".LogicalRDD"):
+        jplan.rdd().unpersist(False)
+
+
+@contextmanager
+def track_pins():
+    """Scope for per-batch callers (the streaming gates): every
+    ``_pin`` this thread creates inside the scope — including nested
+    ones whose LogicalRDD hides inside another checkpoint's RDD
+    lineage, unreachable by any plan walk — is released at exit, so
+    the block manager stays flat across micro-batches instead of
+    growing by ~4 pinned RDDs per batch (ADVICE r14). Everything
+    produced under the scope must be fully consumed before it closes
+    (truncated lineage cannot recompute). Nested scopes compose: the
+    inner scope releases its own pins only."""
+    prev = getattr(_PIN_TRACK, "active", None)
+    mine: list[DataFrame] = []
+    _PIN_TRACK.active = mine
+    try:
+        yield
+    finally:
+        _PIN_TRACK.active = prev
+        for df in mine:
+            _release_pin(df)
 
 
 def _read_meta(spark: SparkSession, path: str):
@@ -585,82 +634,95 @@ def upsert_minhash_index(
 
     # batch-sized; pinned once — it feeds the presence probe, the
     # tombstone clears, and the final count (r12 review: three
-    # re-derivations per upsert on the job-latency-bound gate path)
+    # re-derivations per upsert on the job-latency-bound gate path).
+    # Every pin created here is batch-scoped and released in the
+    # finally below (ADVICE r14: a per-batch gate caller would
+    # otherwise pin ~4 RDDs per micro-batch forever).
+    _pins: list[DataFrame] = []
     batch_ids = new_docs.select(F.col(id_col).alias("doc")).distinct().localCheckpoint(
         eager=True
     )
+    _pins.append(batch_ids)
     present = spark.read.parquet(f"{path}/sigs").select("doc").join(
         F.broadcast(batch_ids), "doc", "left_semi"
     )
     # bounded by the batch size; pinned because it feeds the anti-join,
     # the restore rewrite, and both counts
     present = present.localCheckpoint(eager=True)
+    _pins.append(present)
     to_insert = new_docs.join(
         present.withColumnRenamed("doc", id_col), id_col, "left_anti"
     )
 
-    pairs = _governed_shingles(to_insert, id_col, in_col, meta, hot)
-    sig = _pin(
-        minhash_signatures(
-            pairs, num_perm=meta.num_perm, seed=meta.seed, base_hash=meta.base_hash
-        )
-    )
-    # bands BEFORE sigs: presence (and therefore re-upsert skipping)
-    # is judged from sigs, so a crash between the two appends must
-    # leave the doc ABSENT from sigs — the retry then re-appends
-    # both, and a duplicated band row is harmless (the query's
-    # candidate set is distinct()). The reverse order would strand
-    # docs present in sigs but bandless: invisible to queries, yet
-    # skipped by every future upsert.
-    (
-        banded_signature_rows(sig, meta.num_perm, meta.band_rows)
-        .write.mode("append")
-        .partitionBy("band_id")
-        .parquet(f"{path}/bands")
-    )
-    sig.write.mode("append").parquet(f"{path}/sigs")
-
-    n_restored = 0
-    tomb = _tombstones(spark, path)
-    if tomb is not None:
-        # EVERY upserted id's tombstone must clear — including a
-        # tombstoned-but-absent id we just INSERTED (e.g. deleted,
-        # compacted away, then re-admitted): leaving its tombstone
-        # would shield the freshly appended rows from every query
-        # (r12 review). "restored" counts only the tombstoned ∧
-        # physically-present ids, whose STORED rows come back into
-        # view — a tombstoned-absent id is a plain insert, counted
-        # once under "inserted".
-        batch_tombs = tomb.join(
-            F.broadcast(batch_ids.withColumnRenamed("doc", "tomb_id")),
-            "tomb_id",
-            "left_semi",
-        ).localCheckpoint(eager=True)
-        n_restored = batch_tombs.join(
-            present.withColumnRenamed("doc", "tomb_id"), "tomb_id", "left_semi"
-        ).count()
-        if batch_tombs.count():
-            kept = tomb.join(batch_tombs, "tomb_id", "left_anti").localCheckpoint(
-                eager=True
+    try:
+        pairs = _governed_shingles(to_insert, id_col, in_col, meta, hot)
+        sig = _pin(
+            minhash_signatures(
+                pairs, num_perm=meta.num_perm, seed=meta.seed, base_hash=meta.base_hash
             )
-            if kept.count() > 0:
-                # NOT a plain overwrite (ADVICE r13): Spark overwrite
-                # deletes the target before committing, so a crash
-                # mid-write could lose tombstones for UNRELATED docs,
-                # silently resurrecting deleted corpus docs. Write to
-                # a sibling temp table and rename-swap, the same
-                # discipline compaction uses.
-                tmp = f"{path}/tombstones__restore"
-                _hadoop_delete(spark, tmp)
-                kept.write.parquet(tmp)
-                _swap_in(spark, tmp, f"{path}/tombstones")
-            else:
-                _drop_tombstones(spark, path)
-    n_present = present.count()
-    return {
-        "inserted": batch_ids.count() - n_present,
-        "restored": n_restored,
-    }
+        )
+        _pins.append(sig)
+        # bands BEFORE sigs: presence (and therefore re-upsert skipping)
+        # is judged from sigs, so a crash between the two appends must
+        # leave the doc ABSENT from sigs — the retry then re-appends
+        # both, and a duplicated band row is harmless (the query's
+        # candidate set is distinct()). The reverse order would strand
+        # docs present in sigs but bandless: invisible to queries, yet
+        # skipped by every future upsert.
+        (
+            banded_signature_rows(sig, meta.num_perm, meta.band_rows)
+            .write.mode("append")
+            .partitionBy("band_id")
+            .parquet(f"{path}/bands")
+        )
+        sig.write.mode("append").parquet(f"{path}/sigs")
+
+        n_restored = 0
+        tomb = _tombstones(spark, path)
+        if tomb is not None:
+            # EVERY upserted id's tombstone must clear — including a
+            # tombstoned-but-absent id we just INSERTED (e.g. deleted,
+            # compacted away, then re-admitted): leaving its tombstone
+            # would shield the freshly appended rows from every query
+            # (r12 review). "restored" counts only the tombstoned ∧
+            # physically-present ids, whose STORED rows come back into
+            # view — a tombstoned-absent id is a plain insert, counted
+            # once under "inserted".
+            batch_tombs = tomb.join(
+                F.broadcast(batch_ids.withColumnRenamed("doc", "tomb_id")),
+                "tomb_id",
+                "left_semi",
+            ).localCheckpoint(eager=True)
+            _pins.append(batch_tombs)
+            n_restored = batch_tombs.join(
+                present.withColumnRenamed("doc", "tomb_id"), "tomb_id", "left_semi"
+            ).count()
+            if batch_tombs.count():
+                kept = tomb.join(batch_tombs, "tomb_id", "left_anti").localCheckpoint(
+                    eager=True
+                )
+                _pins.append(kept)
+                if kept.count() > 0:
+                    # NOT a plain overwrite (ADVICE r13): Spark overwrite
+                    # deletes the target before committing, so a crash
+                    # mid-write could lose tombstones for UNRELATED docs,
+                    # silently resurrecting deleted corpus docs. Write to
+                    # a sibling temp table and rename-swap, the same
+                    # discipline compaction uses.
+                    tmp = f"{path}/tombstones__restore"
+                    _hadoop_delete(spark, tmp)
+                    kept.write.parquet(tmp)
+                    _swap_in(spark, tmp, f"{path}/tombstones")
+                else:
+                    _drop_tombstones(spark, path)
+        n_present = present.count()
+        return {
+            "inserted": batch_ids.count() - n_present,
+            "restored": n_restored,
+        }
+    finally:
+        for p in _pins:
+            _release_pin(p)
 
 
 def delete_from_minhash_index(

@@ -114,6 +114,13 @@ def fit_nb_classifier(
     Everything is two aggregations over the feature relation — no
     iterations, no driver-side state; the closed form is what makes
     the whole fit SQL-reproducible (unlike LR/fasttext SGD).
+
+    Seed contract: ``id_col`` must be unique per document. Exact
+    duplicate rows are collapsed (a re-submitted seed fits the same
+    model), but an id carried by CONFLICTING rows — two labels, or
+    two texts under one label — would silently pour one document's
+    token mass into multiple model cells, so it raises ``ValueError``
+    instead (ADVICE r14).
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be positive (Laplace smoothing), got {alpha}")
@@ -122,6 +129,22 @@ def fit_nb_classifier(
     # rows would double-count the duplicated doc's tokens into
     # n_tok/log_cond even with the priors denominator fixed
     seed = labeled.select(F.col(id_col), F.col(text_col), F.col(label_col)).distinct()
+    # one O(1)-result agg doubles as the collision check AND the
+    # priors denominator (replaces the former lab.count() job): after
+    # distinct, rows > distinct ids iff some id survives with
+    # conflicting (text, label) variants
+    chk = seed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col(id_col)).alias("n_ids"),
+    ).first()
+    if chk["n_rows"] != chk["n_ids"]:
+        raise ValueError(
+            f"fit_nb_classifier: {chk['n_rows'] - chk['n_ids']} doc id(s) in "
+            f"'{id_col}' appear with conflicting text/label rows — each id "
+            "would contribute token mass to multiple model cells; "
+            "deduplicate or re-key the seed first"
+        )
+    n_all = int(chk["n_rows"])
     feats = hashed_ngram_features(
         seed,
         id_col,
@@ -140,11 +163,10 @@ def fit_nb_classifier(
         tagged.groupBy("label")
         .agg(F.sum("tf").alias("n_tok_total"))
     )
-    # priors denominator = the same relation the numerators count
-    # (distinct (doc, label) rows), NOT raw labeled.count(): a seed
-    # with duplicate rows would otherwise inflate the denominator and
-    # skew every prior (r13 self-review). Driver scalar, O(1) result.
-    n_all = lab.count()
+    # priors denominator n_all = the same relation the numerators
+    # count (distinct rows == distinct ids, enforced above), NOT raw
+    # labeled.count(): a seed with duplicate rows would otherwise
+    # inflate the denominator and skew every prior (r13 self-review).
     label_stats = (
         lab.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -578,6 +600,60 @@ def lm_score_docs(
             F.round(F.col("_avg"), round_to).alias("avg_logprob"),
             F.round(F.exp(-F.col("_avg")), round_to).alias("ppl"),
         )
+    )
+
+
+def lm_admission_routing(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    n_tokens: int,
+    id_col: str,
+    text_col: str,
+    *,
+    max_ppl: float,
+    num_buckets: int = 65536,
+    base_hash: str = "xxhash64",
+    backoff: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """The LM quality gate's ADMISSION DECISION as a batch relation —
+    the contract ``streaming.sinks.lm_quality_gate_writer`` routes
+    by, shared so the stream and its batch twin cannot drift (the
+    ``minhash_index_screen`` discipline, one tier up):
+
+    - ``ppl <= max_ppl``      → ``decision='admit'``, reason NULL
+    - ``ppl > max_ppl``       → ``decision='reject'``, ``'high_ppl'``
+    - no score (<2 tokens: nothing to score — unjudgeable docs are
+      REFUSED, the layering contract routes them through the
+      unigram/exact legs upstream) → ``decision='reject'``,
+      ``'too_short'``
+
+    One row per distinct doc id: (doc, n_transitions, ppl, decision,
+    reject_reason). The threshold compares the ROUNDED ppl (what the
+    gate emits downstream), so a doc sitting exactly on the boundary
+    routes identically in the stream, the batch twin, and the SQL
+    oracle. Plan: the scored relation left-joins back to the id set —
+    both sides are the same doc-keyed size, no broadcast hint (the
+    corpus is not broadcastable; AQE picks locally)."""
+    scored = lm_score_docs(
+        docs, uni, bi, n_tokens, id_col, text_col,
+        num_buckets=num_buckets, base_hash=base_hash,
+        backoff=backoff, round_to=round_to,
+    )
+    ids = docs.select(F.col(id_col).alias("doc")).distinct()
+    routed = ids.join(scored, "doc", "left")
+    reason = F.when(F.col("ppl").isNull(), F.lit("too_short")).when(
+        F.col("ppl") > F.lit(float(max_ppl)), F.lit("high_ppl")
+    )
+    return routed.select(
+        "doc",
+        "n_transitions",
+        "ppl",
+        F.when(reason.isNull(), F.lit("admit")).otherwise(F.lit("reject")).alias(
+            "decision"
+        ),
+        reason.alias("reject_reason"),
     )
 
 

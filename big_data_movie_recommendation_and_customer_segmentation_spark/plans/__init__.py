@@ -20,71 +20,75 @@ from . import queries_analytics  # noqa: F401  (registers r5 analytics batch 2)
 from . import queries_insights  # noqa: F401  (registers r5 analytics batch 3)
 from . import queries_script  # noqa: F401  (registers r12 script-routing queries)
 from . import queries_index  # noqa: F401  (registers r13 dedup-index/substring queries)
+from . import queries_textclass  # noqa: F401  (registers r14 model-based tier queries)
 
 # The curated driver gate: 50 slots.
 # 29 core rows (every SURVEY §2 family that was green r02 keeps a
 # representative) + 21 rows for families that were never gated or
 # fell out of the r02 gate (VERDICT r2 asks #1/#4).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r13 rotation (VERDICT r12 asks #1/#3/#5): the 31 families
-    # whose driver evidence is age-1 (last gated r11) re-gate before
+    # -- r14 rotation (VERDICT r13 asks #1/#4/#5): the 33 families
+    # whose driver evidence is age-1 (last gated r12) re-gate before
     # the 2-round freshness edge, FOUR reps rotating to
     # never-yet-gated value-green siblings (first driver rows), PLUS
-    # three newly registered queries (registry 171→174, the VERDICT
-    # r12 unfreeze sanction for asks #1/#5): the persisted dedup
-    # index probe, its screen/admission twin, and the substring-span
-    # pipeline. Anchors shrink to 16: ivf_knn_deterministic and
-    # pq_adc_knn (both age 0 after r12; this round's vectorops edit
-    # was comment-only) cede their slots and rotate back r14.
-    # Everything r12-gated and not re-listed is age-1 after this
-    # round, scheduled for r14.
-    # -- tier 1: age-1 families (31) + new registrations (3) --
-    "purchase_attribution_asof_tolerance",  # asof_join
-    "part_rules_wilson_ci",              # association
-    "bm25_doc_ranking",                  # bm25
-    "chronological_split_counts",        # chrono_split
-    "monthly_new_vs_returning_revenue",  # cohort
-    "order_part_sets",                   # collect_aggs
-    "training_corpus_manifest",          # corpus_pipeline
-    "doc_shuffle_shards",                # corpus_shuffle
-    "corr_qty_price_by_flag",            # correlation
-    "distinct_segments",                 # distinct
-    "daily_revenue_ewma",                # ewma
-    "duplicate_chunks",                  # exact_dedup (first row)
-    "signup_click_purchase_funnel",      # funnel
-    "fuzzy_dedup_representatives",       # fuzzy_dedup
-    "daily_revenue_momentum",            # gapfill
-    "revenue_rollup_region_nation",      # grouping_sets
-    "segment_revenue",                   # joins
-    "knn_bruteforce",                    # knn
-    "order_year_status_pivot",           # pivot
-    "orders_profile_incremental",        # profiling (first row)
-    "part_price_deciles",                # quantiles
-    "customer_revenue_gini",             # rfm_pareto (first row)
-    "event_value_histogram",             # robust_stats (first row)
-    "random_pair_baseline_trials",       # sampling
-    "semantic_dedup_survivors",          # semantic_dedup
-    "event_type_cms_estimates",          # sketches
-    "salted_user_segment_stats",         # skew_join
-    "snapshot_merge_orders",             # snapshot_cdc
-    "sql_surface_top_customers",         # sql_surface
-    "top_parts_by_price",                # topk
-    "doc_weighted_sample",               # weighted_sampling
-    "incremental_dedup_pairs",           # incremental_dedup (NEW r13, first row)
-    "index_screen_admissions",           # incremental_dedup (NEW r13, first row)
-    "repeated_substring_spans",          # substring_dedup (NEW r13, first row)
-    # -- age-0 anchors: flagship + perf-watched + edit-adjacent (16) --
+    # four newly registered queries (registry 174→178, the VERDICT
+    # r13 unfreeze sanction for asks #1/#5): the hashed-n-gram NB
+    # classifier, DSIR Gumbel-top-k selection, Stupid Backoff LM
+    # perplexity, and the LM quality gate's admission twin (riding
+    # the same unfreeze, per ask #5's "if slots allow"). Anchors
+    # shrink to 13: minhash_duplicate_pairs (its r13 edit re-gate
+    # landed green), ann_hyperplane_neighbors and
+    # events_session_interval_join (all age 0 after r13, untouched
+    # this round) cede their slots and rotate back r15. Everything
+    # r13-gated and not re-listed is age-1 after this round,
+    # scheduled for r15.
+    # -- tier 1: age-1 families (33) + new registrations (4) --
+    "purchase_value_auc",                # auc
+    "bloom_filtered_order_revenue",      # bloom_join
+    "segment_acctbal_bootstrap_ci",      # bootstrap
+    "term_zipf_fit",                     # collocations (first row)
+    "doc_chunks",                        # corpus_ops
+    "events_kfold_summary",              # cv_splits
+    "ngram_decontaminated_docs",         # decontamination
+    "dedup_representatives",             # dedup_closure
+    "order_value_benford",               # drift
+    "embedding_near_duplicates_deterministic",  # embedding_dedup
+    "segment_urgency_woe_iv",            # feature_prep
+    "segment_conversion_ztest",          # hypothesis_tests (first row)
+    "customer_item_cf_recommendations",  # item_item_cosine
+    "ivf_knn_deterministic",             # ivf
+    "props_json_stats",                  # json_props
+    "kmeans_embedding_segments_det",     # kmeans
+    "purchase_value_lift",               # lift_gains
+    "token_shard_assignment",            # packing
+    "embedding_covariance",              # pca
+    "pq_adc_knn",                        # pq
+    "hybrid_doc_retrieval_rrf",          # rank_fusion
+    "recommendation_diversity_ild",      # ranking_metrics (first row)
+    "rolling_order_spend",               # rolling_window
+    "customer_order_status_scd2",        # scd2
+    "doc_script_profile",                # script_routing
+    "daily_revenue_anomalies",           # seasonality
+    "user_sequence_predictability",      # sequence_mining (first row)
+    "simhash_duplicate_pairs",           # simhash_dedup
+    "event_user_skew_report",            # skew_report
+    "part_skyline",                      # skyline
+    "customer_repurchase_hazard",        # survival
+    "doc_encoding_quality",              # text_stats
+    "customer_user_cf_recommendations",  # user_cf
+    "nb_lang_classification",            # text_classification (NEW r14, first row)
+    "dsir_selected_docs",                # data_selection (NEW r14, first row)
+    "doc_lm_perplexity",                 # lm_scoring (NEW r14, first row)
+    "lm_gate_admissions",                # lm_scoring (NEW r14, first row)
+    # -- age-0 anchors: flagship + perf-watched + family-sole (13) --
     "pricing_summary",                   # flagship scan/agg
     "top_similar_customer_pairs",        # set_similarity, drift-A/B subject
-    "minhash_duplicate_pairs",           # minhash_dedup (banded_signature_rows edit re-gate)
     "ngram_duplicate_pairs",             # ngram_dedup, drift-A/B subject
     "candidates_unseen",                 # C3+C4, perf-watched
     "part_copurchase_pagerank",          # graph_centrality, perf-watched
     "als_scoring_topk",                  # als (+ serving parity pin)
     "ivfadc_rerank_knn",                 # ann_rerank
     "media_audio_frames",                # multimodal (real WAV decode)
-    "ann_hyperplane_neighbors",          # ann
-    "events_session_interval_join",      # interval_join
     "purchase_click_attribution",        # streaming_join
     "trending_event_types",              # streaming_tumbling
     "sliding_window_events",             # streaming_sliding

@@ -20,6 +20,7 @@ would.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import tempfile
@@ -69,16 +70,45 @@ def _split_corpus(spark: SparkSession, sf_dir: str):
     return d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
 
 
+# (pid, sf_dir) → built index path. Memoizing the build means the
+# second index query in a gate/bench run reuses the first call's
+# parquet write instead of rebuilding (ADVICE r14: the eager rebuild
+# ran twice per gate session and its wall landed in plan-build
+# timings); the pid in the key makes a fork rebuild rather than trust
+# an inherited entry.
+_IDX_BUILT: dict[tuple[int, str], str] = {}
+
+
+def _cleanup_md5_indexes() -> None:
+    """atexit hook: remove THIS process's gate-index directories.
+
+    Keyed deletion (not a glob over gettempdir) so concurrent
+    processes never race each other's live indexes; a SIGKILLed
+    process still leaks, which the deterministic (pid, sf) path keeps
+    bounded at one directory per (process, sf)."""
+    import shutil
+
+    for (pid, _sf), path in list(_IDX_BUILT.items()):
+        if pid == os.getpid():
+            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    _IDX_BUILT.clear()
+
+
 def _build_md5_index(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
-    """Build (or rebuild) the gate's index at a DETERMINISTIC path
-    keyed by (pid, sf_dir) — not a fresh mkdtemp per call, which
+    """Build (once per process) the gate's index at a DETERMINISTIC
+    path keyed by (pid, sf_dir) — not a fresh mkdtemp per call, which
     leaked a full index directory per invocation across driver-gate
     runs, plan surveys, and bench smokes (r13 review; the r06 class).
-    Repeat calls in one process overwrite in place (the rebuild is a
-    staged whole-directory swap), so disk usage is bounded at one
-    index per (process, sf). The path cannot be deleted eagerly: the
-    returned query reads it lazily at collect time."""
+    The build is memoized per (pid, sf_dir) so the second index query
+    in one process reuses the first's write, and an atexit hook
+    removes the directory at interpreter exit (ADVICE r14). The path
+    cannot be deleted eagerly: the returned query reads it lazily at
+    collect time."""
     old, new = _split_corpus(spark, sf_dir)
+    cache_key = (os.getpid(), sf_dir)
+    hit = _IDX_BUILT.get(cache_key)
+    if hit is not None and os.path.isdir(hit):
+        return hit, new
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(
         tempfile.gettempdir(), f"spark_graft_mhidx_{os.getpid()}_{key}"
@@ -87,6 +117,9 @@ def _build_md5_index(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame]:
     DI.build_minhash_index(
         old, path, n=3, num_perm=32, band_rows=2, seed=42, base_hash="md5"
     )
+    if not _IDX_BUILT:
+        atexit.register(_cleanup_md5_indexes)
+    _IDX_BUILT[cache_key] = path
     return path, new
 
 

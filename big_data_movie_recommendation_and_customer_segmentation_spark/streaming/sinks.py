@@ -252,29 +252,47 @@ def near_dedup_gate_writer(
         # threaded through both legs (r12 review: per-leg meta/hot
         # reads on the job-latency-bound gate path)
         state = DI.load_index_state(spark, index_path)
-        # the admission decision is the shared batch operator — the
-        # gate adds only the epoch write and the upsert
-        fresh = DI.minhash_index_screen(
-            spark,
-            index_path,
-            batch_df,
-            id_col=id_col,
-            text_col=text_col,
-            threshold=threshold,
-            within_batch=within_batch,
-            index_state=state,
-        )
-        # survivors feed the epoch write AND the upsert; eager pin so
-        # the screen runs once and both writes see identical rows
-        fresh = fresh.localCheckpoint(eager=True)
-        # output first (the sink contract), index second — replay
-        # converges either way, but a reader of out_path must never
-        # see docs the index doesn't know about for longer than one
-        # retry window
-        idempotent_epoch_writer(out_path)(fresh, batch_id)
-        DI.upsert_minhash_index(
-            fresh, index_path, id_col=id_col, text_col=text_col, index_state=state
-        )
+        # every internal pin the screen creates this batch (shingle
+        # relation, batch signatures, candidate set — some nested
+        # inside other checkpoints' lineage) is released at scope
+        # exit, keeping the block manager flat across micro-batches
+        # (ADVICE r14)
+        with DI.track_pins():
+            # the admission decision is the shared batch operator —
+            # the gate adds only the epoch write and the upsert
+            fresh = DI.minhash_index_screen(
+                spark,
+                index_path,
+                batch_df,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=threshold,
+                within_batch=within_batch,
+                index_state=state,
+            )
+            # survivors feed the epoch write AND the upsert; eager pin
+            # so the screen runs once and both writes see identical
+            # rows. persist (not localCheckpoint): a checkpoint RDD's
+            # blocks outlive DataFrame.unpersist() — cached queries
+            # release cleanly, and no lineage truncation is needed for
+            # a single-pass batch
+            fresh = fresh.persist()
+            fresh.count()
+            try:
+                # output first (the sink contract), index second —
+                # replay converges either way, but a reader of
+                # out_path must never see docs the index doesn't know
+                # about for longer than one retry window
+                idempotent_epoch_writer(out_path)(fresh, batch_id)
+                DI.upsert_minhash_index(
+                    fresh,
+                    index_path,
+                    id_col=id_col,
+                    text_col=text_col,
+                    index_state=state,
+                )
+            finally:
+                fresh.unpersist()
 
     return write_batch
 
@@ -335,42 +353,104 @@ def lm_quality_gate_writer(
     bi = bi.localCheckpoint(eager=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        scored = TC.lm_score_docs(
+        # the decision relation is the SHARED batch operator
+        # (``textclass.lm_admission_routing`` — also the registry's
+        # ``lm_gate_admissions`` batch twin), so the stream cannot
+        # drift from the oracle-checked routing semantics
+        routing = TC.lm_admission_routing(
             batch_df,
             uni,
             bi,
             meta.n_tokens,
             id_col,
             text_col,
+            max_ppl=max_ppl,
             num_buckets=meta.num_buckets,
             base_hash=meta.base_hash,
             backoff=backoff,
         ).withColumnRenamed("doc", id_col)
-        # one scoring job feeds the admit and reject writes
-        scored = scored.localCheckpoint(eager=True)
-        admitted = batch_df.join(
-            F.broadcast(
-                scored.filter(F.col("ppl") <= max_ppl).select(id_col, "ppl")
-            ),
-            id_col,
-        )
-        idempotent_epoch_writer(out_path)(admitted, batch_id)
-        if reject_path is not None:
-            rejected = (
-                batch_df.join(
-                    F.broadcast(scored.select(id_col, "ppl", "n_transitions")),
-                    id_col,
-                    "left",
-                )
-                .filter(F.col("ppl").isNull() | (F.col("ppl") > max_ppl))
-                .withColumn(
-                    "reject_reason",
-                    F.when(F.col("ppl").isNull(), F.lit("too_short")).otherwise(
-                        F.lit("high_ppl")
-                    ),
-                )
-                .drop("n_transitions")
+        # one scoring job feeds the admit and reject writes; persist
+        # (not localCheckpoint) so the finally-unpersist actually
+        # releases the blocks (ADVICE r14)
+        routing = routing.persist()
+        routing.count()
+        try:
+            admitted = batch_df.join(
+                F.broadcast(
+                    routing.filter(F.col("decision") == "admit").select(id_col, "ppl")
+                ),
+                id_col,
             )
-            idempotent_epoch_writer(reject_path)(rejected, batch_id)
+            idempotent_epoch_writer(out_path)(admitted, batch_id)
+            if reject_path is not None:
+                rejected = batch_df.join(
+                    F.broadcast(
+                        routing.filter(F.col("decision") == "reject").select(
+                            id_col, "ppl", "reject_reason"
+                        )
+                    ),
+                    id_col,
+                )
+                idempotent_epoch_writer(reject_path)(rejected, batch_id)
+        finally:
+            # batch-scoped cache: release once both epoch writes
+            # land, else a long-running stream grows the block
+            # manager without bound (ADVICE r14)
+            routing.unpersist()
+
+    return write_batch
+
+
+def decontam_gate_writer(
+    out_path: str,
+    index_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+    reject_path: str | None = None,
+):
+    """Return a ``foreachBatch`` function implementing BENCHMARK
+    decontamination as a stream (the third gate in the admission
+    ladder: exact/near dedup → decontamination → LM quality): each
+    micro-batch is screened against a persisted benchmark n-gram
+    index (``operators.decontam_index``), docs colliding with
+    ``>= min_hits`` stored grams are dropped, survivors are written
+    under their own ``_epoch`` partition; rejects (if ``reject_path``
+    is given) carry the full collision audit (n_hits, n_grams,
+    n_benchmarks, containment).
+
+    Like the LM gate — and unlike the near-dedup gate — the stream
+    never mutates the index (benchmarks are curated out of band via
+    ``upsert_decontam_index``/``delete_benchmark_from_index``), so
+    replay idempotence is structural: screening is a pure function of
+    (index generation, batch), and the epoch overwrite replaces the
+    batch's own previous output. Gram geometry derives from the
+    index's meta; per-batch cost is the batch's own explode +
+    broadcast join (the bounded gram table broadcasts — benchmark
+    suites are MBs against any corpus)."""
+    from ..operators import decontam_index as DC
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        overlaps = DC.decontam_index_overlaps(
+            spark, index_path, batch_df, id_col=id_col, text_col=text_col
+        ).withColumnRenamed("doc", id_col)
+        # one screening job feeds the survivor and reject writes;
+        # persist (not localCheckpoint) so the finally-unpersist
+        # actually releases the blocks (ADVICE r14)
+        overlaps = overlaps.persist()
+        overlaps.count()
+        try:
+            flagged = overlaps.filter(F.col("n_hits") >= min_hits)
+            survivors = batch_df.join(
+                F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+            )
+            idempotent_epoch_writer(out_path)(survivors, batch_id)
+            if reject_path is not None:
+                rejected = batch_df.join(F.broadcast(flagged), id_col)
+                idempotent_epoch_writer(reject_path)(rejected, batch_id)
+        finally:
+            overlaps.unpersist()
 
     return write_batch

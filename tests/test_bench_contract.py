@@ -133,54 +133,55 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r13 rotation (VERDICT r12 asks #1/#3/#5): every age-1 family
-    # (last gated r11, 31 of them) re-gates before its evidence hits
+    # r14 rotation (VERDICT r13 asks #1/#4/#5): every age-1 family
+    # (last gated r12, 33 of them) re-gates before its evidence hits
     # the 2-round freshness edge — four reps rotating to never-gated
-    # value-green siblings — plus the three newly registered queries
-    # (registry 171→174, the VERDICT-sanctioned unfreeze: the
-    # persisted dedup index probe, its screen twin, and the
-    # substring-span pipeline); anchors keep the flagship,
-    # perf-watched, and edit-adjacent families age-0
+    # value-green siblings — plus the four newly registered queries
+    # (registry 174→178, the VERDICT-sanctioned unfreeze: the
+    # model-based tier — NB classifier, DSIR selection, LM
+    # perplexity — and the LM gate's admission twin riding ask #5);
+    # anchors keep the flagship, perf-watched, and family-sole
+    # queries age-0
     for must in (
-        # age-1 families re-gating (sample of the 31); four reps
+        # age-1 families re-gating (sample of the 33); four reps
         # rotate to never-yet-gated value-green siblings
-        "purchase_attribution_asof_tolerance",
-        "bm25_doc_ranking",
-        "training_corpus_manifest",  # corpus_pipeline rotates back (r12 plan)
-        "duplicate_chunks",          # exact_dedup first row
-        "orders_profile_incremental",  # profiling first row
-        "customer_revenue_gini",     # rfm_pareto first row
-        "event_value_histogram",     # robust_stats first row
-        "semantic_dedup_survivors",
-        "salted_user_segment_stats",
-        "knn_bruteforce",
-        "daily_revenue_ewma",
-        # the r13 new registrations (first rows, VERDICT r12 #1/#5)
-        "incremental_dedup_pairs",
-        "index_screen_admissions",
-        "repeated_substring_spans",
+        "purchase_value_auc",
+        "ivf_knn_deterministic",     # rotates back per the r13 plan
+        "pq_adc_knn",                # rotates back per the r13 plan
+        "term_zipf_fit",             # collocations first row
+        "segment_conversion_ztest",  # hypothesis_tests first row
+        "recommendation_diversity_ild",  # ranking_metrics first row
+        "user_sequence_predictability",  # sequence_mining first row
+        "ngram_decontaminated_docs",
+        "kmeans_embedding_segments_det",
+        "doc_script_profile",
+        "doc_encoding_quality",
+        # the r14 new registrations (first rows, VERDICT r13 #1/#5)
+        "nb_lang_classification",
+        "dsir_selected_docs",
+        "doc_lm_perplexity",
+        "lm_gate_admissions",
         # serving-parity-pinned ALS scoring oracle stays gated
         "als_scoring_topk",
-        # edit-adjacent anchor: banded_signature_rows validation edit
-        "minhash_duplicate_pairs",
         # multimodal anchor (real WAV decode)
         "media_audio_frames",
     ):
         assert must in GATE_PRIORITY, must
-    # displaced: ivf_knn_deterministic and pq_adc_knn (both age 0
-    # after r12; this round's vectorops edit was comment-only) cede
-    # their anchor slots to the 34-entry tier 1; the r11 reps whose
-    # slots rotated to first-row siblings are hash-green r11
+    # displaced: minhash_duplicate_pairs (its r13 edit re-gate landed
+    # green), ann_hyperplane_neighbors, and events_session_interval_
+    # join (all age 0 after r13, untouched this round) cede their
+    # anchor slots and rotate back r15; the r12 reps whose slots
+    # rotated to first-row siblings are hash-green r12
     for displaced in (
-        "ivf_knn_deterministic",
-        "pq_adc_knn",
-        "dedup_exact_survivors",      # exact_dedup slot → duplicate_chunks
-        "orders_quality_report",      # profiling slot → orders_profile_incremental
-        "customer_value_migration",   # rfm_pareto slot → customer_revenue_gini
-        "event_value_outliers",       # robust_stats slot → event_value_histogram
-        "purchase_value_auc",         # r12-gated, age-1, scheduled r14
-        "doc_script_profile",
-        "kmeans_embedding_segments_det",
+        "minhash_duplicate_pairs",
+        "ann_hyperplane_neighbors",
+        "events_session_interval_join",
+        "source_term_keyness",        # collocations slot → term_zipf_fit
+        "priority_spend_ttest",       # hypothesis_tests slot → ztest
+        "recommendation_coverage_novelty",  # ranking_metrics slot → ild
+        "frequent_event_paths",       # sequence_mining slot → predictability
+        "incremental_dedup_pairs",    # r13-gated, age-1, scheduled r15
+        "repeated_substring_spans",   # r13-gated, age-1, scheduled r15
     ):
         assert displaced not in GATE_PRIORITY, displaced
     # the rows-only ml-lib k-means variant must have ceded its slot
@@ -314,4 +315,59 @@ def test_gated_queries_emit_only_flat_schemas(spark):
             offenders[name] = complex_cols
     assert not offenders, (
         f"gated queries with driver-uncanonicalizable columns: {offenders}"
+    )
+
+
+def test_bench_calibration_probe_contract(tmp_path):
+    """VERDICT r13 ask #2: every bench session must carry its own
+    fixed-work host control. The final driver-parsed line and the
+    committed sidecar both record ``calib_wall`` so an elevated stamp
+    self-adjudicates against BASELINE.md's calib pin instead of
+    needing another post-hoc A/B."""
+    import json
+
+    import bench
+
+    fat = {n: 9999.999 for n in bench.HEADLINE}
+    fat_ext = {n: 9999.999 for n in bench.EXTENDED}
+    lines = bench.format_output(
+        fat, fat, fat, sf=0.1, extended=fat_ext, oneshot_median=fat,
+        oneshot_sessions=3, calib_wall=9999.999,
+    )
+    final = json.loads(lines[-1])
+    assert final["calib_wall"] == 9999.999
+    assert len(lines[-1]) < 1500, len(lines[-1])
+
+    path = bench.write_detail_sidecar(
+        fat, fat, fat, fat_ext, sf=0.1, path=str(tmp_path / "d.json"),
+        calib_wall=3.0, calib_walls=[2.0, 4.0, 3.0],
+    )
+    with open(path) as f:
+        d = json.load(f)
+    assert d["calib_wall"] == 3.0
+    assert d["calib_walls"] == [2.0, 4.0, 3.0]
+    assert d["calib_wall_median"] == 3.0
+    # the probe itself is fixed work: source-pinned knobs so the
+    # cross-round series measures the host, not a drifting workload
+    import inspect
+
+    src = inspect.getsource(bench.calibration_probe)
+    assert "20_000_000" in src and "1_000_000" in src
+
+
+def test_index_tier_baseline_is_pinned():
+    """VERDICT r13 ask #3: ``index_tier_wall`` needs a committed
+    baseline for the 2x envelope to bind from r14 on. BASELINE.md
+    must carry the pin (and the calib pin that qualifies it)."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BASELINE.md")) as f:
+        text = f.read()
+    assert re.search(r"index_tier_wall.*\d+\.\d+", text), (
+        "BASELINE.md must pin index_tier_wall"
+    )
+    assert re.search(r"calib_wall.*\d+\.\d+", text), (
+        "BASELINE.md must pin calib_wall"
     )

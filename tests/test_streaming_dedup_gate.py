@@ -201,3 +201,25 @@ def test_gate_checkpoint_restart_resumes_and_screens_prior_admissions(spark, tmp
     assert {r.doc for r in spark.read.parquet(f"{idx}/sigs").select("doc").collect()} == {
         1, 2, 4,
     }
+
+
+def test_gate_releases_batch_checkpoints(spark, tmp_path):
+    """Block-manager hygiene (ADVICE r14): the per-batch eager
+    localCheckpoint of the survivors relation must be unpersisted
+    after the epoch write + upsert — otherwise checkpoint blocks
+    accumulate for the stream's lifetime."""
+    idx = _empty_index(spark, tmp_path, "idx_unp")
+    out = str(tmp_path / "out_unp")
+    write = SK.near_dedup_gate_writer(out, idx, threshold=0.5)
+
+    def _ids():
+        # id SET, not count: the async ContextCleaner may reclaim
+        # other tests' dead pins mid-test, shrinking a raw count
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in jmap.keySet().toArray()}
+
+    base = _ids()
+    write(spark.createDataFrame([(1, A), (2, A2), (3, B)], DOC), 0)
+    write(spark.createDataFrame([(4, A2), (5, C)], DOC), 1)
+    leaked = _ids() - base
+    assert not leaked, f"batches left pinned RDDs: {leaked}"

@@ -142,3 +142,27 @@ def test_model_refit_crash_safety(spark, tmp_path):
     assert fs.rename(Path(path), Path(f"{path}__old"))
     _, _, meta = TC.load_bigram_lm(spark, path)  # heals on entry
     assert meta.n_tokens == n2
+
+
+def test_gate_releases_batch_checkpoints(spark, tmp_path):
+    """Block-manager hygiene (ADVICE r14): the per-batch eager
+    localCheckpoint of the scored relation must be unpersisted once
+    both epoch writes land — a long-running stream would otherwise
+    pin one checkpoint RDD per micro-batch forever. The two
+    model-table pins from writer construction are lifetime-scoped by
+    design and form the baseline."""
+    model = _model(spark, tmp_path, "lm_unp")
+    out, rej = str(tmp_path / "out_unp"), str(tmp_path / "rej_unp")
+    write = SK.lm_quality_gate_writer(out, model, max_ppl=50.0, reject_path=rej)
+
+    def _ids():
+        # id SET, not count: the async ContextCleaner may reclaim
+        # other tests' dead pins mid-test, shrinking a raw count
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in jmap.keySet().toArray()}
+
+    base = _ids()
+    for b in range(3):
+        write(spark.createDataFrame([(100 + b, GOOD[0]), (200 + b, BAD)], DOC), b)
+    leaked = _ids() - base
+    assert not leaked, f"batches left pinned RDDs: {leaked}"

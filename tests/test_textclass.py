@@ -536,3 +536,28 @@ def test_featurization_is_total_and_hash_agnostic_on_null_text(spark):
             d, d.filter("doc_id = 1"), "doc_id", "text", num_buckets=B, base_hash=bh
         )
         assert {r.doc for r in w.collect()} == {1, 2, 3}, bh
+
+
+def test_nb_id_collision_raises(spark):
+    """Seed contract (ADVICE r14): exact duplicate rows collapse
+    (same model as the deduplicated seed), but an id carried by
+    conflicting rows — two labels, or two texts under one label —
+    must raise instead of silently pouring one doc's token mass into
+    multiple model cells."""
+    dup_ok = spark.createDataFrame(
+        [(1, "aa bb", "x"), (1, "aa bb", "x"), (2, "cc dd", "y")],
+        "doc_id long, text string, lang string",
+    )
+    cond, stats = TC.fit_nb_classifier(dup_ok, "doc_id", "text", "lang", num_buckets=B)
+    assert {r.label: r.n_docs for r in stats.collect()} == {"x": 1, "y": 1}
+
+    for bad_rows in (
+        [(1, "aa bb", "x"), (1, "aa bb", "y")],      # conflicting labels
+        [(1, "aa bb", "x"), (1, "aa bb cc", "x")],   # conflicting texts
+    ):
+        bad = spark.createDataFrame(
+            bad_rows + [(2, "cc dd", "y")],
+            "doc_id long, text string, lang string",
+        )
+        with pytest.raises(ValueError, match="conflicting"):
+            TC.fit_nb_classifier(bad, "doc_id", "text", "lang", num_buckets=B)

@@ -151,6 +151,11 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     # r12 asks #1/#5) --
     "incremental_dedup": ("incremental_dedup_pairs", "index_screen_admissions"),
     "substring_dedup": ("repeated_substring_spans",),
+    # -- registered r14 (model-based tier promotion, VERDICT r13
+    # asks #1/#5) --
+    "text_classification": ("nb_lang_classification",),
+    "data_selection": ("dsir_selected_docs",),
+    "lm_scoring": ("doc_lm_perplexity", "lm_gate_admissions"),
 }
 
 QUERY_TO_FAMILY = {q: f for f, qs in FAMILIES.items() for q in qs}
@@ -211,6 +216,9 @@ NEW_IN_ROUND: dict[str, int] = {
     "script_routing": 12,
     "incremental_dedup": 13,
     "substring_dedup": 13,
+    "text_classification": 14,
+    "data_selection": 14,
+    "lm_scoring": 14,
 }
 
 

@@ -74,6 +74,9 @@ def main() -> int:
     else:
         names = [n for n in GATE_PRIORITY if n in queries]
 
+    if not names:
+        sys.exit("no queries in selected window — check --headline/--all vs registry")
+
     # warm the session (parquet footer caches, first-plan JIT)
     queries[names[0]](spark, args.sf_dir)._jdf.queryExecution().analyzed()
 
