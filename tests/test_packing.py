@@ -115,3 +115,132 @@ def test_bucket_expr_finite_path_is_one_sql_expr(spark):
     # the parsed add-tree prints as a single CASE WHEN chain
     s = str(col)
     assert "CASE WHEN" in s and "nanD" not in s and "infD" not in s
+
+
+# ---- SPFHP document-boundary-respecting packing (r14) ----------------------
+
+
+def _ref_spfhp(hist: dict[int, int], cap: int, max_items=None):
+    """Independent pure-Python SPFHP reference: simulate packs as an
+    explicit list (no histogram-of-strategies optimization), longest
+    class first, best-fit into the fullest viable open pack. Used to
+    pin the operator's strategy synthesis on small inputs."""
+    packs = []  # list of [remaining, [lengths...]]
+    for ln in sorted(hist, reverse=True):
+        for _ in range(hist[ln]):
+            viable = [
+                p for p in packs
+                if p[0] >= ln and (max_items is None or len(p[1]) < max_items)
+            ]
+            if viable:
+                best = min(viable, key=lambda p: (p[0], p[1]))
+                best[0] -= ln
+                best[1].append(ln)
+            else:
+                packs.append([cap - ln, [ln]])
+    out: dict[tuple, int] = {}
+    for _, lens in packs:
+        key = tuple(sorted(lens, reverse=True))
+        out[key] = out.get(key, 0) + 1
+    return sorted(out.items())
+
+
+def test_spfhp_strategies_match_reference():
+    for hist, cap, mi in [
+        ({8: 3, 5: 2, 3: 4, 1: 6}, 10, None),
+        ({10: 2, 7: 3, 2: 5}, 10, None),
+        ({4: 10}, 10, None),
+        ({4: 10}, 10, 2),
+        ({9: 1, 1: 1}, 10, None),
+        ({10: 3}, 10, None),  # exact-fit singles retire immediately
+    ]:
+        got = PK._spfhp_strategies(hist, cap, mi)
+        want = _ref_spfhp(hist, cap, mi)
+        # same pack population (pattern multiset) — the greedy orders
+        # are constructed identically
+        assert got == want, (hist, cap, mi, got, want)
+        # conservation: every doc packed exactly once
+        packed = {}
+        for pat, cnt in got:
+            for ln in pat:
+                packed[ln] = packed.get(ln, 0) + cnt
+        assert packed == hist
+        for pat, _ in got:
+            assert sum(pat) <= cap
+            if mi is not None:
+                assert len(pat) <= mi
+
+
+def test_spfhp_domain_contracts():
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity"):
+        PK._spfhp_strategies({1: 1}, 0)
+    with pytest.raises(ValueError, match="outside"):
+        PK._spfhp_strategies({11: 1}, 10)
+    with pytest.raises(ValueError, match="outside"):
+        PK._spfhp_strategies({0: 1}, 10)
+    assert PK._spfhp_strategies({}, 10) == []
+
+
+def test_spfhp_assignments_exactly_once_capacity_and_determinism(spark, sf_dir):
+    """End-to-end over the real documents table: every doc in exactly
+    one pack, no pack exceeds capacity, no doc split, and the
+    assignment is identical across runs and partitionings."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.functions import (
+        textops as TX,
+    )
+    from big_data_movie_recommendation_and_customer_segmentation_spark.sources import (
+        load_table,
+    )
+
+    CAP = 256
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", TX.token_count("text").alias("n_tokens"))
+        .filter((F.col("n_tokens") >= 1) & (F.col("n_tokens") <= CAP))
+    )
+    n_docs = d.count()
+    out = PK.spfhp_pack_assignments(d, "doc_id", "n_tokens", CAP)
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    fills: dict[int, int] = {}
+    slots: dict[int, set] = {}
+    for r in rows:
+        fills[r.pack_id] = fills.get(r.pack_id, 0) + r.n_tokens
+        slots.setdefault(r.pack_id, set()).add(r.pack_slot)
+    assert max(fills.values()) <= CAP
+    # slots within a pack are distinct positions
+    for pid, ss in slots.items():
+        assert len(ss) == len([r for r in rows if r.pack_id == pid])
+    # determinism across a different partitioning
+    again = {
+        (r.doc_id, r.pack_id, r.pack_slot)
+        for r in PK.spfhp_pack_assignments(
+            d.repartition(7), "doc_id", "n_tokens", CAP
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.pack_id, r.pack_slot) for r in rows}
+
+    stats = PK.pack_fill_stats(out, "n_tokens", CAP).collect()[0]
+    assert stats.n_docs == n_docs
+    assert stats.n_packs == len(fills)
+    assert 0 < stats.efficiency <= 1.0
+    # the packing's point: vastly better than one-doc-per-sequence
+    assert stats.n_packs < n_docs / 2
+
+
+def test_spfhp_beats_naive_and_plan_is_parallel(spark):
+    """Efficiency sanity on a padding-hostile fixture (all docs just
+    over half capacity would be worst-case; mixed lengths pack well)
+    + the scale shape: the ranking window is PARTITIONED BY length —
+    no SinglePartition exchange anywhere in the plan."""
+    rows = [(i, 60 + (i % 5) * 40) for i in range(200)]  # 60..220 tokens
+    d = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = PK.spfhp_pack_assignments(d, "doc_id", "n_tokens", 256)
+    stats = PK.pack_fill_stats(out, "n_tokens", 256).collect()[0]
+    assert stats.efficiency > 0.9, stats
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

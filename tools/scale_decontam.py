@@ -43,24 +43,25 @@ POINTS = [
 
 def main() -> None:
     spark = get_spark(app_name="scale-decontam")
-    # FIXED benchmark across all points: the sf0.01 doc_id<50 slice —
-    # the probe's cost must track the corpus, not the index
-    bench = (
-        spark.read.parquet(POINTS[0][1])
-        .filter(F.col("doc_id") < 50)
-        .select(F.col("source").alias("bench_id"), "text")
-    )
     idx_dir = tempfile.mkdtemp(prefix="scale_dc_")
-    path = os.path.join(idx_dir, "idx")
 
-    t0 = time.perf_counter()
-    DC.build_decontam_index(bench, path)
-    build_s = round(time.perf_counter() - t0, 3)
-
-    out: dict = {"build_s_fixed_bench": build_s, "points": {}, "slopes": {}}
+    out: dict = {"build_s_per_point": {}, "points": {}, "slopes": {}}
     per_sf = {}
     for sf, p in POINTS:
-        corpus = spark.read.parquet(p).filter(F.col("doc_id") >= 50)
+        # per-point benchmark: that corpus's OWN doc_id<50 slice —
+        # bench size is ~constant (50 docs) across the 100× corpus
+        # span, so the index stays benchmark-sized at every point and
+        # every probe has real collisions to count (a cross-SF fixed
+        # bench shares no grams with the other generators' text)
+        d = spark.read.parquet(p)
+        bench = d.filter(F.col("doc_id") < 50).select(
+            F.col("source").alias("bench_id"), "text"
+        )
+        corpus = d.filter(F.col("doc_id") >= 50)
+        path = os.path.join(idx_dir, f"idx_{sf}")
+        t0 = time.perf_counter()
+        DC.build_decontam_index(bench, path)
+        out["build_s_per_point"][str(sf)] = round(time.perf_counter() - t0, 3)
         DC.decontam_index_overlaps(spark, path, corpus).count()  # warm
         walls, n = [], 0
         for _ in range(3):
@@ -68,7 +69,7 @@ def main() -> None:
             n = DC.decontam_index_overlaps(spark, path, corpus).count()
             walls.append(time.perf_counter() - t0)
         per_sf[sf] = {"median_s": round(statistics.median(walls), 3), "flagged": n}
-        print(f"probe sf{sf}: {per_sf[sf]}")
+        print(f"probe sf{sf}: {per_sf[sf]} (build {out['build_s_per_point'][str(sf)]} s)")
     out["points"]["index_probe"] = per_sf
     xs = [math.log10(sf) for sf, _ in POINTS]
     ys = [math.log10(per_sf[sf]["median_s"]) for sf, _ in POINTS]
