@@ -290,3 +290,37 @@ def test_streaming_gate_routes_and_replays(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
     leaked = _ids() - base
     assert not leaked, f"batches left pinned RDDs: {leaked}"
+
+
+def test_gate_through_real_streaming_engine(spark, tmp_path):
+    """Genuine readStream/foreachBatch leg: file-source micro-batches
+    through the real engine, epoch partitions per batch, index
+    frozen for the stream's lifetime."""
+    path = str(tmp_path / "sidx")
+    DC.build_decontam_index(
+        spark.createDataFrame([("b1", A)], "bench_id string, text string"), path
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, A), (2, B)], DOC).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame([(3, C)], DOC).coalesce(1).write.parquet(str(src / "f2"))
+    out, rej = str(tmp_path / "gate_out"), str(tmp_path / "gate_rej")
+    stream = (
+        spark.readStream.schema(DOC)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            SK.decontam_gate_writer(out, path, reject_path=rej)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2, 3}
+    assert {r.doc_id for r in spark.read.parquet(rej).collect()} == {1}
+    assert spark.read.parquet(out).select("_epoch").distinct().count() == 2
