@@ -382,6 +382,32 @@ def compact_decontam_index(path: str, spark: SparkSession | None = None) -> int:
     return int(n_before - n_after)
 
 
+def decontam_index_fingerprint(spark: SparkSession, path: str) -> str:
+    """Content fingerprint of the LIVE index (grams minus tombstoned
+    benchmarks): the 16-hex-char XOR of the md5-prefix hash of every
+    (bench_id, gram) pair — order-insensitive, so it is a pure
+    function of index CONTENT regardless of file layout, append
+    order, or compaction. This is the provenance handle a pipeline
+    records next to every screened corpus slice ("slice S was
+    decontaminated against benchmark generation F"), making the
+    screening auditable after benchmarks churn: same fingerprint ⇒
+    bit-identical screen. One bounded aggregation over the
+    benchmark-sized gram table; the empty index fingerprints to
+    '0000000000000000'."""
+    row = (
+        _live_grams(spark, path)
+        .select(
+            TX.shared_token_hash60(
+                F.concat_ws(":", F.col("bench_id"), F.col("gram").cast("string"))
+            ).alias("_h")
+        )
+        .agg(F.expr("bit_xor(_h)").alias("_fp"))
+        .collect()[0]
+    )
+    fp = row["_fp"]
+    return format(fp if fp is not None else 0, "016x")
+
+
 def decontam_index_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-benchmark health: (bench_id, n_grams, tombstoned) — the
     operational view a pipeline dashboards (gram volume per eval set,

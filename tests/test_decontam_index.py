@@ -324,3 +324,38 @@ def test_gate_through_real_streaming_engine(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2, 3}
     assert {r.doc_id for r in spark.read.parquet(rej).collect()} == {1}
     assert spark.read.parquet(out).select("_epoch").distinct().count() == 2
+
+
+def test_index_fingerprint_is_content_pure(spark, tmp_path):
+    """The provenance handle: a pure function of live index CONTENT —
+    invariant under rebuild and under delete+compact of an unrelated
+    benchmark's grams... but changed by any membership change, and
+    restored exactly when the content is restored."""
+    bench2 = "bench_id string, text string"
+    p1, p2 = str(tmp_path / "fp1"), str(tmp_path / "fp2")
+    DC.build_decontam_index(
+        spark.createDataFrame([("b1", A), ("b2", B)], bench2), p1
+    )
+    DC.build_decontam_index(  # same content, different build
+        spark.createDataFrame([("b2", B), ("b1", A)], bench2), p2
+    )
+    f_both = DC.decontam_index_fingerprint(spark, p1)
+    assert f_both == DC.decontam_index_fingerprint(spark, p2)
+    assert len(f_both) == 16
+
+    # tombstone changes the LIVE content hence the fingerprint...
+    DC.delete_benchmark_from_index(
+        p1, spark.createDataFrame([("b2",)], "bench_id string")
+    )
+    f_b1_only = DC.decontam_index_fingerprint(spark, p1)
+    assert f_b1_only != f_both
+    # ...compaction does not (same live content, different files)
+    DC.compact_decontam_index(p1, spark)
+    assert DC.decontam_index_fingerprint(spark, p1) == f_b1_only
+    # restore-by-upsert returns the exact original fingerprint
+    DC.upsert_decontam_index(spark.createDataFrame([("b2", B)], bench2), p1)
+    assert DC.decontam_index_fingerprint(spark, p1) == f_both
+
+    # empty index: the documented zero sentinel
+    DC.build_decontam_index(spark.createDataFrame([], bench2), str(tmp_path / "e"))
+    assert DC.decontam_index_fingerprint(spark, str(tmp_path / "e")) == "0" * 16
