@@ -46,6 +46,8 @@ surface the brief grades alongside SURVEY §2.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,12 +55,41 @@ from ..functions import textops as TX
 from .dedup import _shingle_fn
 from .dedup_index import (
     _drop_tombstones,
+    _pin,
     _recover_build,
+    _release_pin,
     _rename_or_raise,
     _swap_in,
     _swap_index_dir,
 )
 from .vectorops import _hadoop_delete, _hadoop_fs
+
+# The "benchmark-sized by contract" threshold, ENFORCED (VERDICT r14):
+# gram writes are coalesced to one task only below this row count —
+# above it (someone indexed a corpus slice by mistake) the write keeps
+# its natural partitioning and warns, instead of silently serializing
+# the build through a single task. ~10M 8-byte-hash rows ≈ a few
+# hundred MB of parquet — far past any real eval suite, far below
+# where one writer task would matter.
+COALESCE_GRAM_LIMIT = 10_000_000
+
+
+def _write_grams(grams: DataFrame, dest: str, n_grams: int) -> None:
+    """Write a gram table, single-file below ``COALESCE_GRAM_LIMIT``
+    (guarantees a schema-bearing footer even for an EMPTY benchmark),
+    naturally partitioned with a warning above it."""
+    if n_grams > COALESCE_GRAM_LIMIT:
+        warnings.warn(
+            f"decontam gram table has {n_grams} rows — beyond the "
+            f"benchmark-sized contract ({COALESCE_GRAM_LIMIT}); writing "
+            "with natural partitioning. Probes will stop broadcasting "
+            "cleanly at this size: this is almost certainly a corpus "
+            "slice indexed as a benchmark.",
+            stacklevel=3,
+        )
+        grams.write.mode("overwrite").parquet(dest)
+    else:
+        grams.coalesce(1).write.mode("overwrite").parquet(dest)
 
 
 def _recover_decontam(spark: SparkSession, path: str) -> None:
@@ -82,6 +113,21 @@ def _recover_decontam(spark: SparkSession, path: str) -> None:
             _rename_or_raise(spark, old, live)
 
 
+def _heal(spark: SparkSession, path: str) -> None:
+    """Entry-point self-healing, called by EVERY lifecycle operation
+    and read path (ADVICE r14 — mirror ``dedup_index.load_index_state``):
+    a crash inside a staged build swap (``__build`` complete, live dir
+    gone) or a tombstone-restore swap (live ``tombstones/`` set aside
+    as ``__old``) must be repaired before anything reads meta, grams,
+    or tombstones. Without this, a retry upsert after a mid-restore
+    crash sees ``_tombstones() is None``, skips the restore it came to
+    perform, and a later delete/compact heals the debris — resurrecting
+    a stale tombstone that silently hides a live benchmark's grams
+    from every probe. No-op on a healthy (or not-yet-built) index."""
+    _recover_build(spark, path)
+    _recover_decontam(spark, path)
+
+
 def _bench_grams(
     bench: DataFrame, bench_col: str, text_col: str, n: int, unit: str
 ) -> DataFrame:
@@ -96,6 +142,24 @@ def _bench_grams(
             F.explode(shingles(text_col, n)).alias("_s"),
         )
         .select("bench_id", TX.shared_token_hash60(F.col("_s")).alias("gram"))
+        .distinct()
+    )
+
+
+def _doc_grams(
+    corpus: DataFrame, id_col: str, text_col: str, n: int, unit: str
+) -> DataFrame:
+    """(doc, gram) distinct hashed n-grams of a corpus relation — the
+    probe-side unit, hashed with the same shared primitive as the
+    stored side so the join is hash-vs-hash (corpus text never rides
+    a shuffle)."""
+    shingles = _shingle_fn(unit)
+    return (
+        corpus.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(text_col, n)).alias("_s"),
+        )
+        .select("doc", TX.shared_token_hash60(F.col("_s")).alias("gram"))
         .distinct()
     )
 
@@ -148,7 +212,9 @@ def build_decontam_index(
     generation). An EMPTY benchmark relation builds a readable empty
     index (the bootstrap state of a pipeline that registers eval
     sets incrementally): the gram write is coalesced to one task so
-    a schema-bearing footer always lands."""
+    a schema-bearing footer always lands (guarded by
+    ``COALESCE_GRAM_LIMIT`` — the benchmark-sized contract is
+    enforced, not assumed)."""
     if unit not in ("word", "char"):
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     if n is None:
@@ -156,18 +222,18 @@ def build_decontam_index(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     spark = bench.sparkSession
-    _recover_build(spark, path)
+    _heal(spark, path)
     tmp = f"{path}__build"
     _hadoop_delete(spark, tmp)
-    (
-        # coalesce(1) is NOT a bottleneck: the gram table is
-        # benchmark-sized (MBs) by the module contract — and it
-        # guarantees one schema-bearing file even for an empty bench
-        _bench_grams(bench, bench_col, text_col, n, unit)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{tmp}/grams")
+    # eager pin: the gram relation feeds the contract count AND the
+    # write — one evaluation, blocks released in finally
+    grams = _bench_grams(bench, bench_col, text_col, n, unit).localCheckpoint(
+        eager=True
     )
+    try:
+        _write_grams(grams, f"{tmp}/grams", grams.count())
+    finally:
+        _release_pin(grams)
     # meta LAST: its _SUCCESS marker is the build-complete flag
     # _recover_build trusts
     spark.createDataFrame([(n, unit)], "n int, unit string").write.mode(
@@ -198,25 +264,25 @@ def decontam_index_overlaps(
       benchmark n-grams)
 
     Gram geometry comes from the index meta, never the caller.
-    Plan: one corpus explode → broadcast hash join against the
-    stored gram table → doc-keyed aggregate; the flagged set then
-    semi-joins BACK into the doc gram relation for the denominator.
+    Plan: ONE corpus explode → broadcast hash join against the
+    stored gram table → doc-keyed aggregate, pinned (a tracked
+    ``_pin``, flagged-set-sized — released by the streaming gate's
+    ``track_pins`` scope); the FLAGGED DOCS then semi-join back into
+    the corpus before a second, candidate-bounded explode for the
+    denominator (ADVICE r14: the prior shape re-derived the full
+    corpus gram relation — explode + distinct — for the denominator,
+    paying the dominant cost twice per call; pruning the corpus by
+    the broadcast flagged set FIRST makes the second explode, its
+    distinct, and its shuffle all O(flagged), not O(corpus)).
     Corpus text never shuffles. ``broadcast_index=False`` drops the
     hint for a pathologically large benchmark suite and lets AQE
     decide."""
+    _heal(spark, path)
     meta = _read_meta(spark, path)
-    shingles = _shingle_fn(meta.unit)
-    doc_grams = (
-        corpus.select(
-            F.col(id_col).alias("doc"),
-            F.explode(shingles(text_col, int(meta.n))).alias("_s"),
-        )
-        .select("doc", TX.shared_token_hash60(F.col("_s")).alias("gram"))
-        .distinct()
-    )
+    doc_grams = _doc_grams(corpus, id_col, text_col, int(meta.n), meta.unit)
     stored = _live_grams(spark, path)
     stored_j = F.broadcast(stored) if broadcast_index else stored
-    hits = (
+    hits = _pin(
         doc_grams.join(stored_j, "gram")
         .groupBy("doc")
         .agg(
@@ -224,11 +290,14 @@ def decontam_index_overlaps(
             F.countDistinct("bench_id").alias("n_benchmarks"),
         )
     )
-    # denominator recount, candidate-bounded: only flagged docs'
-    # grams are re-aggregated (flagged set ≪ corpus by the
-    # decontamination premise)
+    # denominator recount, candidate-bounded END TO END: the corpus
+    # is pruned to flagged docs (flagged ≪ corpus by the
+    # decontamination premise) BEFORE its grams are re-derived
+    flagged_corpus = corpus.join(
+        F.broadcast(hits.select(F.col("doc").alias(id_col))), id_col, "left_semi"
+    )
     denom = (
-        doc_grams.join(F.broadcast(hits.select("doc")), "doc", "left_semi")
+        _doc_grams(flagged_corpus, id_col, text_col, int(meta.n), meta.unit)
         .groupBy("doc")
         .agg(F.countDistinct("gram").alias("n_grams"))
     )
@@ -290,9 +359,14 @@ def upsert_decontam_index(
     every upserted bench_id are cleared (insert-or-restore — the
     retire→re-adopt cycle), with the same staged tombstone-restore
     swap as ``upsert_minhash_index`` (a crash mid-rewrite must not
-    lose tombstones for UNRELATED benchmarks). Returns
+    lose tombstones for UNRELATED benchmarks). Entry heals pending
+    swaps first (ADVICE r14): a retry after a crash mid tombstone-
+    restore must see the set-aside tombstones, or it would skip the
+    restore, report success, and let a later heal resurrect a stale
+    tombstone over a live benchmark. Returns
     ``{"inserted": n_new_grams, "restored": n_restored_benchmarks}``."""
     spark = new_bench.sparkSession
+    _heal(spark, path)
     meta = _read_meta(spark, path)
     grams = _bench_grams(new_bench, bench_col, text_col, int(meta.n), meta.unit)
     stored = spark.read.parquet(f"{path}/grams")
@@ -341,8 +415,7 @@ def delete_benchmark_from_index(
     aside mid-restore would create a fresh table that permanently
     masks the heal."""
     spark = bench_ids.sparkSession
-    _recover_build(spark, path)
-    _recover_decontam(spark, path)
+    _heal(spark, path)
     (
         bench_ids.select(F.col(bench_col).cast("string").alias("tomb_bench"))
         .distinct()
@@ -362,23 +435,31 @@ def compact_decontam_index(path: str, spark: SparkSession | None = None) -> int:
         spark = SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError("compact_decontam_index needs an active SparkSession")
-    _recover_decontam(spark, path)
+    _heal(spark, path)
     tomb = _tombstones(spark, path)
     if tomb is None:
         return 0
     stored = spark.read.parquet(f"{path}/grams")
+    # eager pin across the read-then-overwrite swap (the
+    # ``upsert_decontam_index`` tombstone discipline, VERDICT r14):
+    # the kept rows are fixed BEFORE the swap replaces the table they
+    # were read from, and n_after comes from the pin instead of a
+    # post-swap re-scan
     kept = stored.join(
         F.broadcast(tomb.withColumnRenamed("tomb_bench", "bench_id")),
         "bench_id",
         "left_anti",
-    )
-    n_before = stored.count()
-    tmp = f"{path}/grams__compact"
-    _hadoop_delete(spark, tmp)
-    kept.coalesce(1).write.mode("overwrite").parquet(tmp)
-    _swap_in(spark, tmp, f"{path}/grams")
-    _drop_tombstones(spark, path)
-    n_after = spark.read.parquet(f"{path}/grams").count()
+    ).localCheckpoint(eager=True)
+    try:
+        n_before = stored.count()
+        n_after = kept.count()
+        tmp = f"{path}/grams__compact"
+        _hadoop_delete(spark, tmp)
+        _write_grams(kept, tmp, n_after)
+        _swap_in(spark, tmp, f"{path}/grams")
+        _drop_tombstones(spark, path)
+    finally:
+        _release_pin(kept)
     return int(n_before - n_after)
 
 
@@ -394,6 +475,7 @@ def decontam_index_fingerprint(spark: SparkSession, path: str) -> str:
     bit-identical screen. One bounded aggregation over the
     benchmark-sized gram table; the empty index fingerprints to
     '0000000000000000'."""
+    _heal(spark, path)
     row = (
         _live_grams(spark, path)
         .select(
@@ -413,6 +495,7 @@ def decontam_index_stats(spark: SparkSession, path: str) -> DataFrame:
     operational view a pipeline dashboards (gram volume per eval set,
     retired sets awaiting compaction). One scan of the
     benchmark-sized gram table."""
+    _heal(spark, path)
     grams = spark.read.parquet(f"{path}/grams")
     tomb = _tombstones(spark, path)
     out = grams.groupBy("bench_id").agg(F.countDistinct("gram").alias("n_grams"))

@@ -326,6 +326,18 @@ def spfhp_pack_assignments(
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .collect()
     )
+    n_null = sum(int(r["_cnt"]) for r in hist_rows if r["_len"] is None)
+    if n_null:
+        # same contract violation as lengths outside [1, capacity]
+        # (ADVICE r14: int(None) used to surface as an opaque
+        # TypeError): a NULL length can neither be packed nor
+        # silently dropped without breaking exactly-once assignment
+        raise ValueError(
+            f"lengths outside [1, capacity={capacity}]: {n_null} row(s) "
+            f"with NULL {weight_col} — filter or impute them first; "
+            "dropping them here would silently violate the "
+            "every-doc-packed-exactly-once contract"
+        )
     histogram = {int(r["_len"]): int(r["_cnt"]) for r in hist_rows}
     strategies = _spfhp_strategies(histogram, capacity, max_items)
 

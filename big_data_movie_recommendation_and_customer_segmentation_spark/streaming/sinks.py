@@ -432,25 +432,32 @@ def decontam_gate_writer(
     from ..operators import decontam_index as DC
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators import dedup_index as DI
+
         spark = batch_df.sparkSession
-        overlaps = DC.decontam_index_overlaps(
-            spark, index_path, batch_df, id_col=id_col, text_col=text_col
-        ).withColumnRenamed("doc", id_col)
-        # one screening job feeds the survivor and reject writes;
-        # persist (not localCheckpoint) so the finally-unpersist
-        # actually releases the blocks (ADVICE r14)
-        overlaps = overlaps.persist()
-        overlaps.count()
-        try:
-            flagged = overlaps.filter(F.col("n_hits") >= min_hits)
-            survivors = batch_df.join(
-                F.broadcast(flagged.select(id_col)), id_col, "left_anti"
-            )
-            idempotent_epoch_writer(out_path)(survivors, batch_id)
-            if reject_path is not None:
-                rejected = batch_df.join(F.broadcast(flagged), id_col)
-                idempotent_epoch_writer(reject_path)(rejected, batch_id)
-        finally:
-            overlaps.unpersist()
+        # the overlap probe pins its internal hits aggregate (ADVICE
+        # r14 — one corpus-gram evaluation per call); the scope
+        # releases that pin at batch end so the block manager stays
+        # flat across micro-batches
+        with DI.track_pins():
+            overlaps = DC.decontam_index_overlaps(
+                spark, index_path, batch_df, id_col=id_col, text_col=text_col
+            ).withColumnRenamed("doc", id_col)
+            # one screening job feeds the survivor and reject writes;
+            # persist (not localCheckpoint) so the finally-unpersist
+            # actually releases the blocks (ADVICE r14)
+            overlaps = overlaps.persist()
+            overlaps.count()
+            try:
+                flagged = overlaps.filter(F.col("n_hits") >= min_hits)
+                survivors = batch_df.join(
+                    F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+                )
+                idempotent_epoch_writer(out_path)(survivors, batch_id)
+                if reject_path is not None:
+                    rejected = batch_df.join(F.broadcast(flagged), id_col)
+                    idempotent_epoch_writer(reject_path)(rejected, batch_id)
+            finally:
+                overlaps.unpersist()
 
     return write_batch

@@ -243,10 +243,14 @@ def test_build_swap_is_crash_safe(spark, tmp_path):
     } == {1, 2}
 
 
-def test_probe_plan_is_broadcast_only(spark, sf_dir, tmp_path):
+def test_probe_plan_is_broadcast_only(spark, sf_dir, tmp_path, monkeypatch):
     """The 100 TB shape, plan-asserted: the stored gram table meets
     the corpus explode in a BROADCAST join — no corpus-side shuffle
-    wider than its own gram relation, no CartesianProduct."""
+    wider than its own gram relation, no CartesianProduct. The
+    materialization kill-switch keeps the probe's internal hits pin
+    un-truncated so the WHOLE lineage is visible (the
+    test_dedup_index plan-assert convention)."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
     bench, corpus = _split(spark, sf_dir)
     path = str(tmp_path / "plan")
     DC.build_decontam_index(bench, path)
@@ -258,6 +262,31 @@ def test_probe_plan_is_broadcast_only(spark, sf_dir, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_overlaps_prunes_corpus_before_denominator_regram(spark, sf_dir, tmp_path):
+    """ADVICE r14 (no-rederivation): the hits aggregate is PINNED (a
+    localCheckpoint — it appears in the returned plan as an RDD scan,
+    not a re-derivation), and the denominator's second explode runs
+    over the corpus PRUNED by a left-semi broadcast join against the
+    pinned flagged set — so the dominant corpus cost (explode +
+    distinct + shuffle) is paid once per call, with the recount
+    candidate-bounded end to end."""
+    bench, corpus = _split(spark, sf_dir)
+    path = str(tmp_path / "prune")
+    DC.build_decontam_index(bench, path)
+    plan = (
+        DC.decontam_index_overlaps(spark, path, corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the prune exists, and the ONLY explode left in the outer plan is
+    # the denominator's (hits — the other corpus explode — is behind
+    # the checkpoint scan, evaluated exactly once)
+    assert "LeftSemi" in plan
+    assert plan.count("Generate explode") == 1, plan[:3000]
+    assert "Scan ExistingRDD" in plan
 
 
 def test_streaming_gate_routes_and_replays(spark, tmp_path):
@@ -359,3 +388,114 @@ def test_index_fingerprint_is_content_pure(spark, tmp_path):
     # empty index: the documented zero sentinel
     DC.build_decontam_index(spark.createDataFrame([], bench2), str(tmp_path / "e"))
     assert DC.decontam_index_fingerprint(spark, str(tmp_path / "e")) == "0" * 16
+
+
+def _rename(spark, src, dst):
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    fs = Path(src).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    assert fs.rename(Path(src), Path(dst))
+
+
+def test_upsert_heals_crashed_tombstone_restore(spark, tmp_path):
+    """ADVICE r15 (medium): after a crash INSIDE the tombstone-restore
+    swap (live tombstones set aside as ``__old``, complete
+    ``__restore`` beside it), a retry upsert must heal on ENTRY —
+    without it, ``_tombstones()`` returns None, the retry skips the
+    restore it came to perform, and a later lifecycle call's heal
+    resurrects the stale tombstone, silently hiding a live
+    benchmark's grams from every probe."""
+    bench2 = "bench_id string, text string"
+    path = str(tmp_path / "heal")
+    DC.build_decontam_index(
+        spark.createDataFrame([("b1", A), ("b2", B)], bench2), path
+    )
+    DC.delete_benchmark_from_index(
+        path, spark.createDataFrame([("b1",), ("b2",)], "bench_id string")
+    )
+    # simulate the crashed restore-of-b1 swap: staged kept-set {b2}
+    # written, live table renamed aside, crash before the swap-in
+    spark.createDataFrame([("b2",)], "tomb_bench string").write.parquet(
+        f"{path}/tombstones__restore"
+    )
+    _rename(spark, f"{path}/tombstones", f"{path}/tombstones__old")
+    # the retry: entry heal completes the restore FIRST, so b1's
+    # tombstone is already gone and b2's survives
+    r = DC.upsert_decontam_index(spark.createDataFrame([("b1", A)], bench2), path)
+    assert r == {"inserted": 0, "restored": 0}
+    tomb = DC._tombstones(spark, path)
+    assert tomb is not None
+    assert {t.tomb_bench for t in tomb.collect()} == {"b2"}
+    probe = spark.createDataFrame([(1, A), (2, B)], DOC)
+    assert {
+        r.doc for r in DC.decontam_index_overlaps(spark, path, probe).collect()
+    } == {1}
+
+
+def test_read_paths_heal_crashed_swaps(spark, tmp_path):
+    """ADVICE r15: every read path heals swap debris on entry — a
+    probe after a crashed gram compaction (live ``grams/`` missing,
+    complete ``__compact`` beside it) and a compact after a crashed
+    whole-index rebuild (index dir missing, complete ``__build``)
+    both self-repair instead of raising path-not-found."""
+    bench2 = "bench_id string, text string"
+    probe = spark.createDataFrame([(1, A), (2, B)], DOC)
+
+    p1 = str(tmp_path / "gramswap")
+    DC.build_decontam_index(spark.createDataFrame([("b1", A)], bench2), p1)
+    _rename(spark, f"{p1}/grams", f"{p1}/grams__compact")
+    assert {
+        r.doc for r in DC.decontam_index_overlaps(spark, p1, probe).collect()
+    } == {1}
+    assert {r.bench_id for r in DC.decontam_index_stats(spark, p1).collect()} == {"b1"}
+
+    p2 = str(tmp_path / "buildswap")
+    DC.build_decontam_index(spark.createDataFrame([("b1", A)], bench2), p2)
+    _rename(spark, p2, f"{p2}__build")
+    assert DC.compact_decontam_index(p2, spark) == 0  # healed, no tombstones
+    assert {
+        r.doc for r in DC.decontam_index_overlaps(spark, p2, probe).collect()
+    } == {1}
+
+    p3 = str(tmp_path / "fpswap")
+    DC.build_decontam_index(spark.createDataFrame([("b1", A)], bench2), p3)
+    fp = DC.decontam_index_fingerprint(spark, p3)
+    _rename(spark, p3, f"{p3}__build")
+    assert DC.decontam_index_fingerprint(spark, p3) == fp
+
+
+def test_gram_write_contract_guard(spark, tmp_path, monkeypatch):
+    """VERDICT r14 'what's wrong' #2: the benchmark-sized contract is
+    ENFORCED — above ``COALESCE_GRAM_LIMIT`` the gram write warns and
+    keeps natural partitioning instead of silently serializing
+    through one task; at/below it, the single schema-bearing file
+    lands as before. Probes are unaffected either way."""
+    import warnings as W
+
+    bench2 = "bench_id string, text string"
+    monkeypatch.setattr(DC, "COALESCE_GRAM_LIMIT", 2)
+    path = str(tmp_path / "big")
+    bench = spark.createDataFrame([("b1", A), ("b2", B), ("b3", C)], bench2)
+    with pytest.warns(UserWarning, match="benchmark-sized"):
+        DC.build_decontam_index(bench, path)
+    probe = spark.createDataFrame([(1, A), (2, B), (3, "nothing shared here")], DOC)
+    assert {
+        r.doc for r in DC.decontam_index_overlaps(spark, path, probe).collect()
+    } == {1, 2}
+
+    # compact path carries the same guard (kept set = 2 grams)
+    DC.delete_benchmark_from_index(
+        path, spark.createDataFrame([("b1",)], "bench_id string")
+    )
+    monkeypatch.setattr(DC, "COALESCE_GRAM_LIMIT", 1)
+    with pytest.warns(UserWarning, match="benchmark-sized"):
+        assert DC.compact_decontam_index(path, spark) > 0
+
+    # below the limit: no warning, one data file
+    monkeypatch.setattr(DC, "COALESCE_GRAM_LIMIT", 10_000_000)
+    small = str(tmp_path / "small")
+    with W.catch_warnings():
+        W.simplefilter("error")
+        DC.build_decontam_index(bench, small)
+    import glob
+
+    assert len(glob.glob(f"{small}/grams/part-*")) == 1

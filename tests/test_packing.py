@@ -231,6 +231,19 @@ def test_spfhp_assignments_exactly_once_capacity_and_determinism(spark, sf_dir):
     assert stats.n_packs < n_docs / 2
 
 
+def test_spfhp_null_weight_raises_contract_error(spark):
+    """ADVICE r15: a NULL weight is the same contract violation as an
+    out-of-range length — the dedicated ValueError, not an opaque
+    int(None) TypeError."""
+    import pytest
+
+    d = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "doc_id long, n_tokens int"
+    )
+    with pytest.raises(ValueError, match="NULL n_tokens"):
+        PK.spfhp_pack_assignments(d, "doc_id", "n_tokens", 10)
+
+
 def test_spfhp_beats_naive_and_plan_is_parallel(spark):
     """Efficiency sanity on a padding-hostile fixture (all docs just
     over half capacity would be worst-case; mixed lengths pack well)
