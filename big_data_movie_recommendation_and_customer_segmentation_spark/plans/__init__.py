@@ -21,73 +21,76 @@ from . import queries_insights  # noqa: F401  (registers r5 analytics batch 3)
 from . import queries_script  # noqa: F401  (registers r12 script-routing queries)
 from . import queries_index  # noqa: F401  (registers r13 dedup-index/substring queries)
 from . import queries_textclass  # noqa: F401  (registers r14 model-based tier queries)
+from . import queries_decontam  # noqa: F401  (registers r15 decontam-index/SPFHP queries)
 
 # The curated driver gate: 50 slots.
 # 29 core rows (every SURVEY §2 family that was green r02 keeps a
 # representative) + 21 rows for families that were never gated or
 # fell out of the r02 gate (VERDICT r2 asks #1/#4).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r14 rotation (VERDICT r13 asks #1/#4/#5): the 33 families
-    # whose driver evidence is age-1 (last gated r12) re-gate before
-    # the 2-round freshness edge, FOUR reps rotating to
-    # never-yet-gated value-green siblings (first driver rows), PLUS
-    # four newly registered queries (registry 174→178, the VERDICT
-    # r13 unfreeze sanction for asks #1/#5): the hashed-n-gram NB
-    # classifier, DSIR Gumbel-top-k selection, Stupid Backoff LM
-    # perplexity, and the LM quality gate's admission twin (riding
-    # the same unfreeze, per ask #5's "if slots allow"). Anchors
-    # shrink to 13: minhash_duplicate_pairs (its r13 edit re-gate
-    # landed green), ann_hyperplane_neighbors and
-    # events_session_interval_join (all age 0 after r13, untouched
-    # this round) cede their slots and rotate back r15. Everything
-    # r13-gated and not re-listed is age-1 after this round,
-    # scheduled for r15.
-    # -- tier 1: age-1 families (33) + new registrations (4) --
-    "purchase_value_auc",                # auc
-    "bloom_filtered_order_revenue",      # bloom_join
-    "segment_acctbal_bootstrap_ci",      # bootstrap
-    "term_zipf_fit",                     # collocations (first row)
-    "doc_chunks",                        # corpus_ops
-    "events_kfold_summary",              # cv_splits
-    "ngram_decontaminated_docs",         # decontamination
-    "dedup_representatives",             # dedup_closure
-    "order_value_benford",               # drift
-    "embedding_near_duplicates_deterministic",  # embedding_dedup
-    "segment_urgency_woe_iv",            # feature_prep
-    "segment_conversion_ztest",          # hypothesis_tests (first row)
-    "customer_item_cf_recommendations",  # item_item_cosine
-    "ivf_knn_deterministic",             # ivf
-    "props_json_stats",                  # json_props
-    "kmeans_embedding_segments_det",     # kmeans
-    "purchase_value_lift",               # lift_gains
-    "token_shard_assignment",            # packing
-    "embedding_covariance",              # pca
-    "pq_adc_knn",                        # pq
-    "hybrid_doc_retrieval_rrf",          # rank_fusion
-    "recommendation_diversity_ild",      # ranking_metrics (first row)
-    "rolling_order_spend",               # rolling_window
-    "customer_order_status_scd2",        # scd2
-    "doc_script_profile",                # script_routing
-    "daily_revenue_anomalies",           # seasonality
-    "user_sequence_predictability",      # sequence_mining (first row)
-    "simhash_duplicate_pairs",           # simhash_dedup
-    "event_user_skew_report",            # skew_report
-    "part_skyline",                      # skyline
-    "customer_repurchase_hazard",        # survival
-    "doc_encoding_quality",              # text_stats
-    "customer_user_cf_recommendations",  # user_cf
-    "nb_lang_classification",            # text_classification (NEW r14, first row)
-    "dsir_selected_docs",                # data_selection (NEW r14, first row)
-    "doc_lm_perplexity",                 # lm_scoring (NEW r14, first row)
-    "lm_gate_admissions",                # lm_scoring (NEW r14, first row)
-    # -- age-0 anchors: flagship + perf-watched + family-sole (13) --
+    # -- r15 rotation (VERDICT r14 asks #1/#2/#5): the 36 families
+    # whose driver evidence is age-1 (last gated r13) re-gate before
+    # the 2-round freshness edge, THREE reps rotating to
+    # never-yet-gated value-green siblings (first driver rows:
+    # lineitem_correlation_matrix, customer_360_profile,
+    # brand_price_elasticity) and ten more rotating to their oldest
+    # individually-gated value sibling, PLUS four newly registered
+    # queries (registry 178→182, the VERDICT r14 unfreeze sanction
+    # for asks #1/#2): the persisted decontamination index probe and
+    # the decontam gate's batch admission twin, and SPFHP packing
+    # assignments + efficiency (both fully value-checked — the oracle
+    # replays the greedy histogram packing in a recursive CTE).
+    # Anchors shrink to 10: candidates_unseen, part_copurchase_
+    # pagerank, ivfadc_rerank_knn (all age 0 after r14, untouched
+    # this round) cede their slots and rotate back r16. Everything
+    # r14-gated and not re-listed is age-1 after this round,
+    # scheduled for r16.
+    # -- tier 1: age-1 families (36) + new registrations (4) --
+    "ann_hyperplane_neighbors",          # ann (rotates back per r14 plan)
+    "purchase_attribution_asof",         # asof_join (oldest rep, r04)
+    "part_association_rules",            # association (r09)
+    "bm25_doc_ranking",                  # bm25
+    "chronological_split_counts",        # chrono_split
+    "weekly_cohort_retention",           # cohort (r09)
+    "popularity_recommendations_compat", # collect_aggs (oldest rep, r04)
+    "training_corpus_manifest",          # corpus_pipeline
+    "doc_shuffle_shards",                # corpus_shuffle
+    "pair_rating_correlation",           # correlation (oldest rep, r04)
+    "distinct_segments",                 # distinct
+    "daily_revenue_ewma",                # ewma
+    "exact_duplicate_groups",            # exact_dedup (oldest rep, r04)
+    "signup_click_purchase_funnel",      # funnel
+    "fuzzy_duplicate_pairs",             # fuzzy_dedup (r09)
+    "daily_orders_gapfill",              # gapfill (r09)
+    "order_status_priority_cube",        # grouping_sets (oldest rep, r04)
+    "incremental_dedup_pairs",           # incremental_dedup
+    "events_session_interval_join",      # interval_join (rotates back)
+    "parts_never_ordered",               # joins (oldest rep, r04)
+    "knn_bruteforce_vectorized",         # knn (oldest rep, r04)
+    "minhash_duplicate_pairs",           # minhash_dedup (rotates back)
+    "order_year_status_pivot",           # pivot
+    "lineitem_correlation_matrix",       # profiling (first row)
+    "segment_price_quantiles",           # quantiles (r09)
+    "customer_360_profile",              # rfm_pareto (first row)
+    "brand_price_elasticity",            # robust_stats (first row)
+    "random_pair_baseline_trials",       # sampling
+    "semantic_dedup_survivors",          # semantic_dedup
+    "kmv_distinct_customers",            # sketches (r09)
+    "salted_user_segment_stats",         # skew_join
+    "snapshot_diff_orders",              # snapshot_cdc (r09)
+    "sql_surface_top_customers",         # sql_surface
+    "repeated_substring_spans",          # substring_dedup
+    "recent_orders_per_customer",        # topk (r05)
+    "doc_weighted_sample",               # weighted_sampling
+    "decontam_index_overlaps",           # decontam_index (NEW r15, first row)
+    "decontam_screen_survivors",         # decontam_index (NEW r15, first row)
+    "spfhp_pack_assignments",            # packing (NEW r15, first row)
+    "spfhp_pack_efficiency",             # packing (NEW r15, first row)
+    # -- age-0 anchors: flagship + perf-watched + family-sole (10) --
     "pricing_summary",                   # flagship scan/agg
     "top_similar_customer_pairs",        # set_similarity, drift-A/B subject
     "ngram_duplicate_pairs",             # ngram_dedup, drift-A/B subject
-    "candidates_unseen",                 # C3+C4, perf-watched
-    "part_copurchase_pagerank",          # graph_centrality, perf-watched
     "als_scoring_topk",                  # als (+ serving parity pin)
-    "ivfadc_rerank_knn",                 # ann_rerank
     "media_audio_frames",                # multimodal (real WAV decode)
     "purchase_click_attribution",        # streaming_join
     "trending_event_types",              # streaming_tumbling

@@ -133,55 +133,54 @@ def test_gate_priority_is_the_first_50_queries():
     names = list(E.queries())
     assert len(GATE_PRIORITY) == 50
     assert names[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # r14 rotation (VERDICT r13 asks #1/#4/#5): every age-1 family
-    # (last gated r12, 33 of them) re-gates before its evidence hits
-    # the 2-round freshness edge — four reps rotating to never-gated
-    # value-green siblings — plus the four newly registered queries
-    # (registry 174→178, the VERDICT-sanctioned unfreeze: the
-    # model-based tier — NB classifier, DSIR selection, LM
-    # perplexity — and the LM gate's admission twin riding ask #5);
-    # anchors keep the flagship, perf-watched, and family-sole
-    # queries age-0
+    # r15 rotation (VERDICT r14 asks #1/#2/#5): every age-1 family
+    # (last gated r13, 36 of them) re-gates before its evidence hits
+    # the 2-round freshness edge — three reps rotating to never-gated
+    # value-green siblings, ten to their oldest-gated sibling — plus
+    # the four newly registered queries (registry 178→182, the
+    # VERDICT-sanctioned unfreeze: the decontam-index probe + the
+    # decontam gate's batch admission twin, and SPFHP packing
+    # assignments + efficiency); anchors keep the flagship,
+    # drift-A/B, and streaming queries age-0
     for must in (
-        # age-1 families re-gating (sample of the 33); four reps
-        # rotate to never-yet-gated value-green siblings
-        "purchase_value_auc",
-        "ivf_knn_deterministic",     # rotates back per the r13 plan
-        "pq_adc_knn",                # rotates back per the r13 plan
-        "term_zipf_fit",             # collocations first row
-        "segment_conversion_ztest",  # hypothesis_tests first row
-        "recommendation_diversity_ild",  # ranking_metrics first row
-        "user_sequence_predictability",  # sequence_mining first row
-        "ngram_decontaminated_docs",
-        "kmeans_embedding_segments_det",
-        "doc_script_profile",
-        "doc_encoding_quality",
-        # the r14 new registrations (first rows, VERDICT r13 #1/#5)
-        "nb_lang_classification",
-        "dsir_selected_docs",
-        "doc_lm_perplexity",
-        "lm_gate_admissions",
+        # age-1 families re-gating (sample of the 36); reps rotate to
+        # never-yet-gated or oldest-gated value-green siblings
+        "ann_hyperplane_neighbors",      # rotates back per the r14 plan
+        "events_session_interval_join",  # rotates back per the r14 plan
+        "minhash_duplicate_pairs",       # rotates back per the r14 plan
+        "lineitem_correlation_matrix",   # profiling first row
+        "customer_360_profile",          # rfm_pareto first row
+        "brand_price_elasticity",        # robust_stats first row
+        "purchase_attribution_asof",     # asof_join oldest rep (r04)
+        "pair_rating_correlation",       # correlation oldest rep (r04)
+        "exact_duplicate_groups",        # exact_dedup oldest rep (r04)
+        "incremental_dedup_pairs",       # r13-gated, re-gates on schedule
+        "repeated_substring_spans",      # r13-gated, re-gates on schedule
+        # the r15 new registrations (first rows, VERDICT r14 #1/#2)
+        "decontam_index_overlaps",
+        "decontam_screen_survivors",
+        "spfhp_pack_assignments",
+        "spfhp_pack_efficiency",
         # serving-parity-pinned ALS scoring oracle stays gated
         "als_scoring_topk",
         # multimodal anchor (real WAV decode)
         "media_audio_frames",
     ):
         assert must in GATE_PRIORITY, must
-    # displaced: minhash_duplicate_pairs (its r13 edit re-gate landed
-    # green), ann_hyperplane_neighbors, and events_session_interval_
-    # join (all age 0 after r13, untouched this round) cede their
-    # anchor slots and rotate back r15; the r12 reps whose slots
-    # rotated to first-row siblings are hash-green r12
+    # displaced: candidates_unseen, part_copurchase_pagerank, and
+    # ivfadc_rerank_knn (all age 0 after r14, untouched this round)
+    # cede their anchor slots and rotate back r16; the r13 reps whose
+    # slots rotated to siblings are hash-green r13
     for displaced in (
-        "minhash_duplicate_pairs",
-        "ann_hyperplane_neighbors",
-        "events_session_interval_join",
-        "source_term_keyness",        # collocations slot → term_zipf_fit
-        "priority_spend_ttest",       # hypothesis_tests slot → ztest
-        "recommendation_coverage_novelty",  # ranking_metrics slot → ild
-        "frequent_event_paths",       # sequence_mining slot → predictability
-        "incremental_dedup_pairs",    # r13-gated, age-1, scheduled r15
-        "repeated_substring_spans",   # r13-gated, age-1, scheduled r15
+        "candidates_unseen",
+        "part_copurchase_pagerank",
+        "ivfadc_rerank_knn",
+        "purchase_attribution_asof_tolerance",  # asof_join slot → r04 rep
+        "corr_qty_price_by_flag",     # correlation slot → r04 rep
+        "duplicate_chunks",           # exact_dedup slot → r04 rep
+        "purchase_value_auc",         # r14-gated, age-1, scheduled r16
+        "nb_lang_classification",     # r14-gated, age-1, scheduled r16
+        "token_shard_assignment",     # r14-gated; packing vouched by SPFHP rows
     ):
         assert displaced not in GATE_PRIORITY, displaced
     # the rows-only ml-lib k-means variant must have ceded its slot

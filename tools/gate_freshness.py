@@ -58,7 +58,8 @@ FAMILIES: dict[str, tuple[str, ...]] = {
                    "doc_encoding_quality"),
     "corpus_ops": ("doc_unigram_logprob", "source_mix_plan", "doc_sample_by_lang",
                    "doc_chunks", "doc_balanced_by_source", "tfidf_top_terms"),
-    "packing": ("token_shard_assignment",),
+    "packing": ("token_shard_assignment", "spfhp_pack_assignments",
+                "spfhp_pack_efficiency"),
     "exact_dedup": ("exact_duplicate_groups", "dedup_exact_survivors",
                     "duplicate_chunks"),
     "ngram_dedup": ("ngram_duplicate_pairs", "ngram_containment_pairs"),
@@ -66,6 +67,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "simhash_dedup": ("simhash_duplicate_pairs",),
     "dedup_closure": ("dedup_representatives",),
     "decontamination": ("ngram_decontaminated_docs", "decontaminated_docs"),
+    "decontam_index": ("decontam_index_overlaps", "decontam_screen_survivors"),
     "corpus_pipeline": ("training_corpus_manifest",),
     "semantic_dedup": ("semantic_dedup_survivors",),
     "knn": ("knn_bruteforce", "knn_bruteforce_vectorized"),
