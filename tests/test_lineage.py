@@ -1,0 +1,179 @@
+"""Cross-run corpus lineage (``operators.lineage``): slice manifests
+with order-insensitive content fingerprints, the persisted run log,
+and the stale-screening / drift views a scheduler consumes. The
+manifest-row oracle spelling is proven in
+tests/test_oracle_queries.py::corpus_slice_lineage (registered with a
+full DuckDB replay — screen + both XOR fingerprints + the index
+fingerprint); this file pins the lifecycle semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+    lineage as LN,
+)
+from big_data_movie_recommendation_and_customer_segmentation_spark.sources import load_table
+
+DOC = "doc_id long, source string, text string"
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "web", "alpha beta gamma"),
+            (2, "web", "delta epsilon zeta"),
+            (3, "books", "eta theta iota"),
+            (4, "books", "kappa lambda mu"),
+            (5, "wiki", "nu xi omicron"),
+        ],
+        DOC,
+    )
+
+
+def test_manifest_fingerprints_are_order_insensitive_and_content_pure(spark):
+    """Same rows ⇒ same fingerprints regardless of row order or
+    partitioning; any content change flips the slice's fp; a
+    fully-rejected slice stays visible with the zero sentinel."""
+    corpus = _corpus(spark)
+    admitted = corpus.filter(F.col("doc_id").isin(1, 3, 4))  # wiki fully rejected
+    m1 = {
+        r.slice_id: r
+        for r in LN.slice_lineage_manifest(
+            corpus, admitted, slice_col="source"
+        ).collect()
+    }
+    assert set(m1) == {"web", "books", "wiki"}
+    assert (m1["web"].n_docs, m1["web"].n_admitted) == (2, 1)
+    assert (m1["books"].n_docs, m1["books"].n_admitted) == (2, 2)
+    assert (m1["wiki"].n_docs, m1["wiki"].n_admitted) == (1, 0)
+    assert m1["wiki"].admitted_fp == "0" * 16
+    # books admitted everything: in-fp == out-fp
+    assert m1["books"].admitted_fp == m1["books"].content_fp
+    assert m1["web"].admitted_fp != m1["web"].content_fp
+
+    # order/partitioning invariance
+    m2 = {
+        r.slice_id: r
+        for r in LN.slice_lineage_manifest(
+            corpus.orderBy(F.col("doc_id").desc()).repartition(7),
+            admitted.repartition(3),
+            slice_col="source",
+        ).collect()
+    }
+    for s in m1:
+        assert (m1[s].content_fp, m1[s].admitted_fp) == (
+            m2[s].content_fp,
+            m2[s].admitted_fp,
+        )
+
+    # content purity: one changed character flips exactly that slice
+    changed = corpus.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 5, F.lit("nu xi omicron!")).otherwise(
+            F.col("text")
+        ),
+    )
+    m3 = {
+        r.slice_id: r.content_fp
+        for r in LN.slice_lineage_manifest(
+            changed, admitted, slice_col="source"
+        ).collect()
+    }
+    assert m3["wiki"] != m1["wiki"].content_fp
+    assert m3["web"] == m1["web"].content_fp
+    assert m3["books"] == m1["books"].content_fp
+
+
+def test_provenance_columns_stamped_sorted(spark):
+    corpus = _corpus(spark)
+    out = LN.slice_lineage_manifest(
+        corpus,
+        corpus,
+        slice_col="source",
+        provenance={"decontam_fp": "ab" * 8, "dedup_fp": "cd" * 8, "model_id": "m1"},
+    )
+    assert out.columns == [
+        "slice_id", "n_docs", "content_fp", "n_admitted", "admitted_fp",
+        "decontam_fp", "dedup_fp", "model_id",
+    ]
+    row = out.collect()[0]
+    assert (row.decontam_fp, row.dedup_fp, row.model_id) == ("ab" * 8, "cd" * 8, "m1")
+
+
+def test_manifest_lifecycle_latest_stale_drift(spark, tmp_path):
+    """The run log: two appended runs, latest-state view, the
+    stale-screening worklist after the live index fingerprint moves,
+    and content drift between consecutive runs."""
+    path = str(tmp_path / "manifest")
+    corpus = _corpus(spark)
+    e1 = LN.slice_lineage_manifest(
+        corpus, corpus, slice_col="source", provenance={"decontam_fp": "f1" * 8}
+    )
+    LN.append_manifest(e1, path, run_id=1)
+
+    # run 2: wiki's content changed AND was screened against a new
+    # index generation; web/books rescreened against the new one too
+    changed = corpus.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 5, F.lit("rewritten entirely")).otherwise(
+            F.col("text")
+        ),
+    )
+    e2 = LN.slice_lineage_manifest(
+        changed,
+        changed.filter(F.col("doc_id") != 5),
+        slice_col="source",
+        provenance={"decontam_fp": "f2" * 8},
+    )
+    LN.append_manifest(e2, path, run_id=2)
+
+    latest = {r.slice_id: r for r in LN.latest_manifest(spark, path).collect()}
+    assert all(r.run_id == 2 for r in latest.values())
+    assert latest["wiki"].n_admitted == 0
+
+    # nothing stale against the current generation...
+    assert LN.stale_screenings(spark, path, {"decontam_fp": "f2" * 8}).count() == 0
+    # ...everything stale against a newer one, with the key named
+    stale = LN.stale_screenings(spark, path, {"decontam_fp": "f3" * 8})
+    rows = stale.collect()
+    assert {r.slice_id for r in rows} == {"web", "books", "wiki"}
+    assert all(r.stale_keys == "decontam_fp" for r in rows)
+    with pytest.raises(ValueError, match="at least one"):
+        LN.stale_screenings(spark, path, {})
+    with pytest.raises(ValueError, match="no provenance column"):
+        LN.stale_screenings(spark, path, {"nonexistent_fp": "x"})
+
+    drift = {r.slice_id: r for r in LN.manifest_drift(spark, path).collect()}
+    assert set(drift) == {"web", "books", "wiki"}
+    assert drift["wiki"].content_changed and drift["wiki"].admitted_changed
+    assert not drift["web"].content_changed
+    assert not drift["books"].content_changed
+    assert (drift["wiki"].run_id, drift["wiki"].prev_run_id) == (2, 1)
+
+
+def test_manifest_matches_registered_query_on_real_table(spark, sf_dir):
+    """The operator over the real documents table agrees with the
+    registered (oracle-checked) query's own aggregation when the
+    screen admits everything — a cheap cross-pin that the fp algebra
+    is slice-content-only."""
+    d = load_table(spark, sf_dir, "documents")
+    out = LN.slice_lineage_manifest(d, d, slice_col="source")
+    rows = out.collect()
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert r.content_fp == r.admitted_fp
+        assert len(r.content_fp) == 16
+
+
+def test_lineage_plan_is_parallel(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    plan = (
+        LN.slice_lineage_manifest(d, d, slice_col="source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

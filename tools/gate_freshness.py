@@ -59,7 +59,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "corpus_ops": ("doc_unigram_logprob", "source_mix_plan", "doc_sample_by_lang",
                    "doc_chunks", "doc_balanced_by_source", "tfidf_top_terms"),
     "packing": ("token_shard_assignment", "spfhp_pack_assignments",
-                "spfhp_pack_efficiency"),
+                "spfhp_pack_efficiency", "spfhp_shard_layout"),
     "exact_dedup": ("exact_duplicate_groups", "dedup_exact_survivors",
                     "duplicate_chunks"),
     "ngram_dedup": ("ngram_duplicate_pairs", "ngram_containment_pairs"),
@@ -68,6 +68,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "dedup_closure": ("dedup_representatives",),
     "decontamination": ("ngram_decontaminated_docs", "decontaminated_docs"),
     "decontam_index": ("decontam_index_overlaps", "decontam_screen_survivors"),
+    "corpus_lineage": ("corpus_slice_lineage",),
     "corpus_pipeline": ("training_corpus_manifest",),
     "semantic_dedup": ("semantic_dedup_survivors",),
     "knn": ("knn_bruteforce", "knn_bruteforce_vectorized"),
@@ -221,6 +222,8 @@ NEW_IN_ROUND: dict[str, int] = {
     "text_classification": 14,
     "data_selection": 14,
     "lm_scoring": 14,
+    "decontam_index": 15,
+    "corpus_lineage": 15,
 }
 
 
