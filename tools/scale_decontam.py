@@ -1,4 +1,7 @@
-"""Measured scaling for the r14 incremental-decontamination tier.
+"""Measured scaling for the incremental-decontamination tier
+(r14; re-measured r15 after the single-pass probe fix — the ADVICE
+r14 no-rederivation item: hits pinned, denominator re-gram pruned to
+flagged docs).
 
 The persisted benchmark gram index claims corpus-side near-linearity
 (stored grams broadcast into the corpus explode; nothing corpus-sized
@@ -11,7 +14,7 @@ codegen compile is constant in SF and would flatten every slope at
 the small end). The build leg is timed once per point over the same
 fixed benchmark to show it is corpus-independent.
 
-    python tools/scale_decontam.py      # → SCALING_DECONTAM_r14.json
+    python tools/scale_decontam.py      # → SCALING_DECONTAM_r15.json
 """
 
 from __future__ import annotations
@@ -86,7 +89,7 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(idx_dir, ignore_errors=True)
-    dst = os.path.join(REPO, "SCALING_DECONTAM_r14.json")
+    dst = os.path.join(REPO, "SCALING_DECONTAM_r15.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {dst}")
