@@ -195,6 +195,61 @@ def load_index_state(spark: SparkSession, path: str):
     return _read_meta(spark, path), _hot_shingles(spark, path)
 
 
+def minhash_index_fingerprint(spark: SparkSession, path: str) -> str:
+    """Content fingerprint of the LIVE index generation — the
+    provenance handle a lineage manifest records next to every slice
+    screened through this index (``operators.lineage``, the
+    ``decontam_index_fingerprint`` discipline one tier over): the
+    16-hex XOR of (a) every live signature row (doc + h0..h{p-1},
+    tombstoned docs excluded), (b) the hot-shingle governor set, and
+    (c) the driver-side md5-prefix of the frozen knob tuple. A pure
+    function of screen-relevant CONTENT: invariant under compaction,
+    append order, and file layout; changed by any membership,
+    tombstone, governor, or knob difference — same fingerprint ⇒
+    bit-identical screen behavior. Cost: one scan + partial-XOR
+    aggregation over the signature table (O(index), run at
+    generation events — never per batch)."""
+    import hashlib
+
+    meta, hot = load_index_state(spark, path)
+    from ..functions import textops as TX
+
+    sigs = spark.read.parquet(f"{path}/sigs")
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        sigs = sigs.join(
+            F.broadcast(tomb.withColumnRenamed("tomb_id", "doc")),
+            "doc",
+            "left_anti",
+        )
+
+    def _xor(df: DataFrame, cols: list[str]) -> int:
+        row = (
+            df.select(
+                TX.shared_token_hash60(
+                    F.concat_ws(":", *[F.col(c).cast("string") for c in cols])
+                ).alias("_h")
+            )
+            .agg(F.expr("bit_xor(_h)").alias("_fp"))
+            .collect()[0]
+        )
+        return int(row["_fp"] or 0)
+
+    fp = _xor(sigs, ["doc"] + [f"h{i}" for i in range(int(meta.num_perm))])
+    if hot is not None:
+        fp ^= _xor(hot, ["shingle"])
+    knobs = ":".join(
+        str(meta[f])
+        for f in (
+            "num_perm", "band_rows", "seed", "base_hash", "n", "unit",
+            "max_shingle_freq",
+        )
+    )
+    # the same 60-bit md5-prefix primitive, driver-side (one tuple)
+    fp ^= int(hashlib.md5(knobs.encode()).hexdigest()[:15], 16)
+    return format(fp, "016x")
+
+
 def build_minhash_index(
     corpus: DataFrame,
     path: str,

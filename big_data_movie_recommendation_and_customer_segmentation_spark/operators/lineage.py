@@ -77,6 +77,31 @@ def _slice_fp(
     )
 
 
+def relation_fingerprint(df: DataFrame, cols: list[str]) -> str:
+    """Generic provenance handle: the 16-hex XOR of the shared
+    60-bit md5-prefix hash over the ':'-joined string forms of
+    ``cols`` — order-insensitive, a pure function of the relation's
+    content on those columns. This is how non-index screening state
+    gets an identity a manifest can record: a fitted NB/LM model
+    table, a governor set, a threshold config relation. One bounded
+    aggregation (partial XOR rides the shuffle as a single value per
+    task); the empty relation fingerprints to '0'*16 — replayable in
+    DuckDB as ``bit_xor(('0x'||substr(md5(...),1,15))::BIGINT)``."""
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    row = (
+        df.select(
+            TX.shared_token_hash60(
+                F.concat_ws(":", *[F.col(c).cast("string") for c in cols])
+            ).alias("_h")
+        )
+        .agg(F.expr("bit_xor(_h)").alias("_fp"))
+        .collect()[0]
+    )
+    fp = row["_fp"]
+    return format(fp if fp is not None else 0, "016x")
+
+
 def slice_lineage_manifest(
     corpus: DataFrame,
     admitted: DataFrame,

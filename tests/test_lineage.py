@@ -167,6 +167,60 @@ def test_manifest_matches_registered_query_on_real_table(spark, sf_dir):
         assert len(r.content_fp) == 16
 
 
+def test_relation_fingerprint_generic_handle(spark):
+    """The generic provenance handle: order/partitioning-insensitive,
+    content- and column-sensitive, zero sentinel on empty, contract
+    error on no columns."""
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    fp = LN.relation_fingerprint(df, ["k", "v"])
+    assert len(fp) == 16
+    assert fp == LN.relation_fingerprint(df.orderBy(F.col("k").desc()).repartition(5), ["k", "v"])
+    assert fp != LN.relation_fingerprint(df.filter("k < 3"), ["k", "v"])
+    assert fp != LN.relation_fingerprint(df, ["k"])  # column-sensitive
+    assert LN.relation_fingerprint(df.filter("k > 99"), ["k"]) == "0" * 16
+    with pytest.raises(ValueError, match="at least one column"):
+        LN.relation_fingerprint(df, [])
+
+
+def test_minhash_index_fingerprint_is_content_pure(spark, tmp_path):
+    """The dedup index's generation handle (completing the manifest's
+    provenance set alongside decontam_index_fingerprint): invariant
+    under rebuild order and compaction; changed by tombstones, knob
+    differences, and membership; restored exactly with the content."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        dedup_index as DI,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different content about rivers and weather"),
+        (3, "a third topic concerning indexes and partition pruning"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    DI.build_minhash_index(docs, p1, n=3, base_hash="md5")
+    DI.build_minhash_index(
+        docs.orderBy(F.col("doc_id").desc()).repartition(3), p2, n=3, base_hash="md5"
+    )
+    fp = DI.minhash_index_fingerprint(spark, p1)
+    assert len(fp) == 16
+    assert fp == DI.minhash_index_fingerprint(spark, p2)
+
+    # knob difference flips it even on identical content
+    p3 = str(tmp_path / "c")
+    DI.build_minhash_index(docs, p3, n=3, base_hash="md5", band_rows=4)
+    assert DI.minhash_index_fingerprint(spark, p3) != fp
+
+    # tombstone changes the live content; compaction does not
+    DI.delete_from_minhash_index(
+        spark.createDataFrame([(3,)], "doc_id long"), p1
+    )
+    fp_tomb = DI.minhash_index_fingerprint(spark, p1)
+    assert fp_tomb != fp
+    DI.compact_minhash_index(p1, spark)
+    assert DI.minhash_index_fingerprint(spark, p1) == fp_tomb
+
+
 def test_lineage_plan_is_parallel(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     plan = (
