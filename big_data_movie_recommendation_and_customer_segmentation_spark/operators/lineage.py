@@ -132,13 +132,24 @@ def slice_lineage_manifest(
     audit's whole point)."""
     full = _slice_fp(corpus, slice_col, id_col, text_col, "n_docs", "content_fp")
     kept = _slice_fp(admitted, slice_col, id_col, text_col, "n_admitted", "admitted_fp")
+    # UNHINTED join: both sides are per-slice aggregates, tiny for any
+    # sane slice key — but the cardinality is the CALLER's slice_col
+    # choice, so forcing a broadcast here would OOM on a degenerate
+    # doc-grained key. AQE broadcasts the normal case on its own.
     out = (
-        full.join(F.broadcast(kept), "slice_id", "left")
+        full.join(kept, "slice_id", "left")
         .fillna({"n_admitted": 0, "admitted_fp": "0" * 16})
     )
     for key in sorted(provenance or {}):
         out = out.withColumn(key, F.lit(str((provenance or {})[key])))
     return out
+
+
+# Manifest appends coalesce to one file only below this row count —
+# the "operational metadata" contract ENFORCED, not assumed (the
+# decontam_index.COALESCE_GRAM_LIMIT rule): above it, someone passed a
+# document-grained relation as manifest entries.
+COALESCE_ENTRY_LIMIT = 1_000_000
 
 
 def append_manifest(entries: DataFrame, path: str, run_id: int) -> None:
@@ -148,9 +159,26 @@ def append_manifest(entries: DataFrame, path: str, run_id: int) -> None:
     a data-version number): deterministic and replayable, unlike a
     wall-clock stamp. Idempotent replay of a run is the caller's
     epoch-overwrite concern; the manifest is the durable log."""
-    entries.withColumn("run_id", F.lit(int(run_id))).coalesce(1).write.mode(
-        "append"
-    ).parquet(path)
+    import warnings
+
+    stamped = entries.withColumn("run_id", F.lit(int(run_id))).localCheckpoint(
+        eager=True
+    )
+    try:
+        if stamped.count() > COALESCE_ENTRY_LIMIT:
+            warnings.warn(
+                f"manifest append exceeds {COALESCE_ENTRY_LIMIT} rows — this "
+                "is not slice-grained metadata; writing with natural "
+                "partitioning",
+                stacklevel=2,
+            )
+            stamped.write.mode("append").parquet(path)
+        else:
+            stamped.coalesce(1).write.mode("append").parquet(path)
+    finally:
+        from .dedup_index import _release_pin
+
+        _release_pin(stamped)
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:

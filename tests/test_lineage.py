@@ -153,6 +153,31 @@ def test_manifest_lifecycle_latest_stale_drift(spark, tmp_path):
     assert (drift["wiki"].run_id, drift["wiki"].prev_run_id) == (2, 1)
 
 
+def test_append_entry_limit_contract_guard(spark, tmp_path, monkeypatch):
+    """The operational-metadata contract is enforced (the
+    decontam COALESCE_GRAM_LIMIT rule): appends beyond the entry
+    limit warn and keep natural partitioning instead of silently
+    serializing through one task; normal appends land single-file."""
+    import glob
+    import warnings as W
+
+    corpus = _corpus(spark)
+    entries = LN.slice_lineage_manifest(corpus, corpus, slice_col="source")
+    path = str(tmp_path / "m")
+    monkeypatch.setattr(LN, "COALESCE_ENTRY_LIMIT", 2)
+    with pytest.warns(UserWarning, match="slice-grained"):
+        LN.append_manifest(entries, path, run_id=1)
+    monkeypatch.setattr(LN, "COALESCE_ENTRY_LIMIT", 1_000_000)
+    with W.catch_warnings():
+        W.simplefilter("error")
+        LN.append_manifest(entries, path, run_id=2)
+    assert LN.read_manifest(spark, path).count() == 6
+    # run 2's append is exactly one new data file beyond run 1's
+    assert len(glob.glob(f"{path}/part-*")) >= 2
+    latest = LN.latest_manifest(spark, path)
+    assert latest.count() == 3 and all(r.run_id == 2 for r in latest.collect())
+
+
 def test_manifest_matches_registered_query_on_real_table(spark, sf_dir):
     """The operator over the real documents table agrees with the
     registered (oracle-checked) query's own aggregation when the
