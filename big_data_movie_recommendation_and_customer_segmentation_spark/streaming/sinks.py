@@ -409,6 +409,7 @@ def decontam_gate_writer(
     text_col: str = "text",
     min_hits: int = 1,
     reject_path: str | None = None,
+    manifest_path: str | None = None,
 ):
     """Return a ``foreachBatch`` function implementing BENCHMARK
     decontamination as a stream (the third gate in the admission
@@ -428,8 +429,22 @@ def decontam_gate_writer(
     batch's own previous output. Gram geometry derives from the
     index's meta; per-batch cost is the batch's own explode +
     broadcast join (the bounded gram table broadcasts — benchmark
-    suites are MBs against any corpus)."""
+    suites are MBs against any corpus).
+
+    ``manifest_path`` (r15): when given, every batch ALSO lands one
+    ``operators.lineage`` row under the same epoch discipline —
+    (slice_id = the batch id, n_docs, content_fp, n_admitted,
+    admitted_fp, decontam_fp, run_id = batch id) — so the stream
+    builds its own cross-run provenance log as it admits data:
+    ``stale_screenings(spark, manifest_path, {"decontam_fp": live})``
+    later yields exactly the batches that predate a benchmark change.
+    The index fingerprint is computed ONCE (first batch) and reused —
+    the index is frozen for the stream's lifetime; the manifest write
+    is epoch-overwritten, so replays update their own row instead of
+    appending duplicates."""
     from ..operators import decontam_index as DC
+
+    _fp_cache: list[str] = []
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators import dedup_index as DI
@@ -457,6 +472,23 @@ def decontam_gate_writer(
                 if reject_path is not None:
                     rejected = batch_df.join(F.broadcast(flagged), id_col)
                     idempotent_epoch_writer(reject_path)(rejected, batch_id)
+                if manifest_path is not None:
+                    from ..operators import lineage as LN
+
+                    if not _fp_cache:
+                        _fp_cache.append(
+                            DC.decontam_index_fingerprint(spark, index_path)
+                        )
+                    tag = F.lit(str(batch_id))
+                    entry = LN.slice_lineage_manifest(
+                        batch_df.withColumn("_slice", tag),
+                        survivors.withColumn("_slice", tag),
+                        slice_col="_slice",
+                        id_col=id_col,
+                        text_col=text_col,
+                        provenance={"decontam_fp": _fp_cache[0]},
+                    ).withColumn("run_id", F.lit(int(batch_id)))
+                    idempotent_epoch_writer(manifest_path)(entry, batch_id)
             finally:
                 overlaps.unpersist()
 

@@ -192,6 +192,48 @@ def test_manifest_matches_registered_query_on_real_table(spark, sf_dir):
         assert len(r.content_fp) == 16
 
 
+def test_streaming_gate_writes_epoch_manifest(spark, tmp_path):
+    """The decontam gate's lineage leg: every batch lands one manifest
+    row under the epoch discipline (replay overwrites its own row, no
+    duplicates), stamped with the frozen index's fingerprint — so
+    stale_screenings over the stream's own manifest yields exactly
+    the batches that predate a benchmark change."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        decontam_index as DC,
+    )
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming import (
+        sinks as SK,
+    )
+
+    A = "the quick brown fox jumps over the lazy dog every single morning"
+    B = "completely different content about rivers mountains and weather"
+    C = "a third topic entirely concerning databases and partition pruning"
+    idx = str(tmp_path / "idx")
+    DC.build_decontam_index(
+        spark.createDataFrame([("b1", A)], "bench_id string, text string"), idx
+    )
+    live_fp = DC.decontam_index_fingerprint(spark, idx)
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    write = SK.decontam_gate_writer(out, idx, manifest_path=man)
+    b0 = spark.createDataFrame([(1, A), (2, B)], "doc_id long, text string")
+    write(b0, 0)
+    write(spark.createDataFrame([(3, C)], "doc_id long, text string"), 1)
+    write(b0, 0)  # at-least-once replay: epoch 0 overwritten, not appended
+
+    m = LN.read_manifest(spark, man)
+    rows = {r.slice_id: r for r in m.collect()}
+    assert len(rows) == 2 and m.count() == 2  # no replay duplicates
+    assert (rows["0"].n_docs, rows["0"].n_admitted) == (2, 1)  # doc 1 rejected
+    assert (rows["1"].n_docs, rows["1"].n_admitted) == (1, 1)
+    assert rows["0"].decontam_fp == live_fp
+    assert rows["0"].admitted_fp != rows["0"].content_fp
+    assert rows["1"].admitted_fp == rows["1"].content_fp
+    # the provenance question the manifest exists to answer
+    assert LN.stale_screenings(spark, man, {"decontam_fp": live_fp}).count() == 0
+    stale = LN.stale_screenings(spark, man, {"decontam_fp": "f" * 16})
+    assert stale.count() == 2
+
+
 def test_relation_fingerprint_generic_handle(spark):
     """The generic provenance handle: order/partitioning-insensitive,
     content- and column-sensitive, zero sentinel on empty, contract
