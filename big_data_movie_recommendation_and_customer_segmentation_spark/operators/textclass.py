@@ -710,3 +710,32 @@ def load_bigram_lm(spark, path: str):
         spark.read.parquet(f"{path}/bi"),
         meta,
     )
+
+
+def lm_model_fingerprint(spark, path: str) -> str:
+    """Content fingerprint of a persisted LM generation — the "filter
+    model id" a lineage manifest records next to every slice the LM
+    gate screened (``operators.lineage``, the
+    ``decontam_index_fingerprint`` discipline for model state): the
+    16-hex XOR of both count tables (tagged per table, so swapping
+    uni↔bi content cannot collide) and the driver-side md5-prefix of
+    the frozen knob tuple. A pure function of score-relevant content —
+    invariant under file layout; changed by any refit, knob, or count
+    difference. Two bounded-table aggregations (≤ num_buckets rows
+    each)."""
+    import hashlib
+
+    from .lineage import relation_fingerprint
+
+    uni, bi, meta = load_bigram_lm(spark, path)
+    fp = int(
+        relation_fingerprint(uni.withColumn("_t", F.lit("uni")), ["_t", "bucket", "c"]),
+        16,
+    )
+    fp ^= int(
+        relation_fingerprint(bi.withColumn("_t", F.lit("bi")), ["_t", "bucket", "c"]),
+        16,
+    )
+    knobs = f"{meta.num_buckets}:{meta.base_hash}:{meta.n_tokens}"
+    fp ^= int(hashlib.md5(knobs.encode()).hexdigest()[:15], 16)
+    return format(fp, "016x")

@@ -306,6 +306,7 @@ def lm_quality_gate_writer(
     max_ppl: float = 1000.0,
     reject_path: str | None = None,
     backoff: float = 0.4,
+    manifest_path: str | None = None,
 ):
     """Return a ``foreachBatch`` function implementing MODEL-BASED
     quality admission (the CCNet perplexity filter as a stream): each
@@ -335,6 +336,15 @@ def lm_quality_gate_writer(
     likewise upstream's contract (compose ``dedup_append_writer``
     before this gate): duplicate ids pool their transitions into ONE
     score applied to every duplicate row.
+
+    ``manifest_path`` (r15): when given, every batch ALSO lands one
+    ``operators.lineage`` row under the same epoch discipline —
+    (slice_id = the batch id, counts, content/admitted fingerprints,
+    ``lm_model_fp`` = the frozen model's content fingerprint plus the
+    ``lm_max_ppl`` threshold) — the decontam gate's lineage leg, one
+    gate over. Model fingerprint computed ONCE at construction (the
+    model is frozen for the stream); the epoch overwrite keeps
+    replays duplicate-free.
     """
     from pyspark.sql import SparkSession
 
@@ -346,6 +356,11 @@ def lm_quality_gate_writer(
             "lm_quality_gate_writer loads the frozen model at construction "
             "time — build the writer with an active SparkSession"
         )
+    model_fp = (
+        TC.lm_model_fingerprint(spark, model_path)
+        if manifest_path is not None
+        else None
+    )
     uni, bi, meta = TC.load_bigram_lm(spark, model_path)
     # bounded tables (≤ num_buckets rows) pinned once for the whole
     # stream — every batch broadcasts them without re-reading parquet
@@ -392,6 +407,22 @@ def lm_quality_gate_writer(
                     id_col,
                 )
                 idempotent_epoch_writer(reject_path)(rejected, batch_id)
+            if manifest_path is not None:
+                from ..operators import lineage as LN
+
+                tag = F.lit(str(batch_id))
+                entry = LN.slice_lineage_manifest(
+                    batch_df.withColumn("_slice", tag),
+                    admitted.withColumn("_slice", tag),
+                    slice_col="_slice",
+                    id_col=id_col,
+                    text_col=text_col,
+                    provenance={
+                        "lm_max_ppl": str(max_ppl),
+                        "lm_model_fp": model_fp,
+                    },
+                ).withColumn("run_id", F.lit(int(batch_id)))
+                idempotent_epoch_writer(manifest_path)(entry, batch_id)
         finally:
             # batch-scoped cache: release once both epoch writes
             # land, else a long-running stream grows the block

@@ -234,6 +234,60 @@ def test_streaming_gate_writes_epoch_manifest(spark, tmp_path):
     assert stale.count() == 2
 
 
+def test_lm_gate_writes_epoch_manifest_with_model_fingerprint(spark, tmp_path):
+    """The LM gate's lineage leg: one manifest row per batch stamped
+    with the frozen model's content fingerprint + threshold — and the
+    fingerprint itself is a pure function of the fitted model
+    (identical fit ⇒ identical handle; different training corpus ⇒
+    different handle)."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        textclass as TC,
+    )
+    from big_data_movie_recommendation_and_customer_segmentation_spark.streaming import (
+        sinks as SK,
+    )
+
+    DOC = "doc_id long, text string"
+    good = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lazy dog sleeps while the quick fox jumps",
+        "a quick fox and a lazy dog play in the yard",
+    ]
+    ref = spark.createDataFrame(list(enumerate(good)), DOC)
+    B = 4096
+    uni, bi, n = TC.fit_bigram_lm(ref, "doc_id", "text", num_buckets=B)
+    m1, m2 = str(tmp_path / "lm1"), str(tmp_path / "lm2")
+    TC.save_bigram_lm(uni, bi, n, m1, num_buckets=B)
+    TC.save_bigram_lm(uni, bi, n, m2, num_buckets=B)
+    fp = TC.lm_model_fingerprint(spark, m1)
+    assert len(fp) == 16
+    assert fp == TC.lm_model_fingerprint(spark, m2)  # same fit, same handle
+    other = spark.createDataFrame(
+        [(0, "entirely different training text about rivers and rain")], DOC
+    )
+    u2, b2, n2 = TC.fit_bigram_lm(other, "doc_id", "text", num_buckets=B)
+    m3 = str(tmp_path / "lm3")
+    TC.save_bigram_lm(u2, b2, n2, m3, num_buckets=B)
+    assert TC.lm_model_fingerprint(spark, m3) != fp
+
+    out, man = str(tmp_path / "out"), str(tmp_path / "man")
+    write = SK.lm_quality_gate_writer(out, m1, max_ppl=50.0, manifest_path=man)
+    b0 = spark.createDataFrame(
+        [(10, good[0]), (11, "zz qq xx vv kk jj pp ww uu yy")], DOC
+    )
+    write(b0, 0)
+    write(b0, 0)  # replay: epoch overwrite, no duplicates
+    m = LN.read_manifest(spark, man)
+    assert m.count() == 1
+    row = m.collect()[0]
+    assert (row.slice_id, row.n_docs, row.n_admitted) == ("0", 2, 1)
+    assert row.lm_model_fp == fp and row.lm_max_ppl == "50.0"
+    assert LN.stale_screenings(spark, man, {"lm_model_fp": fp}).count() == 0
+    assert LN.stale_screenings(
+        spark, man, {"lm_model_fp": TC.lm_model_fingerprint(spark, m3)}
+    ).count() == 1
+
+
 def test_relation_fingerprint_generic_handle(spark):
     """The generic provenance handle: order/partitioning-insensitive,
     content- and column-sensitive, zero sentinel on empty, contract
