@@ -18,10 +18,17 @@ from big_data_movie_recommendation_and_customer_segmentation_spark.plans import 
 #                        blocked-matmul by construction
 #   purchase_value_lift  cum_capture window over n_buckets(=10) rows
 #   source_mix_plan      temperature-mix window over |sources| rows
+#   mixture_epoch_*      same temperature-mix normalizing window,
+#                        over |langs| rows (epoch_allocation consumes
+#                        temperature_mix_plan; the materialize itself
+#                        is shuffle-free — tests/test_mixture.py)
 ALLOWED = {
     "als_recommendations": {"cartesian"},
     "purchase_value_lift": {"single_partition"},
     "source_mix_plan": {"single_partition"},
+    "mixture_epoch_materialization": {"single_partition"},
+    "mixture_epoch_audit": {"single_partition"},
+    "mixture_shard_profile": {"single_partition"},
 }
 
 
