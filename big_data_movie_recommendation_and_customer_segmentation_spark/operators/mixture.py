@@ -89,10 +89,15 @@ def epoch_allocation(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     out = (
+        # Complete-case: a NULL group/weight or non-positive token
+        # mass would otherwise propagate NULL into repeat_milli and
+        # silently drop the group inside materialize's sequence()
+        # (the temperature_mix_plan r10 lesson, one tier down).
         plan.filter(
             F.col(group_col).isNotNull()
             & F.col(tokens_col).isNotNull()
             & (F.col(tokens_col) > 0)
+            & F.col(weight_col).isNotNull()
         )
         .select(
             group_col,

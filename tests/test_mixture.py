@@ -59,7 +59,8 @@ def test_allocation_contracts(spark):
         MX.epoch_allocation(plan, budget=100_000_000, group_col="grp")
     # zero/NULL-token groups are dropped, not divided by
     degenerate = spark.createDataFrame(
-        [("web", 1000, 0.5), ("empty", 0, 0.25), ("mist", None, 0.25)], PLAN
+        [("web", 1000, 0.5), ("empty", 0, 0.25), ("mist", None, 0.25), ("now", 500, None)],
+        PLAN,
     )
     out = MX.epoch_allocation(degenerate, budget=1000, group_col="grp")
     assert [r.grp for r in out.collect()] == ["web"]
@@ -165,6 +166,49 @@ def test_materialize_plan_is_map_side_only(spark):
     assert "Exchange SinglePartition" not in plan_str
     assert "BatchEvalPython" not in plan_str
     assert "Generate" in plan_str  # the epoch explode
+
+
+def test_allocation_fingerprint_feeds_lineage(spark, tmp_path):
+    """Tier integration: the epoch allocation is screening state a
+    lineage manifest can record — ``relation_fingerprint`` over its
+    (group, repeat_milli) content is the mixture-recipe handle. A
+    budget change re-fingerprints, and ``stale_screenings`` turns
+    that into the exact re-materialization worklist. The manifest
+    keys rows by the composite (doc, epoch) identity: same-(id,text)
+    epoch copies would XOR-cancel under the raw doc_id."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        lineage as LN,
+    )
+
+    docs = _docs(spark).withColumn("text", F.concat_ws("-", "grp", "doc_id"))
+    plan = spark.createDataFrame([("web", 186, 0.5), ("books", 186, 0.5)], PLAN)
+    path = str(tmp_path / "manifest")
+
+    def run(budget, run_id):
+        alloc = MX.epoch_allocation(plan, budget=budget, group_col="grp")
+        fp = LN.relation_fingerprint(alloc, ["grp", "repeat_milli"])
+        mat = MX.materialize_mixture(
+            docs, alloc, group_col="grp", id_col="doc_id"
+        ).withColumn(
+            "mix_id",
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("epoch")),
+        )
+        rows = LN.slice_lineage_manifest(
+            mat, mat, slice_col="grp", id_col="mix_id",
+            provenance={"mixture_fp": fp},
+        )
+        LN.append_manifest(rows, path, run_id)
+        return fp
+
+    fp1 = run(2 * 186, 1)
+    assert LN.stale_screenings(spark, path, {"mixture_fp": fp1}).count() == 0
+    fp2 = run(3 * 186, 2)  # budget change -> new recipe handle
+    assert fp2 != fp1
+    stale = LN.stale_screenings(spark, path, {"mixture_fp": fp1})
+    assert stale.count() == 2 and all(
+        r.stale_keys == "mixture_fp" for r in stale.collect()
+    )
+    assert LN.stale_screenings(spark, path, {"mixture_fp": fp2}).count() == 0
 
 
 def test_materialized_counts_match_duckdb(spark, sf_dir, duck):
