@@ -23,6 +23,7 @@ from . import queries_index  # noqa: F401  (registers r13 dedup-index/substring 
 from . import queries_textclass  # noqa: F401  (registers r14 model-based tier queries)
 from . import queries_decontam  # noqa: F401  (registers r15 decontam-index/SPFHP queries)
 from . import queries_mixture  # noqa: F401  (registers r15 mixture-materialization queries)
+from . import queries_bpe  # noqa: F401  (registers r15 BPE vocabulary-induction query)
 
 # The curated driver gate: 50 slots.
 # 29 core rows (every SURVEY §2 family that was green r02 keeps a
