@@ -53,6 +53,8 @@ NOTES = {
     "decontam_index_overlaps": "Decontam index probe (r15): ONE corpus explode + distinct feeding a BroadcastHashJoin against the stored gram table, doc-keyed hit agg (rendered un-pinned here; production pins it — Scan ExistingRDD boundary), then the flagged set broadcast-LeftSemi prunes the corpus BEFORE the candidate-bounded denominator re-gram.",
     "spfhp_pack_assignments": "SPFHP packing (r15): bounded histogram collect feeds the driver-side greedy; slotting is a row_number window PARTITIONED BY length (parallel across length classes) + a broadcast demand-table join with rank-range routing — no SinglePartition exchange.",
     "corpus_slice_lineage": "Corpus lineage (r15): two per-slice XOR-fingerprint aggs (partial XOR rides the shuffle, one row per slice), screen subtree pruned by the broadcast flagged set, unhinted slice-key join (AQE broadcasts the sane case).",
+    "mixture_epoch_materialization": "Mixture materialization (r15): the #langs-row allocation (temperature plan + milli-epoch quantization) broadcasts into the corpus scan; epoch expansion is a Generate (sequence explode) and the fractional-epoch gate an md5 filter — zero data shuffles before the final counting agg.",
+    "bpe_vocab_merges": "BPE induction (r15): one explode+partial-agg word count, TakeOrderedAndProject top-V (per-task heaps, O(V) driver); the merge table itself is driver-computed on the bounded histogram, so the rendered plan is the histogram scan — the corpus never feeds the loop.",
 }
 
 
