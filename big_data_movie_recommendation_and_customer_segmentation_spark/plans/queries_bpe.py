@@ -20,6 +20,29 @@ from ..sources import load_table
 from .queries import query
 
 
+@query(
+    "bpe_word_histogram",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    x -> x <> '')) AS word
+      FROM documents
+    ),
+    c AS (SELECT word, count(*) AS n FROM w GROUP BY 1)
+    SELECT word, n FROM c ORDER BY n DESC, word ASC LIMIT 500
+    """,
+)
+def bpe_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The induction's stage-1 relation, value-checked end to end:
+    top-500 words by (count desc, word asc) — one explode +
+    map-side-combined count + TakeOrderedAndProject (per-task 500-row
+    heaps, O(V) driver memory at any corpus size). The `bpe` family's
+    value anchor vouching the rows-only merge table (the ALS
+    pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    return B.word_histogram(d, top_v=500)
+
+
 @query("bpe_vocab_merges")
 def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge table trained on documents (operators/bpe.py): top-500

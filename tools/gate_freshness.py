@@ -69,6 +69,9 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "decontamination": ("ngram_decontaminated_docs", "decontaminated_docs"),
     "decontam_index": ("decontam_index_overlaps", "decontam_screen_survivors"),
     "corpus_lineage": ("corpus_slice_lineage",),
+    "mixture": ("mixture_epoch_materialization", "mixture_epoch_audit",
+                "mixture_shard_profile"),
+    "bpe": ("bpe_word_histogram", "bpe_vocab_merges"),
     "corpus_pipeline": ("training_corpus_manifest",),
     "semantic_dedup": ("semantic_dedup_survivors",),
     "knn": ("knn_bruteforce", "knn_bruteforce_vectorized"),
@@ -224,6 +227,8 @@ NEW_IN_ROUND: dict[str, int] = {
     "lm_scoring": 14,
     "decontam_index": 15,
     "corpus_lineage": 15,
+    "mixture": 15,
+    "bpe": 15,
 }
 
 
