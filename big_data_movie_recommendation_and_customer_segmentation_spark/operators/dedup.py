@@ -80,10 +80,20 @@ def _shingle_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int, unit: str = "word"
 ) -> DataFrame:
     """(doc, shingle) exploded relation — the dedup analog of the
-    user×item rated relation. ``unit`` per ``_shingle_fn``."""
+    user×item rated relation. ``unit`` per ``_shingle_fn``.
+
+    The input is spread to core-count partitions first when it is a
+    small scan (io.spread_for_expansion, guide §2.5): the explode
+    multiplies every doc into O(|tokens|) shingle rows, so a
+    row-group-starved scan would otherwise hash and dedup the whole
+    corpus on 1-3 tasks. Shingle keys are exact integers/strings —
+    partitioning cannot change any downstream value."""
+    from ..sources.io import spread_for_expansion
+
     shingles = _shingle_fn(unit)
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle"))
+        spread_for_expansion(df)
+        .select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -159,10 +169,13 @@ def ngram_jaccard_pairs(
     if hash_shingles:
         # hash BEFORE the distinct so even that first shuffle moves
         # 8-byte ints; the distinct then deduplicates at hash level
-        # (mirrored in the oracle)
+        # (mirrored in the oracle). Input spread first, same reasoning
+        # as _shingle_pairs (guide §2.5).
+        from ..sources.io import spread_for_expansion
+
         shingles = _shingle_fn(unit)
         pairs = (
-            df.select(
+            spread_for_expansion(df).select(
                 F.col(id_col).alias("doc"),
                 F.explode(shingles(text_col, n)).alias("_s"),
             )
@@ -674,17 +687,35 @@ def dedup_representatives(pairs: DataFrame, rounds: int | None = 3) -> DataFrame
         for _ in range(rounds - 1):
             labels = one_round(labels)
     else:
-        labels = labels.localCheckpoint()
+        # Fixpoint loop, changed-flag fused (r15 optimization, same
+        # shape as graph.connected_components): the old loop paid a
+        # convergence join + count() per round; `_chg` now rides in
+        # the checkpointed labels and convergence is a short-circuit
+        # take(1) scan. Frontier propagation: only reps that DECREASED
+        # last round need re-propagating (min-label monotonicity —
+        # identical fixpoint, pinned by the long-chain test).
+        edges_ck = edges.localCheckpoint(eager=False)
+        labels = labels.withColumn("_chg", F.lit(True)).localCheckpoint()
         while True:
-            nxt = one_round(labels).localCheckpoint()
-            changed = (
-                nxt.withColumnsRenamed({"rep": "new_rep"})
-                .join(labels, "doc_id")
-                .filter(F.col("new_rep") != F.col("rep"))
-                .count()
+            frontier = labels.filter(F.col("_chg")).select(
+                F.col("doc_id").alias("b"), F.col("rep").alias("nrep")
             )
-            labels = nxt
-            if changed == 0:
+            neighbor_reps = (
+                edges_ck.join(frontier, "b")
+                .groupBy(F.col("a").alias("doc_id"))
+                .agg(F.min("nrep").alias("nrep"))
+            )
+            labels = (
+                labels.select("doc_id", "rep")
+                .join(neighbor_reps, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least("rep", "nrep").alias("rep"),
+                    F.coalesce(F.col("nrep") < F.col("rep"), F.lit(False)).alias("_chg"),
+                )
+                .localCheckpoint()
+            )
+            if labels.filter(F.col("_chg")).isEmpty():
                 break
     return labels.filter(F.col("rep") < F.col("doc_id")).select("doc_id", F.col("rep").alias("rep_id"))
 

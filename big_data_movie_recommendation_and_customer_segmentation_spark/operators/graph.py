@@ -237,31 +237,50 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Per-round cost (r15 optimization, guide §2.4 "remove shuffles
+    # outright"): the old loop paid a third join per round — nxt ⋈
+    # labels + count() — just to detect convergence. The changed flag
+    # now rides IN the label relation (`_chg`: this node's label
+    # decreased this round), so convergence is a short-circuiting
+    # take(1) scan of the already-checkpointed labels: one shuffle
+    # join per round removed, same round count.
+    #
+    # Frontier propagation (same fixpoint, standard argument): a
+    # node's label can only decrease via a neighbor whose label
+    # decreased in the PREVIOUS round (round 1: every initial label is
+    # news), so neighbor_min only needs the changed nodes. Labels are
+    # monotone non-increasing mins of exact ints — the fixpoint and
+    # the per-round labels are identical to full propagation; late
+    # rounds shrink from |V| joined rows to the frontier, which AQE
+    # then broadcasts. Measured + value-pinned in
+    # tests/test_graph_eval.py (chain/star/random-graph equivalence).
     labels = (
         e.groupBy("a")
         .agg(F.least(F.min("b"), F.first("a")).alias("lbl"))
         .withColumnRenamed("a", "node")
+        .withColumn("_chg", F.lit(True))  # round 1: all labels are new
         .localCheckpoint()
     )
     for _ in range(max_rounds):
+        frontier = labels.filter(F.col("_chg")).select(
+            F.col("node").alias("b"), F.col("lbl").alias("nlbl")
+        )
         neighbor_min = (
-            e.join(labels.select(F.col("node").alias("b"), F.col("lbl").alias("nlbl")), "b")
+            e.join(frontier, "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("nlbl").alias("nlbl"))
         )
-        nxt = (
-            labels.join(neighbor_min, "node", "left")
-            .select("node", F.least("lbl", "nlbl").alias("lbl"))
+        labels = (
+            labels.select("node", "lbl")
+            .join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least("lbl", "nlbl").alias("lbl"),
+                F.coalesce(F.col("nlbl") < F.col("lbl"), F.lit(False)).alias("_chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            nxt.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = nxt
-        if changed == 0:
+        if labels.filter(F.col("_chg")).isEmpty():
             return labels.select("node", F.col("lbl").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
 

@@ -45,7 +45,13 @@ def knn_bruteforce(
     k rows per probe per task before the final shuffle.
     Output: probe_id, vec_id, cos_sim, rank.
     """
-    joined = corpus.select(id_col, vec_col).crossJoin(
+    from ..sources.io import spread_for_expansion
+
+    # Spread a small corpus scan before the |probes|-way broadcast
+    # cross join (guide §2.5): the cosine is row-local and top-k ties
+    # break by id, so partitioning cannot change results. No-op at
+    # scale.
+    joined = spread_for_expansion(corpus.select(id_col, vec_col)).crossJoin(
         F.broadcast(probes.select(probe_id_col, probe_vec_col))
     )
     scored = joined.select(
@@ -196,14 +202,21 @@ def _nearest_cells(
     lower cell id) — the broadcast routing half shared by corpus
     cell assignment (n=1), probe routing (n=n_probe_cells), and
     stored-index upsert routing."""
+    from ..sources.io import spread_for_expansion
+
     sel = (
         [F.col(key_col)]
         + ([F.col(vec_col)] if keep_vec else [])
         + [F.col("cell"), V.cosine(vec_col, "_cv").alias("_csim")]
     )
     out = [key_col] + ([vec_col] if keep_vec else []) + ["cell"]
+    # Spread a small scan before the n_cells-way broadcast cross join
+    # (guide §2.5): cosine is row-local, ties break by cell id — the
+    # routing is partitioning-independent. No-op at scale.
     return per_group_topk(
-        df.select(key_col, vec_col).crossJoin(F.broadcast(centroids)).select(*sel),
+        spread_for_expansion(df.select(key_col, vec_col))
+        .crossJoin(F.broadcast(centroids))
+        .select(*sel),
         key_col,
         [F.col("_csim").desc(), F.col("cell").asc()],
         n,
@@ -824,7 +837,11 @@ def kmeans_quantized_fit(
     ``kmeans_segments_quantized`` (which now delegates here)."""
     from pyspark.sql import Window
 
-    ve = df.select(
+    from ..sources.io import spread_for_expansion
+
+    # Same input-skew spread as pq_fit's ve (guide §2.5); exact
+    # integers throughout, so partitioning cannot change the fit.
+    ve = spread_for_expansion(df).select(
         F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("d", "xr")
     ).select(
         "vid", "d", F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("x")
@@ -998,7 +1015,14 @@ def pq_fit(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub_d = dim // m
-    ve = df.select(
+    # Spread a small scan before the dim-way posexplode (guide §2.5):
+    # the exploded ve relation feeds every Lloyd round, so a
+    # row-group-starved scan would run the whole fit on 1-3 tasks.
+    # All quantities are exact integers — partitioning-independent.
+    # No-op at scale and on checkpointed residual inputs.
+    from ..sources.io import spread_for_expansion
+
+    ve = spread_for_expansion(df).select(
         F.col(id_col).alias("vid"),
         F.posexplode(_checked_vec(vec_col, dim, "pq_fit input")).alias("gd", "xr"),
     ).select(

@@ -591,8 +591,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df+1))+1, sklearn's formulation). Shuffles: token tf agg, term
     df agg (joined back onto tf), per-doc top-k window. The doc
     count N is a broadcast scalar, not a driver action."""
+    from ..sources.io import spread_for_expansion
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # Spread the small scan before the token explode (guide §2.5):
+    # tf/df are exact count aggs and the score is row-local, so
+    # partitioning cannot change values. No-op at scale.
+    toks = spread_for_expansion(d).select(
         "doc_id", F.explode(TX.tokens(TX.normalized_text("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -280,3 +280,62 @@ def test_triangle_counts_no_triangles_empty(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     assert G.triangle_counts(edges).count() == 0
+
+
+def test_connected_components_frontier_matches_union_find(spark):
+    """Value-pin for the r15 frontier/fused-convergence loop: a seeded
+    random graph with long chains, stars and singletons-via-self-loops
+    must match a driver-side union-find exactly."""
+    import random
+
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        graph as G,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(100, 140)]  # 40-long chain
+    edges += [(500, x) for x in range(501, 520)]  # star
+    edges += [(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # component id = min node id in the component (the operator's
+    # min-label fixpoint), for every edge endpoint
+    nodes = {n for e in edges for n in e}
+    comps = {}
+    for n in nodes:
+        r = find(n)
+        comps.setdefault(r, []).append(n)
+    expected = {n: min(members) for members in comps.values() for n in members}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in G.connected_components(df).collect()}
+    assert got == expected
+
+
+def test_dedup_representatives_fixpoint_frontier_long_chain(spark):
+    """The rounds=None fixpoint (frontier + fused convergence flag)
+    must resolve a 30-link duplicate chain to the single minimum."""
+    from big_data_movie_recommendation_and_customer_segmentation_spark.operators import (
+        dedup as DD,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 31)], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: r["rep_id"] for r in DD.dedup_representatives(pairs, rounds=None).collect()}
+    assert out == {i: 1 for i in range(2, 32)}
