@@ -151,6 +151,16 @@ def revenue_pareto(
     ).withColumn(
         "_neg_rev", (-F.col("revenue_cents")).cast("double")
     )
+    # rev feeds three consumers (the quantile sketch, the bucket
+    # totals, the windowed relation itself — plus the total scalar
+    # below): one lazy localCheckpoint replaces per-consumer
+    # re-aggregation of orders (r15, same measured tradeoff as
+    # materialize_pairs; ~0.2 s warm at sf0.1 and one orders scan per
+    # consumer saved at any scale).
+    from .similarity import materialization_enabled
+
+    if materialization_enabled():
+        rev = rev.localCheckpoint(eager=False)
 
     run = bucketed_running_sum(
         rev,
@@ -161,15 +171,25 @@ def revenue_pareto(
         tiebreak_cols=["customer_id"],
     ).drop("_neg_rev")
 
-    # Bounded scalar; None on an empty relation (float(None) crashed
-    # the driver), 0 when refunds exactly cancel sales, negative when
-    # refunds exceed sales — none of those define a revenue share
-    # (and a negative denominator would flip cum_share's sign and
-    # invert head_flag's '< threshold' reading — ADVICE r12), so the
-    # denominator is NULL unless total > 0; try_divide then yields
-    # NULL cum_share / head_flag instead of an ANSI divide-by-zero
-    # job failure or a misleading negative share.
-    total_cents = run.agg(F.sum("revenue_cents")).first()[0] or 0
+    # Denominator semantics (r11 sweep + ADVICE r12): the total does
+    # not define a revenue share when it is NULL (empty relation),
+    # 0 (refunds exactly cancel sales) or negative (a negative
+    # denominator would flip cum_share's sign and invert head_flag's
+    # '< threshold' reading) — so it is NULL unless total > 0, and
+    # try_divide yields NULL cum_share / head_flag instead of an ANSI
+    # divide-by-zero failure or a misleading negative share.
+    #
+    # r15 optimization (guide §2.4 don't compute twice): the scalar
+    # was ``run.agg(...).first()`` — a driver action that executed the
+    # WHOLE bucketed prefix-sum pipeline once for the scalar and again
+    # for the returned plan (two ~8 executor-second stages in the
+    # profile). The total is identical over the PRE-window ``rev``
+    # relation, so the action now runs on that cheap aggregate
+    # instead; the window pipeline executes once. (Kept as a bounded
+    # driver scalar, not a broadcast-join subquery: a global agg in
+    # the returned plan would add the Exchange SinglePartition the
+    # plan lint bans.)
+    total_cents = rev.agg(F.sum("revenue_cents")).first()[0] or 0
     denom = (
         F.lit(float(total_cents)) if total_cents > 0 else F.lit(None).cast("double")
     )

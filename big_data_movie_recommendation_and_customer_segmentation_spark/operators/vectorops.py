@@ -859,14 +859,29 @@ def kmeans_quantized_fit(
     )
 
     def assign(cent: DataFrame) -> DataFrame:
-        dist = (
-            ve.join(F.broadcast(cent), "d")
-            .groupBy("vid", "cluster")
-            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+        # Same k-columns-instead-of-k-rows assign as pq_fit (r15
+        # optimization, see pq_fit.assign): 1:1 broadcast join on d,
+        # k exact-integer distance sums as agg columns, argmin via
+        # array_position (first min → lowest cluster, the old
+        # min(struct) tie rule). Bit-identical; k× fewer agg rows.
+        cent_arr = cent.groupBy("d").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cluster", "c"))),
+                lambda s: s["c"],
+            ).alias("cs")
         )
-        return dist.groupBy("vid").agg(
-            F.min(F.struct("dist", "cluster")).alias("m")
-        ).select("vid", F.col("m.cluster").alias("cluster"))
+        j = ve.join(F.broadcast(cent_arr), "d").selectExpr(
+            "vid",
+            *[f"(x - cs[{i}]) * (x - cs[{i}]) AS _d{i}" for i in range(k)],
+        )
+        sums = j.groupBy("vid").agg(
+            *[F.expr(f"sum(_d{i}) AS _d{i}") for i in range(k)]
+        )
+        arr = F.array(*[F.col(f"_d{i}") for i in range(k)])
+        return sums.select(
+            "vid",
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int").alias("cluster"),
+        )
 
     cent = ve.join(seeds, "vid").select("cluster", "d", F.col("x").alias("c"))
     for _ in range(iters):
@@ -1040,15 +1055,40 @@ def pq_fit(
     )
 
     def assign(cent: DataFrame) -> DataFrame:
-        dist = (
-            ve.join(F.broadcast(cent), ["subspace", "d"])
-            .groupBy("vid", "subspace", "cluster")
-            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+        # r15 optimization (guide §2.3 "aggregate before you shuffle" /
+        # fewer rows through the agg): the old shape joined ve to the
+        # codebook on (subspace, d) — k rows per component, a
+        # |corpus|·dim·k-row hash aggregate keyed (vid, subspace,
+        # cluster), then an argmin regroup. The codebook is instead
+        # broadcast as ONE row per (subspace, d) carrying the k
+        # cluster components as a cluster-indexed array, so the join
+        # is 1:1 and the k squared-distance contributions ride as k
+        # agg columns over a (vid, subspace)-keyed aggregate —
+        # identical exact-integer sums, k× fewer rows and hash
+        # probes, one aggregate instead of two. argmin =
+        # array_position of the array minimum (FIRST occurrence →
+        # lowest cluster id, the same tie rule as the old
+        # min(struct(dist, cluster))). Bit-identical output — pinned
+        # by the PQ/IVFADC oracle queries and unit suites.
+        cent_arr = cent.groupBy("subspace", "d").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cluster", "c"))),
+                lambda s: s["c"],
+            ).alias("cs")
         )
-        return (
-            dist.groupBy("vid", "subspace")
-            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-            .select("vid", "subspace", F.col("m.cluster").alias("cluster"))
+        j = ve.join(F.broadcast(cent_arr), ["subspace", "d"]).selectExpr(
+            "vid",
+            "subspace",
+            *[f"(x - cs[{i}]) * (x - cs[{i}]) AS _d{i}" for i in range(k)],
+        )
+        sums = j.groupBy("vid", "subspace").agg(
+            *[F.expr(f"sum(_d{i}) AS _d{i}") for i in range(k)]
+        )
+        arr = F.array(*[F.col(f"_d{i}") for i in range(k)])
+        return sums.select(
+            "vid",
+            "subspace",
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int").alias("cluster"),
         )
 
     cent = ve.join(seeds, "vid").select("subspace", "cluster", "d", F.col("x").alias("c"))

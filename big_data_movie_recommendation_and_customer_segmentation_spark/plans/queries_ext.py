@@ -659,11 +659,21 @@ def exact_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gate projection: the sorted doc_ids array is comma-joined to a
     string (the driver's pandas canonicalizer can't hash list cells —
     r01 harness error); the ``exact_duplicates`` operator keeps the
-    array for API users."""
+    array for API users.
+
+    r15 optimization (guide §2.4): the doubling was a self-union, and
+    project-collapse inlined the fingerprint into BOTH branches — the
+    plan scanned documents twice and ran md5+normalize over the corpus
+    twice (visible in plans/r15/exact_duplicate_groups_before.txt,
+    Projects (2) and (4)). Doubling via explode keeps one scan and one
+    fingerprint pass; rows are identical by construction."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", TX.fingerprint("text").alias("_fp")
     )
-    doubled = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "_fp"))
+    doubled = d.select(
+        F.explode(F.array(F.col("doc_id"), F.col("doc_id") + 1000000)).alias("doc_id"),
+        "_fp",
+    )
     groups = DD.exact_duplicates(doubled, "doc_id", "text", fingerprint_col="_fp")
     return groups.withColumn(
         "doc_ids", F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",")
