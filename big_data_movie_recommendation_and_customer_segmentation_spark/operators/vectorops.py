@@ -837,11 +837,11 @@ def kmeans_quantized_fit(
     ``kmeans_segments_quantized`` (which now delegates here)."""
     from pyspark.sql import Window
 
-    from ..sources.io import spread_for_expansion
-
-    # Same input-skew spread as pq_fit's ve (guide §2.5); exact
-    # integers throughout, so partitioning cannot change the fit.
-    ve = spread_for_expansion(df).select(
+    # No input spread here (r15: A/B'd and rejected — the fit's
+    # parallelism comes from its aggregation shuffles, and the extra
+    # exchange of the vector payload cost more than it unlocked;
+    # same finding as pq_fit's ve).
+    ve = df.select(
         F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("d", "xr")
     ).select(
         "vid", "d", F.floor(F.col("xr").cast("double") * F.lit(scale)).cast("long").alias("x")
@@ -859,29 +859,19 @@ def kmeans_quantized_fit(
     )
 
     def assign(cent: DataFrame) -> DataFrame:
-        # Same k-columns-instead-of-k-rows assign as pq_fit (r15
-        # optimization, see pq_fit.assign): 1:1 broadcast join on d,
-        # k exact-integer distance sums as agg columns, argmin via
-        # array_position (first min → lowest cluster, the old
-        # min(struct) tie rule). Bit-identical; k× fewer agg rows.
-        cent_arr = cent.groupBy("d").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("cluster", "c"))),
-                lambda s: s["c"],
-            ).alias("cs")
+        # Kept in the k-rows two-level-aggregate form: the k-columns
+        # variant that pays off for pq_fit (subspaced, m·k narrow
+        # tables) was micro-benchmarked here at k=20/flat-d and came
+        # out equal-to-slower (0.49-0.58 s vs 0.57-0.60 s warm at
+        # sf0.1), so this shape stays (r15 A/B).
+        dist = (
+            ve.join(F.broadcast(cent), "d")
+            .groupBy("vid", "cluster")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
         )
-        j = ve.join(F.broadcast(cent_arr), "d").selectExpr(
-            "vid",
-            *[f"(x - cs[{i}]) * (x - cs[{i}]) AS _d{i}" for i in range(k)],
-        )
-        sums = j.groupBy("vid").agg(
-            *[F.expr(f"sum(_d{i}) AS _d{i}") for i in range(k)]
-        )
-        arr = F.array(*[F.col(f"_d{i}") for i in range(k)])
-        return sums.select(
-            "vid",
-            (F.array_position(arr, F.array_min(arr)) - 1).cast("int").alias("cluster"),
-        )
+        return dist.groupBy("vid").agg(
+            F.min(F.struct("dist", "cluster")).alias("m")
+        ).select("vid", F.col("m.cluster").alias("cluster"))
 
     cent = ve.join(seeds, "vid").select("cluster", "d", F.col("x").alias("c"))
     for _ in range(iters):
@@ -1030,14 +1020,12 @@ def pq_fit(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub_d = dim // m
-    # Spread a small scan before the dim-way posexplode (guide §2.5):
-    # the exploded ve relation feeds every Lloyd round, so a
-    # row-group-starved scan would run the whole fit on 1-3 tasks.
-    # All quantities are exact integers — partitioning-independent.
-    # No-op at scale and on checkpointed residual inputs.
-    from ..sources.io import spread_for_expansion
-
-    ve = spread_for_expansion(df).select(
+    # No input spread here (r15: A/B'd and rejected — spread-off built
+    # the IVFADC index in 5.3-6.4 s vs 6.3-7.9 s spread-on at sf0.1:
+    # the fit's parallelism comes from its aggregation shuffles, and
+    # the extra exchange of the vector payload cost more than the
+    # map-side parallelism it unlocked).
+    ve = df.select(
         F.col(id_col).alias("vid"),
         F.posexplode(_checked_vec(vec_col, dim, "pq_fit input")).alias("gd", "xr"),
     ).select(
