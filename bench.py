@@ -297,6 +297,14 @@ def format_output(
         "one_shot_this_session": round(sum(timings.values()), 3),
         "warm_median_total": round(sum(warm_median.values()), 3),
         "sf": sf,
+        # r16 (VERDICT r15 ask #1): the per-query one-shot-median map
+        # rides IN the final line so the driver's tail capture (last
+        # ~2000 chars) sees it and PERF's per-query/geomean/scaling
+        # comparisons work again. ``value`` remains sum(queries).
+        # Additions-only: the preceding detail lines are unchanged.
+        # Worst-case final-line length with this map is ~950 chars
+        # (pinned < 1500 by tests/test_bench_contract.py).
+        "queries": oneshot_median,
     }
     if extended:
         final["extended_queries_wall"] = round(sum(extended.values()), 3)

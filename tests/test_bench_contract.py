@@ -70,6 +70,12 @@ def test_bench_final_line_fits_driver_tail_capture():
     # median-of-reps one-shot total, not this session's single sample
     assert parsed["value"] == round(sum(fat.values()), 3)
     assert parsed["one_shot_sessions"] == 3
+    # r16 (VERDICT r15 ask #1): the per-query one-shot-median map must
+    # ride IN the final line — the driver's tail capture drops the
+    # earlier detail lines, which left PERF's per-query/geomean/
+    # scaling comparison empty for two rounds. value == sum(queries).
+    assert parsed["queries"] == fat
+    assert parsed["value"] == round(sum(parsed["queries"].values()), 3)
     # and the detail lines individually stay under the tail capture
     for ln in lines:
         assert len(ln) < 2000, len(ln)
