@@ -1064,10 +1064,22 @@ def pq_fit(
                 lambda s: s["c"],
             ).alias("cs")
         )
+        # try_element_at, not cs[i] (ADVICE r15, medium): when the
+        # corpus holds fewer than k vectors the seeds yield <k
+        # clusters and cs is shorter than k; under Spark 4's default
+        # ANSI mode a bare out-of-bounds index throws
+        # INVALID_ARRAY_INDEX. try_element_at yields NULL instead, the
+        # NULL rides through the sum, and array_min/array_position
+        # skip NULL entries — identical argmin over the clusters that
+        # exist (the old join-on-cluster shape's behavior).
         j = ve.join(F.broadcast(cent_arr), ["subspace", "d"]).selectExpr(
             "vid",
             "subspace",
-            *[f"(x - cs[{i}]) * (x - cs[{i}]) AS _d{i}" for i in range(k)],
+            *[
+                f"(x - try_element_at(cs, {i + 1})) * "
+                f"(x - try_element_at(cs, {i + 1})) AS _d{i}"
+                for i in range(k)
+            ],
         )
         sums = j.groupBy("vid", "subspace").agg(
             *[F.expr(f"sum(_d{i}) AS _d{i}") for i in range(k)]

@@ -212,15 +212,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
 # exchange-partitioned (so parallelism is governed by
 # spark.sql.shuffle.partitions / AQE, not the scan) or too expensive
 # to blindly re-shuffle — spread_for_expansion then no-ops.
-_SPREAD_SAFE_NODES = (
-    "Relation",
-    "LogicalRelation",
-    "Project",
-    "Filter",
-    "SubqueryAlias",
-    "GlobalLimit",
-    "LocalLimit",
-    "LocalRelation",
+_SPREAD_SAFE_NODES = frozenset(
+    {
+        "LogicalRelation",  # v1 file scan (parquet reads here are v1)
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "GlobalLimit",
+        "LocalLimit",
+        "LocalRelation",
+    }
 )
 
 
@@ -253,12 +254,21 @@ def spread_for_expansion(df: DataFrame, per_core_bytes: int = 4 << 20) -> DataFr
     """
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    jplan = df._jdf.queryExecution().optimizedPlan()
-    for line in jplan.treeString().splitlines():
-        node = line.lstrip(" :+-").split(" ", 1)[0]
-        if node and not any(node.startswith(s) for s in _SPREAD_SAFE_NODES):
-            return df
+    # Walk the optimized logical plan's actual nodes and compare exact
+    # nodeName() values (ADVICE r15: the previous treeString()-line
+    # prefix matching was coupled to Spark's print format — a rendered
+    # simpleString that happens to start with a whitelisted word would
+    # misclassify the node). Any traversal surprise fails safe (no-op).
     try:
+        jplan = df._jdf.queryExecution().optimizedPlan()
+        stack = [jplan]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() not in _SPREAD_SAFE_NODES:
+                return df
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
         size = int(str(jplan.stats().sizeInBytes()))
     except Exception:
         return df

@@ -441,3 +441,22 @@ def test_kmeans_segments_rejects_empty_feature_list(spark):
         VO.kmeans_segments(df, feature_cols=[])
     with pytest.raises(ValueError, match="exactly one"):
         VO.kmeans_segments(df, feature_cols=["x"], vec_col="x")
+
+
+def test_pq_fit_corpus_smaller_than_k(spark):
+    """ADVICE r15 (medium): with fewer corpus vectors than k the seed
+    pass yields <k clusters, so the per-(subspace, d) codebook arrays
+    are shorter than k. The k-column assign must skip the missing
+    cluster slots (try_element_at -> NULL, argmin over non-NULLs)
+    instead of throwing INVALid_ARRAY_INDEX under Spark 4's default
+    ANSI mode. Codes must land on existing clusters only."""
+    rows = [(i, [float((i + 1) * (j + 1) % 7) for j in range(8)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, book = VO.pq_fit(df, dim=8, m=2, k=16, iters=2)
+    got = codes.collect()
+    n_clusters = book.select("cluster").distinct().count()
+    assert n_clusters <= 3
+    assert len(got) == 3
+    for r in got:
+        assert len(r.codes) == 2
+        assert all(0 <= c < n_clusters for c in r.codes), r

@@ -53,7 +53,11 @@ def main() -> None:
     print(f"{name}: runs {times}")
 
     app_id = sc.applicationId
-    base = f"http://localhost:4048/api/v1/applications/{app_id}"
+    # Derive the REST base from the session's actual UI URL (ADVICE
+    # r15: if port 4048 is already bound Spark auto-increments, and a
+    # hardcoded URL would read a DIFFERENT application's metrics).
+    ui_url = sc.uiWebUrl or "http://localhost:4048"
+    base = f"{ui_url}/api/v1/applications/{app_id}"
 
     def get(path: str):
         with urllib.request.urlopen(base + path) as r:
