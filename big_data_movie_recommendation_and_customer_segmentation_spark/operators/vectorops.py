@@ -139,12 +139,34 @@ def knn_bruteforce_vectorized(
             take = min(k, len(pdf))
             ids = pdf[id_col].values
             for j in range(sims.shape[1]):
-                idx = np.argpartition(-sims[:, j], take - 1)[:take]
+                # Tie-safe batch pre-reduction (VERDICT r15 ask #3):
+                # plain argpartition picks an ARBITRARY k-th row among
+                # equal cos_sim values, so the kept candidate set — and
+                # through it the final result — depended on batch
+                # composition (file-split geometry). Select by the same
+                # total order the global reduce uses (cos_sim desc, id
+                # asc): take every row at or above the k-th value, then
+                # lexsort that candidate set with the id tiebreak. The
+                # global top-k is a prefix of this order restricted to
+                # any superset, so the reduction stays lossless under
+                # ANY partitioning.
+                s = sims[:, j]
+                kth = np.partition(s, len(s) - take)[len(s) - take]
+                cand = np.nonzero(s >= kth)[0]
+                sel = cand[np.lexsort((ids[cand], -s[cand]))[:take]]
                 yield pd.DataFrame(
-                    {probe_id_col: pid[j], id_col: ids[idx], "cos_sim": sims[idx, j]}
+                    {probe_id_col: pid[j], id_col: ids[sel], "cos_sim": s[sel]}
                 )
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(score, partial_schema)
+    # With the tie-safe pre-reduction the output is partitioning-
+    # independent, so the small-scan spread (guide §2.5) is now safe
+    # here too: starved single-row-group scans fan out to core count
+    # before the matmul batches. No-op at scale (size gate).
+    from ..sources.io import spread_for_expansion
+
+    partial = spread_for_expansion(corpus.select(id_col, vec_col)).mapInPandas(
+        score, partial_schema
+    )
     return per_group_topk(
         partial,
         probe_id_col,

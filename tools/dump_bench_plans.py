@@ -22,7 +22,7 @@ import __spark_entry__ as entrymod
 from big_data_movie_recommendation_and_customer_segmentation_spark import get_spark
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "plans", "r15")
+OUT = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"))
 
 
 def main() -> None:
