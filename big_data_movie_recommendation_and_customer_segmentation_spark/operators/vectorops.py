@@ -862,7 +862,9 @@ def kmeans_quantized_fit(
     # No input spread here (r15: A/B'd and rejected — the fit's
     # parallelism comes from its aggregation shuffles, and the extra
     # exchange of the vector payload cost more than it unlocked;
-    # same finding as pq_fit's ve).
+    # same finding as pq_fit's ve. Re-A/B'd r16 inside
+    # semantic_dedup_survivors: spread-on 5.2-7.7 s vs spread-off
+    # 3.8-5.3 s warm — still negative).
     ve = df.select(
         F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("d", "xr")
     ).select(
@@ -958,7 +960,24 @@ def semantic_dedup(
     # (measured 11.5 s → ~6 s cold at sf0.1). Same pattern/rationale
     # as dedup.cluster_representatives' per-round checkpoint.
     asg = asg.localCheckpoint(eager=False)
-    vecs = df.select(F.col(id_col), F.col(vec_col))
+    # r16 (guide §2.5, profiled): the within-cluster cosine self-join
+    # keys on `segment` — k (=20) distinct values — so its post-
+    # shuffle parallelism is ≤ k partitions, which AQE then coalesces
+    # to ONE task at starved local sizes (measured: the cosine stage
+    # was 1 task holding ~all of the query's executor time). On a
+    # starved scan, spread the vector relation to core count and
+    # broadcast the build side: the join becomes a BroadcastHashJoin
+    # over the spread stream side — full parallelism, zero added
+    # exchanges on the pair relation. Both moves are size-gated
+    # structural no-ops at scale (broadcasting the corpus would be
+    # wrong there — the shuffle join on segment is the right plan
+    # once clusters carry real bytes). Values identical: join rows,
+    # per-row cosine, and the distinct are partitioning-independent.
+    from ..sources.io import is_starved_scan, spread_for_expansion
+
+    vecs_raw = df.select(F.col(id_col), F.col(vec_col))
+    starved = is_starved_scan(vecs_raw)
+    vecs = spread_for_expansion(vecs_raw)
     asg_v = asg.join(vecs, id_col)
     a = asg_v.select(
         F.col(id_col).alias("id_a"), F.col("segment").alias("_seg"),
@@ -969,7 +988,7 @@ def semantic_dedup(
         F.col(vec_col).alias("_vb"),
     )
     dropped = (
-        a.join(b, "_seg")
+        a.join(F.broadcast(b) if starved else b, "_seg")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(V.cosine("_va", "_vb") >= F.lit(min_cosine))
         .select(F.col("id_b").alias(id_col))

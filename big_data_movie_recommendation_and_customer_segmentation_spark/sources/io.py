@@ -252,29 +252,40 @@ def spread_for_expansion(df: DataFrame, per_core_bytes: int = 4 << 20) -> DataFr
     unchanged for any partitioning-independent plan; callers on
     float-aggregation paths must not use it (FP sum order would move).
     """
+    if not is_starved_scan(df, per_core_bytes):
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def is_starved_scan(df: DataFrame, per_core_bytes: int = 4 << 20) -> bool:
+    """True when ``df`` is a narrow scan chain whose optimizer size
+    estimate is under one ~``per_core_bytes`` split per core — i.e. a
+    scan that cannot reach core-count parallelism (single-row-group
+    files, tiny inputs). The decision gate shared by
+    ``spread_for_expansion`` and the size-gated broadcast hints; FALSE
+    at production scale by construction, and fail-safe False on any
+    plan-traversal surprise.
+
+    Walks the optimized logical plan's actual nodes and compares exact
+    nodeName() values (ADVICE r15: treeString()-line prefix matching
+    was coupled to Spark's print format — a rendered simpleString that
+    happens to start with a whitelisted word would misclassify)."""
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    # Walk the optimized logical plan's actual nodes and compare exact
-    # nodeName() values (ADVICE r15: the previous treeString()-line
-    # prefix matching was coupled to Spark's print format — a rendered
-    # simpleString that happens to start with a whitelisted word would
-    # misclassify the node). Any traversal surprise fails safe (no-op).
     try:
         jplan = df._jdf.queryExecution().optimizedPlan()
         stack = [jplan]
         while stack:
             node = stack.pop()
             if node.nodeName() not in _SPREAD_SAFE_NODES:
-                return df
+                return False
             children = node.children()
             for i in range(children.size()):
                 stack.append(children.apply(i))
         size = int(str(jplan.stats().sizeInBytes()))
     except Exception:
-        return df
-    if size >= cores * per_core_bytes:
-        return df
-    return df.repartition(cores)
+        return False
+    return size < cores * per_core_bytes
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
