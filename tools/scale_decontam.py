@@ -14,7 +14,7 @@ codegen compile is constant in SF and would flatten every slope at
 the small end). The build leg is timed once per point over the same
 fixed benchmark to show it is corpus-independent.
 
-    python tools/scale_decontam.py      # → SCALING_DECONTAM_r15.json
+    python tools/scale_decontam.py      # → SCALING_DECONTAM_r16.json
 """
 
 from __future__ import annotations
@@ -89,7 +89,7 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(idx_dir, ignore_errors=True)
-    dst = os.path.join(REPO, "SCALING_DECONTAM_r15.json")
+    dst = os.path.join(REPO, "SCALING_DECONTAM_r16.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {dst}")
